@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import graft.pipeline.{BpiPipeline, BpiQueries, BpiSchema, Expectations}
+
+class BpiPipelineSpec extends SparkSpec {
+
+  private def golden = BpiPipeline.readRawStrings(spark, BpiQueries.goldenPayloads)
+
+  test("golden payload produces the exact 16-column warehouse row") {
+    val out = BpiPipeline.run(
+      golden, BpiQueries.ratesDf(spark),
+      jobId = md5(col("time_updated_iso")),
+      clock = to_timestamp(lit("2023-01-10 00:00:00")))
+    assert(out.columns.toSeq == BpiSchema.warehouseColumns)
+    val rows = out.orderBy("time_updated_iso").collect()
+    assert(rows.length == 3)
+    val first = rows.head
+    assert(first.bpi_usd_rate_float == 17101.3517)
+    assert(first.bpi_gdp_rate_float == 14041.4243)
+    assert(first.bpi_eur_rate_float == 16320.4085)
+    assert(first.bpi_idr_rate_float == 17101.3517 * 15432.5)
+    assert(first.time_updated == "2022-12-06 13:31:00")
+    assert(first.time_updated_iso == "2022-12-06 13:31:00")
+    assert(first.last_updated == "2023-01-10 00:00:00")
+    assert(first.bpi_gdp_code == "GBP") // misnamed column, correct value
+  }
+
+  test("non-UTC ISO offset is normalized to UTC") {
+    val rows = BpiQueries.pipelineEndToEnd(spark, sf).collect()
+    val jan = rows.find(_.getAs[String]("time_updated") == "2023-01-03 09:05:00")
+    assert(jan.isDefined)
+    assert(jan.get.getAs[String]("time_updated_iso") == "2023-01-03 09:05:00")
+  }
+
+  test("corrupt payload lands in the quarantine lane, not the pipeline") {
+    val raw = BpiPipeline.readRawStrings(
+      spark, BpiQueries.goldenPayloads :+ BpiQueries.corruptPayload)
+    assert(BpiPipeline.corruptRows(raw).count() == 1)
+    assert(BpiPipeline.flatten(raw).count() == 3)
+  }
+
+  test("missing FX rate yields null idr (left join), then fails the gate") {
+    val noRates = BpiQueries.ratesDf(spark).filter(col("rate_date") =!= lit("2022-12-06"))
+    val ex = intercept[Expectations.ValidationFailedException] {
+      BpiPipeline.run(golden, noRates,
+        jobId = lit("j"), clock = to_timestamp(lit("2023-01-10 00:00:00"))).collect()
+    }
+    assert(ex.violations.exists(_.name.contains("bpi_idr_rate_float")))
+  }
+
+  test("bad timestamp format fails the gate with a named violation") {
+    val bad = golden.withColumn("time",
+      struct(lit("06/12/2022 13:31").as("updated"),
+        col("time.updatedISO").as("updatedISO"),
+        col("time.updateduk").as("updateduk")))
+    val ex = intercept[Expectations.ValidationFailedException] {
+      BpiPipeline.run(bad, BpiQueries.ratesDf(spark),
+        jobId = lit("j"), clock = to_timestamp(lit("2023-01-10 00:00:00"))).collect()
+    }
+    assert(ex.violations.exists(_.name.startsWith("time_updated")))
+  }
+
+  test("expectations: type gate catches wrong dtype driver-side") {
+    val df = spark.range(1).select(lit("not-a-double").as("x"))
+    assert(Expectations.expectType(df, "x", DoubleType).isDefined)
+    assert(Expectations.expectType(df, "x", StringType).isEmpty)
+  }
+
+  test("expectations: summarize counts violations in one pass") {
+    val df = spark.range(10).select(
+      when(col("id") < 7, col("id")).as("v"),
+      lit("2023-01-10 00:00:00").as("ts"))
+    val out = Expectations.summarize(df, Seq(
+      Expectations.expectNotNull("v"),
+      Expectations.expectTimestampString("ts")))
+    assert(out.head.violations == 3)
+    assert(out(1).violations == 0)
+  }
+}
