@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared queries, one QuerySpec per implemented operator
     * (SURVEY.md §2). Modules contribute their own specs. */
   def allSpecs: Seq[QuerySpec] =
-    operators.Relational.specs ++ pipeline.BpiQueries.specs
+    operators.Relational.specs ++ pipeline.BpiQueries.specs ++
+      operators.TextAnalysis.specs ++ operators.Dedup.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

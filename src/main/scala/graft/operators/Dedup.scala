@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data tier: exact, n-gram
+  * Jaccard (inverted index), MinHash+LSH, SimHash. All are expressed as
+  * shuffle-conscious DataFrame plans:
+  *
+  *   - Exact dedup is one hash-groupBy — the only shuffle is on the md5
+  *     key, with map-side partial aggregation.
+  *   - Pairwise similarity NEVER does a cross join. Candidates come from an
+  *     inverted index (shingle → docs) or LSH buckets (band hash → docs),
+  *     so the shuffle volume is O(docs × shingles), not O(docs²) — the
+  *     difference between feasible and impossible at 100 TB.
+  *   - MinHash signatures are computed per-row inside codegen (no explode,
+  *     no shuffle): one base xxhash64 per shingle, then 128 affine
+  *     permutations folded with array_min.
+  *   - Candidate pairs are verified with EXACT Jaccard before emission, so
+  *     LSH false positives never surface; banding (32 bands × 4 rows)
+  *     makes false negatives vanishingly rare above the 0.6 threshold.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val JaccardThreshold = 0.6
+
+  // ---------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // ---------------------------------------------------------------------
+
+  /** Groups by content hash; keeper = min doc_id per group (deterministic
+    * survivor policy). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+
+  def exact(s: SparkSession, dir: String): DataFrame =
+    exactGroups(Tables.documents(s, dir)).orderBy(col("content_hash"))
+
+  // ---------------------------------------------------------------------
+  // N-gram Jaccard via inverted shingle index
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, shingle) inverted index — distinct shingles per doc. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleSize)).as("s"))
+
+  /** All pairs with exact shingle-set Jaccard >= threshold. Intersections
+    * come from the inverted-index self-join grouped by pair; per-doc set
+    * sizes join back in. Division happens once on exact integer counts. */
+  def ngramJaccardPairs(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val idx = shingleIndex(docs)
+    val counts = docs.select(col("doc_id"),
+      size(shingles(col("text"), ShingleSize)).cast("long").as("n_shingles"))
+    val inter = idx.as("x").join(idx.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(counts.as("ca")), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(counts.as("cb")), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("ca.n_shingles") + col("cb.n_shingles") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared DuckDB oracle for the Jaccard-pair semantics (also the oracle
+    * for MinHash+LSH, whose verified candidates equal the exact pair set
+    * at these thresholds). */
+  val jaccardOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+       |       WHERE len(toks) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  val NumPerm = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumPerm / Bands
+
+  /** Mersenne prime 2^31-1 for Carter-Wegman universal hashing: products
+    * a*h stay under 2^62, so no ANSI Long-overflow, and the modulus keeps
+    * the family min-wise independent enough for LSH. */
+  val MinhashPrime = 2147483647L
+
+  /** Fixed-seed affine permutation constants in [1, p). */
+  private val permConstants: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    def c() = (rnd.nextInt(Int.MaxValue - 1) + 1).toLong
+    Seq.fill(NumPerm)((c(), c()))
+  }
+
+  /** Reduce a base xxhash64 into [0, p) once per shingle. */
+  def minhashBase(s: Column): Column = pmod(xxhash64(s), lit(MinhashPrime))
+
+  /** 128-permutation MinHash signature over a precomputed array of reduced
+    * base hashes (one xxhash64 per shingle, hashed ONCE): element i is
+    * min over shingles of (a_i*h + b_i) mod p. Entirely per-row — no
+    * explode, no shuffle. */
+  def minhashSignature(baseHashes: Column): Column =
+    array(permConstants.map { case (a, b) =>
+      array_min(transform(baseHashes, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+
+  /** Banded bucket keys: hash of each 4-row band of the signature (band
+    * index folded in so buckets don't collide across bands). */
+  def bandHashes(sig: Column): Column =
+    array((0 until Bands).map(b =>
+      hash(slice(sig, b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+
+  /** Candidate pairs from LSH buckets, then EXACT Jaccard verification.
+    * Only docs sharing >= 1 band bucket meet in the join — O(candidates),
+    * not O(n²). */
+  def minhashLshPairs(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val withSets = docs.select(col("doc_id"),
+      shingles(col("text"), ShingleSize).as("sh"))
+    val buckets = withSets
+      .withColumn("hv", transform(col("sh"), s => minhashBase(s)))
+      .withColumn("sig", minhashSignature(col("hv")))
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"))).as(Seq("band", "bucket")))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(withSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(withSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) -
+            size(array_intersect(col("sa.sh"), col("sb.sh")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------------
+  // SimHash (Charikar) with pigeonhole blocking
+  // ---------------------------------------------------------------------
+
+  val SimhashMaxHamming = 3
+
+  /** 64-bit SimHash of the token multiset (Charikar): per bit position,
+    * sum +/-1 over token-hash bits; the sign vector is the fingerprint.
+    * Expects a precomputed base-hash array (tokens hashed once). Unrolled
+    * per bit into plain Column expressions — stays inside codegen. */
+  def simhash64(baseHashes: Column): Column =
+    (0 until 64).map { i =>
+      val bitSum = aggregate(baseHashes, lit(0L),
+        (acc, h) =>
+          acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Near-dup pairs with Hamming distance <= k via pigeonhole blocking:
+    * split the 64-bit simhash into k+1 chunks; any pair within distance k
+    * agrees on >= 1 chunk, so candidates come from equi-joins on chunk
+    * values — again no cross join. */
+  def simhashPairs(docs: DataFrame,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val withSim = docs
+      .withColumn("hv", transform(tokens(col("text")), t => xxhash64(t)))
+      .select(col("doc_id"), simhash64(col("hv")).as("sim"))
+    val blocked = withSim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sim"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*)).as(Seq("chunk", "chunk_val")))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        call_function("bit_count", col("x.sim").bitwiseXOR(col("y.sim")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------------
+
+  import graft.QuerySpec
+  import graft.QuerySpec.{rowsOnly, withOracle}
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("dedup_exact", exact,
+      """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
+    withOracle("dedup_ngram_jaccard", ngramJaccard, jaccardOracleSql),
+    withOracle("dedup_minhash_lsh", minhashLsh, jaccardOracleSql),
+    rowsOnly("dedup_simhash", simhash))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis query surface over the documents table: token stats,
+  * quality scoring, language-ID, fingerprinting. All narrow per-row
+  * Column expressions — a single scan, no shuffle (the only shuffle in
+  * these queries is the presentation ORDER BY, which at scale would be a
+  * sorted write instead). Ratios are single divisions of exact integer
+  * counts (cross-engine reproducible).
+  */
+object TextAnalysis {
+
+  /** Token counting: total, distinct, character mass, mean token length. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_unique"),
+      tokenChars(col("text")).as("n_token_chars"),
+      (tokenChars(col("text")).cast("double") / tokenCount(col("text")))
+        .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, lexical diversity, stopword share, alpha
+    * share — the usual cheap pretraining-corpus filters. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      (distinctTokenCount(col("text")).cast("double") / tokenCount(col("text")))
+        .as("ttr"),
+      (stopwordCount(col("text")).cast("double") / tokenCount(col("text")))
+        .as("stop_ratio"),
+      (alphaChars(col("text")).cast("double") / length(col("text")))
+        .as("alpha_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic + its per-language marker scores. */
+  def langIdQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val scores = langScores(col("text")).map { case (l, c) => c.as(s"score_$l") }
+    base.select(
+      (col("doc_id") +: langId(col("text")).as("lang_pred") +: scores): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical-form fingerprint per document. */
+  def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  import graft.QuerySpec.withOracle
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  private val langScoreSql = langMarkers.map { case (l, ws) =>
+    s"len(list_filter(string_split(text,' '), t -> t IN (${inList(ws)}))) AS score_$l"
+  }.mkString(",\n  ")
+
+  private val langCaseSql = {
+    val best = "greatest(" + langMarkers.map(m => s"score_${m._1}").mkString(", ") + ")"
+    val whens = langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("text_token_stats", tokenStats,
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique,
+        |  CAST(length(replace(text,' ','')) AS BIGINT) AS n_token_chars,
+        |  CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    withOracle("text_quality_score", qualityScore,
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS ttr,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |        t -> t IN (${inList(stopwords)}))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS alpha_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    withOracle("text_langid", langIdQuery,
+      s"""SELECT doc_id, $langCaseSql AS lang_pred,
+         |  CAST(score_en AS BIGINT) AS score_en, CAST(score_de AS BIGINT) AS score_de,
+         |  CAST(score_es AS BIGINT) AS score_es, CAST(score_fr AS BIGINT) AS score_fr
+         |FROM (SELECT doc_id,
+         |  $langScoreSql
+         |FROM documents) ORDER BY doc_id""".stripMargin),
+    withOracle("text_fingerprint", fingerprintQuery,
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin))
+}

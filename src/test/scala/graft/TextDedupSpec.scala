@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: guarded for texts shorter than n") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq())
+    assert(rows(2) == Seq())
+  }
+
+  test("langId: argmax with first-wins ties and und fallback") {
+    val df = Seq(
+      "the cat and the hat",        // en
+      "der hund und die katze",     // de
+      "xyzzy plugh",                // no markers -> und
+      "the der"                     // tie en/de -> en (first wins)
+    ).toDF("text").select(TextFunctions.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und", "en"))
+  }
+
+  test("fingerprint: case/whitespace-insensitive, content-sensitive") {
+    val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("exact dedup groups duplicates under one hash with min keeper") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L)
+  }
+
+  test("ngram jaccard finds the planted near-dup and nothing else") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val nearDup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz"
+    val unrelated = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.7)
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs on testdata") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val docs = Seq((1L, "spark scan join filter table"),
+      (2L, "spark scan join filter table"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) == 0L))
+  }
+}
