@@ -14,7 +14,8 @@ object SparkEntry {
     * (SURVEY.md §2). Modules contribute their own specs. */
   def allSpecs: Seq[QuerySpec] =
     operators.Relational.specs ++ pipeline.BpiQueries.specs ++
-      operators.TextAnalysis.specs ++ operators.Dedup.specs
+      operators.TextAnalysis.specs ++ operators.Dedup.specs ++
+      operators.Similarity.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
