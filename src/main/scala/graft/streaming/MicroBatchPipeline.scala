@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming tier — the reference's accumulate/flush micro-batch
+  * DAGs (SURVEY.md §3.2-3.3) re-expressed as streaming queries.
+  *
+  * The reference accumulated rows in a staging collection and flushed
+  * hourly with a find-all-then-drop race that silently loses rows written
+  * between the two calls. Here the source is a checkpointed file stream:
+  * each file is consumed exactly once, `foreachBatch` gets an atomic
+  * (batchId, DataFrame) pair, and a restart resumes from the checkpoint —
+  * no destructive truncate anywhere. Event-time windows + watermarks
+  * replace the reference's wall-clock cron windows.
+  */
+object MicroBatchPipeline {
+
+  /** events schema as the stream sees it: ts is raw long nanos (parquet
+    * TIMESTAMP(NANOS) — see Tables.events) converted to a micros
+    * timestamp in the first select. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over the events table. FileStreamSource
+    * insists on a directory, so stream the sf directory with a glob filter
+    * selecting the events file — at production scale this is a landing
+    * directory receiving new files per micro-batch. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Event-time tumbling-window aggregation (the engine's replacement for
+    * the reference's hourly cron batches): per (hour, event_type) count
+    * and exact integer-cents value sum. Watermark bounds state. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"),
+        (col("value_cents") / 100.0).as("sum_value"))
+
+  /** Drain a streaming DataFrame synchronously (AvailableNow + memory
+    * sink) and return the final result — bounded-input semantics used by
+    * the declared queries and tests. */
+  def runToResult(spark: SparkSession, streamed: DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Micro-batch flush to parquet via foreachBatch — the reference's
+    * hourly "batch store" DAG without its data-loss race. The checkpoint
+    * makes file consumption exactly-once across restarts. */
+  def foreachBatchAppend(events: DataFrame, outPath: String,
+      checkpoint: String): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  // -------------------------------------------------------------------
+  // Stateful: sessionization with flatMapGroupsWithState
+  // -------------------------------------------------------------------
+
+  val SessionGapMinutes = 30L
+
+  final case class SessionSummary(user_id: Long, n_sessions: Long,
+      n_events: Long, longest_session_events: Long)
+
+  private final case class SessState(lastTsMicros: Long, sessions: Long,
+      events: Long, currentLen: Long, longest: Long)
+
+  /** Per-user session counts with a 30-minute inactivity gap, as a
+    * `flatMapGroupsWithState` operator (the engine's custom-state
+    * primitive). In batch mode Spark hands each group's rows to the
+    * function once; events are sorted by (ts, event_id) in-group —
+    * groups are a single user's events, bounded. In streaming mode the
+    * same function carries state across micro-batches with a timeout. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapMicros = SessionGapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[SessState]): Iterator[SessionSummary] = {
+      val sorted = rows.toVector.sortBy(r => (r._2, r._1))
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
+      sorted.foreach { case (_, ts, _) =>
+        val newSession = st.lastTsMicros == Long.MinValue || ts - st.lastTsMicros > gapMicros
+        st =
+          if (newSession)
+            SessState(ts, st.sessions + 1, st.events + 1, 1L, math.max(st.longest, 1L))
+          else
+            SessState(ts, st.sessions, st.events + 1, st.currentLen + 1,
+              math.max(st.longest, st.currentLen + 1))
+      }
+      state.update(st)
+      Iterator.single(SessionSummary(userId, st.sessions, st.events, st.longest))
+    }
+
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+}

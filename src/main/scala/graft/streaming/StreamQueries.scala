@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Declared queries for the streaming tier. Both run the REAL streaming
+  * machinery (file stream + AvailableNow, flatMapGroupsWithState) over the
+  * bounded events table, so results are deterministic and oracle-checkable
+  * while exercising the same code paths an unbounded deployment uses.
+  */
+object StreamQueries {
+
+  /** Event-time tumbling windows through a checkpoint-less AvailableNow
+    * run into a memory sink. */
+  def hourlyAggQuery(s: SparkSession, dir: String): DataFrame =
+    MicroBatchPipeline.runToResult(s,
+        MicroBatchPipeline.hourlyAgg(MicroBatchPipeline.eventsStream(s, dir)))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Stateful sessionization (30-min gap) via flatMapGroupsWithState. */
+  def sessionizeQuery(s: SparkSession, dir: String): DataFrame =
+    MicroBatchPipeline.sessionize(s, graft.Tables.events(s, dir))
+      .toDF()
+      .orderBy(col("user_id"))
+
+  import graft.QuerySpec.withOracle
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("stream_hourly_agg", hourlyAggQuery,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    withOracle("stream_sessionize",
+      sessionizeQuery,
+      """WITH d AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (
+        |  SELECT user_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS len
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(len) AS BIGINT) AS n_events,
+        |  CAST(MAX(len) AS BIGINT) AS longest_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{MicroBatchPipeline, StreamQueries}
+
+class StreamingSpec extends SparkSpec {
+
+  test("hourly agg over the stream equals the same aggregation in batch") {
+    val streamed = StreamQueries.hourlyAggQuery(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+    }
+  }
+
+  test("foreachBatch append is exactly-once across a restart") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val src = MicroBatchPipeline.eventsStream(spark, sf)
+    MicroBatchPipeline.foreachBatchAppend(src, out, ckpt)
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == Tables.events(spark, sf).count())
+    // "restart": same checkpoint, no new files -> nothing re-processed
+    MicroBatchPipeline.foreachBatchAppend(
+      MicroBatchPipeline.eventsStream(spark, sf), out, ckpt)
+    assert(spark.read.parquet(out).count() == afterFirst)
+  }
+
+  test("sessionize: gap splits sessions, totals add up") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(20), 7L), // session 1: 3 events
+      (4L, ts(120), 7L), (5L, ts(125), 7L),                // session 2: 2 events
+      (6L, ts(0), 8L)                                      // other user
+    ).toDF("event_id", "ts", "user_id")
+    val out = MicroBatchPipeline.sessionize(spark, events).collect()
+      .map(s => s.user_id -> s).toMap
+    assert(out(7L).n_sessions == 2)
+    assert(out(7L).n_events == 5)
+    assert(out(7L).longest_session_events == 3)
+    assert(out(8L).n_sessions == 1)
+  }
+}
