@@ -15,7 +15,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     operators.Relational.specs ++ pipeline.BpiQueries.specs ++
       operators.TextAnalysis.specs ++ operators.Dedup.specs ++
-      operators.Similarity.specs ++ streaming.StreamQueries.specs
+      operators.Similarity.specs ++ streaming.StreamQueries.specs ++
+      operators.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the decode / feature-extract / frame-sample
+  * operators a training-data pipeline runs over them.
+  *
+  * The container has no media codecs, so the DECODE STEP IS A STUB — a
+  * deterministic fake clearly marked below — while everything Spark-side
+  * is real and tested: the binary+struct schema, partition-parallel batch
+  * processing via mapPartitions (one JVM-side batch per partition, the
+  * Scala analogue of an Arrow-batched pandas UDF), frame slicing with
+  * binary substring arithmetic, and metadata queries that stay in
+  * whole-stage codegen. At 100 TB the payload column dominates I/O: these
+  * plans only project `payload` in operators that need the bytes, so
+  * metadata-only queries read a few KB of parquet column chunks per file.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      mime: String, source: String)
+
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      feat: Array[Float], feat_norm: Double)
+
+  val kinds = Seq("image", "audio", "video")
+  val mimes = Map("image" -> "image/jpeg", "audio" -> "audio/wav", "video" -> "video/mp4")
+
+  /** Synthesize the media table from documents: the text bytes stand in
+    * for encoded media; kind/mime cycle deterministically. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(kinds.map(lit): _*), (col("doc_id") % 3 + 1).cast("int"))
+        .as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source"))
+
+  /** Metadata + payload-prefix stats — pure codegen, no UDF: the query a
+    * corpus owner runs constantly, and it must not decode anything. */
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+      col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      hex(substring(col("payload"), 1, 8)).as("head_hex"))
+      .orderBy(col("media_id"))
+
+  /** Frame sampling: slice the payload into 4 equal-length frames (binary
+    * substring arithmetic — for real video this is the keyframe-offset
+    * computation; the byte-slicing plumbing is identical). */
+  val NumFrames = 4
+
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+      .withColumn("frame_len", (length(col("payload")) / NumFrames).cast("int"))
+    media.select(
+        col("media_id"),
+        posexplode(array((0 until NumFrames).map(i =>
+          col("payload").substr(col("frame_len") * i + 1, col("frame_len"))): _*))
+          .as(Seq("frame_id", "frame")))
+      .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        hex(substring(col("frame"), 1, 4)).as("frame_head_hex"))
+      .orderBy(col("media_id"), col("frame_id"))
+  }
+
+  /** Decode + feature-extract over partition-local batches. The inner
+    * `decodeAndEmbed` is the STUB: a real deployment swaps in the codec
+    * (JPEG decode, PCM resample, frame grab) without touching the Spark
+    * plumbing around it. */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    val FeatDim = 8
+
+    // ---- STUB: deterministic fake decoder ------------------------------
+    // Real impl: decode payload with a codec, run a feature model.
+    // Fake: FeatDim byte-bucket means over the payload — deterministic,
+    // batch-shaped like the real thing (bytes in, float vector out).
+    def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatDim)
+      if (payload.nonEmpty) {
+        val bucket = math.max(1, payload.length / FeatDim)
+        var i = 0
+        while (i < FeatDim) {
+          var sum = 0L
+          var n = 0
+          var j = i * bucket
+          while (j < math.min((i + 1) * bucket, payload.length)) {
+            sum += payload(j) & 0xff; n += 1; j += 1
+          }
+          out(i) = if (n == 0) 0f else sum.toFloat / n
+          i += 1
+        }
+      }
+      out
+    }
+    // --------------------------------------------------------------------
+
+    mediaTable(s, dir)
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload) =>
+          val feat = decodeAndEmbed(payload)
+          val norm = math.sqrt(feat.map(f => f.toDouble * f).sum)
+          MediaFeatures(id, kind, payload.length.toLong, feat, norm)
+        }
+      }
+  }
+
+  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, dir).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(col("feat_norm"), 4).as("feat_norm"))
+      .orderBy(col("media_id"))
+
+  import graft.QuerySpec.{rowsOnly, withOracle}
+
+  val specs: Seq[QuerySpec] = Seq(
+    // DuckDB lacks substring over BLOB; slicing the full hex string is
+    // byte-equivalent (2 hex chars per byte).
+    withOracle("mm_media_stats", mediaStats,
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substring(hex(encode(text)), 1, 16) AS head_hex
+        |FROM documents ORDER BY media_id""".stripMargin),
+    withOracle("mm_frame_sample", frameSample,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS payload_hex,
+        |    CAST(octet_length(encode(text)) // 4 AS INT) AS frame_len
+        |  FROM documents)
+        |SELECT media_id, CAST(f.i AS BIGINT) AS frame_id,
+        |  CAST(frame_len AS BIGINT) AS frame_bytes,
+        |  substring(payload_hex, frame_len * 2 * CAST(f.i AS INT) + 1, 8) AS frame_head_hex
+        |FROM m, (SELECT UNNEST(generate_series(0, 3)) AS i) f
+        |ORDER BY media_id, frame_id""".stripMargin),
+    rowsOnly("mm_feature_extract", featuresQuery))
+}
