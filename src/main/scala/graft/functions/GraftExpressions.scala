@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the operators whose inner loops Spark's
+  * built-ins can't run fast: higher-order functions (`transform`,
+  * `aggregate`, `zip_with`) are evaluated interpretively per element, which
+  * turns the 128-permutation MinHash reduction and the N² cosine kernel
+  * into expression-tree walks. These expressions implement the same math
+  * with `doGenCode` emitting tight Java loops, so the hot paths stay inside
+  * whole-stage codegen. Interpreted `eval` mirrors the generated code
+  * exactly (same fold order => bit-identical results, which the DuckDB
+  * oracle relies on).
+  */
+object GraftExpressions {
+
+  /** Cosine similarity over two float-array columns, double accumulation,
+    * sequential fold, dot/(sqrt(na)*sqrt(nb)) grouping — bit-identical to
+    * VectorFunctions.cosine and the oracle's list-fold SQL. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        d += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xi = (double) $a.getFloat($i);
+           |  double yi = (double) $b.getFloat($i);
+           |  $d += xi * yi; $na += xi * xi; $nb += yi * yi;
+           |}
+           |${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** LSH band-bucket hashes from an array of base shingle hashes: reduce
+    * each base hash into [0,p), apply `numPerm` affine permutations
+    * keeping per-permutation minima, then fold each band of mins (+ band
+    * index) into one bucket hash. One generated loop nest per row. */
+  case class MinhashBands(child: Expression, as: Array[Long], bs: Array[Long],
+      prime: Long, bands: Int) extends UnaryExpression {
+    private val numPerm = as.length
+    private val rowsPerBand = numPerm / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_bands"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numPerm)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val hm = java.lang.Math.floorMod(arr.getLong(j), prime)
+        var i = 0
+        while (i < numPerm) {
+          val v = (as(i) * hm + bs(i)) % prime
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 1125899906842597L
+        var r = 0
+        while (r < rowsPerBand) { h = h * 31 + mins(b * rowsPerBand + r); r += 1 }
+        out(b) = h * 31 + b
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+        val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+        val mins = ctx.freshName("mins")
+        val out = ctx.freshName("out")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val r = ctx.freshName("r")
+        val hm = ctx.freshName("hm")
+        val h = ctx.freshName("h")
+        s"""
+           |long[] $mins = new long[$numPerm];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $j = 0; $j < $c.numElements(); $j++) {
+           |  long $hm = Math.floorMod($c.getLong($j), ${prime}L);
+           |  for (int $i = 0; $i < $numPerm; $i++) {
+           |    long v = ($asRef[$i] * $hm + $bsRef[$i]) % ${prime}L;
+           |    if (v < $mins[$i]) $mins[$i] = v;
+           |  }
+           |}
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $h = 1125899906842597L;
+           |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+           |    $h = $h * 31 + $mins[$b * $rowsPerBand + $r];
+           |  }
+           |  $out[$b] = $h * 31 + $b;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Charikar SimHash over an array of 64-bit token hashes: per bit, sum
+    * +/-1 across tokens; emit the sign vector as one long. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val cnt = new Array[Int](64)
+      var j = 0
+      while (j < arr.numElements()) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          cnt(b) += (((h >>> b) & 1L).toInt * 2) - 1
+          b += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (cnt(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val cnt = ctx.freshName("cnt")
+        val j = ctx.freshName("j")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val out = ctx.freshName("res")
+        s"""
+           |int[] $cnt = new int[64];
+           |for (int $j = 0; $j < $c.numElements(); $j++) {
+           |  long $h = $c.getLong($j);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    $cnt[$b] += ((int) (($h >>> $b) & 1L)) * 2 - 1;
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($cnt[$b] > 0) $out |= (1L << $b);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // Column wrappers — Spark 4 bridges Column <-> catalyst Expression via
+  // the (private[sql]) classic ExpressionUtils, reached through
+  // GraftColumnBridge.
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def cosineFast(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def minhashBands(baseHashes: Column, as: Array[Long], bs: Array[Long],
+      prime: Long, bands: Int): Column =
+    column(MinhashBands(expression(baseHashes), as, bs, prime, bands))
+
+  def simhash64Fast(baseHashes: Column): Column =
+    column(SimHash64(expression(baseHashes)))
+}

@@ -44,9 +44,13 @@ object Dedup {
   // N-gram Jaccard via inverted shingle index
   // ---------------------------------------------------------------------
 
-  /** (doc_id, shingle) inverted index — distinct shingles per doc. */
+  /** (doc_id, shingle-hash) inverted index — distinct shingles per doc,
+    * hashed to 64-bit so the self-join shuffles 8-byte keys instead of
+    * shingle strings (collisions are negligible at 2^-64 per in-doc pair
+    * and would only perturb one intersection count). */
   private def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleSize)).as("s"))
+    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleSize)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
 
   /** All pairs with exact shingle-set Jaccard >= threshold. Intersections
     * come from the inverted-index self-join grouped by pair; per-doc set
@@ -101,34 +105,19 @@ object Dedup {
   val RowsPerBand: Int = NumPerm / Bands
 
   /** Mersenne prime 2^31-1 for Carter-Wegman universal hashing: products
-    * a*h stay under 2^62, so no ANSI Long-overflow, and the modulus keeps
-    * the family min-wise independent enough for LSH. */
+    * a*h stay under 2^62, so no Long-overflow, and the modulus keeps the
+    * family min-wise independent enough for LSH. */
   val MinhashPrime = 2147483647L
 
-  /** Fixed-seed affine permutation constants in [1, p). */
-  private val permConstants: Seq[(Long, Long)] = {
+  /** Fixed-seed affine permutation constants in [1, p). The signature +
+    * band reduction itself is the custom codegen'd Catalyst expression
+    * GraftExpressions.MinhashBands — higher-order functions would evaluate
+    * the 128-permutation inner loop interpretively per element. */
+  private val (permAs, permBs): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
     def c() = (rnd.nextInt(Int.MaxValue - 1) + 1).toLong
-    Seq.fill(NumPerm)((c(), c()))
+    (Array.fill(NumPerm)(c()), Array.fill(NumPerm)(c()))
   }
-
-  /** Reduce a base xxhash64 into [0, p) once per shingle. */
-  def minhashBase(s: Column): Column = pmod(xxhash64(s), lit(MinhashPrime))
-
-  /** 128-permutation MinHash signature over a precomputed array of reduced
-    * base hashes (one xxhash64 per shingle, hashed ONCE): element i is
-    * min over shingles of (a_i*h + b_i) mod p. Entirely per-row — no
-    * explode, no shuffle. */
-  def minhashSignature(baseHashes: Column): Column =
-    array(permConstants.map { case (a, b) =>
-      array_min(transform(baseHashes, h => pmod(h * a + b, lit(MinhashPrime))))
-    }: _*)
-
-  /** Banded bucket keys: hash of each 4-row band of the signature (band
-    * index folded in so buckets don't collide across bands). */
-  def bandHashes(sig: Column): Column =
-    array((0 until Bands).map(b =>
-      hash(slice(sig, b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
 
   /** Candidate pairs from LSH buckets, then EXACT Jaccard verification.
     * Only docs sharing >= 1 band bucket meet in the join — O(candidates),
@@ -138,10 +127,11 @@ object Dedup {
     val withSets = docs.select(col("doc_id"),
       shingles(col("text"), ShingleSize).as("sh"))
     val buckets = withSets
-      .withColumn("hv", transform(col("sh"), s => minhashBase(s)))
-      .withColumn("sig", minhashSignature(col("hv")))
+      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
       .select(col("doc_id"),
-        posexplode(bandHashes(col("sig"))).as(Seq("band", "bucket")))
+        posexplode(graft.functions.GraftExpressions.minhashBands(
+          col("hv"), permAs, permBs, MinhashPrime, Bands))
+          .as(Seq("band", "bucket")))
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -167,17 +157,10 @@ object Dedup {
 
   val SimhashMaxHamming = 3
 
-  /** 64-bit SimHash of the token multiset (Charikar): per bit position,
-    * sum +/-1 over token-hash bits; the sign vector is the fingerprint.
-    * Expects a precomputed base-hash array (tokens hashed once). Unrolled
-    * per bit into plain Column expressions — stays inside codegen. */
+  /** 64-bit SimHash of the token multiset (Charikar) — the codegen'd
+    * GraftExpressions.SimHash64 over a precomputed token-hash array. */
   def simhash64(baseHashes: Column): Column =
-    (0 until 64).map { i =>
-      val bitSum = aggregate(baseHashes, lit(0L),
-        (acc, h) =>
-          acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.GraftExpressions.simhash64Fast(baseHashes)
 
   /** Near-dup pairs with Hamming distance <= k via pigeonhole blocking:
     * split the 64-bit simhash into k+1 chunks; any pair within distance k

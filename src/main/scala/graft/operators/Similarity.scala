@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
@@ -29,23 +29,26 @@ object Similarity {
   val NumQueryVectors = 5
   val NearDupThreshold = 0.5
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+  /** The codegen'd cosine kernel (GraftExpressions.CosineSimilarity):
+    * same fold order and dot/(na*nb) grouping as VectorFunctions.cosine,
+    * but emitted as a tight Java loop — the N x |queries| and candidate
+    * kernels below run inside whole-stage codegen instead of walking an
+    * interpreted higher-order-function tree per element. */
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.cosineFast(a, b)
 
   /** Exact cosine top-k for query vectors (vec_id < NumQueryVectors)
     * against the whole corpus, self excluded. Deterministic tie-break on
     * neighbor id. */
   def topKExact(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, dir))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineFromParts(dot(col("qv"), col("embedding")), col("qn"), col("nrm"))
-          .as("score"))
+        cos(col("qv"), col("embedding")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
@@ -57,11 +60,10 @@ object Similarity {
     * oracle-checkable); the ANN path below is the approach that survives
     * 100x growth. */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, dir))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineFromParts(dot(col("a.embedding"), col("b.embedding")),
-          col("a.nrm"), col("b.nrm")).as("score"))
+        cos(col("a.embedding"), col("b.embedding")).as("score"))
       .filter(col("score") >= NearDupThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -92,22 +94,21 @@ object Similarity {
     * tunable via (AnnBits, AnnTables); cost per query is the bucket size,
     * not the corpus size. */
   def topKAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, dir))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bucketed = emb.select(
-      col("vec_id"), col("embedding"), col("nrm"),
+      col("vec_id"), col("embedding"),
       posexplode(array((0 until AnnTables).map(t =>
         hyperplaneSignature(col("embedding"), planes(t))): _*))
         .as(Seq("table_id", "bucket")))
     val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("table_id"), col("bucket"))
+        col("table_id"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     bucketed.join(broadcast(queries), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineFromParts(dot(col("qv"), col("embedding")), col("qn"), col("nrm"))
-          .as("score"))
+        cos(col("qv"), col("embedding")).as("score"))
       .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
