@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.pipeline.BpiPipeline
+
+/** Property tests (SURVEY.md §5) for the two trickiest scalar contracts:
+  * the thousands-separator rate normalizer and the reference's timestamp
+  * formats. Uses plain ScalaCheck generators with a fixed seed (the
+  * scalatest bridge artifact isn't available offline); each property
+  * evaluates the actual Catalyst expressions through a DataFrame, so
+  * what's tested is what runs in the pipeline. Cases are batched into one
+  * DataFrame per property to keep the suite fast. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 200
+
+  private def samples[A](gen: Gen[A]): List[A] =
+    Gen.listOfN(N, gen).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private def evalAll(inputs: Seq[String],
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Option[String]] =
+    inputs.toDF("v").select(f(col("v")).cast("string")).collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+
+  test("normalizeRate: any comma-grouped decimal parses to the ungrouped value") {
+    val gen = for {
+      intPart <- Gen.chooseNum(0L, 999999999L)
+      frac <- Gen.chooseNum(0, 9999)
+    } yield (f"${intPart}%,d.$frac", s"$intPart.$frac".toDouble)
+    val cases = samples(gen)
+    val out = evalAll(cases.map(_._1), BpiPipeline.normalizeRate)
+    cases.zip(out).foreach { case ((in, expected), got) =>
+      assert(got.map(_.toDouble).contains(expected), s"input $in")
+    }
+  }
+
+  test("normalizeRate: garbage becomes null, never an exception") {
+    val cases = samples(Gen.alphaStr.map(_ + "x"))
+    val out = evalAll(cases, BpiPipeline.normalizeRate)
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("reference-format timestamps roundtrip to the warehouse string") {
+    val utc = java.time.ZoneOffset.UTC
+    val refFmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM d, yyyy HH:mm:ss 'UTC'", java.util.Locale.US).withZone(utc)
+    val whFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.US).withZone(utc)
+    val cases = samples(Gen.chooseNum(0L, 4102444800L)) // 1970..2100
+      .map(java.time.Instant.ofEpochSecond(_))
+    val out = evalAll(cases.map(refFmt.format),
+      c => BpiPipeline.formatTs(BpiPipeline.parseUpdated(c)))
+    cases.zip(out).foreach { case (instant, got) =>
+      assert(got.contains(whFmt.format(instant)), s"instant $instant")
+    }
+  }
+
+  test("ISO timestamps with any offset normalize to the same UTC instant") {
+    val utc = java.time.ZoneOffset.UTC
+    val whFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.US).withZone(utc)
+    val gen = for {
+      epochSec <- Gen.chooseNum(0L, 4102444800L)
+      offsetHours <- Gen.chooseNum(-12, 12)
+    } yield (epochSec, offsetHours)
+    val cases = samples(gen).map { case (sec, off) =>
+      val instant = java.time.Instant.ofEpochSecond(sec)
+      val iso = java.time.OffsetDateTime
+        .ofInstant(instant, java.time.ZoneOffset.ofHours(off))
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      (instant, iso)
+    }
+    val out = evalAll(cases.map(_._2),
+      c => BpiPipeline.formatTs(BpiPipeline.parseUpdatedIso(c)))
+    cases.zip(out).foreach { case ((instant, iso), got) =>
+      assert(got.contains(whFmt.format(instant)), s"iso $iso")
+    }
+  }
+}
