@@ -44,33 +44,58 @@ object Dedup {
   // N-gram Jaccard via inverted shingle index
   // ---------------------------------------------------------------------
 
-  /** (doc_id, shingle-hash) inverted index — distinct shingles per doc,
-    * hashed to 64-bit so the self-join shuffles 8-byte keys instead of
-    * shingle strings (collisions are negligible at 2^-64 per in-doc pair
-    * and would only perturb one intersection count). */
-  private def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleSize)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
-
-  /** All pairs with exact shingle-set Jaccard >= threshold. Intersections
-    * come from the inverted-index self-join grouped by pair; per-doc set
-    * sizes join back in. Division happens once on exact integer counts. */
+  /** All pairs with exact shingle-set Jaccard >= threshold, via prefix
+    * filtering (the PPJoin family, Xiao et al.): order each doc's shingles
+    * by ascending global frequency and index only the first
+    * n - ceil(θ·n) + 1 of them. The prefix-filtering lemma guarantees any
+    * pair with Jaccard >= θ shares a prefix element, so the self-join hits
+    * only RARE shingles — with a skewed/small vocabulary this collapses
+    * the candidate set from Σ bucket² (tens of millions here) to
+    * near-duplicates only. Survivors are verified with an exact
+    * intersection; the verification, not the pruning, decides membership,
+    * so the output is exactly the oracle's pair set.
+    *
+    * Shingles are 64-bit hashes throughout (8-byte shuffle keys; a
+    * collision needs 2^-64 within one doc pair). Prefix/length pruning
+    * uses exact integer math on θ as a rational (round(θ*1000)/1000 >= θ
+    * in binary, and no Jaccard rational with these set sizes falls in the
+    * gap, so pruning is never tighter than verification). */
   def ngramJaccardPairs(docs: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val idx = shingleIndex(docs)
-    val counts = docs.select(col("doc_id"),
-      size(shingles(col("text"), ShingleSize)).cast("long").as("n_shingles"))
-    val inter = idx.as("x").join(idx.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(counts.as("ca")), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(counts.as("cb")), col("doc_b") === col("cb.doc_id"))
+    val tNum = math.round(threshold * 1000).toInt
+    val tDen = 1000
+    // Materialize the hashed sets once: five downstream subplans reuse
+    // them, and recomputing the shingle+hash transform per subplan costs
+    // more than the whole join (~12 MB at sf0.1; at scale this is a
+    // persisted intermediate table).
+    val sets = docs.select(col("doc_id"),
+        transform(shingles(col("text"), ShingleSize), s => xxhash64(s)).as("hv"))
+      .withColumn("n", size(col("hv")).cast("long"))
+      .persist()
+    val idx = sets.select(col("doc_id"), col("n"), explode(col("hv")).as("s"))
+    val freq = idx.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val prefix = idx.join(broadcast(freq), "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(expr(s"rn <= n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("n"), col("s"))
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") * tDen >= col("x.n") * tNum &&   // length filter both ways
+          col("x.n") * tDen >= col("y.n") * tNum)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("hv_a"), col("hv_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("ca.n_shingles") + col("cb.n_shingles") - col("n_inter")))
-          .as("jaccard"))
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -195,6 +195,32 @@ object Relational {
       .limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    * exact integer-cents revenue — subtotals and grand total in one pass. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(revenueE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Semi join (EXISTS): customers that placed at least one urgent order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join (NOT EXISTS): customers who never placed an urgent order. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
   /** Set operation: users with a big purchase who never had a big error. */
   def setOpExcept(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -270,6 +296,22 @@ object Relational {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin),
+    withOracle("rel_agg_rollup", aggRollup,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM($revenueE4Sql) AS BIGINT) AS revenue_e4,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    withOracle("rel_join_semi", joinSemi,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+    withOracle("rel_join_anti", joinAnti,
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
     withOracle("rel_topk", topK,
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
