@@ -93,6 +93,15 @@ object MicroBatchPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming dedup: drop events whose key was already seen within the
+    * watermark horizon — the reference's consume-once guarantee without
+    * the destructive truncate, with state bounded by the watermark so it
+    * never grows unboundedly on an infinite stream. */
+  def dedupWithinWatermark(events: DataFrame, key: String = "event_id",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(key)
+
   // -------------------------------------------------------------------
   // Stateful: sessionization with flatMapGroupsWithState
   // -------------------------------------------------------------------

@@ -36,6 +36,16 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == afterFirst)
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val src = MicroBatchPipeline.eventsStream(spark, sf)
+    // duplicate every event by unioning the stream with itself
+    val doubled = src.union(MicroBatchPipeline.eventsStream(spark, sf))
+    val deduped = MicroBatchPipeline.runToResult(spark,
+      MicroBatchPipeline.dedupWithinWatermark(doubled), OutputMode.Append())
+    assert(deduped.count() == Tables.events(spark, sf).count())
+  }
+
   test("sessionize: gap splits sessions, totals add up") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
