@@ -149,8 +149,11 @@ object Dedup {
     * not O(n²). */
   def minhashLshPairs(docs: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
+    // Materialized once: the bucket index and both verification joins
+    // reuse it, and regenerating shingles is the dominant cost otherwise.
     val withSets = docs.select(col("doc_id"),
       shingles(col("text"), ShingleSize).as("sh"))
+      .persist()
     val buckets = withSets
       .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
       .select(col("doc_id"),
