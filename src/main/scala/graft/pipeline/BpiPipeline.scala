@@ -145,6 +145,34 @@ object BpiPipeline {
       .as[BpiSchema.EnrichedBpi]
   }
 
+  /** Streaming mode (reference entry points 2+3, SURVEY.md §3.2-3.3): a
+    * landing directory of payload JSON files consumed exactly-once via
+    * checkpointed offsets, the same flatten/enrich/audit transforms, and a
+    * foreachBatch warehouse append — the accumulate/flush split without
+    * the reference's find-then-drop data-loss race. The gate runs
+    * per micro-batch inside foreachBatch (it needs an action). */
+  def runStream(spark: SparkSession, landingDir: String, rates: DataFrame,
+      warehouseDir: String, checkpoint: String,
+      clock: Column = current_timestamp()): Unit = {
+    val raw = spark.readStream
+      .schema(BpiSchema.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(landingDir)
+    val enriched = orderedSelect(
+      withAuditColumns(enrichIdr(flatten(raw), rates), expr("uuid()"), clock))
+    val q = enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendParquet(validationGate(batch), warehouseDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** O13: warehouse append. Parquet for tests/local; the JDBC path is the
     * production sink (same DataFrame, different format string). */
   def appendParquet(df: DataFrame, path: String): Unit =

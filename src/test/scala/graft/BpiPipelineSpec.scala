@@ -62,6 +62,29 @@ class BpiPipelineSpec extends SparkSpec {
     assert(ex.violations.exists(_.name.startsWith("time_updated")))
   }
 
+  test("streaming mode: landing dir -> warehouse, exactly-once on restart") {
+    val landing = java.nio.file.Files.createTempDirectory("bpi_landing")
+    val warehouse = java.nio.file.Files.createTempDirectory("bpi_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bpi_ckpt").toString
+    BpiQueries.goldenPayloads.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.writeString(landing.resolve(s"payload_$i.json"), p)
+    }
+    def run() = BpiPipeline.runStream(spark, landing.toString,
+      BpiQueries.ratesDf(spark), warehouse, ckpt,
+      clock = to_timestamp(lit("2023-01-10 00:00:00")))
+    run()
+    val out = spark.read.parquet(warehouse)
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == pipeline.BpiSchema.warehouseColumns)
+    run() // restart with no new files: nothing reprocessed
+    assert(spark.read.parquet(warehouse).count() == 3)
+    // a late-arriving file is picked up incrementally
+    java.nio.file.Files.writeString(landing.resolve("payload_late.json"),
+      BpiQueries.goldenPayloads.head)
+    run()
+    assert(spark.read.parquet(warehouse).count() == 4)
+  }
+
   test("expectations: type gate catches wrong dtype driver-side") {
     val df = spark.range(1).select(lit("not-a-double").as("x"))
     assert(Expectations.expectType(df, "x", DoubleType).isDefined)
