@@ -196,6 +196,17 @@ object GraftExpressions {
   // GraftColumnBridge.
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
+  /** Register the scalar expressions in a session's function registry so
+    * they are callable from SQL text (`SELECT cosine_similarity(a, b)`),
+    * not just the Scala DSL. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
   def cosineFast(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 

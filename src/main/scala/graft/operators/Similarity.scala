@@ -117,6 +117,91 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ANN: IVF (inverted file) — the other standard scale path
+  // -------------------------------------------------------------------
+
+  val IvfCells = 16
+  val IvfProbes = 4
+  val IvfTrainSample = 1024
+  val IvfIters = 3
+
+  /** Train IVF centroids: spherical k-means (Lloyd) on a bounded,
+    * deterministic sample on the driver — the standard IVF recipe (train
+    * small, assign distributed). Returns float centroids so the codegen
+    * cosine kernel consumes them as array<float> literals. */
+  def learnCentroids(emb: DataFrame): Seq[Array[Float]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(IvfTrainSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    def cosSim(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var centroids = sample.take(IvfCells).map(_.clone())
+    for (_ <- 0 until IvfIters) {
+      val sums = Array.fill(IvfCells)(new Array[Double](dim))
+      val counts = new Array[Int](IvfCells)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < IvfCells) {
+          val sc = cosSim(v, centroids(c))
+          if (sc > bestScore) { bestScore = sc; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.map(_.toFloat)).toSeq
+  }
+
+  /** Approximate top-k via IVF: corpus vectors are assigned to their
+    * nearest centroid cell in one codegen'd pass; each query probes its
+    * IvfProbes nearest cells, so per-query cost is the probed cells'
+    * population (~ probes/cells of the corpus), independent of N. */
+  def topKIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centroids = learnCentroids(emb)
+    val centroidCols = centroids.map(c => array(c.map(lit): _*))
+    val cellScores = centroidCols.zipWithIndex.map { case (cc, i) =>
+      cos(col("embedding"), cc).as(s"cs_$i")
+    }
+    // One row per (vector, cell) with each cosine computed exactly once —
+    // an argmax via greatest + CASE would inline all 16 kernels into every
+    // branch after projection collapse (a combinatorial expression-tree
+    // blowup); the explode + rank form keeps the plan linear.
+    val scored = emb.select(col("vec_id") +: col("embedding") +: cellScores: _*)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until IvfCells).map(i => col(s"cs_$i")): _*))
+          .as(Seq("cell", "cell_score")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_score").desc, col("cell").asc)
+    val rankedCells = scored.withColumn("pr", row_number().over(wCell))
+    val assigned = rankedCells.filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = rankedCells
+      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------
 
   /** DuckDB double-precision cosine, bit-identical to VectorFunctions
     * (sequential fold, same grouping). */
@@ -144,5 +229,6 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
-    rowsOnly("sim_topk_ann", topKAnn))
+    rowsOnly("sim_topk_ann", topKAnn),
+    rowsOnly("sim_topk_ivf", topKIvf))
 }

@@ -44,6 +44,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: k results per query, deterministic across runs") {
+    val a = Similarity.topKIvf(spark, sf).collect()
+    val byQuery = a.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueryVectors)
+    byQuery.values.foreach(rows => assert(rows.length == Similarity.TopK))
+    val b = Similarity.topKIvf(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.GraftExpressions.register(spark)
+    val row = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("near-dup pairs: symmetric threshold semantics, a < b ordering") {
     val rows = Similarity.nearDupPairs(spark, sf).collect()
     rows.foreach { r =>
