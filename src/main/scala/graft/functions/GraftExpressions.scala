@@ -191,6 +191,48 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** xxhash64 per whitespace token (multiset) — fused replacement for the
+    * interpreted `transform(split(text, " "), t => xxhash64(t))`. The loop
+    * lives in [[ShingleUtil]]; codegen emits one static call per row, so
+    * the expression stays inside whole-stage codegen. */
+  case class TokenHashes64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_hashes64"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleUtil.tokenHashes($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Distinct 64-bit word-n-gram shingle hashes of a text column — the
+    * fused tokenize→shingle→hash→distinct kernel replacing four
+    * interpreted higher-order functions (split, sequence+transform+
+    * concat_ws+slice, array_distinct, transform+xxhash64). Hash identity
+    * differs from xxhash64-of-joined-string; downstream set algebra
+    * (intersections, minhash, LSH banding) only needs determinism and
+    * 64-bit spread. */
+  case class ShingleHashes64(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes64"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.shingleHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleUtil.shingleHashes($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column wrappers — Spark 4 bridges Column <-> catalyst Expression via
   // the (private[sql]) classic ExpressionUtils, reached through
   // GraftColumnBridge.
@@ -216,4 +258,10 @@ object GraftExpressions {
 
   def simhash64Fast(baseHashes: Column): Column =
     column(SimHash64(expression(baseHashes)))
+
+  def tokenHashes64(text: Column): Column =
+    column(TokenHashes64(expression(text)))
+
+  def shingleHashes64(text: Column, n: Int): Column =
+    column(ShingleHashes64(expression(text), n))
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass tokenize+hash kernels shared by the interpreted `eval` and
+  * the generated code of [[GraftExpressions.TokenHashes64]] /
+  * [[GraftExpressions.ShingleHashes64]] (top-level object => static
+  * forwarders, so generated Java calls `ShingleUtil.tokenHashes(...)`
+  * directly).
+  *
+  * Token hashing is bit-identical to Spark's `xxhash64(token)` (XXH64 over
+  * the token's UTF-8 bytes, seed 42), and the splitter mirrors
+  * `split(text, " ")` with the default -1 limit: consecutive separators
+  * yield empty tokens and the trailing empty token is kept, so these
+  * kernels are drop-in replacements for the interpreted
+  * `transform(split(text, " "), t => xxhash64(t))` pipeline.
+  */
+object ShingleUtil {
+
+  private val Seed = 42L
+
+  /** xxhash64 of every token, in order (multiset — duplicates kept).
+    * Equals `transform(split(s, " "), t => xxhash64(t))`. Split on the
+    * single 0x20 byte — safe in UTF-8 (multi-byte sequences never
+    * contain 0x20). */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var count = 1
+    var i = 0
+    while (i < nb) { if (Platform.getByte(base, off + i) == ' '.toByte) count += 1; i += 1 }
+    val out = new Array[Long](count)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        out(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        t += 1; start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct 64-bit hashes of the word n-gram shingles of `s`: each
+    * shingle hash combines the n consecutive token hashes with an
+    * odd-multiplier fold (64-bit avalanched inputs => collision odds
+    * ~2^-64 per pair, which downstream set ops treat as exact). Texts
+    * shorter than n shingle to an empty array. Output is sorted —
+    * callers treat it as a set. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenHashes(s).asInstanceOf[GenericArrayData]
+    val nTok = toks.numElements()
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val raw = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = -7046029254386353131L // avalanche constant seed
+      var k = 0
+      while (k < n) {
+        h = (h ^ toks.getLong(i + k)) * -4417276706812531889L
+        h = java.lang.Long.rotateLeft(h, 31)
+        k += 1
+      }
+      raw(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(raw)
+    var uniq = 1
+    i = 1
+    while (i < nSh) { if (raw(i) != raw(i - 1)) uniq += 1; i += 1 }
+    if (uniq == nSh) return new GenericArrayData(raw)
+    val out = new Array[Long](uniq)
+    out(0) = raw(0)
+    var j = 1
+    i = 1
+    while (i < nSh) {
+      if (raw(i) != raw(i - 1)) { out(j) = raw(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -67,9 +67,12 @@ object Dedup {
     // Materialize the hashed sets once: five downstream subplans reuse
     // them, and recomputing the shingle+hash transform per subplan costs
     // more than the whole join (~12 MB at sf0.1; at scale this is a
-    // persisted intermediate table).
+    // persisted intermediate table). The tokenize→shingle→hash→distinct
+    // chain is one codegen'd kernel (ShingleHashes64), not interpreted
+    // higher-order functions.
     val sets = docs.select(col("doc_id"),
-        transform(shingles(col("text"), ShingleSize), s => xxhash64(s)).as("hv"))
+        graft.functions.GraftExpressions.shingleHashes64(
+          col("text"), ShingleSize).as("hv"))
       .withColumn("n", size(col("hv")).cast("long"))
       .persist()
     val idx = sets.select(col("doc_id"), col("n"), explode(col("hv")).as("s"))
@@ -151,11 +154,14 @@ object Dedup {
       threshold: Double = JaccardThreshold): DataFrame = {
     // Materialized once: the bucket index and both verification joins
     // reuse it, and regenerating shingles is the dominant cost otherwise.
+    // Hashed shingle sets (8 bytes each) stand in for the string sets in
+    // both LSH banding and the exact-Jaccard verification — same set
+    // algebra, ~10× less shuffle/cache volume.
     val withSets = docs.select(col("doc_id"),
-      shingles(col("text"), ShingleSize).as("sh"))
+        graft.functions.GraftExpressions.shingleHashes64(
+          col("text"), ShingleSize).as("hv"))
       .persist()
     val buckets = withSets
-      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
       .select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions.minhashBands(
           col("hv"), permAs, permBs, MinhashPrime, Bands))
@@ -168,10 +174,11 @@ object Dedup {
     candidates
       .join(withSets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(withSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa.hv"), col("sb.hv"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          (size(col("sa.sh")) + size(col("sb.sh")) -
-            size(array_intersect(col("sa.sh"), col("sb.sh")))))
+        (col("n_inter").cast("double") /
+          (size(col("sa.hv")) + size(col("sb.hv")) - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -199,7 +206,7 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     val withSim = docs
-      .withColumn("hv", transform(tokens(col("text")), t => xxhash64(t)))
+      .withColumn("hv", graft.functions.GraftExpressions.tokenHashes64(col("text")))
       .select(col("doc_id"), simhash64(col("hv")).as("sim"))
     val blocked = withSim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
