@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared queries, one QuerySpec per implemented operator
     * (SURVEY.md §2). Modules contribute their own specs. */
   def allSpecs: Seq[QuerySpec] =
-    operators.Relational.specs ++ pipeline.BpiQueries.specs ++
+    operators.Relational.specs ++ operators.RelationalExt.specs ++
+      pipeline.BpiQueries.specs ++
       operators.TextAnalysis.specs ++ operators.Dedup.specs ++
       operators.Similarity.specs ++ streaming.StreamQueries.specs ++
       operators.Multimodal.specs

@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables}
+
+/** Second relational tier: operators beyond the round-1 surface — temporal
+  * joins (as-of), range/band joins, CUBE, INTERSECT/UNION, pivot/unpivot,
+  * analytic window frames (lag + running sums + ntile), deterministic hash
+  * sampling, exact percentiles, full-outer joins, histograms.
+  *
+  * Scale rules follow operators/Relational.scala: declarative plans,
+  * broadcast for small dims, exact integer cents for money, one shuffle per
+  * logical repartitioning. Per-operator scale notes inline.
+  */
+object RelationalExt {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private val centsSql = (x: String) => s"CAST(ROUND($x*100) AS BIGINT)"
+
+  // ---------------------------------------------------------------------------
+  // Temporal as-of join
+  // ---------------------------------------------------------------------------
+
+  /** As-of join: each event picks the latest order of the same key with
+    * o_orderdate <= ts. Implemented as the scalable union+window pattern —
+    * tag both inputs, union, one shuffle on the key, sort by (time, tag),
+    * then `last_value(..., ignoreNulls)` over an unbounded-preceding frame
+    * carries the most recent order onto every event row. This is a
+    * sort-merge as-of: no point lookups, no N×M expansion, works at any
+    * scale where a sort-merge join works. Orders are deduped per
+    * (key, date) keeping the max orderkey so ties are deterministic. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(1).as("is_order"), col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"),
+        lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("k").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Range (band) join
+  // ---------------------------------------------------------------------------
+
+  private val bands: Seq[(Int, String, Int, Int)] = Seq(
+    (1, "low", 0, 9), (2, "mid", 10, 24), (3, "high", 25, 50))
+
+  /** Band join: fact rows against a tiny interval dimension on
+    * lo <= qty <= hi. The dim is broadcast, so the physical plan is a
+    * BroadcastNestedLoopJoin over 3 rows — O(n·bands) with zero shuffle on
+    * the fact side; the group-by on band is the only exchange. At 100 TB
+    * the same plan holds as long as the band table stays driver-small. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = bands.toDF("band_id", "band_name", "lo", "hi")
+    Tables.lineitem(s, dir)
+      .join(broadcast(dim),
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy(col("band_id"), col("band_name"))
+      .agg(count(lit(1)).as("n_items"), sum(cents(col("l_quantity"))).as("qty_c"))
+      .select(col("band_id"), col("band_name"), col("n_items"),
+        (col("qty_c") / 100.0).as("sum_qty"))
+      .orderBy(col("band_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // CUBE / pivot / unpivot
+  // ---------------------------------------------------------------------------
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in one pass
+    * (Catalyst plans one Expand + one aggregate — not 4 scans). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c") / 100.0).as("sum_qty"), col("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot linestatus (explicit category list => static schema; at scale an
+    * implicit pivot would need an extra distinct pass) into per-flag
+    * columns. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(cents(col("l_quantity"))))
+      .select(col("l_returnflag"),
+        (coalesce(col("F"), lit(0L)) / 100.0).as("qty_f"),
+        (coalesce(col("O"), lit(0L)) / 100.0).as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot (wide → long): part metrics to (metric, val) rows — the
+    * inverse reshape, one Expand node, no shuffle. */
+  def unpivotPart(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  // ---------------------------------------------------------------------------
+  // Set operations (INTERSECT / UNION distinct)
+  // ---------------------------------------------------------------------------
+
+  def setOpIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase" && col("value") > 90)
+      .select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "error" && col("value") > 90)
+        .select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  def setOpUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("user_id"))
+      .union(ev.filter(col("event_type") === "signup" && col("value") > 95)
+        .select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Analytic window frames
+  // ---------------------------------------------------------------------------
+
+  /** Lag + running sum + ntile in one window pass per customer: one shuffle
+    * on o_custkey, one sort, all three functions share the frame. Money in
+    * exact cents so running sums are associative and engine-stable. */
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"),
+        lag(cents(col("o_totalprice")), 1).over(w).as("prev_price_c"),
+        sum(cents(col("o_totalprice"))).over(wRun).as("running_c"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Deterministic hash sampling
+  // ---------------------------------------------------------------------------
+
+  /** Hash-threshold sampling: md5(key) first hex digit = '0' keeps an
+    * unbiased ~1/16 sample that is reproducible across engines, runs and
+    * partitionings — unlike `TABLESAMPLE`/`rand()`, which are seed- and
+    * partition-dependent. This is the sampling primitive a 100 TB pipeline
+    * uses for eval splits (the filter pushes to the scan and needs no
+    * shuffle at all). */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  // ---------------------------------------------------------------------------
+  // Exact percentiles / distinct aggregation / histogram / full outer join
+  // ---------------------------------------------------------------------------
+
+  /** Exact interpolated percentiles per group. Exact `percentile` sorts
+    * per group — fine for low-cardinality groups; a 100 TB run over
+    * high-cardinality groups switches to `approx_percentile` (KLL-style
+    * mergeable sketch, same call shape). Quantity values are integers so
+    * the 0.25-step interpolations are exactly representable doubles. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p25"),
+        element_at(col("p"), 2).as("p50"),
+        element_at(col("p"), 3).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Multi-distinct aggregation (Expand-based plan): exact distinct users
+    * and days per event type. At 100 TB the same query downgrades to
+    * approx_count_distinct (HLL) with one config change; exact is kept
+    * here because the oracle is exact. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Fixed-width histogram: integer bucketing + count — the classic
+    * map-side-combinable profile query. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(cents(col("o_totalprice"))).as("min_c"),
+        max(cents(col("o_totalprice"))).as("max_c"))
+      .orderBy(col("bucket"))
+
+  /** Full outer join: per-user event activity against the customer
+    * dimension — keys on either side may be absent; coalesce resolves the
+    * output key. Shuffle on the join key both sides (sort-merge). */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(act, col("c_custkey") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("uid"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("c_mktsegment"))
+      .orderBy(col("uid"))
+  }
+
+  // ---------------------------------------------------------------------------
+
+  import graft.QuerySpec.withOracle
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_join_asof", joinAsof,
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin),
+    withOracle("rel_join_range", joinRange,
+      s"""WITH bands(band_id, band_name, lo, hi) AS (
+         |  VALUES (1, 'low', 0, 9), (2, 'mid', 10, 24), (3, 'high', 25, 50))
+         |SELECT band_id, band_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty
+         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+         |GROUP BY band_id, band_name ORDER BY band_id""".stripMargin),
+    withOracle("rel_agg_cube", aggCube,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    withOracle("rel_pivot", pivotStatus,
+      s"""SELECT l_returnflag,
+         |  COALESCE(SUM(${centsSql("l_quantity")}) FILTER (WHERE l_linestatus = 'F'), 0) / 100.0 AS qty_f,
+         |  COALESCE(SUM(${centsSql("l_quantity")}) FILTER (WHERE l_linestatus = 'O'), 0) / 100.0 AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    withOracle("rel_unpivot", unpivotPart,
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin),
+    withOracle("rel_setop_intersect", setOpIntersect,
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+        |ORDER BY user_id""".stripMargin),
+    withOracle("rel_setop_union", setOpUnion,
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 95
+        |ORDER BY user_id""".stripMargin),
+    withOracle("rel_window_analytics", windowAnalytics,
+      s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+         |  LAG(${centsSql("o_totalprice")}, 1) OVER w AS prev_price_c,
+         |  SUM(${centsSql("o_totalprice")}) OVER
+         |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c,
+         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    withOracle("rel_sample_hash", sampleHash,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY o_orderkey""".stripMargin),
+    withOracle("rel_percentile", percentiles,
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    withOracle("rel_agg_distinct", aggDistinct,
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    withOracle("rel_histogram", histogram,
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  MIN(${centsSql("o_totalprice")}) AS min_c,
+         |  MAX(${centsSql("o_totalprice")}) AS max_c
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+    withOracle("rel_join_full_outer", joinFullOuter,
+      """WITH act AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT COALESCE(c.c_custkey, a.user_id) AS uid,
+        |  COALESCE(a.n_events, 0) AS n_events, c.c_mktsegment
+        |FROM customer c FULL OUTER JOIN act a ON c.c_custkey = a.user_id
+        |ORDER BY uid""".stripMargin)
+  )
+}
