@@ -68,6 +68,28 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding-cosine near-dup DEDUP (the decision layer over the pair
+    * stream): a vector is a duplicate iff some lower-id vector sits within
+    * the cosine threshold; its keeper is the smallest such id —
+    * deterministic greedy survivor policy, one aggregation over the pair
+    * stream plus a left join back to the corpus. At verification scale the
+    * pair stream is the exact n² enumeration below; at 100 TB the same
+    * dedup tail consumes LSH-bucketed candidate pairs (topKAnn's bucketing)
+    * instead — the decision layer is unchanged. */
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dupOf = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos(col("a.embedding"), col("b.embedding")).as("score"))
+      .filter(col("score") >= NearDupThreshold)
+      .groupBy(col("vec_b")).agg(min(col("vec_a")).as("dup_of"))
+    emb.join(dupOf, col("vec_id") === col("vec_b"), "left")
+      .select(col("vec_id"),
+        coalesce(col("dup_of"), col("vec_id")).as("keeper"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   // -------------------------------------------------------------------
   // ANN: random-hyperplane LSH, L tables x B bits
   // -------------------------------------------------------------------
@@ -229,6 +251,16 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
+    withOracle("dedup_embedding", embeddingDedup,
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS v, MIN(a.vec_id) AS dup_of
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+         |  GROUP BY b.vec_id)
+         |SELECT e.vec_id, COALESCE(p.dup_of, e.vec_id) AS keeper,
+         |  CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
+         |FROM embeddings e LEFT JOIN p ON e.vec_id = p.v
+         |ORDER BY e.vec_id""".stripMargin),
     rowsOnly("sim_topk_ann", topKAnn),
     rowsOnly("sim_topk_ivf", topKIvf))
 }

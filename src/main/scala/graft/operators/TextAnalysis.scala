@@ -55,6 +55,36 @@ object TextAnalysis {
       col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** PII scrub: redact email-shaped tokens then 3+-digit runs — the
+    * pattern-redaction pass a pretraining pipeline runs before anything
+    * else touches the text. Pure regexp_replace chain: narrow, no shuffle,
+    * regex stays in the ASCII classes both engines implement identically. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3,}", "<NUM>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus bigram frequency, top 20 with deterministic tie-break — the
+    * vocabulary/boilerplate profile. Explode shuffles (gram, 1) pairs;
+    * map-side partial aggregation collapses them before the exchange, and
+    * the final top-k is a 20-row TakeOrdered on the driver. */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(20)
+  }
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -100,5 +130,18 @@ object TextAnalysis {
          |FROM documents) ORDER BY doc_id""".stripMargin),
     withOracle("text_fingerprint", fingerprintQuery,
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    withOracle("text_pii_scrub", piiScrub,
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    withOracle("text_ngram_freq", ngramFreq,
+      """WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT toks[i] || ' ' || toks[i+1] AS gram
+        |      FROM w, UNNEST(generate_series(1, len(toks)-1)) AS t(i)
+        |      WHERE len(toks) >= 2)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin))
 }

@@ -59,6 +59,20 @@ object MicroBatchPipeline {
         col("event_type"), col("n_events"),
         (col("value_cents") / 100.0).as("sum_value"))
 
+  /** Sliding event-time windows (2 h span, 1 h slide): each event lands in
+    * two overlapping windows — Spark plans one Expand (×2 rows) feeding a
+    * single windowed aggregate, state bounded by the watermark. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "4 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), (col("value_cents") / 100.0).as("sum_value"))
+
   /** Drain a streaming DataFrame synchronously (AvailableNow + memory
     * sink) and return the final result — bounded-input semantics used by
     * the declared queries and tests. */

@@ -24,6 +24,27 @@ object StreamQueries {
       .toDF()
       .orderBy(col("user_id"))
 
+  /** Sliding event-time windows (2 h / 1 h) through the streaming path. */
+  def slidingAggQuery(s: SparkSession, dir: String): DataFrame =
+    MicroBatchPipeline.runToResult(s,
+        MicroBatchPipeline.slidingAgg(MicroBatchPipeline.eventsStream(s, dir)))
+      .orderBy(col("window_start"))
+
+  /** Streaming dedup under at-least-once delivery: the stream unioned with
+    * itself (every event delivered twice, possibly in the same micro-batch)
+    * must come out exactly once through dropDuplicatesWithinWatermark —
+    * state is bounded by the watermark horizon, so an unbounded stream
+    * can run forever. */
+  def streamDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val once = MicroBatchPipeline.eventsStream(s, dir)
+    val twice = once.unionByName(MicroBatchPipeline.eventsStream(s, dir))
+    MicroBatchPipeline.runToResult(s,
+        MicroBatchPipeline.dedupWithinWatermark(twice)
+          .select(col("event_id"), col("event_type"), col("value")),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -52,5 +73,16 @@ object StreamQueries {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |  CAST(SUM(len) AS BIGINT) AS n_events,
         |  CAST(MAX(len) AS BIGINT) AS longest_session_events
-        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin),
+    withOracle("stream_sliding_agg", slidingAggQuery,
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) - to_hours(o) AS ws, value
+        |  FROM events, UNNEST([0, 1]) AS t(o))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        |FROM x GROUP BY ws ORDER BY window_start""".stripMargin),
+    withOracle("stream_dedup", streamDedupQuery,
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin))
 }
