@@ -210,6 +210,24 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** md5-derived token hashes (first 8 digest bytes, big-endian) — the
+    * engine-portable hash identity used by SimHash so a SQL oracle can
+    * reproduce it bit-for-bit (`('0x' || substr(md5(t),1,16))::UBIGINT`). */
+  case class Md5TokenHashes64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_token_hashes64"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.md5TokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleUtil.md5TokenHashes($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct 64-bit word-n-gram shingle hashes of a text column — the
     * fused tokenize→shingle→hash→distinct kernel replacing four
     * interpreted higher-order functions (split, sequence+transform+
@@ -261,6 +279,9 @@ object GraftExpressions {
 
   def tokenHashes64(text: Column): Column =
     column(TokenHashes64(expression(text)))
+
+  def md5TokenHashes64(text: Column): Column =
+    column(Md5TokenHashes64(expression(text)))
 
   def shingleHashes64(text: Column, n: Int): Column =
     column(ShingleHashes64(expression(text), n))

@@ -47,6 +47,42 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-token 64-bit hash = first 8 bytes of md5(token), big-endian —
+    * exactly `('0x' || substr(md5(t), 1, 16))::UBIGINT` in DuckDB, which is
+    * what makes SimHash oracle-checkable across engines (xxhash64 exists
+    * only on the Spark side). Multiset, document order. */
+  def md5TokenHashes(s: UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val md = md5Local.get()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var count = 1
+    var i = 0
+    while (i < nb) { if (Platform.getByte(base, off + i) == ' '.toByte) count += 1; i += 1 }
+    val out = new Array[Long](count)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        md.reset()
+        val tok = new Array[Byte](i - start)
+        Platform.copyMemory(base, off + start, tok, Platform.BYTE_ARRAY_OFFSET, i - start)
+        val d = md.digest(tok)
+        out(t) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+        t += 1; start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 64-bit hashes of the word n-gram shingles of `s`: each
     * shingle hash combines the n consecutive token hashes with an
     * odd-multiplier fold (64-bit avalanched inputs => collision odds

@@ -200,13 +200,16 @@ object Dedup {
   /** Near-dup pairs with Hamming distance <= k via pigeonhole blocking:
     * split the 64-bit simhash into k+1 chunks; any pair within distance k
     * agrees on >= 1 chunk, so candidates come from equi-joins on chunk
-    * values — again no cross join. */
+    * values — again no cross join. Token hashes are md5-derived
+    * (Md5TokenHashes64) so the DuckDB oracle reproduces the simhash
+    * bit-for-bit; blocking is a pruning detail the oracle doesn't need —
+    * it verifies the SEMANTICS (all pairs within the Hamming radius). */
   def simhashPairs(docs: DataFrame,
       maxHamming: Int = SimhashMaxHamming): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     val withSim = docs
-      .withColumn("hv", graft.functions.GraftExpressions.tokenHashes64(col("text")))
+      .withColumn("hv", graft.functions.GraftExpressions.md5TokenHashes64(col("text")))
       .select(col("doc_id"), simhash64(col("hv")).as("sim"))
     val blocked = withSim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
@@ -227,9 +230,69 @@ object Dedup {
     simhashPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
   // ---------------------------------------------------------------------
+  // Connected components over the near-dup graph (dedup GROUPS, not pairs)
+  // ---------------------------------------------------------------------
+
+  /** Dedup groups: connected components of the exact-Jaccard near-dup
+    * graph, labeled by the minimum doc_id in the component (the survivor
+    * a greedy dedup would keep). Iterative min-label propagation: each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels — one hash join + one aggregate per round, converging in
+    * graph-diameter rounds (near-dup clusters are tiny, so 2-4 here; a
+    * web-scale graph swaps in the large-star/small-star variant, which
+    * converges in O(log n) rounds with the same join-shaped inner loop).
+    * The driver-side loop checks a convergence COUNT per round — a scalar
+    * action, not a collect of data. */
+  def dedupGroupsOf(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborLbls = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.union(neighborLbls)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+  }
+
+  def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    dedupGroupsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
 
   import graft.QuerySpec
-  import graft.QuerySpec.{rowsOnly, withOracle}
+  import graft.QuerySpec.withOracle
+
+  /** The Jaccard pair set as a reusable CTE body (shared by the pair
+    * oracle and the connected-components oracle). */
+  private val jaccardPairsCte: String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+       |       WHERE len(toks) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b FROM inter
+       |       JOIN cnt ca ON ca.doc_id = doc_a
+       |       JOIN cnt cb ON cb.doc_id = doc_b
+       |       WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("dedup_exact", exact,
@@ -238,5 +301,29 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
     withOracle("dedup_ngram_jaccard", ngramJaccard, jaccardOracleSql),
     withOracle("dedup_minhash_lsh", minhashLsh, jaccardOracleSql),
-    rowsOnly("dedup_simhash", simhash))
+    withOracle("dedup_simhash", simhash,
+      s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+         |th AS (SELECT doc_id, (concat('0x', substr(md5(t), 1, 16)))::UBIGINT AS h FROM toks),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th, UNNEST(generate_series(0, 63)) AS g(b) GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS UBIGINT) AS sim
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    withOracle("dedup_groups", dedupGroups,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v)
+         |SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |FROM r GROUP BY v ORDER BY doc_id""".stripMargin))
 }
