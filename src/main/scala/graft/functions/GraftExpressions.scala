@@ -251,6 +251,88 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Word-n-gram shingle STRINGS (multiset, for frequency counting) —
+    * fused replacement for the interpreted sequence+transform+concat_ws+
+    * slice chain. Each shingle is one byte-range copy of the source. */
+  case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_strings"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.shingleStrings(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ShingleUtil.shingleStrings($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** All L random-hyperplane LSH bucket signatures in one generated loop
+    * nest: bucket t has bit b set iff dot(v, plane[t*bits+b]) >= 0 (the
+    * table index rides along as the posexplode position downstream).
+    * Replaces tables x bits interpreted `aggregate` folds per row. */
+  case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
+      tables: Int, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_buckets"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          val p = planes(t * bits + b)
+          var d = 0.0
+          var i = 0
+          while (i < dim && i < p.length) { d += v.getFloat(i).toDouble * p(i); i += 1 }
+          if (d >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val pRef = ctx.addReferenceObj("hyperplanes", planes, "double[][]")
+        val out = ctx.freshName("out")
+        val t = ctx.freshName("t")
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val p = ctx.freshName("p")
+        val bucket = ctx.freshName("bucket")
+        s"""
+           |long[] $out = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $b = 0; $b < $bits; $b++) {
+           |    double[] $p = $pRef[$t * $bits + $b];
+           |    double $d = 0.0;
+           |    for (int $i = 0; $i < $c.numElements() && $i < $p.length; $i++) {
+           |      $d += (double) $c.getFloat($i) * $p[$i];
+           |    }
+           |    if ($d >= 0) $bucket |= (1L << $b);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column wrappers — Spark 4 bridges Column <-> catalyst Expression via
   // the (private[sql]) classic ExpressionUtils, reached through
   // GraftColumnBridge.
@@ -285,4 +367,11 @@ object GraftExpressions {
 
   def shingleHashes64(text: Column, n: Int): Column =
     column(ShingleHashes64(expression(text), n))
+
+  def shingleStrings(text: Column, n: Int): Column =
+    column(ShingleStrings(expression(text), n))
+
+  def hyperplaneBuckets(v: Column, planes: Array[Array[Double]],
+      tables: Int, bits: Int): Column =
+    column(HyperplaneBuckets(expression(v), planes, tables, bits))
 }

@@ -83,6 +83,46 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram shingles as STRINGS, multiset in document order (for
+    * frequency counting — duplicates matter). One pass over the bytes:
+    * token bounds first, then each shingle is a single byte-copy of the
+    * source range [start(i), end(i+n-1)] — tokens are space-separated in
+    * the source, so the shingle text is exactly that substring. */
+  def shingleStrings(s: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var count = 1
+    var i = 0
+    while (i < nb) { if (Platform.getByte(base, off + i) == ' '.toByte) count += 1; i += 1 }
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        starts(t) = start; ends(t) = i
+        t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val nSh = count - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](nSh)
+    i = 0
+    while (i < nSh) {
+      val from = starts(i)
+      val until = ends(i + n - 1)
+      val bytes = new Array[Byte](until - from)
+      Platform.copyMemory(base, off + from, bytes, Platform.BYTE_ARRAY_OFFSET, until - from)
+      out(i) = UTF8String.fromBytes(bytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 64-bit hashes of the word n-gram shingles of `s`: each
     * shingle hash combines the n consecutive token hashes with an
     * odd-multiplier fold (64-bit avalanched inputs => collision odds

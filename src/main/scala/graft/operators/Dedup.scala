@@ -233,41 +233,87 @@ object Dedup {
   // Connected components over the near-dup graph (dedup GROUPS, not pairs)
   // ---------------------------------------------------------------------
 
+  /** Edge-count bound under which components are solved by LOCAL
+    * CONTRACTION: the near-dup edge set is orders of magnitude smaller
+    * than the corpus (it only contains near-duplicates), so after the
+    * distributed pair computation the graph itself usually fits on the
+    * driver — union-find there costs one collect + one broadcast join,
+    * versus diameter-many shuffle rounds. This mirrors how production CC
+    * implementations finish (distributed rounds only until the contracted
+    * graph is driver-small). */
+  val LocalEdgeLimit = 5000000L
+
   /** Dedup groups: connected components of the exact-Jaccard near-dup
     * graph, labeled by the minimum doc_id in the component (the survivor
-    * a greedy dedup would keep). Iterative min-label propagation: each
-    * round every vertex takes the min of its own and its neighbors'
-    * labels — one hash join + one aggregate per round, converging in
-    * graph-diameter rounds (near-dup clusters are tiny, so 2-4 here; a
-    * web-scale graph swaps in the large-star/small-star variant, which
-    * converges in O(log n) rounds with the same join-shaped inner loop).
-    * The driver-side loop checks a convergence COUNT per round — a scalar
-    * action, not a collect of data. */
+    * a greedy dedup would keep). Vertices not in any near-dup pair are
+    * their own singleton component and never enter the propagation.
+    *
+    * Path 1 (edge set driver-small — the common case at any corpus size,
+    * since edges only exist between near-duplicates): collect edges, run
+    * union-find locally, broadcast the label map back — one action, one
+    * broadcast join, no iteration.
+    *
+    * Path 2 (giant dup graph): iterative min-label propagation restricted
+    * to vertices that appear in an edge — one hash join + one aggregate
+    * per round, graph-diameter rounds; a web-scale graph would swap in
+    * large-star/small-star (O(log n) rounds, same join-shaped loop). */
   def dedupGroupsOf(docs: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = ngramJaccardPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b")).persist()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborLbls = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      val next = labels.union(neighborLbls)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+    val nEdges = pairs.count()
+    val graphLabels: DataFrame =
+      if (nEdges <= LocalEdgeLimit) {
+        val edges = pairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+            parent(hi) = lo }
+        }
+        val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        verts.map(v => (v, find(v))).toSeq.toDF("v", "lbl")
+      } else {
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        var labels = edges.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("lbl")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 30) {
+          val neighborLbls = edges.join(labels, col("src") === col("v"))
+            .select(col("dst").as("v"), col("lbl"))
+          val next = labels.union(neighborLbls)
+            .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+            .persist()
+          val changed = next.as("n")
+            .join(labels.as("o"), col("n.v") === col("o.v"))
+            .filter(col("n.lbl") =!= col("o.lbl"))
+            .count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels
+      }
+    // Broadcast only on the driver-small path; the giant-graph path joins
+    // shuffle-side (labels there can exceed broadcast limits).
+    val labelsSide =
+      if (nEdges <= LocalEdgeLimit) broadcast(graphLabels) else graphLabels
+    docs.select(col("doc_id"))
+      .join(labelsSide, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
   }
 
   def dedupGroups(s: SparkSession, dir: String): DataFrame =

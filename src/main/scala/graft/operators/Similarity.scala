@@ -117,10 +117,12 @@ object Similarity {
     * not the corpus size. */
   def topKAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val allPlanes: Array[Array[Double]] =
+      (0 until AnnTables).flatMap(t => planes(t)).toArray
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      posexplode(array((0 until AnnTables).map(t =>
-        hyperplaneSignature(col("embedding"), planes(t))): _*))
+      posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
+        col("embedding"), allPlanes, AnnTables, AnnBits))
         .as(Seq("table_id", "bucket")))
     val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),

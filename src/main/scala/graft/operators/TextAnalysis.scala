@@ -73,11 +73,7 @@ object TextAnalysis {
     * map-side partial aggregation collapses them before the exchange, and
     * the final top-k is a 20-row TakeOrdered on the driver. */
   def ngramFreq(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = graft.functions.GraftExpressions.shingleStrings(col("text"), 2)
     Tables.documents(s, dir)
       .select(explode(bigrams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
