@@ -79,6 +79,8 @@ object Multimodal {
     // Real impl: decode payload with a codec, run a feature model.
     // Fake: FeatDim byte-bucket means over the payload — deterministic,
     // batch-shaped like the real thing (bytes in, float vector out).
+    // Mean computed in double then narrowed to float: double arithmetic
+    // is what SQL engines speak, so the fake stays oracle-reproducible.
     def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](FeatDim)
       if (payload.nonEmpty) {
@@ -91,7 +93,7 @@ object Multimodal {
           while (j < math.min((i + 1) * bucket, payload.length)) {
             sum += payload(j) & 0xff; n += 1; j += 1
           }
-          out(i) = if (n == 0) 0f else sum.toFloat / n
+          out(i) = if (n == 0) 0f else (sum.toDouble / n).toFloat
           i += 1
         }
       }
@@ -113,11 +115,10 @@ object Multimodal {
 
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, dir).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(col("feat_norm"), 4).as("feat_norm"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("feat_norm"))
       .orderBy(col("media_id"))
 
-  import graft.QuerySpec.{rowsOnly, withOracle}
+  import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
     // DuckDB lacks substring over BLOB; slicing the full hex string is
@@ -137,5 +138,26 @@ object Multimodal {
         |  substring(payload_hex, frame_len * 2 * CAST(f.i AS INT) + 1, 8) AS frame_head_hex
         |FROM m, (SELECT UNNEST(generate_series(0, 3)) AS i) f
         |ORDER BY media_id, frame_id""".stripMargin),
-    rowsOnly("mm_feature_extract", featuresQuery))
+    // The stub decoder's math is deliberately double-precision SQL algebra,
+    // so even the "decode" path gets a full differential oracle: byte
+    // extraction via hex-string slicing, bucket means in double narrowed
+    // to REAL, norm as the same sequential double fold Spark runs.
+    withOracle("mm_feature_extract", featuresQuery,
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
+        |grid AS (SELECT media_id, kind, n, greatest(1, n // 8) AS bucket, i, h
+        |         FROM m, UNNEST(generate_series(0, 7)) AS a(i)),
+        |jrows AS (SELECT media_id, i,
+        |    (concat('0x', substr(h, 2*CAST(j AS INT)+1, 2)))::INT AS byte
+        |  FROM grid, UNNEST(generate_series(bucket*i, least(bucket*(i+1), n)-1)) AS b(j)),
+        |sums AS (SELECT media_id, i, SUM(byte) AS s, COUNT(*) AS c FROM jrows GROUP BY 1, 2),
+        |feats AS (SELECT g.media_id, g.i,
+        |    CAST(COALESCE(CAST(s.s AS DOUBLE)/s.c, 0) AS REAL) AS f
+        |  FROM grid g LEFT JOIN sums s ON g.media_id = s.media_id AND g.i = s.i),
+        |norms AS (SELECT media_id,
+        |    sqrt(list_sum(list_transform(list(f ORDER BY i), x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS feat_norm
+        |  FROM feats GROUP BY media_id)
+        |SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes, norms.feat_norm
+        |FROM m JOIN norms USING (media_id) ORDER BY media_id""".stripMargin))
 }

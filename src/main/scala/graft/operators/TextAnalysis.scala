@@ -81,6 +81,21 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** BPE-ish regex pre-tokenizer counts: letter runs, digit runs, and
+    * single punctuation marks as separate units (the GPT-2 pre-tokenizer
+    * shape), next to the whitespace count — the cheap token-budget
+    * estimate a corpus pipeline tracks per document. */
+  def tokenizeRegex(s: SparkSession, dir: String): DataFrame = {
+    val units = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(units).cast("long").as("n_bpe_units"),
+      tokenCount(col("text")).as("n_ws_tokens"),
+      concat_ws("|", slice(units, 1, 3)).as("head_units"))
+      .orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -139,5 +154,11 @@ object TextAnalysis {
         |      FROM w, UNNEST(generate_series(1, len(toks)-1)) AS t(i)
         |      WHERE len(toks) >= 2)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
-        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin))
+        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin),
+    withOracle("text_tokenize_regex", tokenizeRegex,
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_units,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  array_to_string(list_slice(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), 1, 3), '|') AS head_units
+        |FROM documents ORDER BY doc_id""".stripMargin))
 }
