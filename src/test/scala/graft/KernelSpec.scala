@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{GraftExpressions, TextFunctions}
+
+/** Equivalence tests for the fused codegen kernels against the reference
+  * formulations they replaced (interpreted higher-order-function chains
+  * and per-plane folds). Each property runs through a DataFrame so the
+  * generated code path — not just the interpreted `eval` — is what's
+  * exercised.
+  */
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 150
+
+  private def texts: List[String] = {
+    val word = Gen.oneOf("the", "cat", "sat", "on", "a", "mat", "x9", "Ü")
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    Gen.listOfN(N, gen).apply(Gen.Parameters.default, Seed(7L)).get ++
+      List("", " ", "a", "a b", "a  b", "a b c d", "tok tok tok")
+  }
+
+  test("TokenHashes64 equals transform(split, xxhash64)") {
+    val df = texts.toDF("text")
+    val bad = df.select(
+        GraftExpressions.tokenHashes64(col("text")).as("fast"),
+        transform(split(col("text"), " "), t => xxhash64(t)).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("ShingleHashes64 is set-equivalent to the HOF shingle pipeline") {
+    // Hash identities differ by design; set SIZES and pairwise Jaccard
+    // (the only things downstream consumes) must agree exactly.
+    val df = texts.toDF("text")
+    val bad = df.select(
+        size(GraftExpressions.shingleHashes64(col("text"), 3)).as("fast_n"),
+        size(TextFunctions.shingles(col("text"), 3)).as("ref_n"))
+      .filter(col("fast_n") =!= col("ref_n")).count()
+    assert(bad == 0)
+    // Jaccard parity over all text pairs: hashed-set intersections must
+    // match string-set intersections (collision-free at these sizes).
+    val sets = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        GraftExpressions.shingleHashes64(col("text"), 3).as("hv"),
+        TextFunctions.shingles(col("text"), 3).as("sv"))
+    val badPairs = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(
+        size(array_intersect(col("a.hv"), col("b.hv"))).as("hi"),
+        size(array_intersect(col("a.sv"), col("b.sv"))).as("si"))
+      .filter(col("hi") =!= col("si")).count()
+    assert(badPairs == 0)
+  }
+
+  test("ShingleStrings equals the sequence+slice+concat_ws chain") {
+    val df = texts.toDF("text")
+    val t = TextFunctions.tokens(col("text"))
+    val ref = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bad = df.select(
+        GraftExpressions.shingleStrings(col("text"), 2).as("fast"),
+        ref.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("Md5TokenHashes64 equals md5-hex-prefix parsing per token") {
+    // Reference: first 16 hex chars of md5(token) parsed as two unsigned
+    // 32-bit halves — the same identity the DuckDB oracle uses.
+    val df = texts.toDF("text")
+    val ref = transform(split(col("text"), " "), t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long")))
+    val bad = df.select(
+        GraftExpressions.md5TokenHashes64(col("text")).as("fast"), ref.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("HyperplaneBuckets equals per-plane hyperplaneSignature folds") {
+    val dim = 16
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    val vecs = Gen.listOfN(60, vecGen).apply(Gen.Parameters.default, Seed(11L)).get
+    val rnd = new scala.util.Random(3)
+    val tables = 4
+    val bits = 3
+    val planes = Array.fill(tables * bits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+    val refSig = (0 until tables).map { t =>
+      graft.functions.VectorFunctions.hyperplaneSignature(
+        col("v"), (0 until bits).map(b => planes(t * bits + b)))
+    }
+    val bad = df.select(
+        GraftExpressions.hyperplaneBuckets(col("v"), planes, tables, bits).as("fast"),
+        array(refSig: _*).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("dedupGroups labels match a local union-find over the pair set") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val got = Dedup.dedupGroupsOf(docs)
+      .as[(Long, Long)].collect().toMap
+    val docIds = docs.select(col("doc_id")).as[Long].collect()
+    docIds.foreach { d =>
+      assert(got(d) == find(d), s"doc $d")
+    }
+  }
+}
