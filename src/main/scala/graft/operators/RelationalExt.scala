@@ -234,6 +234,20 @@ object RelationalExt {
       .orderBy(col("uid"))
   }
 
+  /** Skew-safe two-phase aggregation as a declared query: event_type has
+    * only 5 values, so a naive GROUP BY funnels 600k rows into 5 reducers;
+    * saltedSum pre-aggregates on (key, salt) across 32 reducers first and
+    * then combines 5x32 partials — the oracle proves the rewrite is
+    * result-identical to the direct GROUP BY (exact integer cents make
+    * the two-phase sum associative). */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Scale.saltedSum(
+        Tables.events(s, dir), Seq("event_type"),
+        round(col("value") * 100).cast("long"), "value_c",
+        saltFrom = col("event_id"), buckets = 32)
+      .select(col("event_type"), col("sum_value_c"), col("n_rows"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------------
 
   import graft.QuerySpec.withOracle
@@ -314,6 +328,11 @@ object RelationalExt {
          |  MIN(${centsSql("o_totalprice")}) AS min_c,
          |  MAX(${centsSql("o_totalprice")}) AS max_c
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+    withOracle("rel_agg_salted", aggSalted,
+      """SELECT event_type,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     withOracle("rel_join_full_outer", joinFullOuter,
       """WITH act AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
