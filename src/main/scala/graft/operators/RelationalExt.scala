@@ -234,6 +234,38 @@ object RelationalExt {
       .orderBy(col("uid"))
   }
 
+  /** Date/time arithmetic surface: extraction, offsets, differences —
+    * the scalar toolkit timestamp-heavy pipelines lean on. All pure
+    * per-row expressions inside whole-stage codegen. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        month(col("l_shipdate")).cast("long").as("ship_month"),
+        quarter(col("l_shipdate")).cast("long").as("ship_quarter"),
+        dayofweek(col("l_shipdate")).cast("long").as("ship_dow"),
+        date_format(date_add(col("l_shipdate"), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+      .orderBy(col("l_orderkey"))
+
+  /** String-function surface: case mapping, slicing, padding, search,
+    * trim/replace — one pass, codegen, oracle-identical semantics. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name_head"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
   /** Skew-safe two-phase aggregation as a declared query: event_type has
     * only 5 values, so a naive GROUP BY funnels 600k rows into 5 reducers;
     * saltedSum pre-aggregates on (key, salt) across 32 reducers first and
@@ -328,6 +360,25 @@ object RelationalExt {
          |  MIN(${centsSql("o_totalprice")}) AS min_c,
          |  MAX(${centsSql("o_totalprice")}) AS max_c
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+    withOracle("rel_date_arith", dateArith,
+      """SELECT l_orderkey,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter,
+        |  CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS ship_dow,
+        |  strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS days_since_95
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin),
+    withOracle("rel_string_funcs", stringFuncs,
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name_head,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        |  CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin),
     withOracle("rel_agg_salted", aggSalted,
       """SELECT event_type,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,

@@ -45,6 +45,24 @@ object StreamQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joined to
+    * a broadcast customer dimension per micro-batch (the streaming form
+    * of the reference's FX lookup, O6) and aggregated per segment. The
+    * static side is planned as a broadcast hash join inside every
+    * micro-batch — no stream-side shuffle for the join itself. */
+  def streamStaticJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = MicroBatchPipeline.eventsStream(s, dir)
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev.join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("c_mktsegment"), col("n_events"),
+        (col("value_c") / 100.0).as("sum_value"))
+    MicroBatchPipeline.runToResult(s, joined).orderBy(col("c_mktsegment"))
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -84,5 +102,10 @@ object StreamQueries {
         |FROM x GROUP BY ws ORDER BY window_start""".stripMargin),
     withOracle("stream_dedup", streamDedupQuery,
       """SELECT event_id, event_type, value FROM events
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin),
+    withOracle("stream_static_join", streamStaticJoinQuery,
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 }
