@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalExt
+
+/** Invariant tests for the second relational tier at sf0.001 — the DuckDB
+  * gate proves oracle equality at sf0.01; these guard the semantic
+  * invariants that survive refactors (and run without DuckDB).
+  */
+class RelationalExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join keeps every event exactly once and never time-travels") {
+    val nEvents = Tables.events(spark, sf).count()
+    val out = RelationalExt.joinAsof(spark, sf).cache()
+    assert(out.count() == nEvents)
+    // matched orders must exist and be dated at or before the event ts
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate"), col("o_custkey"))
+    val bad = out.filter(col("asof_orderkey").isNotNull)
+      .join(orders, Seq("asof_orderkey"))
+      .filter(col("o_custkey") =!= col("user_id") ||
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss") > col("ts_str"))
+      .count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("range join covers every in-band row exactly once") {
+    val li = Tables.lineitem(spark, sf)
+    val inBand = li.filter(col("l_quantity") >= 0 && col("l_quantity") <= 50).count()
+    val total = RelationalExt.joinRange(spark, sf)
+      .agg(sum(col("n_items"))).as[Long].head()
+    assert(total == inBand)
+  }
+
+  test("cube emits all four grouping sets consistently") {
+    val out = RelationalExt.aggCube(spark, sf).cache()
+    val grand = out.filter(col("l_returnflag").isNull &&
+      col("l_linestatus").isNull)
+    assert(grand.count() == 1)
+    val n = Tables.lineitem(spark, sf).count()
+    assert(grand.select(col("n_items")).as[Long].head() == n)
+    // per-flag subtotals sum to the grand total
+    val flagSum = out.filter(col("l_returnflag").isNotNull &&
+      col("l_linestatus").isNull)
+      .agg(sum(col("n_items"))).as[Long].head()
+    assert(flagSum == n)
+    out.unpersist()
+  }
+
+  test("pivot row sums equal the unpivoted aggregate") {
+    val out = RelationalExt.pivotStatus(spark, sf)
+    val pivotTotal = out.agg(sum(col("qty_f") + col("qty_o"))).as[Double].head()
+    val direct = Tables.lineitem(spark, sf)
+      .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0))
+      .as[Double].head()
+    assert(math.abs(pivotTotal - direct) < 1e-6)
+  }
+
+  test("hash sample is deterministic and near the 1/16 rate") {
+    val a = RelationalExt.sampleHash(spark, sf)
+    val b = RelationalExt.sampleHash(spark, sf)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    val total = Tables.orders(spark, sf).count().toDouble
+    val frac = a.count() / total
+    assert(frac > 0.02 && frac < 0.13, s"sample fraction $frac")
+  }
+
+  test("percentiles are monotone and within the value range") {
+    RelationalExt.percentiles(spark, sf).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 >= 1.0 && p75 <= 50.0)
+    }
+  }
+
+  test("salted aggregation equals the direct group-by") {
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+      .collect().toSeq
+    val salted = RelationalExt.aggSalted(spark, sf).collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("full outer join loses no keys from either side") {
+    val out = RelationalExt.joinFullOuter(spark, sf).cache()
+    val nCust = Tables.customer(spark, sf).count()
+    val nUsersNotCust = Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"), "left_anti").count()
+    assert(out.count() == nCust + nUsersNotCust)
+    out.unpersist()
+  }
+}
