@@ -18,7 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("rel_star_join")(spark, sfDir).count() // warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional substring filter + repeat count for isolating one query's
+    // steady-state cost (SPARK_GRAFT_BENCH_FILTER / SPARK_GRAFT_BENCH_REPS).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(n.contains) }
+    val results = (1 to reps).flatMap(_ => selected).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

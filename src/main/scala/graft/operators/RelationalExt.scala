@@ -234,6 +234,18 @@ object RelationalExt {
       .orderBy(col("uid"))
   }
 
+  /** Array aggregation: per-customer sorted order-key list. collect_list
+    * is partition-order dependent, so the engine contract is ALWAYS
+    * sort_array(collect_list(...)) — deterministic across retries and
+    * layouts; serialized to a string for cross-engine comparison. */
+  def arrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("orderkeys"))
+      .orderBy(col("o_custkey"))
+
   /** Date/time arithmetic surface: extraction, offsets, differences —
     * the scalar toolkit timestamp-heavy pipelines lean on. All pure
     * per-row expressions inside whole-stage codegen. */
@@ -360,6 +372,10 @@ object RelationalExt {
          |  MIN(${centsSql("o_totalprice")}) AS min_c,
          |  MAX(${centsSql("o_totalprice")}) AS max_c
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+    withOracle("rel_array_agg", arrayAgg,
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     withOracle("rel_date_arith", dateArith,
       """SELECT l_orderkey,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
