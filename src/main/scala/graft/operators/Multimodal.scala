@@ -113,6 +113,38 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(media_id: Long, n_bytes: Long,
+      resized_bytes: Long, resized_head: Array[Byte])
+
+  /** Resize / downsample: keep every `stride`-th payload byte — for real
+    * images this is the decode→scale→re-encode step; the byte-stride STUB
+    * keeps the same batch shape (bytes in, smaller bytes out) and runs in
+    * the same partition-local mapPartitions path a codec would. */
+  val ResizeStride = 4
+
+  def resize(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          // ---- STUB: byte-stride downsample (real impl: codec resize) ----
+          val resized = new Array[Byte]((payload.length + ResizeStride - 1) / ResizeStride)
+          var i = 0
+          while (i < resized.length) { resized(i) = payload(i * ResizeStride); i += 1 }
+          ResizedMedia(id, payload.length.toLong, resized.length.toLong,
+            resized.take(8))
+        }
+      }
+  }
+
+  def resizeQuery(s: SparkSession, dir: String): DataFrame =
+    resize(s, dir).toDF()
+      .select(col("media_id"), col("n_bytes"), col("resized_bytes"),
+        hex(col("resized_head")).as("resized_head_hex"))
+      .orderBy(col("media_id"))
+
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, dir).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("feat_norm"))
@@ -138,6 +170,17 @@ object Multimodal {
         |  substring(payload_hex, frame_len * 2 * CAST(f.i AS INT) + 1, 8) AS frame_head_hex
         |FROM m, (SELECT UNNEST(generate_series(0, 3)) AS i) f
         |ORDER BY media_id, frame_id""".stripMargin),
+    withOracle("mm_resize", resizeQuery,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |head AS (SELECT media_id,
+        |    string_agg(substr(h, 2*(4*CAST(j AS INT))+1, 2), '' ORDER BY j) AS head_hex
+        |  FROM m, UNNEST(generate_series(0, 7)) AS g(j)
+        |  WHERE 4*j < n GROUP BY media_id)
+        |SELECT m.media_id, CAST(m.n AS BIGINT) AS n_bytes,
+        |  CAST((m.n + 3) // 4 AS BIGINT) AS resized_bytes,
+        |  head.head_hex AS resized_head_hex
+        |FROM m JOIN head USING (media_id) ORDER BY media_id""".stripMargin),
     // The stub decoder's math is deliberately double-precision SQL algebra,
     // so even the "decode" path gets a full differential oracle: byte
     // extraction via hex-string slicing, bucket means in double narrowed
