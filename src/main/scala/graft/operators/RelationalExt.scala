@@ -278,6 +278,30 @@ object RelationalExt {
         length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Mergeable-sketch surface with an oracle-checkable contract: the
+    * sketches themselves (HLL distinct count, KLL-ish quantile) are
+    * approximate, so the declared output carries the EXACT values plus
+    * within-tolerance flags. Sketches are deterministic for fixed input,
+    * so the flags are stable constants the oracle asserts as 1 — if a
+    * sketch ever drifts outside its advertised error, the hash compare
+    * fails. At 100 TB these sketches replace their exact counterparts
+    * (both are one map-side-combinable aggregation; the sketch's state is
+    * O(1) per group instead of O(distinct)). */
+  def approxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"),
+        expr("percentile(value, 0.5D)").as("p50_exact"),
+        expr("approx_percentile(value, 0.5D, 1000)").as("p50_approx"))
+      .select(col("event_type"), col("n_exact"), col("p50_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05).cast("long").as("hll_within_5pct"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          lit(1.0)).cast("long").as("kll_within_1"))
+      .orderBy(col("event_type"))
+
   /** Skew-safe two-phase aggregation as a declared query: event_type has
     * only 5 values, so a naive GROUP BY funnels 600k rows into 5 reducers;
     * saltedSum pre-aggregates on (key, salt) across 32 reducers first and
@@ -395,6 +419,13 @@ object RelationalExt {
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
         |  CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin),
+    withOracle("rel_approx_sketches", approxSketches,
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  quantile_cont(value, 0.5) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS hll_within_5pct,
+        |  CAST(1 AS BIGINT) AS kll_within_1
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     withOracle("rel_agg_salted", aggSalted,
       """SELECT event_type,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,

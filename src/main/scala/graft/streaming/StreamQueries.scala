@@ -36,8 +36,12 @@ object StreamQueries {
     * state is bounded by the watermark horizon, so an unbounded stream
     * can run forever. */
   def streamDedupQuery(s: SparkSession, dir: String): DataFrame = {
-    val once = MicroBatchPipeline.eventsStream(s, dir)
-    val twice = once.unionByName(MicroBatchPipeline.eventsStream(s, dir))
+    // Duplicate delivery simulated by exploding each row twice — one
+    // file-stream scan, same at-least-once semantics as a redelivering
+    // source (both copies can land in the same micro-batch).
+    val twice = MicroBatchPipeline.eventsStream(s, dir)
+      .withColumn("delivery", explode(array(lit(1), lit(2))))
+      .drop("delivery")
     MicroBatchPipeline.runToResult(s,
         MicroBatchPipeline.dedupWithinWatermark(twice)
           .select(col("event_id"), col("event_type"), col("value")),
