@@ -19,9 +19,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("rel_star_join")(spark, sfDir).count() // warmup
     // Optional substring filter + repeat count for isolating one query's
-    // steady-state cost (SPARK_GRAFT_BENCH_FILTER / SPARK_GRAFT_BENCH_REPS).
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // steady-state cost: `runMain graft.Bench [filter [reps]]`. (Args, not
+    // env vars: `sbt --client` forks from the server's environment, so
+    // caller env never reaches the benchmark JVM.)
+    val filter = args.headOption
+    val reps = args.lift(1).map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(n.contains) }
     val results = (1 to reps).flatMap(_ => selected).map { case (name, fn) =>
