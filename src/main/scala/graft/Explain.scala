@@ -11,8 +11,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("rel_filter_pushdown", "rel_star_join", "sim_neardup_pairs",
-        "dedup_minhash_lsh")
+      else Seq("rel_filter_pushdown", "rel_star_join", "rel_join_asof",
+        "rel_join_range", "rel_agg_salted", "rel_subquery_scalar",
+        "sim_neardup_pairs", "dedup_minhash_lsh")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

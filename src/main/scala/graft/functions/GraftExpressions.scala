@@ -347,6 +347,16 @@ object GraftExpressions {
       exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("token_hashes64",
+      exprs => TokenHashes64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("md5_token_hashes64",
+      exprs => Md5TokenHashes64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes64",
+      exprs => ShingleHashes64(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_strings",
+      exprs => ShingleStrings(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   def cosineFast(a: Column, b: Column): Column =

@@ -52,5 +52,31 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExpressions.SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExpressions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_hashes64"),
+      new ExpressionInfo(classOf[GraftExpressions.TokenHashes64].getName,
+        "token_hashes64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExpressions.TokenHashes64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_token_hashes64"),
+      new ExpressionInfo(classOf[GraftExpressions.Md5TokenHashes64].getName,
+        "md5_token_hashes64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExpressions.Md5TokenHashes64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes64"),
+      new ExpressionInfo(classOf[GraftExpressions.ShingleHashes64].getName,
+        "shingle_hashes64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExpressions.ShingleHashes64(exprs.head,
+          exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[GraftExpressions.ShingleStrings].getName,
+        "shingle_strings"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExpressions.ShingleStrings(exprs.head,
+          exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -278,6 +278,25 @@ object RelationalExt {
         length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Correlated scalar subqueries through the SQL entry point: customers
+    * whose balance beats their nation's average. Catalyst decorrelates
+    * both subqueries into aggregate+join plans — this declares the
+    * engine's SQL-text surface (`spark.sql`), not just the DataFrame DSL.
+    * The comparison is pure integer algebra (cents × count vs sum of
+    * cents), so the predicate is partition-order independent — comparing
+    * against a floating AVG would be nondeterministic at the boundary. */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, c_acctbal FROM customer_v c
+      WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) *
+            (SELECT COUNT(*) FROM customer_v c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(ROUND(c2.c_acctbal*100) AS BIGINT))
+             FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   /** Mergeable-sketch surface with an oracle-checkable contract: the
     * sketches themselves (HLL distinct count, KLL-ish quantile) are
     * approximate, so the declared output carries the EXACT values plus
@@ -419,6 +438,14 @@ object RelationalExt {
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
         |  CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin),
+    withOracle("rel_subquery_scalar", subqueryScalar,
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(ROUND(c2.c_acctbal*100) AS BIGINT))
+        |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin),
     withOracle("rel_approx_sketches", approxSketches,
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

@@ -107,6 +107,21 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("all custom expressions are callable from SQL text") {
+    GraftExpressions.register(spark)
+    Seq("a b c", "").toDF("t").createOrReplaceTempView("kernel_sql_v")
+    val r = spark.sql("""
+      SELECT size(token_hashes64(t)) AS n1,
+             size(md5_token_hashes64(t)) AS n2,
+             size(shingle_hashes64(t, 2)) AS n3,
+             size(shingle_strings(t, 2)) AS n4,
+             simhash64(token_hashes64(t)) AS sh
+      FROM kernel_sql_v ORDER BY n1 DESC""").collect()
+    assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 3 &&
+      r(0).getInt(2) == 2 && r(0).getInt(3) == 2)
+    assert(r(1).getInt(0) == 1) // empty text = one empty token
+  }
+
   test("dedupGroups labels match a local union-find over the pair set") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
