@@ -278,6 +278,22 @@ object RelationalExt {
         length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Top-k per group via the custom bounded TypedImperativeAggregate —
+    * the scale path for ranking: only k×groups entries cross the shuffle
+    * (map-side bounded buffers), where the window row_number form
+    * shuffles and sorts every input row. Output and oracle are identical
+    * to rel_window_top_per_group, proving the rewrite. */
+  def topKGrouped(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKAggregate.topkByScore(
+        col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("c_nationkey"), col("e.id").as("c_custkey"),
+        col("e.score").as("c_acctbal"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("c_nationkey"), col("rn"))
+
   /** Correlated scalar subqueries through the SQL entry point: customers
     * whose balance beats their nation's average. Catalyst decorrelates
     * both subqueries into aggregate+join plans — this declares the
@@ -441,6 +457,14 @@ object RelationalExt {
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
         |  CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin),
+    withOracle("rel_topk_grouped", topKGrouped,
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal, rn
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin),
     withOracle("rel_subquery_scalar", subqueryScalar,
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) *

@@ -122,6 +122,26 @@ class KernelSpec extends SparkSpec {
     assert(r(1).getInt(0) == 1) // empty text = one empty token
   }
 
+  test("TopKByScore bounded aggregate equals the window row_number form") {
+    // Force many partitions so partial buffers must merge, and include
+    // ties (same score, different ids) to pin the deterministic order.
+    val rows = (1L to 500L).map(i => (i % 13, (i % 7).toDouble, i))
+    val df = rows.toDF("g", "score", "id").repartition(11)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAggregate.topkByScore(col("score"), col("id"), 4)
+        .as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), col("e.score").as("score"), col("e.id").as("id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc)
+    val ref = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 4)
+      .select(col("g"), col("score"), col("id"), col("rn"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    assert(got.count() == ref.count())
+  }
+
   test("dedupGroups labels match a local union-find over the pair set") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
