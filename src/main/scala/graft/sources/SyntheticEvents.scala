@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector: a deterministic synthetic event feed — the
+  * reference's HTTP ingest (O1, `bpi_crawler.py:43-52`) generalized into a
+  * proper Spark source instead of a driver-side fetch loop. Demonstrates
+  * the full connector contract the engine's real feeds would implement:
+  *
+  *   - split planning: `rows` split into `numPartitions` contiguous id
+  *     ranges, each an independent `InputPartition` (executor-parallel);
+  *   - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): readers emit
+  *     only requested fields;
+  *   - FILTER PUSHDOWN (`SupportsPushDownFilters`): event_id range
+  *     predicates narrow the generated id range BEFORE planning, so
+  *     partitions outside the range are never created (the DSv2 analogue
+  *     of partition pruning); other predicates stay in Spark.
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticEvents")
+  *   .option("rows", 10000).option("numPartitions", 8).load()`
+  */
+class SyntheticEvents extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticEvents.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticEventsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("numPartitions", "4").toInt)
+}
+
+object SyntheticEvents {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val eventTypes: Array[String] =
+    Array("view", "click", "purchase", "signup", "error")
+
+  /** Deterministic per-id row content (split-mix style avalanche — stable
+    * across executors, retries and engines). */
+  def mix(id: Long): Long = {
+    var z = id + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+}
+
+final class SyntheticEventsTable(rows: Long, numPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthetic_events($rows)"
+  override def schema(): StructType = SyntheticEvents.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticEventsScanBuilder(rows, numPartitions)
+}
+
+final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = SyntheticEvents.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  /** Accept event_id range predicates (narrowing [lo, hi)); everything
+    * else is left for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("event_id", _: Long) => true
+      case GreaterThan("event_id", _: Long) => true
+      case GreaterThanOrEqual("event_id", _: Long) => true
+      case LessThan("event_id", _: Long) => true
+      case LessThanOrEqual("event_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("event_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SyntheticEventsScan(
+    requiredSchema, math.min(lo, hi), hi, numPartitions)
+}
+
+final case class IdRangePartition(start: Long, end: Long) extends InputPartition
+
+final class SyntheticEventsScan(requiredSchema: StructType, lo: Long, hi: Long,
+    numPartitions: Int) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticEvents[range=[$lo,$hi), cols=${requiredSchema.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1L, hi - lo)
+    val parts = math.min(numPartitions.toLong, n).toInt
+    (0 until parts).map { i =>
+      val start = lo + i * n / parts
+      val end = lo + (i + 1) * n / parts
+      IdRangePartition(start, end): InputPartition
+    }.filter { case IdRangePartition(s, e) => e > s }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticEventsReaderFactory(requiredSchema)
+}
+
+final class SyntheticEventsReaderFactory(requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val IdRangePartition(start, end) = partition
+    new PartitionReader[InternalRow] {
+      private var id = start - 1
+      // Column pruning realized here: one generator per REQUESTED field.
+      private val gens: Array[Long => Any] = requiredSchema.fieldNames.map {
+        case "event_id" => (i: Long) => i
+        case "user_id" => (i: Long) =>
+          java.lang.Math.floorMod(SyntheticEvents.mix(i), 1000L)
+        case "event_type" => (i: Long) => UTF8String.fromString(
+          SyntheticEvents.eventTypes(
+            java.lang.Math.floorMod(SyntheticEvents.mix(i + 1), 5L).toInt))
+        case "value" => (i: Long) =>
+          java.lang.Math.floorMod(SyntheticEvents.mix(i + 2), 10000L) / 100.0
+        case other => throw new IllegalArgumentException(other)
+      }
+
+      override def next(): Boolean = { id += 1; id < end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.toSeq.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}
