@@ -41,6 +41,8 @@ object Scale {
   * deployment path for SQL-only users of the engine. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session =>
+      graft.plans.ApproxDistinctRewrite.forSession(session))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[GraftExpressions.CosineSimilarity].getName,
