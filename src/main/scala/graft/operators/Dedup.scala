@@ -323,6 +323,32 @@ object Dedup {
     dedupGroupsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // Composed corpus-curation pipeline (the flagship training-data flow)
+  // ---------------------------------------------------------------------
+
+  /** End-to-end corpus curation as ONE declared query: near-dup dedup
+    * (keep each component's canonical min-id doc) composed with quality
+    * gating (alpha ratio + token count) — the standard
+    * dedupe-then-filter flow a pretraining corpus goes through, here as
+    * a single lazily-planned DataFrame so Catalyst sees the whole
+    * pipeline (the quality scan prunes columns independently of the
+    * dedup join; survivors join is one broadcast of the tiny label map). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(s, dir)
+    val canonical = dedupGroupsOf(docs)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+    docs.join(canonical, "doc_id")
+      .filter(
+        (alphaChars(col("text")).cast("double") / length(col("text"))) >= 0.7 &&
+          tokenCount(col("text")) >= 20)
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
 
   import graft.QuerySpec
   import graft.QuerySpec.withOracle
@@ -374,5 +400,23 @@ object Dedup {
          |  UNION
          |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v)
          |SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |FROM r GROUP BY v ORDER BY doc_id""".stripMargin))
+         |FROM r GROUP BY v ORDER BY doc_id""".stripMargin),
+    withOracle("text_curation_pipeline", curationPipeline,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(lbl) AS component FROM r GROUP BY v)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.component = d.doc_id
+         |  AND CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / length(d.text) >= 0.7
+         |  AND len(string_split(d.text, ' ')) >= 20
+         |ORDER BY d.doc_id""".stripMargin))
 }

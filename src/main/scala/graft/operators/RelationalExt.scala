@@ -181,6 +181,21 @@ object RelationalExt {
   // Exact percentiles / distinct aggregation / histogram / full outer join
   // ---------------------------------------------------------------------------
 
+  /** Stratified hash sampling: per-class rates (1/16 of common views,
+    * 1/4 of rare errors) — the rare-class upweighting a training-data
+    * pipeline applies when building eval splits. Same md5-threshold
+    * mechanism as sampleHash, so strata are engine- and run-reproducible;
+    * the class→rate map is a literal CASE, pushable into one scan pass. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(md5(col("event_id").cast("string")), 1, 1)
+    val keep = when(col("event_type") === "error", digit.isin("0", "1", "2", "3"))
+      .otherwise(digit === "0")
+    Tables.events(s, dir)
+      .filter(keep)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact interpolated percentiles per group. Exact `percentile` sorts
     * per group — fine for low-cardinality groups; a 100 TB run over
     * high-cardinality groups switches to `approx_percentile` (KLL-style
@@ -412,6 +427,12 @@ object RelationalExt {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    withOracle("rel_sample_stratified", sampleStratified,
+      """SELECT event_id, event_type, value FROM events
+        |WHERE CASE WHEN event_type = 'error'
+        |  THEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |  ELSE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' END
+        |ORDER BY event_id""".stripMargin),
     withOracle("rel_sample_hash", sampleHash,
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
