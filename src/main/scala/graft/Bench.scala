@@ -17,7 +17,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries("rel_star_join")(spark, sfDir).count() // warmup
+    // Warmup: flagship join plus one pass of each custom codegen kernel
+    // on a tiny in-memory frame, so per-query numbers measure steady
+    // state (what a long-running cluster job sees), not first-call JIT
+    // and codegen compilation.
+    SparkEntry.queries("rel_star_join")(spark, sfDir).count()
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftExpressions._
+      val w = (1 to 100).map(i => (s"warm up text number $i with tokens", i.toLong))
+        .toDF("t", "i")
+      w.select(
+          size(shingleHashes64(col("t"), 3)),
+          size(tokenHashes64(col("t"))),
+          size(md5TokenHashes64(col("t"))),
+          size(shingleStrings(col("t"), 2)),
+          simhash64Fast(tokenHashes64(col("t"))))
+        .count()
+    }
     // Optional substring filter + repeat count for isolating one query's
     // steady-state cost: `runMain graft.Bench [filter [reps]]`. (Args, not
     // env vars: `sbt --client` forks from the server's environment, so
