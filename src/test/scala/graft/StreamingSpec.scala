@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup holds state ACROSS micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // Two landing files with identical content + maxFilesPerTrigger=1
+    // forces two micro-batches delivering the same event_ids — the second
+    // batch's rows must be dropped by state carried from the first, not
+    // by within-batch dedup.
+    val landing = Files.createTempDirectory("graft_dedup_landing")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, landing.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, landing.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(MicroBatchPipeline.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = MicroBatchPipeline.runToResult(spark,
+      MicroBatchPipeline.dedupWithinWatermark(stream), OutputMode.Append())
+    assert(deduped.count() == Tables.events(spark, sf).count())
+  }
+
   test("sessionize: gap splits sessions, totals add up") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
