@@ -31,30 +31,43 @@ object RelationalExt {
     * sort-merge as-of: no point lookups, no N×M expansion, works at any
     * scale where a sort-merge join works. Orders are deduped per
     * (key, date) keeping the max orderkey so ties are deterministic. */
-  def joinAsof(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
-      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
-        lit(1).as("is_order"), col("o.o_orderkey").as("o_orderkey"),
-        col("o.o_totalprice").as("o_totalprice"),
-        lit(null).cast("long").as("event_id"))
-    val ev = Tables.events(s, dir)
-      .select(col("user_id").as("k"), col("ts").as("t"),
-        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
-        lit(null).cast("double").as("o_totalprice"), col("event_id"))
+  /** Core as-of machinery over arbitrary frames: `left` rows (key, t,
+    * leftId) each pick the right-side row of the same key with the
+    * greatest time <= t (ties on (key, time) resolved toward the max
+    * rightId — deterministic). Returns (leftId, key, t, rightId, rightVal)
+    * with nulls when nothing precedes. */
+  def asofJoin(left: DataFrame, lKey: String, lTime: String, lId: String,
+      right: DataFrame, rKey: String, rTime: String, rId: String,
+      rVal: String): DataFrame = {
+    val r = right
+      .groupBy(col(rKey), col(rTime))
+      .agg(max(struct(col(rId), col(rVal))).as("o"))
+      .select(col(rKey).as("k"), col(rTime).cast("timestamp").as("t"),
+        lit(1).as("is_right"), col(s"o.$rId").as("r_id"),
+        col(s"o.$rVal").as("r_val"), lit(null).cast("long").as("l_id"))
+    val l = left
+      .select(col(lKey).as("k"), col(lTime).cast("timestamp").as("t"),
+        lit(0).as("is_right"), lit(null).cast("long").as("r_id"),
+        lit(null).cast("double").as("r_val"), col(lId).as("l_id"))
     val w = Window.partitionBy(col("k"))
-      .orderBy(col("t").asc, col("is_order").desc)
+      .orderBy(col("t").asc, col("is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ord.unionByName(ev)
-      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
-      .filter(col("is_order") === 0)
-      .select(col("event_id"), col("k").as("user_id"),
-        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-        col("asof_orderkey"), col("asof_totalprice"))
-      .orderBy(col("event_id"))
+    r.unionByName(l)
+      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(col("l_id"), col("k"), col("t"), col("asof_id"), col("asof_val"))
   }
+
+  def joinAsof(s: SparkSession, dir: String): DataFrame =
+    asofJoin(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_orderkey",
+      "o_totalprice")
+      .select(col("l_id").as("event_id"), col("k").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_id").as("asof_orderkey"), col("asof_val").as("asof_totalprice"))
+      .orderBy(col("event_id"))
 
   // ---------------------------------------------------------------------------
   // Range (band) join

@@ -27,6 +27,34 @@ class RelationalExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("asofJoin matches brute force on random data with ties") {
+    val rnd = new scala.util.Random(19)
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // Small key/time ranges force heavy collisions: same-key same-time
+    // right rows (tie-break), left rows before any right row (nulls).
+    val rights = (1L to 60L).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(40)), i, rnd.nextDouble() * 100))
+    val lefts = (1L to 120L).map(i =>
+      (rnd.nextInt(6).toLong, ts(rnd.nextInt(50)), i))
+    import spark.implicits._
+    val rightDf = rights.toDF("k", "t", "rid", "rv")
+    val leftDf = lefts.toDF("k", "t", "lid")
+    val got = RelationalExt.asofJoin(
+        leftDf, "k", "t", "lid", rightDf, "k", "t", "rid", "rv")
+      .select(col("l_id"), col("asof_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    lefts.foreach { case (k, t, lid) =>
+      val candidates = rights.filter(r => r._1 == k && !r._2.after(t))
+      val expected =
+        if (candidates.isEmpty) None
+        else {
+          val maxT = candidates.map(_._2.getTime).max
+          Some(candidates.filter(_._2.getTime == maxT).map(_._3).max)
+        }
+      assert(got(lid) == expected, s"left $lid key $k t $t")
+    }
+  }
+
   test("range join covers every in-band row exactly once") {
     val li = Tables.lineitem(spark, sf)
     val inBand = li.filter(col("l_quantity") >= 0 && col("l_quantity") <= 50).count()
