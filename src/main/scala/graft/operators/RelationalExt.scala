@@ -174,6 +174,38 @@ object RelationalExt {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE window frame (value-based, not row-count-based): each order
+    * aggregates the same customer's orders within the trailing 90 days —
+    * the time-sliding per-entity feature a feature-store pipeline
+    * computes. One shuffle on the key; the range frame is evaluated over
+    * the sorted run without re-sorting per row. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val epochS = unix_timestamp(col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(epochS)
+      .rangeBetween(-90L * 86400, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), epochS.as("t"),
+        count(lit(1)).over(w).as("n_90d"),
+        sum(cents(col("o_totalprice"))).over(w).as("spend_90d_c"))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_90d"),
+        col("spend_90d_c"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Conditional / null-handling scalar surface: CASE, coalesce, nullif,
+    * least/greatest — one codegen pass. */
+  def conditionalFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        when(col("value") >= 50, "high").when(col("value") >= 10, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("redacted"))
+          .as("type_or_redacted"),
+        least(col("value"), col("user_id").cast("double")).as("lo"),
+        greatest(col("value"), col("user_id").cast("double")).as("hi"))
+      .orderBy(col("event_id"))
+
   // ---------------------------------------------------------------------------
   // Deterministic hash sampling
   // ---------------------------------------------------------------------------
@@ -440,6 +472,22 @@ object RelationalExt {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    withOracle("rel_window_range_frame", windowRangeFrame,
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+         |  CAST(SUM(${centsSql("o_totalprice")}) OVER w AS BIGINT) AS spend_90d_c
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    withOracle("rel_conditional_funcs", conditionalFuncs,
+      """SELECT event_id,
+        |  CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid'
+        |       ELSE 'low' END AS band,
+        |  COALESCE(NULLIF(event_type, 'error'), 'redacted') AS type_or_redacted,
+        |  LEAST(value, CAST(user_id AS DOUBLE)) AS lo,
+        |  GREATEST(value, CAST(user_id AS DOUBLE)) AS hi
+        |FROM events ORDER BY event_id""".stripMargin),
     withOracle("rel_sample_stratified", sampleStratified,
       """SELECT event_id, event_type, value FROM events
         |WHERE CASE WHEN event_type = 'error'
