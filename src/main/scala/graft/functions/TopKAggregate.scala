@@ -25,11 +25,16 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // Declared input types turn a mistyped call into an analysis-time
+  // error (with implicit numeric widening) instead of a runtime
+  // ClassCastException in update().
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType, nullable = false),

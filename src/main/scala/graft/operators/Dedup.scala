@@ -108,24 +108,32 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
-  /** Shared DuckDB oracle for the Jaccard-pair semantics (also the oracle
-    * for MinHash+LSH, whose verified candidates equal the exact pair set
-    * at these thresholds). */
-  val jaccardOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  /** The exact Jaccard pair set (with scores) as a single reusable CTE
+    * body — THE definition of the pair semantics, shared verbatim by the
+    * pair oracle, the MinHash+LSH oracle, the connected-components oracle
+    * and the curation-pipeline oracle, so the four can never
+    * desynchronize. */
+  val jaccardPairsCte: String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
        |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
        |       WHERE len(toks) >= 3),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
-       |FROM inter
-       |JOIN cnt ca ON ca.doc_id = doc_a
-       |JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
+       |       FROM inter
+       |       JOIN cnt ca ON ca.doc_id = doc_a
+       |       JOIN cnt cb ON cb.doc_id = doc_b
+       |       WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold)""".stripMargin
+
+  /** Shared DuckDB oracle for the Jaccard-pair semantics (also the oracle
+    * for MinHash+LSH, whose verified candidates equal the exact pair set
+    * at these thresholds). */
+  val jaccardOracleSql: String =
+    s"""WITH $jaccardPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // MinHash + LSH
@@ -293,7 +301,8 @@ object Dedup {
           .select(col("v"), col("v").as("lbl")).persist()
         var converged = false
         var iter = 0
-        while (!converged && iter < 30) {
+        val maxIters = 50
+        while (!converged && iter < maxIters) {
           val neighborLbls = edges.join(labels, col("src") === col("v"))
             .select(col("dst").as("v"), col("lbl"))
           val next = labels.union(neighborLbls)
@@ -308,8 +317,18 @@ object Dedup {
           converged = changed == 0
           iter += 1
         }
+        edges.unpersist()
+        // Unconverged labels are WRONG labels (a component reported as
+        // several); fail loudly rather than emit silent mis-dedup.
+        if (!converged) throw new IllegalStateException(
+          s"connected components did not converge in $maxIters rounds " +
+            "(graph diameter exceeds the cap; use large-star/small-star)")
         labels
       }
+    // pairs were materialized by count() and fully consumed above (local
+    // collect, or the iteration's own persists) — release the cache so a
+    // multi-query sweep doesn't accumulate dead blocks.
+    pairs.unpersist()
     // Broadcast only on the driver-small path; the giant-graph path joins
     // shuffle-side (labels there can exceed broadcast limits).
     val labelsSide =
@@ -352,22 +371,6 @@ object Dedup {
 
   import graft.QuerySpec
   import graft.QuerySpec.withOracle
-
-  /** The Jaccard pair set as a reusable CTE body (shared by the pair
-    * oracle and the connected-components oracle). */
-  private val jaccardPairsCte: String =
-    s"""w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-       |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
-       |       WHERE len(toks) >= 3),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
-       |jp AS (SELECT doc_a, doc_b FROM inter
-       |       JOIN cnt ca ON ca.doc_id = doc_a
-       |       JOIN cnt cb ON cb.doc_id = doc_b
-       |       WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("dedup_exact", exact,

@@ -179,8 +179,8 @@ object Multimodal {
         |  WHERE 4*j < n GROUP BY media_id)
         |SELECT m.media_id, CAST(m.n AS BIGINT) AS n_bytes,
         |  CAST((m.n + 3) // 4 AS BIGINT) AS resized_bytes,
-        |  head.head_hex AS resized_head_hex
-        |FROM m JOIN head USING (media_id) ORDER BY media_id""".stripMargin),
+        |  COALESCE(head.head_hex, '') AS resized_head_hex
+        |FROM m LEFT JOIN head USING (media_id) ORDER BY media_id""".stripMargin),
     // The stub decoder's math is deliberately double-precision SQL algebra,
     // so even the "decode" path gets a full differential oracle: byte
     // extraction via hex-string slicing, bucket means in double narrowed

@@ -24,7 +24,11 @@ case class ApproxDistinctRewrite(rsdConf: () => Option[String])
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    rsdConf().map(_.toDouble) match {
+    // A malformed or out-of-range rsd must not poison the session (this
+    // rule runs on EVERY plan): treat it as opted out. HLL++ supports
+    // relativeSD < 0.4 (~ precision >= 4).
+    rsdConf().flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filter(r => r > 0 && r < 0.4) match {
       case None => plan
       case Some(rsd) =>
         plan.transformAllExpressions {

@@ -109,7 +109,7 @@ final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new SyntheticEventsScan(
-    requiredSchema, math.min(lo, hi), hi, numPartitions)
+    requiredSchema, lo, math.max(lo, hi), numPartitions)
 }
 
 final case class IdRangePartition(start: Long, end: Long) extends InputPartition
@@ -122,7 +122,10 @@ final class SyntheticEventsScan(requiredSchema: StructType, lo: Long, hi: Long,
     s"SyntheticEvents[range=[$lo,$hi), cols=${requiredSchema.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1L, hi - lo)
+    val n = hi - lo
+    // Contradictory pushed ranges (or rows=0) legitimately plan to zero
+    // partitions — never fabricate a row for an empty range.
+    if (n <= 0) return Array.empty
     val parts = math.min(numPartitions.toLong, n).toInt
     (0 until parts).map { i =>
       val start = lo + i * n / parts
@@ -154,9 +157,17 @@ final class SyntheticEventsReaderFactory(requiredSchema: StructType)
         case other => throw new IllegalArgumentException(other)
       }
 
+      // Reused row buffer: zero per-row allocation in the scan loop
+      // (beyond the values themselves).
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gens.length)
+
       override def next(): Boolean = { id += 1; id < end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(gens.toSeq.map(_(id)))
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < gens.length) { row.update(i, gens(i)(id)); i += 1 }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -18,6 +18,13 @@ class SyntheticEventsSpec extends SparkSpec {
     assert(read(3, 8).rdd.getNumPartitions <= 3) // never more splits than rows
   }
 
+  test("contradictory or empty pushed ranges return zero rows, not phantoms") {
+    assert(read(1000, 4).filter(col("event_id") === 5000L).count() == 0)
+    assert(read(0, 4).count() == 0)
+    assert(read(1000, 4)
+      .filter(col("event_id") > 500L && col("event_id") <= 400L).count() == 0)
+  }
+
   test("event_id range pushdown prunes generated ranges at the source") {
     val df = read(100000, 8).filter(col("event_id") >= 99990 && col("event_id") < 99995)
     assert(df.count() == 5)
