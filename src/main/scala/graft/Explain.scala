@@ -13,6 +13,7 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("rel_filter_pushdown", "rel_star_join", "rel_join_asof",
         "rel_join_range", "rel_agg_salted", "rel_subquery_scalar",
+        "rel_topk_grouped", "rel_window_range_frame",
         "sim_neardup_pairs", "dedup_minhash_lsh")
     val spark = SparkSession.builder()
       .master("local[4]")
