@@ -226,6 +226,47 @@ object RelationalExt {
   // Exact percentiles / distinct aggregation / histogram / full outer join
   // ---------------------------------------------------------------------------
 
+  /** MERGE/upsert semantics expressed relationally: a base table merged
+    * with a changes table — matched keys take the change's values,
+    * unmatched keys pass through, new keys insert. The reference only
+    * ever APPENDED (`if_exists="append"`); this is the compaction path a
+    * real warehouse needs. One full-outer join on the key = one shuffle
+    * each side; at scale both sides are bucketed on the key so the merge
+    * is exchange-free. The changes table here is derived (urgent orders
+    * get a 10% price bump) so the query is self-contained. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderstatus"))
+    val changes = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("c_key"),
+        // integer `div`, not `/`: keeps the bump in exact long arithmetic
+        expr("CAST(ROUND(o_totalprice*100) AS BIGINT) + " +
+          "CAST(ROUND(o_totalprice*100) AS BIGINT) div 10").as("new_price_c"),
+        lit("U").as("new_status"))
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+        coalesce(col("new_price_c"), col("price_c")).as("price_c"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Latest-row-per-key compaction (the upsert READ path / SCD-1 view):
+    * each customer's most recent order wins, ties broken by orderkey.
+    * max_by-style struct max => one map-side-combinable aggregation, no
+    * window sort. */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("latest_orderkey"),
+        date_format(col("m.o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+        col("m.price_c").as("latest_price_c"))
+      .orderBy(col("o_custkey"))
+
   /** Stratified hash sampling: per-class rates (1/16 of common views,
     * 1/4 of rare errors) — the rare-class upweighting a training-data
     * pipeline applies when building eval splits. Same md5-threshold
@@ -488,6 +529,29 @@ object RelationalExt {
         |  LEAST(value, CAST(user_id AS DOUBLE)) AS lo,
         |  GREATEST(value, CAST(user_id AS DOUBLE)) AS hi
         |FROM events ORDER BY event_id""".stripMargin),
+    withOracle("rel_merge_upsert", mergeUpsert,
+      s"""WITH base AS (
+         |  SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c, o_orderstatus
+         |  FROM orders),
+         |changes AS (
+         |  SELECT o_orderkey AS c_key,
+         |    ${centsSql("o_totalprice")} + ${centsSql("o_totalprice")} // 10 AS new_price_c,
+         |    'U' AS new_status
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT COALESCE(base.o_orderkey, c_key) AS o_orderkey,
+         |  COALESCE(new_price_c, price_c) AS price_c,
+         |  COALESCE(new_status, o_orderstatus) AS status
+         |FROM base FULL OUTER JOIN changes ON base.o_orderkey = c_key
+         |ORDER BY o_orderkey""".stripMargin),
+    withOracle("rel_latest_per_key", latestPerKey,
+      s"""SELECT o_custkey, o_orderkey AS latest_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+         |  ${centsSql("o_totalprice")} AS latest_price_c
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders) t
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
     withOracle("rel_sample_stratified", sampleStratified,
       """SELECT event_id, event_type, value FROM events
         |WHERE CASE WHEN event_type = 'error'
