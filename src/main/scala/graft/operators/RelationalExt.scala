@@ -267,6 +267,22 @@ object RelationalExt {
         col("m.price_c").as("latest_price_c"))
       .orderBy(col("o_custkey"))
 
+  /** SCD-2 validity intervals: each order version of a customer carries
+    * [valid_from, valid_to) derived with LEAD over the version order —
+    * the standard dimension-history reshape, one window pass. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(
+          date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd"),
+          lit("9999-12-31")).as("valid_to"),
+        (lead(col("o_orderdate"), 1).over(w).isNull).cast("long").as("is_current"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Stratified hash sampling: per-class rates (1/16 of common views,
     * 1/4 of rare errors) — the rare-class upweighting a training-data
     * pipeline applies when building eval splits. Same md5-threshold
@@ -552,6 +568,15 @@ object RelationalExt {
          |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
          |  FROM orders) t
          |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+    withOracle("rel_scd2_intervals", scd2Intervals,
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  COALESCE(strftime(LEAD(o_orderdate, 1) OVER w, '%Y-%m-%d'),
+        |           '9999-12-31') AS valid_to,
+        |  CAST(LEAD(o_orderdate, 1) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
     withOracle("rel_sample_stratified", sampleStratified,
       """SELECT event_id, event_type, value FROM events
         |WHERE CASE WHEN event_type = 'error'

@@ -49,6 +49,26 @@ object StreamQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Built-in session windows (dynamic-gap event-time windows) — the
+    * declarative sibling of the flatMapGroupsWithState sessionization:
+    * per (user, session) row with start/end/count, sessions closing after
+    * 30 minutes of inactivity, state bounded by the watermark. */
+  def sessionWindowQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = MicroBatchPipeline.eventsStream(s, dir)
+    val agg = ev
+      .withWatermark("ts", "4 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+    MicroBatchPipeline.runToResult(s, agg)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined to
     * a broadcast customer dimension per micro-batch (the streaming form
     * of the reference's FX lookup, O6) and aggregated per segment. The
@@ -107,6 +127,26 @@ object StreamQueries {
     withOracle("stream_dedup", streamDedupQuery,
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin),
+    // New session iff gap >= 30 min: Spark merges session windows only
+    // when they strictly overlap ([t, t+gap) exclusive end).
+    withOracle("stream_session_window", sessionWindowQuery,
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin),
     withOracle("stream_static_join", streamStaticJoinQuery,
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
