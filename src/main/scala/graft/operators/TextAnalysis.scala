@@ -96,6 +96,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Most-salient term per document: score = tf/df (term frequency over
+    * document frequency — the rare-term salience ranking TF-IDF induces,
+    * kept as a single IEEE division so both engines produce bit-identical
+    * doubles; log-based idf differs across libm implementations by ulps
+    * and would make ranking ties engine-dependent). Two shuffles: per-
+    * (doc,term) tf and per-term df; df joins back broadcast-style. */
+  def tfidfTopTerm(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df")).as("salience"))
+      .orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -155,6 +178,21 @@ object TextAnalysis {
         |      WHERE len(toks) >= 2)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin),
+    withOracle("text_tfidf_top_term", tfidfTopTerm,
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM terms GROUP BY 1)
+        |SELECT doc_id, term AS top_term, tf, df,
+        |  CAST(tf AS DOUBLE)/df AS salience
+        |FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.term ASC) AS rn
+        |  FROM tf JOIN df USING (term)) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     withOracle("text_tokenize_regex", tokenizeRegex,
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_units,
