@@ -235,6 +235,49 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   }
 
+  /** The ANN pipeline replayed entirely in SQL: the hyperplanes are
+    * seeded (data-independent), so they ship as literals — 32 rows of
+    * 64-double lists — and DuckDB recomputes signatures, bucket joins and
+    * the exact rerank. Double parity: the dot fold is the same sequential
+    * CAST-to-double-then-multiply list fold the codegen kernel runs, and
+    * Double.toString round-trips exactly. */
+  private def annOracleSql: String = {
+    val planeRows = (0 until AnnTables).flatMap { t =>
+      planes(t).zipWithIndex.map { case (p, b) =>
+        s"($t, $b, [${p.mkString(", ")}])"
+      }
+    }.mkString(",\n    ")
+    s"""WITH planes(table_id, bit, p) AS (VALUES
+       |    $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, pl.table_id, pl.bit,
+       |    list_sum(list_transform(list_zip(e.embedding, pl.p),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d
+       |  FROM embeddings e, planes pl),
+       |buckets AS (
+       |  SELECT vec_id, table_id,
+       |    CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qb AS (SELECT vec_id AS query_id, table_id, bucket
+       |       FROM buckets WHERE vec_id < $NumQueryVectors),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM qb JOIN buckets b
+       |           ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+       |         WHERE b.vec_id <> qb.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${cosSql("q.embedding", "v.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings v ON v.vec_id = c.vec_id)
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -263,6 +306,8 @@ object Similarity {
          |  CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
          |FROM embeddings e LEFT JOIN p ON e.vec_id = p.v
          |ORDER BY e.vec_id""".stripMargin),
-    rowsOnly("sim_topk_ann", topKAnn),
+    withOracle("sim_topk_ann", topKAnn, annOracleSql),
+    // IVF stays rows-only: its centroids are trained from the data at
+    // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf))
 }
