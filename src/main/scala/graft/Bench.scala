@@ -70,13 +70,16 @@ object Bench {
     val measurePasses = 2
     val results = (1 to reps).flatMap { rep =>
       selected.map { case (name, fn) =>
-        val best = (1 to measurePasses).map { _ =>
+        // A failed pass must not win min() with its short abort time;
+        // all-passes-failed reports -1 so failures are visible in the JSON.
+        val times = (1 to measurePasses).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.min
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
         val key = if (reps == 1) name else s"$name#$rep"
-        key -> best
+        key -> (if (times.isEmpty) -1.0 else times.min)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -26,7 +26,7 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]]
-  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
 

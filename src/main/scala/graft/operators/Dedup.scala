@@ -326,8 +326,10 @@ object Dedup {
         labels
       }
     // pairs were materialized by count() and fully consumed above (local
-    // collect, or the iteration's own persists) — release the cache so a
-    // multi-query sweep doesn't accumulate dead blocks.
+    // collect, or the iteration's own persists) — release that cache.
+    // The hashed-shingle-set cache INSIDE ngramJaccardPairs is
+    // deliberately retained: it is small (~12 MB at sf0.1), and the other
+    // dedup queries in a sweep reuse it via plan-cache matching.
     pairs.unpersist()
     // Broadcast only on the driver-small path; the giant-graph path joins
     // shuffle-side (labels there can exceed broadcast limits).

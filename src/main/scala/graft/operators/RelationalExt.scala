@@ -241,9 +241,11 @@ object RelationalExt {
     val changes = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("c_key"),
-        // integer `div`, not `/`: keeps the bump in exact long arithmetic
-        expr("CAST(ROUND(o_totalprice*100) AS BIGINT) + " +
-          "CAST(ROUND(o_totalprice*100) AS BIGINT) div 10").as("new_price_c"),
+        // integer `div`, not `/`: exact long arithmetic; the cents
+        // conversion reuses the shared centsSql fragment (valid Spark SQL
+        // too), so the money-rounding rule has one definition.
+        expr(s"${centsSql("o_totalprice")} + ${centsSql("o_totalprice")} div 10")
+          .as("new_price_c"),
         lit("U").as("new_status"))
     base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
       .select(

@@ -242,9 +242,13 @@ object Similarity {
     * CAST-to-double-then-multiply list fold the codegen kernel runs, and
     * Double.toString round-trips exactly. */
   private def annOracleSql: String = {
+    // Explicit exponent notation: DuckDB parses bare decimal literals as
+    // DECIMAL (lossy to-DOUBLE conversion, ~1 ulp drift), but E-notation
+    // literals parse directly as DOUBLE and round-trip exactly.
+    def d(v: Double): String = "%.17e".format(v)
     val planeRows = (0 until AnnTables).flatMap { t =>
       planes(t).zipWithIndex.map { case (p, b) =>
-        s"($t, $b, [${p.mkString(", ")}])"
+        s"($t, $b, [${p.map(d).mkString(", ")}])"
       }
     }.mkString(",\n    ")
     s"""WITH planes(table_id, bit, p) AS (VALUES

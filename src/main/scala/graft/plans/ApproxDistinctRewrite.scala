@@ -23,14 +23,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
 case class ApproxDistinctRewrite(rsdConf: () => Option[String])
     extends Rule[LogicalPlan] {
 
+  @transient private var warnedInvalid: Option[String] = None
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     // A malformed or out-of-range rsd must not poison the session (this
-    // rule runs on EVERY plan): treat it as opted out. HLL++ supports
-    // relativeSD < 0.4 (~ precision >= 4).
-    rsdConf().flatMap(v => scala.util.Try(v.toDouble).toOption)
-      .filter(r => r > 0 && r < 0.4) match {
+    // rule runs on EVERY plan): treat it as opted out — but say so once,
+    // or a user who opted in with a typo silently keeps exact counts.
+    // HLL++ supports relativeSD < 0.4 (~ precision >= 4).
+    rsdConf() match {
+      case Some(raw)
+          if !scala.util.Try(raw.toDouble).toOption.exists(r => r > 0 && r < 0.4) =>
+        if (!warnedInvalid.contains(raw)) {
+          warnedInvalid = Some(raw)
+          logWarning(s"${ApproxDistinctRewrite.ConfKey}='$raw' is not a " +
+            "number in (0, 0.4); COUNT(DISTINCT) rewrite is DISABLED")
+        }
+        plan
       case None => plan
-      case Some(rsd) =>
+      case Some(raw) =>
+        val rsd = raw.toDouble
         plan.transformAllExpressions {
           case ae @ AggregateExpression(c: Count, mode, true, filter, resultId)
               if c.children.size == 1 && filter.isEmpty =>

@@ -127,13 +127,15 @@ object StreamQueries {
     withOracle("stream_dedup", streamDedupQuery,
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin),
-    // New session iff gap >= 30 min: Spark merges session windows only
-    // when they strictly overlap ([t, t+gap) exclusive end).
+    // New session iff gap > 30 min: Spark merges session windows that
+    // merely TOUCH (an exactly-30-minute gap is one session — verified
+    // against Spark 4.1.2 behavior, where [t, t+gap) merging treats
+    // end == next start as mergeable).
     withOracle("stream_session_window", sessionWindowQuery,
       """WITH d AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),

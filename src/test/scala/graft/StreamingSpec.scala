@@ -67,6 +67,20 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("session_window merges an exactly-gap-length pause (boundary pin)") {
+    import spark.implicits._
+    // Two events exactly 30 minutes apart must form ONE session — the
+    // oracle's `> gap` new-session rule depends on this Spark behavior.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val later = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val split = java.sql.Timestamp.valueOf("2024-01-01 11:00:01")
+    val df = Seq((7L, base), (7L, later), (7L, split)).toDF("user_id", "ts")
+    val sessions = df.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .count().collect()
+    assert(sessions.length == 2, sessions.mkString("; "))
+  }
+
   test("sessionize: gap splits sessions, totals add up") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
