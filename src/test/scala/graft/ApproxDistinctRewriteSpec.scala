@@ -38,6 +38,23 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("malformed rsd disables the rewrite without failing queries") {
+    val rule = ApproxDistinctRewrite.forSession(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      for (bad <- Seq("five-percent", "0,05", "0.5", "-0.1")) {
+        spark.conf.set(ApproxDistinctRewrite.ConfKey, bad)
+        val (_, plan) = distinctCount() // must not throw
+        assert(!plan.contains("approx_count_distinct"), s"rsd=$bad: $plan")
+      }
+    } finally {
+      spark.conf.unset(ApproxDistinctRewrite.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
   test("multi-column and filtered distincts stay exact under the flag") {
     val rule = ApproxDistinctRewrite.forSession(spark)
     spark.experimental.extraOptimizations =
