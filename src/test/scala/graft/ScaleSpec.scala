@@ -29,9 +29,15 @@ class ScaleSpec extends SparkSpec {
     assert(values == again)
   }
 
-  test("extensions installer injects the custom functions") {
+  test("extensions installer injects the custom functions and the rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftSparkExtensions().apply(ext) // must not throw; registration path
+    new GraftSparkExtensions().apply(ext)
+    // The injected optimizer rule must be the distinct-rewrite, applied
+    // through the same factory a spark.sql.extensions deployment uses.
+    val rules = org.apache.spark.sql.GraftExtensionsProbe
+      .optimizerRules(ext, spark)
+    assert(rules.exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]),
+      rules.map(_.getClass.getName).mkString(", "))
   }
 
   test("bucketed tables sort-merge join without a shuffle exchange") {
