@@ -459,6 +459,17 @@ object RelationalExt {
           lit(1.0)).cast("long").as("kll_within_1"))
       .orderBy(col("event_type"))
 
+  /** Regex-group extraction + positional split + character translation —
+    * the string-mangling trio ETL normalizers lean on. */
+  def regexExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 2).as("second_word"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"))
+      .orderBy(col("p_partkey"))
+
   /** Skew-safe two-phase aggregation as a declared query: event_type has
     * only 5 values, so a naive GROUP BY funnels 600k rows into 5 reducers;
     * saltedSum pre-aggregates on (key, salt) across 32 reducers first and
@@ -653,6 +664,12 @@ object RelationalExt {
         |  CAST(1 AS BIGINT) AS hll_within_4pct,
         |  CAST(1 AS BIGINT) AS kll_within_1
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    withOracle("rel_regex_extract", regexExtract,
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  translate(p_brand, '#', '-') AS brand_dashed
+        |FROM part ORDER BY p_partkey""".stripMargin),
     withOracle("rel_agg_salted", aggSalted,
       """SELECT event_type,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
