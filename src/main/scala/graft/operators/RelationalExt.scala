@@ -459,6 +459,36 @@ object RelationalExt {
           lit(1.0)).cast("long").as("kll_within_1"))
       .orderBy(col("event_type"))
 
+  /** Schema-evolution union: two generations of the events schema (one
+    * without `value`, one with a new `channel` column) unioned BY NAME
+    * with missing columns null-filled — the append-compatibility
+    * operation a long-lived warehouse performs every time a producer
+    * adds a field. */
+  def unionEvolved(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val gen1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+    val gen2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        lit("web").as("channel"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .orderBy(col("event_id"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys — the semantics dimension-conforming joins need
+    * when "unknown" is itself a key. Keys are derived (error→NULL) since
+    * the base data is null-free. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), nullif(col("event_type"), lit("error")).as("k"))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("k_label", coalesce(col("k"), lit("unknown")))
+    ev.join(dim, ev("k") <=> dim("k"))
+      .select(col("event_id"), col("k_label"))
+      .orderBy(col("event_id"))
+  }
+
   /** Regex-group extraction + positional split + character translation —
     * the string-mangling trio ETL normalizers lean on. */
   def regexExtract(s: SparkSession, dir: String): DataFrame =
@@ -664,6 +694,20 @@ object RelationalExt {
         |  CAST(1 AS BIGINT) AS hll_within_4pct,
         |  CAST(1 AS BIGINT) AS kll_within_1
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    withOracle("rel_union_evolved", unionEvolved,
+      """SELECT event_id, event_type, NULL::DOUBLE AS value, NULL::VARCHAR AS channel
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value, 'web' AS channel
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin),
+    withOracle("rel_join_null_safe", joinNullSafe,
+      """WITH ev AS (SELECT event_id, NULLIF(event_type, 'error') AS k FROM events),
+        |dim AS (SELECT k, COALESCE(k, 'unknown') AS k_label
+        |        FROM (SELECT DISTINCT k FROM ev))
+        |SELECT ev.event_id, dim.k_label
+        |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+        |ORDER BY ev.event_id""".stripMargin),
     withOracle("rel_regex_extract", regexExtract,
       """SELECT p_partkey,
         |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word,
