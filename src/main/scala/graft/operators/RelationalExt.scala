@@ -563,14 +563,23 @@ object RelationalExt {
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 95
         |ORDER BY user_id""".stripMargin),
+    // running_c MUST be cast: DuckDB's windowed SUM(BIGINT) is HUGEINT, which
+    // pandas widens to float64 — the driver then hashes 123.0 vs Spark's 123
+    // (the round-2 red row). Windows are spelled out per clause (no named-window
+    // frame extension) so older DuckDB binders resolve identically.
     withOracle("rel_window_analytics", windowAnalytics,
       s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS price_c,
-         |  LAG(${centsSql("o_totalprice")}, 1) OVER w AS prev_price_c,
-         |  SUM(${centsSql("o_totalprice")}) OVER
-         |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c,
-         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+         |  LAG(${centsSql("o_totalprice")}, 1) OVER
+         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |    AS prev_price_c,
+         |  CAST(SUM(${centsSql("o_totalprice")}) OVER
+         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS running_c,
+         |  CAST(NTILE(4) OVER
+         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |    AS BIGINT) AS quartile
          |FROM orders
-         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          |ORDER BY o_custkey, o_orderkey""".stripMargin),
     withOracle("rel_window_range_frame", windowRangeFrame,
       s"""SELECT o_custkey, o_orderkey,

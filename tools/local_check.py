@@ -43,6 +43,15 @@ def main():
                 print(f"FAIL {name}: columns differ spark={list(g.columns)} duck={list(e.columns)}")
                 n_fail += 1
                 continue
+            # The driver hashes dtype-sensitive reprs: int64 123 vs float64 123.0
+            # hash-differ even though == compares equal (e.g. DuckDB HUGEINT sums
+            # widen to float64 in pandas). Mirror that strictness here.
+            dt = [c for c in g.columns if g[c].dtype != e[c].dtype]
+            if dt:
+                print(f"FAIL {name}: dtypes differ " + ", ".join(
+                    f"{c}: spark={g[c].dtype} duck={e[c].dtype}" for c in dt))
+                n_fail += 1
+                continue
             if len(g) != len(e):
                 print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
                 n_fail += 1
