@@ -270,6 +270,33 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Token-occurrence counts against k marker lexicons in one tokenize
+    * pass — the language-ID kernel. `sets` is a Seq (structural equality),
+    * so identical copies produced by projection collapse stay `equals` and
+    * whole-stage codegen's subexpression elimination evaluates the kernel
+    * once per row however many score columns reference it. */
+  case class MarkerSetCounts(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression {
+    @transient private lazy val utf8Sets: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
+      sets.map(_.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray).toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "marker_set_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.markerCounts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], utf8Sets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("markerSets", utf8Sets,
+          "org.apache.spark.unsafe.types.UTF8String[][]")
+        s"${ev.value} = graft.functions.ShingleUtil.markerCounts($c, $ref);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All L random-hyperplane LSH bucket signatures in one generated loop
     * nest: bucket t has bit b set iff dot(v, plane[t*bits+b]) >= 0 (the
     * table index rides along as the posexplode position downstream).
@@ -380,6 +407,9 @@ object GraftExpressions {
 
   def shingleStrings(text: Column, n: Int): Column =
     column(ShingleStrings(expression(text), n))
+
+  def markerSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    column(MarkerSetCounts(expression(text), sets))
 
   def hyperplaneBuckets(v: Column, planes: Array[Array[Double]],
       tables: Int, bits: Int): Column =

@@ -123,6 +123,48 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
+  /** Per-set token-occurrence counts in ONE pass over the bytes: for each
+    * whitespace token, each marker set that contains it gets +1. Equals
+    * `size(filter(split(s," "), t => t.isin(set)))` per set, but scores
+    * all k sets per tokenization instead of re-splitting k times through
+    * interpreted higher-order functions (the language-ID kernel). */
+  def markerCounts(s: UTF8String, sets: Array[Array[UTF8String]]): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.array.ByteArrayMethods
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val k = sets.length
+    val cnt = new Array[Long](k)
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        val len = i - start
+        var si = 0
+        while (si < k) {
+          val ws = sets(si)
+          var wi = 0
+          var found = false
+          while (wi < ws.length && !found) {
+            val w = ws(wi)
+            if (w.numBytes == len &&
+                ByteArrayMethods.arrayEquals(base, off + start,
+                  w.getBaseObject, w.getBaseOffset, len)) {
+              cnt(si) += 1
+              found = true
+            }
+            wi += 1
+          }
+          si += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(cnt)
+  }
+
   /** Distinct 64-bit hashes of the word n-gram shingles of `s`: each
     * shingle hash combines the n consecutive token hashes with an
     * odd-multiplier fold (64-bit avalanched inputs => collision odds

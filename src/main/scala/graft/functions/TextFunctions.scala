@@ -27,9 +27,11 @@ object TextFunctions {
   def tokenChars(c: Column): Column =
     length(regexp_replace(c, " ", "")).cast("long")
 
-  /** Count of tokens found in `words` (occurrences, not distinct). */
+  /** Count of tokens found in `words` (occurrences, not distinct) —
+    * fused single-pass kernel, equal to
+    * `size(filter(tokens(c), t => t.isin(words)))`. */
   def countIn(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(words.map(w => w: Any): _*))).cast("long")
+    element_at(GraftExpressions.markerSetCounts(c, Seq(words)), 1)
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 
@@ -49,8 +51,19 @@ object TextFunctions {
     "es" -> Seq("el", "los", "y", "una"),
     "fr" -> Seq("le", "les", "et", "une"))
 
-  def langScores(c: Column): Seq[(String, Column)] =
-    langMarkers.map { case (l, ws) => l -> countIn(c, ws) }
+  /** All language scores in one fused tokenize pass (array<long>, one
+    * element per langMarkers entry). The repeated references projection
+    * collapse produces are structurally equal, so codegen subexpression
+    * elimination evaluates the kernel once per row. */
+  def langScoresArray(c: Column): Column =
+    GraftExpressions.markerSetCounts(c, langMarkers.map(_._2))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val arr = langScoresArray(c)
+    langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(arr, i + 1)
+    }
+  }
 
   def langId(c: Column): Column = {
     val scores = langScores(c)

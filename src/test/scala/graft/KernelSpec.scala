@@ -73,6 +73,19 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("MarkerSetCounts equals size(filter(split, isin)) per set") {
+    val sets = Seq(Seq("the", "a", "cat"), Seq("mat", "x9", "Ü"), Seq("zz"))
+    val df = texts.toDF("text")
+    val ref = array(sets.map(ws =>
+      size(filter(split(col("text"), " "),
+        t => t.isin(ws.map(w => w: Any): _*))).cast("long")): _*)
+    val bad = df.select(
+        GraftExpressions.markerSetCounts(col("text"), sets).as("fast"),
+        ref.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
   test("Md5TokenHashes64 equals md5-hex-prefix parsing per token") {
     // Reference: first 16 hex chars of md5(token) parsed as two unsigned
     // 32-bit halves — the same identity the DuckDB oracle uses.
