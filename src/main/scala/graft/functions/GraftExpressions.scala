@@ -365,6 +365,26 @@ object GraftExpressions {
   // GraftColumnBridge.
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
+  /** The shingle width argument must be a literal the planner can read:
+    * reject non-foldable expressions and non-integral types with a clear
+    * analysis-time error (a BIGINT literal widens; `eval().asInstanceOf`
+    * would otherwise surface as an opaque ClassCastException, and a
+    * non-foldable argument would eval against no row). */
+  private def foldableIntArg(fn: String, e: Expression): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
+  }
+
   /** Register the scalar expressions in a session's function registry so
     * they are callable from SQL text (`SELECT cosine_similarity(a, b)`),
     * not just the Scala DSL. Idempotent. */
@@ -380,10 +400,10 @@ object GraftExpressions {
       exprs => Md5TokenHashes64(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("shingle_hashes64",
       exprs => ShingleHashes64(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        foldableIntArg("shingle_hashes64", exprs(1))), "scala_udf")
     registry.createOrReplaceTempFunction("shingle_strings",
       exprs => ShingleStrings(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        foldableIntArg("shingle_strings", exprs(1))), "scala_udf")
   }
 
   def cosineFast(a: Column, b: Column): Column =

@@ -111,7 +111,11 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    // No broadcast hint: the per-term df table scales with the vocabulary,
+    // which is NOT broadcast-small at corpus scale — both sides are already
+    // shuffled on term, so AQE picks a local choice (it still broadcasts at
+    // bench scale, where df is tiny).
+    tf.join(df, "term")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),

@@ -84,7 +84,11 @@ object StreamQueries {
         sum(round(col("value") * 100).cast("long")).as("value_c"))
       .select(col("c_mktsegment"), col("n_events"),
         (col("value_c") / 100.0).as("sum_value"))
-    MicroBatchPipeline.runToResult(s, joined).orderBy(col("c_mktsegment"))
+    // NULLS FIRST pinned on both sides: events whose user_id misses the
+    // dimension produce a NULL segment group, and Spark (NULLS FIRST) and
+    // DuckDB (NULLS LAST) disagree on default null ordering.
+    MicroBatchPipeline.runToResult(s, joined)
+      .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
   import graft.QuerySpec.withOracle
@@ -153,5 +157,5 @@ object StreamQueries {
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin))
 }
