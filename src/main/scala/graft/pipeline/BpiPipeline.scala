@@ -153,7 +153,17 @@ object BpiPipeline {
     * per micro-batch inside foreachBatch (it needs an action). */
   def runStream(spark: SparkSession, landingDir: String, rates: DataFrame,
       warehouseDir: String, checkpoint: String,
-      clock: Column = current_timestamp()): Unit = {
+      clock: Column = current_timestamp()): Unit =
+    runStreamWith(spark, landingDir, rates, checkpoint, clock) { (batch, _) =>
+      appendParquet(validationGate(batch), warehouseDir)
+    }
+
+  /** Streaming skeleton with a pluggable warehouse sink: the parquet path
+    * (tests/local) and the JDBC path (production, O13) share the same
+    * checkpointed exactly-once foreachBatch loop. */
+  def runStreamWith(spark: SparkSession, landingDir: String, rates: DataFrame,
+      checkpoint: String, clock: Column = current_timestamp())(
+      sink: (DataFrame, Long) => Unit): Unit = {
     val raw = spark.readStream
       .schema(BpiSchema.raw)
       .option("mode", "PERMISSIVE")
@@ -165,8 +175,8 @@ object BpiPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendParquet(validationGate(batch), warehouseDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(batch.toDF(), batchId)
         ()
       }
       .start()
@@ -178,7 +188,43 @@ object BpiPipeline {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** O13 production form (bpi_crawler.py:167-173, `to_sql(..., "append")`). */
   def appendJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Idempotent micro-batch JDBC append. Checkpointing makes a *committed*
+    * batch never re-run, but a batch that failed mid-write IS replayed, and
+    * a plain append would duplicate its rows. Standard fix: tag every row
+    * with the replay-stable `batchId` and delete the tag's rows before
+    * inserting, so a retry replaces its own partial output. The delete is
+    * one indexed-key statement on the driver; the insert stays a
+    * distributed `df.write.jdbc` (one connection per partition). */
+  def appendJdbcBatch(df: DataFrame, url: String, table: String, batchId: Long,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // unquoted DDL both here and in Spark's CREATE TABLE -> the name
+      // resolves identically regardless of the dialect's case folding
+      val exists = conn.getMetaData
+        .getTables(null, null, table.toUpperCase(java.util.Locale.ROOT), null).next()
+      if (exists) {
+        // quoted: Spark's CREATE TABLE quotes column identifiers, so the
+        // column is stored case-sensitively as lowercase batch_id
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+    } finally conn.close()
+    appendJdbc(df.withColumn("batch_id", lit(batchId)), url, table, props)
+  }
+
+  /** JDBC dialects map StringType to an unindexable LOB type (Derby: CLOB,
+    * where even `=` comparisons are illegal) — a warehouse wants comparable
+    * VARCHAR columns. Builds a `createTableColumnTypes` spec overriding
+    * every string column; pass it in the write properties. */
+  def varcharColumnTypes(df: DataFrame, width: Int = 4000): String =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        s"${f.name} VARCHAR($width)"
+    }.mkString(", ")
 }
