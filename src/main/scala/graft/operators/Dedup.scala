@@ -158,11 +158,19 @@ object Dedup {
     (Array.fill(NumPerm)(c()), Array.fill(NumPerm)(c()))
   }
 
+  /** A band bucket only goes over this size when a corpus is saturated
+    * with near-identical documents (boilerplate, empty strings); above
+    * it, [[LshSkew.saltBuckets]] splits the bucket so the candidate join
+    * stays ~B·cap, not B². Verification-scale buckets are tiny (a band
+    * match needs 4 equal minhashes), so bench outputs are unchanged. */
+  val MaxBandBucketSize = 1024
+
   /** Candidate pairs from LSH buckets, then EXACT Jaccard verification.
     * Only docs sharing >= 1 band bucket meet in the join — O(candidates),
     * not O(n²). */
   def minhashLshPairs(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      bandCap: Int = MaxBandBucketSize): DataFrame = {
     // Materialized once: the bucket index and both verification joins
     // reuse it, and regenerating shingles is the dominant cost otherwise.
     // Hashed shingle sets (8 bytes each) stand in for the string sets in
@@ -172,13 +180,15 @@ object Dedup {
         graft.functions.GraftExpressions.shingleHashes64(
           col("text"), ShingleSize).as("hv"))
       .persist()
-    val buckets = withSets
-      .select(col("doc_id"),
+    val buckets = LshSkew.saltBuckets(
+      withSets.select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions.minhashBands(
           col("hv"), permAs, permBs, MinhashPrime, Bands))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), "doc_id", bandCap)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

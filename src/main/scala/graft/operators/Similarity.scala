@@ -69,25 +69,39 @@ object Similarity {
     * recall-1.0 threshold search over dense vectors is inherently n², so
     * this candidate-generation contract IS the query semantics (the
     * oracle replays the seeded planes and the same join, bit-exact). */
-  private def lshCandidatePairScores(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  /** Per-bucket size cap: above it, [[LshSkew.saltBuckets]] splits the
+    * bucket so the candidate join stays ~B·cap instead of B². At
+    * verification scale every bucket is far under the cap (sf0.1: ~125
+    * avg), so the salt is constant 0 and outputs are unchanged. */
+  val MaxBucketSize = 1024
+
+  /** Candidate id pairs from the salted (table, bucket) equi-join —
+    * exposed for the skew test. */
+  private[graft] def lshCandidatePairs(emb: DataFrame,
+      cap: Int = MaxBucketSize): DataFrame = {
     val allPlanes: Array[Array[Double]] =
       (0 until AnnTables).flatMap(t => planes(t)).toArray
-    val buckets = emb.select(
-      col("vec_id"),
-      posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
-        col("embedding"), allPlanes, AnnTables, AnnBits))
-        .as(Seq("table_id", "bucket")))
+    val buckets = LshSkew.saltBuckets(
+      emb.select(
+        col("vec_id"),
+        posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
+          col("embedding"), allPlanes, AnnTables, AnnBits))
+          .as(Seq("table_id", "bucket"))),
+      Seq("table_id", "bucket"), "vec_id", cap)
     // ids only through the bucket join: the 8x-replicated shuffle rows are
     // 16 bytes, not 256-byte vectors; vectors re-attach by equi-join after
     // the pair set is distinct.
-    val pairs = buckets.select(col("table_id"), col("bucket"), col("vec_id").as("vec_a"))
-      .join(buckets.select(col("table_id"), col("bucket"), col("vec_id").as("vec_b")),
-        Seq("table_id", "bucket"))
+    buckets.select(col("table_id"), col("bucket"), col("salt"), col("vec_id").as("vec_a"))
+      .join(buckets.select(col("table_id"), col("bucket"), col("salt"), col("vec_id").as("vec_b")),
+        Seq("table_id", "bucket", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
-    pairs
+  }
+
+  private def lshCandidatePairScores(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    lshCandidatePairs(emb)
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
@@ -304,9 +318,15 @@ object Similarity {
     * [[lshCandidatePairScores]]. */
   private def lshPairScoresCtes: String =
     s"""$lshBucketCtes,
+       |salted AS (
+       |  SELECT vec_id, table_id, bucket,
+       |    vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY table_id, bucket)
+       |      / $MaxBucketSize.0) AS BIGINT) AS salt
+       |  FROM buckets),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |         FROM buckets a JOIN buckets b
+       |         FROM salted a JOIN salted b
        |           ON b.table_id = a.table_id AND b.bucket = a.bucket
+       |          AND b.salt = a.salt
        |          AND a.vec_id < b.vec_id),
        |pair_scores AS (
        |  SELECT c.vec_a, c.vec_b,

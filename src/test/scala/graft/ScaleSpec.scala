@@ -40,6 +40,61 @@ class ScaleSpec extends SparkSpec {
       rules.map(_.getClass.getName).mkString(", "))
   }
 
+  test("LSH hot-bucket guard bounds candidates on a degenerate embedding corpus") {
+    import graft.operators.Similarity
+    // 10k copies of ONE vector: every row lands in the same bucket of
+    // every table — the unguarded join would emit C(10000,2) ≈ 50M pairs.
+    val n = 10000
+    val cap = 128
+    val vec = array((0 until Similarity.Dim).map(i =>
+      lit(((i % 7) + 1) * 0.1f)): _*)
+    val emb = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+    val got = graft.operators.Similarity.lshCandidatePairs(emb, cap).count()
+    // expected: within-salt pairs of ONE hot bucket (identical across the
+    // 8 tables, so distinct collapses them), computed by the same modular
+    // split the guard applies
+    val nSalt = math.ceil(n.toDouble / cap).toLong
+    val expected = (0L until n.toLong).groupBy(_ % nSalt).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got <= n.toLong * cap) // the guard's work bound
+    assert(got < n.toLong * (n - 1) / 2 / 10) // nowhere near quadratic
+  }
+
+  test("LSH salt is inert below the cap: candidates identical to unguarded") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    def pairs(cap: Int) = Similarity.lshCandidatePairs(emb, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.MaxBucketSize) == pairs(Int.MaxValue))
+  }
+
+  test("MinHash band-bucket guard bounds candidates on an all-identical corpus") {
+    import graft.operators.Dedup
+    // 2000 identical documents: every band bucket holds the whole corpus.
+    val n = 2000
+    val cap = 64
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    val got = Dedup.minhashLshPairs(docs, bandCap = cap).count()
+    // identical docs all verify at jaccard 1.0, so verified == candidates
+    val nSalt = math.ceil(n.toDouble / cap).toLong
+    val expected = (0L until n.toLong).groupBy(_ % nSalt).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got <= n.toLong * cap)
+  }
+
+  test("MinHash salt is inert below the cap: pairs identical to unguarded") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    def pairs(cap: Int) = Dedup.minhashLshPairs(docs, bandCap = cap)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.MaxBandBucketSize) == pairs(Int.MaxValue))
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
