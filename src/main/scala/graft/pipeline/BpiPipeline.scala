@@ -163,7 +163,21 @@ object BpiPipeline {
     * checkpointed exactly-once foreachBatch loop. */
   def runStreamWith(spark: SparkSession, landingDir: String, rates: DataFrame,
       checkpoint: String, clock: Column = current_timestamp())(
-      sink: (DataFrame, Long) => Unit): Unit = {
+      sink: (DataFrame, Long) => Unit): Unit =
+    startStreamWith(spark, landingDir, rates, checkpoint, clock)(sink)
+      .awaitTermination()
+
+  /** Start the landing-dir stream and return the handle. The trigger is
+    * the deployment knob (O18, bpi_crawler.py:179): AvailableNow = the
+    * reference's cron shape (drain everything, terminate — default);
+    * ProcessingTime = the long-running service shape (stay up, poll the
+    * landing dir every interval). Same plan, same checkpoint either way —
+    * switching trigger mid-life is safe. */
+  def startStreamWith(spark: SparkSession, landingDir: String, rates: DataFrame,
+      checkpoint: String, clock: Column = current_timestamp(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .schema(BpiSchema.raw)
       .option("mode", "PERMISSIVE")
@@ -171,16 +185,15 @@ object BpiPipeline {
       .json(landingDir)
     val enriched = orderedSelect(
       withAuditColumns(enrichIdr(flatten(raw), rates), expr("uuid()"), clock))
-    val q = enriched.writeStream
+    enriched.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(batch.toDF(), batchId)
         ()
       }
       .start()
-    q.awaitTermination()
   }
 
   /** O13: warehouse append. Parquet for tests/local; the JDBC path is the
