@@ -70,23 +70,31 @@ object Bench {
     val measurePasses = 2
     val results = (1 to reps).flatMap { rep =>
       selected.map { case (name, fn) =>
-        // A failed pass must not win min() with its short abort time;
-        // all-passes-failed reports -1 so failures are visible in the JSON.
-        val times = (1 to measurePasses).flatMap { _ =>
+        // A failed pass must not win min() with its short abort time; it
+        // records -1 in `passes`, and all-passes-failed reports min -1 so
+        // failures are visible in the JSON.
+        val passTimes = (1 to measurePasses).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
+        val good = passTimes.filter(_ >= 0)
         val key = if (reps == 1) name else s"$name#$rep"
-        key -> (if (times.isEmpty) -1.0 else times.min)
+        (key, if (good.isEmpty) -1.0 else good.min, passTimes)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Every raw pass time ships alongside the min headline: a host-noise
+    // episode (one slow pass) is then visible in the artifact itself
+    // instead of masquerading as a query regression.
+    val passesJson = results
+      .map { case (k, _, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
     println(json)
     // Also drop the bare JSON next to the repo root: sbt prefixes stdout
     // with [info], which downstream line parsers can trip over.
