@@ -264,6 +264,99 @@ object Dedup {
     * graph is driver-small). */
   val LocalEdgeLimit = 5000000L
 
+  /** Distributed connected components by alternating large-star /
+    * small-star rounds (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *   - large-star: every node u links each LARGER neighbor to the
+    *     minimum of N(u) ∪ {u} — long chains fold toward their minimum
+    *     from every interior node at once;
+    *   - small-star: orient edges large→small, then link each smaller
+    *     neighbor (and u itself) to the minimum neighbor — flattening the
+    *     partial trees into stars.
+    *
+    * Each round is two join+aggregate stages over the edge set (no
+    * vertex-state table to carry), and the edge set CONTRACTS as
+    * components collapse; convergence is O(log n) rounds w.h.p. versus
+    * O(diameter) for naive min-label propagation — on a 10k-vertex path
+    * that is ~15 rounds instead of 10k. Fixed point = the edge set is a
+    * set of stars (u → component minimum), detected by an
+    * order-independent checksum (count + bit_xor of the pair hash) going
+    * stable across a round; stability also means every non-min vertex
+    * points at its component min, so the final edges ARE the label map.
+    * Non-convergence inside `maxIters` still fails loudly rather than
+    * emit silent mis-dedup. */
+  private[graft] def largeSmallStarComponents(pairs: DataFrame,
+      maxIters: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val minNbr = both.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(minNbr, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+          greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val minNbr = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbrLinks = oriented.join(minNbr, "u")
+        .select(col("v").as("x"), col("m"))
+      val selfLinks = minNbr.select(col("u").as("x"), col("m"))
+      nbrLinks.union(selfLinks)
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), call_function("bit_xor",
+        xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // localCheckpoint (eager) after every round: without it the plan tree
+    // nests one full round per iteration and grows exponentially — by
+    // round ~15 the driver OOMs just STRINGIFYING the plan. Truncating
+    // lineage keeps per-round planning O(1); on a cluster with
+    // failure-tolerance requirements this would be reliable checkpointing
+    // to the checkpoint dir, same call shape.
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters large/small-star rounds")
+    // Stars: every edge is (vertex -> its component min). Roots appear
+    // only on the right; they label themselves.
+    val nonRoots = edges.select(col("u").as("v"), col("v").as("lbl"))
+    val roots = edges.select(col("v").as("v")).distinct()
+      .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("lbl"))
+    nonRoots.union(roots)
+  }
+
   /** Dedup groups: connected components of the exact-Jaccard near-dup
     * graph, labeled by the minimum doc_id in the component (the survivor
     * a greedy dedup would keep). Vertices not in any near-dup pair are
@@ -274,10 +367,9 @@ object Dedup {
     * union-find locally, broadcast the label map back — one action, one
     * broadcast join, no iteration.
     *
-    * Path 2 (giant dup graph): iterative min-label propagation restricted
-    * to vertices that appear in an edge — one hash join + one aggregate
-    * per round, graph-diameter rounds; a web-scale graph would swap in
-    * large-star/small-star (O(log n) rounds, same join-shaped loop). */
+    * Path 2 (giant dup graph): alternating large-star/small-star rounds
+    * ([[largeSmallStarComponents]]) — O(log n) rounds w.h.p., each a
+    * join+aggregate over a contracting edge set. */
   def dedupGroupsOf(docs: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
     val spark = docs.sparkSession
@@ -303,38 +395,7 @@ object Dedup {
         }
         val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
         verts.map(v => (v, find(v))).toSeq.toDF("v", "lbl")
-      } else {
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist()
-        var labels = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("lbl")).persist()
-        var converged = false
-        var iter = 0
-        val maxIters = 50
-        while (!converged && iter < maxIters) {
-          val neighborLbls = edges.join(labels, col("src") === col("v"))
-            .select(col("dst").as("v"), col("lbl"))
-          val next = labels.union(neighborLbls)
-            .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-            .persist()
-          val changed = next.as("n")
-            .join(labels.as("o"), col("n.v") === col("o.v"))
-            .filter(col("n.lbl") =!= col("o.lbl"))
-            .count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          iter += 1
-        }
-        edges.unpersist()
-        // Unconverged labels are WRONG labels (a component reported as
-        // several); fail loudly rather than emit silent mis-dedup.
-        if (!converged) throw new IllegalStateException(
-          s"connected components did not converge in $maxIters rounds " +
-            "(graph diameter exceeds the cap; use large-star/small-star)")
-        labels
-      }
+      } else largeSmallStarComponents(pairs)
     // pairs were materialized by count() and fully consumed above (local
     // collect, or the iteration's own persists) — release that cache.
     // The hashed-shingle-set cache INSIDE ngramJaccardPairs is

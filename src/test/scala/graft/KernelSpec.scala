@@ -177,4 +177,48 @@ class KernelSpec extends SparkSpec {
       assert(got(d) == find(d), s"doc $d")
     }
   }
+
+  test("large/small-star components equal union-find on random graphs") {
+    import graft.operators.Dedup
+    def unionFind(edges: Seq[(Long, Long)]): Long => Long = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      find
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 2) {
+      val n = 200
+      val edges = Seq.fill(250)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.largeSmallStarComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val expect = unionFind(edges)
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      verts.foreach(v => assert(got(v) == expect(v), s"trial $trial vertex $v"))
+      assert(got.size == verts.size)
+    }
+  }
+
+  test("large/small-star converges in O(log n) rounds on a 10k-vertex path") {
+    import graft.operators.Dedup
+    // A path graph is the worst case for min-label propagation (diameter
+    // = n, so 10k rounds); large/small-star must finish inside the
+    // logarithmic budget or throw.
+    val n = 10000
+    val path = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.largeSmallStarComponents(path, maxIters = 20)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L)) // one component, min-labeled
+  }
 }
