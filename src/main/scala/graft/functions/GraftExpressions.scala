@@ -371,17 +371,25 @@ object GraftExpressions {
     * would otherwise surface as an opaque ClassCastException, and a
     * non-foldable argument would eval against no row). */
   private def foldableIntArg(fn: String, e: Expression): Int = {
-    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+    // Two distinct failure modes, two distinct errors: a non-foldable
+    // argument gets NON_FOLDABLE_ARGUMENT; a foldable-but-mistyped one
+    // (string literal '3', a decimal, an int-overflowing long) gets the
+    // data-type-mismatch class — "must be foldable" would mislead there.
+    if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
         "funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""))
-    if (!e.foldable) fail()
     e.eval() match {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
-      case _ => fail()
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "sqlExpr" -> s"\"$fn\"", "paramIndex" -> "`n`",
+          "requiredType" -> "\"INT\"",
+          "inputSql" -> s"\"${e.sql}\"", "inputType" -> s"\"${e.dataType.sql}\""))
     }
   }
 

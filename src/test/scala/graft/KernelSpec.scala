@@ -76,8 +76,11 @@ class KernelSpec extends SparkSpec {
   test("MarkerSetCounts equals size(filter(split, isin)) per set") {
     val sets = Seq(Seq("the", "a", "cat"), Seq("mat", "x9", "Ü"), Seq("zz"))
     val df = texts.toDF("text")
+    // Reference side goes through TextFunctions.tokens (not a hardcoded
+    // split) so this test pins kernel-vs-TOKENIZER equivalence: if
+    // tokens() ever changes, the kernel must change with it or fail here.
     val ref = array(sets.map(ws =>
-      size(filter(split(col("text"), " "),
+      size(filter(graft.functions.TextFunctions.tokens(col("text")),
         t => t.isin(ws.map(w => w: Any): _*))).cast("long")): _*)
     val bad = df.select(
         GraftExpressions.markerSetCounts(col("text"), sets).as("fast"),
@@ -133,6 +136,22 @@ class KernelSpec extends SparkSpec {
     assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 3 &&
       r(0).getInt(2) == 2 && r(0).getInt(3) == 2)
     assert(r(1).getInt(0) == 1) // empty text = one empty token
+  }
+
+  test("shingle width validation: distinct errors for non-foldable vs mistyped") {
+    import org.apache.spark.sql.AnalysisException
+    GraftExpressions.register(spark)
+    Seq(("a b c", 2)).toDF("t", "n").createOrReplaceTempView("kernel_arg_v")
+    val nonFoldable = intercept[AnalysisException] {
+      spark.sql("SELECT shingle_hashes64(t, n) FROM kernel_arg_v").collect()
+    }
+    assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT", nonFoldable.getMessage)
+    val mistyped = intercept[AnalysisException] {
+      spark.sql("SELECT shingle_hashes64(t, '3') FROM kernel_arg_v").collect()
+    }
+    assert(mistyped.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+      mistyped.getMessage)
+    assert(mistyped.getMessage.contains("INT"), mistyped.getMessage)
   }
 
   test("TopKByScore bounded aggregate equals the window row_number form") {

@@ -69,4 +69,32 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= Similarity.NearDupThreshold)
     }
   }
+
+  test("LSH near-dup recall vs exact n-squared is measured and above the floor") {
+    import org.apache.spark.sql.functions._
+    // The declared contract is the LSH-candidate subset (~0.8 per-pair
+    // recall at the threshold); the oracle replays the same approximation,
+    // so a bucketing-parameter regression (say AnnBits 4 -> 16) would stay
+    // invisible to the correctness gate. This test pins the ACTUAL miss
+    // rate against brute force at verification scale: found pairs must be
+    // a subset of the exact set, and recall must clear a floor loose
+    // enough for the small sample yet far above a broken-bucketing value.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cosCol = graft.functions.GraftExpressions.cosineFast(col("ea"), col("eb"))
+    val exact = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosCol >= Similarity.NearDupThreshold)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.nearDupPairs(spark, dir)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact)) // exact verification admits no false positives
+    assert(exact.nonEmpty)
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall (${found.size}/${exact.size}) " +
+      "below floor — bucketing parameters degraded")
+  }
 }
