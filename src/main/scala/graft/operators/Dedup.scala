@@ -165,6 +165,15 @@ object Dedup {
     * match needs 4 equal minhashes), so bench outputs are unchanged. */
   val MaxBandBucketSize = 1024
 
+  /** The hashed shingle set / band-bucket signature columns, exposed for
+    * incremental callers (streaming dedup) so batch and stream share one
+    * signature definition. */
+  private[graft] def shingleSet(text: Column): Column =
+    graft.functions.GraftExpressions.shingleHashes64(text, ShingleSize)
+  private[graft] def bandBuckets(hv: Column): Column =
+    graft.functions.GraftExpressions.minhashBands(
+      hv, permAs, permBs, MinhashPrime, Bands)
+
   /** Candidate pairs from LSH buckets, then EXACT Jaccard verification.
     * Only docs sharing >= 1 band bucket meet in the join — O(candidates),
     * not O(n²). */

@@ -94,6 +94,15 @@ object StreamQueries {
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
+    // Streaming near-dup dedup (StreamingDedup): survivors = docs that are
+    // not the larger side of any exact-Jaccard near-dup pair. The exact
+    // pair set equals the LSH candidate set on this corpus (pinned by the
+    // batch tier's tests), so exact SQL oracles the streaming path.
+    withOracle("stream_neardup_dedup", StreamingDedup.streamNearDupDedupQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte}
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.doc_b = d.doc_id)
+         |ORDER BY doc_id""".stripMargin),
     withOracle("stream_hourly_agg", hourlyAggQuery,
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/** Streaming near-duplicate dedup — the batch MinHash+LSH tier made
+  * incremental. Documents arrive in micro-batches; a document SURVIVES iff
+  * no smaller-doc_id document seen so far (in any earlier batch or this
+  * one) is an LSH band candidate within the exact-Jaccard threshold. That
+  * is the same min-lower-id greedy contract as the batch tier, so with the
+  * whole corpus in one batch the stream reproduces the batch answer
+  * exactly — and the same DuckDB oracle covers both.
+  *
+  * Cross-batch state is an LSH INDEX, not the raw corpus: per batch, the
+  * incoming docs' band buckets and hashed shingle sets are appended to a
+  * parquet index keyed by batch id. Each micro-batch then joins its bucket
+  * rows against the accumulated index (an equi-join on (band, bucket) —
+  * cost is candidate collisions, never batch × history), verifies
+  * candidates with exact Jaccard over the stored shingle sets, and writes
+  * survivors. Signatures come from [[Dedup.shingleSet]]/
+  * [[Dedup.bandBuckets]], so batch and stream can never drift.
+  *
+  * Replay safety: every write of batch N goes to an overwrite-mode
+  * `b<N>` subdirectory (index slices and survivor output alike), so a
+  * batch retried after a mid-write failure replaces its own partial
+  * output — the parquet-dir analogue of the JDBC sink's delete-by-batch-id
+  * — and the checkpoint guarantees a COMMITTED batch never re-runs.
+  *
+  * Scale note: the index grows with the corpus, but the per-batch join
+  * only shuffles the batch's bucket rows against matching bucket keys;
+  * history never re-shuffles. A boilerplate-heavy corpus concentrating in
+  * one band bucket degrades toward batch-size × bucket-history candidate
+  * pairs — the streaming analogue of the hot-bucket problem; a production
+  * hardening would cap per-bucket index fan-in the way the batch tier
+  * salts ([[graft.operators.LshSkew]]).
+  */
+object StreamingDedup {
+
+  /** Start the dedup stream over `docs` (needs `doc_id` and `text`).
+    * Survivor rows (full schema) land under `outDir/b<batchId>`. */
+  def start(docs: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, stateDir, outDir, threshold)
+        ()
+      }
+      .start()
+
+  def run(docs: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = Dedup.JaccardThreshold): Unit =
+    start(docs, stateDir, outDir, checkpoint, threshold).awaitTermination()
+
+  /** One micro-batch: index this batch, candidate-join against the whole
+    * index (this batch included, so within-batch dups are caught by the
+    * same path), verify, emit survivors. */
+  private def processBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val withSets = batch
+      .select(col("doc_id"), Dedup.shingleSet(col("text")).as("hv"))
+      .persist()
+    val bands = withSets.select(col("doc_id"),
+      posexplode(Dedup.bandBuckets(col("hv"))).as(Seq("band", "bucket")))
+    // Index first, then read the union back: the batch's own slice must be
+    // part of the candidate search so within-batch duplicates fall out of
+    // the same join instead of needing a separate self-join code path.
+    bands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
+    withSets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
+    val allBands = spark.read.parquet(s"$stateDir/bands/*")
+    val allSets = spark.read.parquet(s"$stateDir/sets/*")
+    val candidates = bands
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      .join(allBands.select(col("band"), col("bucket"), col("doc_id").as("old_id")),
+        Seq("band", "bucket"))
+      .filter(col("old_id") < col("new_id"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    val dupIds = candidates
+      .join(withSets.select(col("doc_id").as("new_id"), col("hv").as("hv_new")),
+        Seq("new_id"))
+      .join(allSets.select(col("doc_id").as("old_id"), col("hv").as("hv_old")),
+        Seq("old_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("hv_new"), col("hv_old"))).cast("long"))
+      .filter((col("n_inter").cast("double") /
+          (size(col("hv_new")) + size(col("hv_old")) - col("n_inter"))) >= threshold)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    withSets.unpersist()
+  }
+
+  /** All survivors emitted so far. */
+  def survivors(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/b*")
+
+  /** The declared-query form: stream the documents table through the
+    * dedup (one AvailableNow drain into session-scoped temp dirs) and
+    * return surviving doc ids. Oracle: a doc survives iff it is not the
+    * larger side of any exact-Jaccard near-dup pair — on this corpus LSH
+    * candidates equal the exact pair set (asserted by the batch tier's
+    * tests), so the exact-SQL oracle covers the streaming path too. */
+  def streamNearDupDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("graft_sdedup_state").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sdedup_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val schema = graft.Tables.documents(spark, dir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    run(docs, state, out, ckpt)
+    survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+}

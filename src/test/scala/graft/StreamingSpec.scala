@@ -67,6 +67,45 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("streaming near-dup dedup: within-batch, cross-batch, restart") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingDedup
+    val landing = Files.createTempDirectory("sdedup_landing")
+    val state = Files.createTempDirectory("sdedup_state").toString
+    val out = Files.createTempDirectory("sdedup_out").toString
+    val ckpt = Files.createTempDirectory("sdedup_ckpt").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("sdedup_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, landing.resolve(name))
+    }
+    def runOnce(): Unit = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(landing.toString),
+      state, out, ckpt)
+    def survivorIds: Set[Long] = StreamingDedup.survivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    // batch 1: doc 2 is a within-batch near-dup of doc 0 (8/9 shingles)
+    land("a.parquet", Seq((0L, base), (1L, other), (2L, base + " lambda")))
+    runOnce()
+    assert(survivorIds == Set(0L, 1L))
+    // batch 2: doc 10 duplicates doc 0 ACROSS the restart boundary — the
+    // parquet index, not any in-memory state, must catch it
+    land("b.parquet", Seq((10L, base + " mu"),
+      (11L, "completely different words with no overlap at all whatsoever")))
+    runOnce()
+    assert(survivorIds == Set(0L, 1L, 11L))
+    // restart with nothing new: checkpoint replays no batch, output stable
+    runOnce()
+    assert(survivorIds == Set(0L, 1L, 11L))
+  }
+
   test("session_window merges an exactly-gap-length pause (boundary pin)") {
     import spark.implicits._
     // Two events exactly 30 minutes apart must form ONE session — the
