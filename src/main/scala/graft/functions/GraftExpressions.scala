@@ -384,6 +384,12 @@ object GraftExpressions {
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
+      // CAST(NULL AS INT) is foldable AND int-typed: the type-mismatch
+      // message would read "requires INT, got INT" — null needs its own
+      // error before the type dispatch.
+      case null => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+        messageParameters = Map("sqlExpr" -> s"\"$fn\"", "exprName" -> "`n`"))
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
         messageParameters = Map(

@@ -93,15 +93,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
-        col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("n_inter",
-        size(array_intersect(col("hv_a"), col("hv_b"))).cast("long"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+        jaccardOf(col("hv_a"), col("hv_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -165,14 +160,18 @@ object Dedup {
     * match needs 4 equal minhashes), so bench outputs are unchanged. */
   val MaxBandBucketSize = 1024
 
-  /** The hashed shingle set / band-bucket signature columns, exposed for
-    * incremental callers (streaming dedup) so batch and stream share one
-    * signature definition. */
+  /** The hashed shingle set / band-bucket signature columns and the exact
+    * Jaccard verification expression — THE single definition shared by the
+    * ngram, MinHash and streaming tiers, so they can never drift. */
   private[graft] def shingleSet(text: Column): Column =
     graft.functions.GraftExpressions.shingleHashes64(text, ShingleSize)
   private[graft] def bandBuckets(hv: Column): Column =
     graft.functions.GraftExpressions.minhashBands(
       hv, permAs, permBs, MinhashPrime, Bands)
+  private[graft] def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /** Candidate pairs from LSH buckets, then EXACT Jaccard verification.
     * Only docs sharing >= 1 band bucket meet in the join — O(candidates),
@@ -185,15 +184,11 @@ object Dedup {
     // Hashed shingle sets (8 bytes each) stand in for the string sets in
     // both LSH banding and the exact-Jaccard verification — same set
     // algebra, ~10× less shuffle/cache volume.
-    val withSets = docs.select(col("doc_id"),
-        graft.functions.GraftExpressions.shingleHashes64(
-          col("text"), ShingleSize).as("hv"))
+    val withSets = docs.select(col("doc_id"), shingleSet(col("text")).as("hv"))
       .persist()
     val buckets = LshSkew.saltBuckets(
       withSets.select(col("doc_id"),
-        posexplode(graft.functions.GraftExpressions.minhashBands(
-          col("hv"), permAs, permBs, MinhashPrime, Bands))
-          .as(Seq("band", "bucket"))),
+        posexplode(bandBuckets(col("hv"))).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), "doc_id", bandCap)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -204,12 +199,8 @@ object Dedup {
     candidates
       .join(withSets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(withSets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("n_inter",
-        size(array_intersect(col("sa.hv"), col("sb.hv"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (size(col("sa.hv")) + size(col("sb.hv")) - col("n_inter")))
-          .as("jaccard"))
+        jaccardOf(col("sa.hv"), col("sb.hv")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -297,7 +288,6 @@ object Dedup {
     * emit silent mis-dedup. */
   private[graft] def largeSmallStarComponents(pairs: DataFrame,
       maxIters: Int = 40): DataFrame = {
-    val spark = pairs.sparkSession
 
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.select(col("u"), col("v"))

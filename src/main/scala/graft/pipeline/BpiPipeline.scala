@@ -217,14 +217,26 @@ object BpiPipeline {
       props: java.util.Properties = new java.util.Properties()): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // unquoted DDL both here and in Spark's CREATE TABLE -> the name
-      // resolves identically regardless of the dialect's case folding
-      val exists = conn.getMetaData
-        .getTables(null, null, table.toUpperCase(java.util.Locale.ROOT), null).next()
+      val md = conn.getMetaData
+      // Dialects fold unquoted names differently (Derby: upper, Postgres:
+      // lower, MySQL: as-is) — probe every folding of the table name
+      // rather than assuming one.
+      val exists = Seq(table,
+          table.toUpperCase(java.util.Locale.ROOT),
+          table.toLowerCase(java.util.Locale.ROOT)).distinct
+        .exists { t =>
+          val rs = md.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
+        }
       if (exists) {
-        // quoted: Spark's CREATE TABLE quotes column identifiers, so the
-        // column is stored case-sensitively as lowercase batch_id
-        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        // Spark's CREATE TABLE quotes column identifiers (stored
+        // case-sensitively as lowercase batch_id); quote with the
+        // dialect's OWN quote string (Derby/Postgres: ", MySQL: `).
+        val q = md.getIdentifierQuoteString match {
+          case null | " " => "" case s => s
+        }
+        val st = conn.prepareStatement(
+          s"DELETE FROM $table WHERE ${q}batch_id$q = ?")
         try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
       }
     } finally conn.close()

@@ -25,17 +25,22 @@ object HttpIngest {
     * wrapper sees server errors the same as connection failures. */
   def httpTransport(
       timeout: java.time.Duration = java.time.Duration.ofSeconds(30)): Transport = {
-    url =>
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(timeout)
-        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-        .build()
+    // One client per Transport, not per request: the client owns the
+    // selector thread and connection pool, so a long-running poller keeps
+    // connections alive instead of paying a handshake (and leaking an
+    // executor) on every poll.
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    url => {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(timeout).GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
       resp.body()
+    }
   }
 
   /** O19 parity: the reference task runs with `retries=1` on its cron

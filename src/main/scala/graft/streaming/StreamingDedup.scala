@@ -6,12 +6,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import graft.operators.Dedup
 
 /** Streaming near-duplicate dedup — the batch MinHash+LSH tier made
-  * incremental. Documents arrive in micro-batches; a document SURVIVES iff
-  * no smaller-doc_id document seen so far (in any earlier batch or this
-  * one) is an LSH band candidate within the exact-Jaccard threshold. That
-  * is the same min-lower-id greedy contract as the batch tier, so with the
-  * whole corpus in one batch the stream reproduces the batch answer
-  * exactly — and the same DuckDB oracle covers both.
+  * incremental, with FIRST-SEEN-WINS semantics: a document is dropped iff
+  * an LSH band candidate within the exact-Jaccard threshold was seen in an
+  * EARLIER batch (any doc_id — an emitted survivor is never retracted), or
+  * has a smaller doc_id in the SAME batch (ids are the deterministic
+  * within-batch tiebreak). For a single-batch drain this reduces exactly
+  * to the batch tier's min-lower-id greedy contract, which is how the
+  * declared query is oracled; across batches it is the standard
+  * append-only streaming dedup guarantee (the keeper is the first
+  * arrival, not the globally smallest id, because a streaming sink
+  * cannot un-emit).
   *
   * Cross-batch state is an LSH INDEX, not the raw corpus: per batch, the
   * incoming docs' band buckets and hashed shingle sets are appended to a
@@ -71,15 +75,20 @@ object StreamingDedup {
     // Index first, then read the union back: the batch's own slice must be
     // part of the candidate search so within-batch duplicates fall out of
     // the same join instead of needing a separate self-join code path.
-    bands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
+    // Slices carry their batch id so the join can tell "earlier batch"
+    // (first-seen wins, any id) from "this batch" (id tiebreak).
+    bands.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     withSets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
     val allBands = spark.read.parquet(s"$stateDir/bands/*")
     val allSets = spark.read.parquet(s"$stateDir/sets/*")
     val candidates = bands
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-      .join(allBands.select(col("band"), col("bucket"), col("doc_id").as("old_id")),
+      .join(allBands.select(col("band"), col("bucket"),
+          col("doc_id").as("old_id"), col("batch_id")),
         Seq("band", "bucket"))
-      .filter(col("old_id") < col("new_id"))
+      .filter(col("batch_id") < batchId ||
+        (col("batch_id") === batchId && col("old_id") < col("new_id")))
       .select(col("new_id"), col("old_id"))
       .distinct()
     val dupIds = candidates
@@ -87,10 +96,7 @@ object StreamingDedup {
         Seq("new_id"))
       .join(allSets.select(col("doc_id").as("old_id"), col("hv").as("hv_old")),
         Seq("old_id"))
-      .withColumn("n_inter",
-        size(array_intersect(col("hv_new"), col("hv_old"))).cast("long"))
-      .filter((col("n_inter").cast("double") /
-          (size(col("hv_new")) + size(col("hv_old")) - col("n_inter"))) >= threshold)
+      .filter(Dedup.jaccardOf(col("hv_new"), col("hv_old")) >= threshold)
       .select(col("new_id").as("doc_id"))
       .distinct()
     batch.join(dupIds, Seq("doc_id"), "left_anti")

@@ -152,6 +152,12 @@ class KernelSpec extends SparkSpec {
     assert(mistyped.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
       mistyped.getMessage)
     assert(mistyped.getMessage.contains("INT"), mistyped.getMessage)
+    val nullArg = intercept[AnalysisException] {
+      spark.sql("SELECT shingle_hashes64(t, CAST(NULL AS INT)) FROM kernel_arg_v")
+        .collect()
+    }
+    assert(nullArg.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+      nullArg.getMessage)
   }
 
   test("TopKByScore bounded aggregate equals the window row_number form") {

@@ -91,19 +91,28 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val other = "one two three four five six seven eight nine ten eleven"
+    val third = "red orange yellow green blue indigo violet pink brown black"
     // batch 1: doc 2 is a within-batch near-dup of doc 0 (8/9 shingles)
-    land("a.parquet", Seq((0L, base), (1L, other), (2L, base + " lambda")))
+    land("a.parquet", Seq((0L, base), (1L, other), (30L, third),
+      (2L, base + " lambda")))
     runOnce()
-    assert(survivorIds == Set(0L, 1L))
+    assert(survivorIds == Set(0L, 1L, 30L))
     // batch 2: doc 10 duplicates doc 0 ACROSS the restart boundary — the
     // parquet index, not any in-memory state, must catch it
     land("b.parquet", Seq((10L, base + " mu"),
       (11L, "completely different words with no overlap at all whatsoever")))
     runOnce()
-    assert(survivorIds == Set(0L, 1L, 11L))
+    assert(survivorIds == Set(0L, 1L, 30L, 11L))
+    // first-seen wins: doc 5 near-dups ALREADY-EMITTED doc 30. Its id is
+    // smaller, but survivor 30 cannot be retracted from the sink — the
+    // newcomer must be the one dropped (a pure min-id rule would keep 5
+    // and leave BOTH duplicates in the output).
+    land("c.parquet", Seq((5L, third + " white")))
+    runOnce()
+    assert(survivorIds == Set(0L, 1L, 30L, 11L))
     // restart with nothing new: checkpoint replays no batch, output stable
     runOnce()
-    assert(survivorIds == Set(0L, 1L, 11L))
+    assert(survivorIds == Set(0L, 1L, 30L, 11L))
   }
 
   test("session_window merges an exactly-gap-length pause (boundary pin)") {
