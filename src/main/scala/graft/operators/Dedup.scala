@@ -186,10 +186,13 @@ object Dedup {
     // algebra, ~10× less shuffle/cache volume.
     val withSets = docs.select(col("doc_id"), shingleSet(col("text")).as("hv"))
       .persist()
+    // persist: the band join reads this frame on both sides; uncached,
+    // the signature + salt-window pipeline would run twice.
     val buckets = LshSkew.saltBuckets(
       withSets.select(col("doc_id"),
         posexplode(bandBuckets(col("hv"))).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), "doc_id", bandCap)
+      .persist()
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.salt") === col("y.salt") &&

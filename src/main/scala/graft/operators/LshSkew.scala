@@ -30,12 +30,27 @@ object LshSkew {
 
   /** Append a `salt` column to a bucket assignment. Join candidate sides
     * on `keyCols :+ "salt"` instead of `keyCols`. `idCol` must be a
-    * non-negative integral id (salt uses plain mod). */
+    * non-negative integral id (salt uses plain mod).
+    *
+    * `broadcastSizes = true` computes bucket sizes with a partial-agg
+    * groupBy broadcast-joined back — the right shape when the key space
+    * is small and bounded (hyperplane LSH: tables × 2^bits keys), where a
+    * window would sort-shuffle every bucket row just to count. Leave it
+    * false when bucket keys are unbounded hashes (MinHash bands): the
+    * sizes table scales with the corpus and must stay shuffle-side. */
   def saltBuckets(buckets: DataFrame, keyCols: Seq[String], idCol: String,
-      cap: Int): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    val nSalt: Column =
-      ceil(count(lit(1)).over(w) / lit(cap.toDouble)).cast("long")
-    buckets.withColumn("salt", pmod(col(idCol), nSalt))
+      cap: Int, broadcastSizes: Boolean = false): DataFrame = {
+    val nSalt: Column => Column = bsize =>
+      ceil(bsize / lit(cap.toDouble)).cast("long")
+    if (broadcastSizes) {
+      val sizes = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_bsize"))
+      buckets.join(broadcast(sizes), keyCols)
+        .withColumn("salt", pmod(col(idCol), nSalt(col("_bsize"))))
+        .drop("_bsize")
+    } else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      buckets.withColumn("salt", pmod(col(idCol), nSalt(count(lit(1)).over(w))))
+    }
   }
 }

@@ -81,13 +81,18 @@ object Similarity {
       cap: Int = MaxBucketSize): DataFrame = {
     val allPlanes: Array[Array[Double]] =
       (0 until AnnTables).flatMap(t => planes(t)).toArray
+    // broadcastSizes: the key space is AnnTables * 2^AnnBits (128) rows —
+    // counting via broadcast join beats sort-shuffling every bucket row.
+    // No persist: the self-join's two sides are identical subplans, so
+    // ReusedExchange already computes the bucket pipeline once; a cache
+    // here only adds memory traffic and blocks codegen fusion.
     val buckets = LshSkew.saltBuckets(
       emb.select(
         col("vec_id"),
         posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
           col("embedding"), allPlanes, AnnTables, AnnBits))
           .as(Seq("table_id", "bucket"))),
-      Seq("table_id", "bucket"), "vec_id", cap)
+      Seq("table_id", "bucket"), "vec_id", cap, broadcastSizes = true)
     // ids only through the bucket join: the 8x-replicated shuffle rows are
     // 16 bytes, not 256-byte vectors; vectors re-attach by equi-join after
     // the pair set is distinct.
