@@ -34,38 +34,50 @@ import graft.operators.Dedup
   *
   * Scale note: the index grows with the corpus, but the per-batch join
   * only shuffles the batch's bucket rows against matching bucket keys;
-  * history never re-shuffles. A boilerplate-heavy corpus concentrating in
-  * one band bucket degrades toward batch-size × bucket-history candidate
-  * pairs — the streaming analogue of the hot-bucket problem; a production
-  * hardening would cap per-bucket index fan-in the way the batch tier
-  * salts ([[graft.operators.LshSkew]]).
+  * history never re-shuffles. The streaming analogue of the hot-bucket
+  * problem (a boilerplate band bucket accumulating the whole corpus,
+  * degrading toward batch-size × bucket-history join output) is guarded
+  * by BUCKET SATURATION: only the first `bucketCap` docs per (band,
+  * bucket) — first-seen order, the already-emitted keepers — serve as
+  * index-side exemplars, bounding candidates at batch-rows × cap. A
+  * newcomer matching only beyond-cap members of a saturated bucket can
+  * slip through; with 32 bands a doc needs ALL its band buckets saturated
+  * past its matches to escape, the standard trade for bounded work.
   */
 object StreamingDedup {
+
+  /** Index-side exemplars per (band, bucket): far above any honest
+    * bucket's size, only degenerate boilerplate buckets saturate. */
+  val DefaultBucketCap = 1024
 
   /** Start the dedup stream over `docs` (needs `doc_id` and `text`).
     * Survivor rows (full schema) land under `outDir/b<batchId>`. */
   def start(docs: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      bucketCap: Int = DefaultBucketCap): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, stateDir, outDir, threshold)
+        processBatch(batch.toDF(), batchId, stateDir, outDir, threshold, bucketCap)
         ()
       }
       .start()
 
   def run(docs: DataFrame, stateDir: String, outDir: String,
-      checkpoint: String, threshold: Double = Dedup.JaccardThreshold): Unit =
-    start(docs, stateDir, outDir, checkpoint, threshold).awaitTermination()
+      checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
+      bucketCap: Int = DefaultBucketCap): Unit =
+    start(docs, stateDir, outDir, checkpoint, threshold,
+      bucketCap = bucketCap).awaitTermination()
 
   /** One micro-batch: index this batch, candidate-join against the whole
     * index (this batch included, so within-batch dups are caught by the
     * same path), verify, emit survivors. */
   private def processBatch(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, threshold: Double): Unit = {
+      stateDir: String, outDir: String, threshold: Double,
+      bucketCap: Int = DefaultBucketCap): Unit = {
     val spark = batch.sparkSession
     val withSets = batch
       .select(col("doc_id"), Dedup.shingleSet(col("text")).as("hv"))
@@ -82,9 +94,19 @@ object StreamingDedup {
     withSets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
     val allBands = spark.read.parquet(s"$stateDir/bands/*")
     val allSets = spark.read.parquet(s"$stateDir/sets/*")
+    // Hot-bucket guard: only the first bucketCap docs per bucket (in
+    // first-seen order — exactly the docs that could have been emitted as
+    // keepers) stay joinable, bounding join output at batch-rows × cap.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+      .orderBy(col("batch_id"), col("doc_id"))
+    val exemplars = allBands
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= bucketCap)
+      .drop("_rn")
     val candidates = bands
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-      .join(allBands.select(col("band"), col("bucket"),
+      .join(exemplars.select(col("band"), col("bucket"),
           col("doc_id").as("old_id"), col("batch_id")),
         Seq("band", "bucket"))
       .filter(col("batch_id") < batchId ||

@@ -115,6 +115,40 @@ class StreamingSpec extends SparkSpec {
     assert(survivorIds == Set(0L, 1L, 30L, 11L))
   }
 
+  test("streaming near-dup dedup: saturated bucket still dedups via exemplars") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingDedup
+    val landing = Files.createTempDirectory("sdedup_hot_landing")
+    val state = Files.createTempDirectory("sdedup_hot_state").toString
+    val out = Files.createTempDirectory("sdedup_hot_out").toString
+    val ckpt = Files.createTempDirectory("sdedup_hot_ckpt").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("sdedup_hot_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, landing.resolve(name))
+    }
+    // Every doc identical: all band buckets go hot immediately. With the
+    // index capped at 2 exemplars per bucket, batch 2's docs exceed the
+    // bucket population but must still dedup against the retained
+    // first-seen exemplars.
+    def runOnce(): Unit = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(landing.toString),
+      state, out, ckpt, bucketCap = 2)
+    val text = "identical boilerplate text repeated in every single document"
+    land("a.parquet", (0L to 4L).map(i => (i, text)))
+    runOnce()
+    land("b.parquet", (10L to 13L).map(i => (i, text)))
+    runOnce()
+    val ids = StreamingDedup.survivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L))
+  }
+
   test("session_window merges an exactly-gap-length pause (boundary pin)") {
     import spark.implicits._
     // Two events exactly 30 minutes apart must form ONE session — the
