@@ -70,6 +70,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall@k vs exact top-k is measured and above the floor") {
+    // Deterministic end to end (seeded sample order, Lloyd iterations,
+    // id tiebreaks), so recall is a stable number, not a flake: pins the
+    // (cells, probes) quality the rows-only correctness gate can't see.
+    val dir = "/root/testdata/sf0.01"
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.topKExact(spark, dir))
+    val ivf = resultSet(Similarity.topKIvf(spark, dir))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@${Similarity.TopK} = $recall — " +
+      "cells/probes parameters degraded")
+  }
+
   test("LSH near-dup recall vs exact n-squared is measured and above the floor") {
     import org.apache.spark.sql.functions._
     // The declared contract is the LSH-candidate subset (~0.8 per-pair
