@@ -82,7 +82,10 @@ object Dedup {
     // slower (struct shuffle + re-explode outweigh the window sort).
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val prefix = idx.join(broadcast(freq), "s")
+    // No broadcast hint: freq is the shingle VOCABULARY, which grows with
+    // the corpus — a forced broadcast dies at 100 TB. AQE's runtime stats
+    // still pick a broadcast join at scales where it actually fits.
+    val prefix = idx.join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
       .filter(expr(s"rn <= n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
       .select(col("doc_id"), col("n"), col("s"))
