@@ -75,12 +75,19 @@ object Similarity {
     * avg), so the salt is constant 0 and outputs are unchanged. */
   val MaxBucketSize = 1024
 
+  /** The (table,bit)-flattened seeded hyperplanes and the bucket-array
+    * column, exposed for incremental callers (streaming embedding dedup)
+    * so batch and stream share one signature definition. */
+  private[graft] def allPlanes: Array[Array[Double]] =
+    (0 until AnnTables).flatMap(t => planes(t)).toArray
+  private[graft] def planeBuckets(embedding: Column): Column =
+    graft.functions.GraftExpressions.hyperplaneBuckets(
+      embedding, allPlanes, AnnTables, AnnBits)
+
   /** Candidate id pairs from the salted (table, bucket) equi-join —
     * exposed for the skew test. */
   private[graft] def lshCandidatePairs(emb: DataFrame,
       cap: Int = MaxBucketSize): DataFrame = {
-    val allPlanes: Array[Array[Double]] =
-      (0 until AnnTables).flatMap(t => planes(t)).toArray
     // broadcastSizes: the key space is AnnTables * 2^AnnBits (128) rows —
     // counting via broadcast join beats sort-shuffling every bucket row.
     // No persist: the self-join's two sides are identical subplans, so
@@ -89,8 +96,7 @@ object Similarity {
     val buckets = LshSkew.saltBuckets(
       emb.select(
         col("vec_id"),
-        posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
-          col("embedding"), allPlanes, AnnTables, AnnBits))
+        posexplode(planeBuckets(col("embedding")))
           .as(Seq("table_id", "bucket"))),
       Seq("table_id", "bucket"), "vec_id", cap, broadcastSizes = true)
     // ids only through the bucket join: the 8x-replicated shuffle rows are
@@ -166,12 +172,9 @@ object Similarity {
     * not the corpus size. */
   def topKAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val allPlanes: Array[Array[Double]] =
-      (0 until AnnTables).flatMap(t => planes(t)).toArray
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      posexplode(graft.functions.GraftExpressions.hyperplaneBuckets(
-        col("embedding"), allPlanes, AnnTables, AnnBits))
+      posexplode(planeBuckets(col("embedding")))
         .as(Seq("table_id", "bucket")))
     val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -320,8 +323,9 @@ object Similarity {
   }
 
   /** Verified-candidate pair scores, the oracle twin of
-    * [[lshCandidatePairScores]]. */
-  private def lshPairScoresCtes: String =
+    * [[lshCandidatePairScores]] (also reused by the streaming embedding
+    * dedup oracle in StreamQueries). */
+  private[graft] def lshPairScoresCtes: String =
     s"""$lshBucketCtes,
        |salted AS (
        |  SELECT vec_id, table_id, bucket,

@@ -103,6 +103,17 @@ object StreamQueries {
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.doc_b = d.doc_id)
          |ORDER BY doc_id""".stripMargin),
+    // Embedding twin: survivors of the streaming LSH dedup = vectors that
+    // are not the larger side of any verified LSH-candidate pair (the
+    // batch dedup_embedding contract, which first-seen-wins reduces to in
+    // the declared single-batch drain).
+    withOracle("stream_embedding_dedup", StreamingDedup.streamEmbeddingDedupQuery,
+      s"""${graft.operators.Similarity.lshPairScoresCtes}
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps
+         |  WHERE ps.vec_b = e.vec_id
+         |    AND ps.score >= ${graft.operators.Similarity.NearDupThreshold})
+         |ORDER BY e.vec_id""".stripMargin),
     withOracle("stream_hourly_agg", hourlyAggQuery,
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

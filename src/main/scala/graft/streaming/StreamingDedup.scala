@@ -1,30 +1,35 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
-/** Streaming near-duplicate dedup — the batch MinHash+LSH tier made
-  * incremental, with FIRST-SEEN-WINS semantics: a document is dropped iff
-  * an LSH band candidate within the exact-Jaccard threshold was seen in an
-  * EARLIER batch (any doc_id — an emitted survivor is never retracted), or
-  * has a smaller doc_id in the SAME batch (ids are the deterministic
-  * within-batch tiebreak). For a single-batch drain this reduces exactly
-  * to the batch tier's min-lower-id greedy contract, which is how the
-  * declared query is oracled; across batches it is the standard
-  * append-only streaming dedup guarantee (the keeper is the first
-  * arrival, not the globally smallest id, because a streaming sink
-  * cannot un-emit).
+/** Streaming near-duplicate dedup — the batch LSH tiers made incremental,
+  * with FIRST-SEEN-WINS semantics: a record is dropped iff an LSH bucket
+  * candidate within the exact similarity threshold was seen in an EARLIER
+  * batch (any id — an emitted survivor is never retracted), or has a
+  * smaller id in the SAME batch (ids are the deterministic within-batch
+  * tiebreak). For a single-batch drain this reduces exactly to the batch
+  * tiers' min-lower-id greedy contract, which is how the declared queries
+  * are oracled; across batches it is the standard append-only streaming
+  * dedup guarantee (the keeper is the first arrival, because a streaming
+  * sink cannot un-emit).
+  *
+  * One signature-agnostic core serves both tiers:
+  *   - documents: MinHash band buckets over hashed shingle sets, exact
+  *     Jaccard verification ([[Dedup.shingleSet]]/[[Dedup.bandBuckets]]/
+  *     [[Dedup.jaccardOf]] — the batch tier's own definitions, so batch
+  *     and stream can never drift);
+  *   - embeddings: seeded hyperplane buckets, exact cosine verification
+  *     ([[Similarity.planeBuckets]], same planes as the batch tier).
   *
   * Cross-batch state is an LSH INDEX, not the raw corpus: per batch, the
-  * incoming docs' band buckets and hashed shingle sets are appended to a
-  * parquet index keyed by batch id. Each micro-batch then joins its bucket
-  * rows against the accumulated index (an equi-join on (band, bucket) —
-  * cost is candidate collisions, never batch × history), verifies
-  * candidates with exact Jaccard over the stored shingle sets, and writes
-  * survivors. Signatures come from [[Dedup.shingleSet]]/
-  * [[Dedup.bandBuckets]], so batch and stream can never drift.
+  * incoming records' buckets and signatures are appended to a parquet
+  * index keyed by batch id. Each micro-batch joins its bucket rows
+  * against the accumulated index (an equi-join on (band, bucket) — cost
+  * is candidate collisions, never batch × history), verifies candidates
+  * exactly over the stored signatures, and writes survivors.
   *
   * Replay safety: every write of batch N goes to an overwrite-mode
   * `b<N>` subdirectory (index slices and survivor output alike), so a
@@ -35,14 +40,15 @@ import graft.operators.Dedup
   * Scale note: the index grows with the corpus, but the per-batch join
   * only shuffles the batch's bucket rows against matching bucket keys;
   * history never re-shuffles. The streaming analogue of the hot-bucket
-  * problem (a boilerplate band bucket accumulating the whole corpus,
-  * degrading toward batch-size × bucket-history join output) is guarded
-  * by BUCKET SATURATION: only the first `bucketCap` docs per (band,
-  * bucket) — first-seen order, the already-emitted keepers — serve as
-  * index-side exemplars, bounding candidates at batch-rows × cap. A
-  * newcomer matching only beyond-cap members of a saturated bucket can
-  * slip through; with 32 bands a doc needs ALL its band buckets saturated
-  * past its matches to escape, the standard trade for bounded work.
+  * problem (a boilerplate bucket accumulating the whole corpus, degrading
+  * toward batch-size × bucket-history join output) is guarded by BUCKET
+  * SATURATION: only the first `bucketCap` records per (band, bucket) —
+  * first-seen order, exactly the records that could have been emitted as
+  * keepers — serve as index-side exemplars, bounding candidates at
+  * batch-rows × cap. A newcomer matching only beyond-cap members of a
+  * saturated bucket can slip through; with L bands/tables a record needs
+  * ALL its buckets saturated past its matches to escape — the standard
+  * trade for bounded work.
   */
 object StreamingDedup {
 
@@ -50,21 +56,52 @@ object StreamingDedup {
     * bucket's size, only degenerate boilerplate buckets saturate. */
   val DefaultBucketCap = 1024
 
-  /** Start the dedup stream over `docs` (needs `doc_id` and `text`).
-    * Survivor rows (full schema) land under `outDir/b<batchId>`. */
-  def start(docs: DataFrame, stateDir: String, outDir: String,
-      checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
-      trigger: Trigger = Trigger.AvailableNow(),
-      bucketCap: Int = DefaultBucketCap): StreamingQuery =
-    docs.writeStream
+  /** What varies between the document and embedding tiers. `sig` maps the
+    * incoming frame's payload to the stored signature; `buckets` maps a
+    * signature to its bucket array (posexplode index = band/table id);
+    * `isDup` is the exact verification predicate over two signatures. */
+  private[streaming] final case class LshDedupSpec(
+      idCol: String,
+      sig: DataFrame => Column,
+      buckets: Column => Column,
+      isDup: (Column, Column) => Column)
+
+  private[streaming] def jaccardSpec(
+      threshold: Double = Dedup.JaccardThreshold): LshDedupSpec =
+    LshDedupSpec("doc_id",
+      _ => Dedup.shingleSet(col("text")),
+      Dedup.bandBuckets,
+      (a, b) => Dedup.jaccardOf(a, b) >= threshold)
+
+  private[streaming] def embeddingSpec(
+      threshold: Double = Similarity.NearDupThreshold): LshDedupSpec =
+    LshDedupSpec("vec_id",
+      _ => col("embedding"),
+      Similarity.planeBuckets,
+      (a, b) => graft.functions.GraftExpressions.cosineFast(a, b) >= threshold)
+
+  /** Start a dedup stream with the given spec. Survivor rows (full input
+    * schema) land under `outDir/b<batchId>`. */
+  private[streaming] def startWith(records: DataFrame, spec: LshDedupSpec,
+      stateDir: String, outDir: String, checkpoint: String,
+      trigger: Trigger, bucketCap: Int): StreamingQuery =
+    records.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, stateDir, outDir, threshold, bucketCap)
+        processBatch(batch.toDF(), batchId, spec, stateDir, outDir, bucketCap)
         ()
       }
       .start()
+
+  /** Document-tier front end (needs `doc_id` and `text`). */
+  def start(docs: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
+      trigger: Trigger = Trigger.AvailableNow(),
+      bucketCap: Int = DefaultBucketCap): StreamingQuery =
+    startWith(docs, jaccardSpec(threshold), stateDir, outDir, checkpoint,
+      trigger, bucketCap)
 
   def run(docs: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, threshold: Double = Dedup.JaccardThreshold,
@@ -72,18 +109,32 @@ object StreamingDedup {
     start(docs, stateDir, outDir, checkpoint, threshold,
       bucketCap = bucketCap).awaitTermination()
 
+  /** Embedding-tier front end (needs `vec_id` and `embedding`). */
+  def startEmbedding(emb: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = Similarity.NearDupThreshold,
+      trigger: Trigger = Trigger.AvailableNow(),
+      bucketCap: Int = DefaultBucketCap): StreamingQuery =
+    startWith(emb, embeddingSpec(threshold), stateDir, outDir, checkpoint,
+      trigger, bucketCap)
+
+  def runEmbedding(emb: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = Similarity.NearDupThreshold,
+      bucketCap: Int = DefaultBucketCap): Unit =
+    startEmbedding(emb, stateDir, outDir, checkpoint, threshold,
+      bucketCap = bucketCap).awaitTermination()
+
   /** One micro-batch: index this batch, candidate-join against the whole
     * index (this batch included, so within-batch dups are caught by the
     * same path), verify, emit survivors. */
   private def processBatch(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, threshold: Double,
-      bucketCap: Int = DefaultBucketCap): Unit = {
+      spec: LshDedupSpec, stateDir: String, outDir: String,
+      bucketCap: Int): Unit = {
     val spark = batch.sparkSession
-    val withSets = batch
-      .select(col("doc_id"), Dedup.shingleSet(col("text")).as("hv"))
+    val withSigs = batch
+      .select(col(spec.idCol).as("rec_id"), spec.sig(batch).as("sig"))
       .persist()
-    val bands = withSets.select(col("doc_id"),
-      posexplode(Dedup.bandBuckets(col("hv"))).as(Seq("band", "bucket")))
+    val bands = withSigs.select(col("rec_id"),
+      posexplode(spec.buckets(col("sig"))).as(Seq("band", "bucket")))
     // Index first, then read the union back: the batch's own slice must be
     // part of the candidate search so within-batch duplicates fall out of
     // the same join instead of needing a separate self-join code path.
@@ -91,39 +142,39 @@ object StreamingDedup {
     // (first-seen wins, any id) from "this batch" (id tiebreak).
     bands.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
-    withSets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
+    withSigs.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
     val allBands = spark.read.parquet(s"$stateDir/bands/*")
-    val allSets = spark.read.parquet(s"$stateDir/sets/*")
-    // Hot-bucket guard: only the first bucketCap docs per bucket (in
-    // first-seen order — exactly the docs that could have been emitted as
-    // keepers) stay joinable, bounding join output at batch-rows × cap.
+    val allSigs = spark.read.parquet(s"$stateDir/sets/*")
+    // Hot-bucket guard: only the first bucketCap records per bucket (in
+    // first-seen order — exactly the records that could have been emitted
+    // as keepers) stay joinable, bounding join output at batch-rows × cap.
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-      .orderBy(col("batch_id"), col("doc_id"))
+      .orderBy(col("batch_id"), col("rec_id"))
     val exemplars = allBands
       .withColumn("_rn", row_number().over(wBucket))
       .filter(col("_rn") <= bucketCap)
       .drop("_rn")
     val candidates = bands
-      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      .select(col("band"), col("bucket"), col("rec_id").as("new_id"))
       .join(exemplars.select(col("band"), col("bucket"),
-          col("doc_id").as("old_id"), col("batch_id")),
+          col("rec_id").as("old_id"), col("batch_id")),
         Seq("band", "bucket"))
       .filter(col("batch_id") < batchId ||
         (col("batch_id") === batchId && col("old_id") < col("new_id")))
       .select(col("new_id"), col("old_id"))
       .distinct()
     val dupIds = candidates
-      .join(withSets.select(col("doc_id").as("new_id"), col("hv").as("hv_new")),
+      .join(withSigs.select(col("rec_id").as("new_id"), col("sig").as("sig_new")),
         Seq("new_id"))
-      .join(allSets.select(col("doc_id").as("old_id"), col("hv").as("hv_old")),
+      .join(allSigs.select(col("rec_id").as("old_id"), col("sig").as("sig_old")),
         Seq("old_id"))
-      .filter(Dedup.jaccardOf(col("hv_new"), col("hv_old")) >= threshold)
-      .select(col("new_id").as("doc_id"))
+      .filter(spec.isDup(col("sig_new"), col("sig_old")))
+      .select(col("new_id").as(spec.idCol))
       .distinct()
-    batch.join(dupIds, Seq("doc_id"), "left_anti")
+    batch.join(dupIds, Seq(spec.idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-    withSets.unpersist()
+    withSigs.unpersist()
   }
 
   /** All survivors emitted so far. */
@@ -147,5 +198,23 @@ object StreamingDedup {
       .parquet(dir)
     run(docs, state, out, ckpt)
     survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Embedding twin of the declared query: survivors of a one-drain
+    * streaming dedup over the embeddings table. Oracle: the batch tier's
+    * dedup_embedding survivors (same salted LSH candidates at this scale
+    * — no bucket is near either cap — and the same min-lower-id policy,
+    * which first-seen-wins reduces to in a single batch). */
+  def streamEmbeddingDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("graft_sededup_state").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sededup_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sededup_ckpt").toString
+    val schema = graft.Tables.embeddings(spark, dir).schema
+    val emb = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    runEmbedding(emb.select(col("vec_id"), col("embedding")), state, out, ckpt)
+    survivors(spark, out).select(col("vec_id")).orderBy(col("vec_id"))
   }
 }

@@ -115,6 +115,40 @@ class StreamingSpec extends SparkSpec {
     assert(survivorIds == Set(0L, 1L, 30L, 11L))
   }
 
+  test("streaming embedding dedup: cross-batch cosine duplicate dropped") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingDedup
+    val landing = Files.createTempDirectory("sededup_landing")
+    val state = Files.createTempDirectory("sededup_state").toString
+    val out = Files.createTempDirectory("sededup_out").toString
+    val ckpt = Files.createTempDirectory("sededup_ckpt").toString
+    // v1 ⊥ v2 ⊥ v3 (cosine 0 pairwise); duplicates are exact copies
+    val v1 = Array.fill(64)(0.5f)
+    val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val v3 = Array.tabulate(64)(i => if (i < 32) 0.5f else -0.5f)
+    val schema = Seq((0L, v1)).toDF("vec_id", "embedding").schema
+    def land(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = Files.createTempDirectory("sededup_tmp")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, landing.resolve(name))
+    }
+    def runOnce(): Unit = StreamingDedup.runEmbedding(
+      spark.readStream.schema(schema).parquet(landing.toString),
+      state, out, ckpt)
+    land("a.parquet", Seq((0L, v1), (1L, v2)))
+    runOnce()
+    // batch 2: 10 duplicates 0 across the restart boundary; 11 is novel
+    land("b.parquet", Seq((10L, v1), (11L, v3)))
+    runOnce()
+    val ids = StreamingDedup.survivors(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 11L))
+  }
+
   test("streaming near-dup dedup: saturated bucket still dedups via exemplars") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
