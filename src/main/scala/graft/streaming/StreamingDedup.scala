@@ -42,13 +42,13 @@ import graft.operators.{Dedup, Similarity}
   * history never re-shuffles. The streaming analogue of the hot-bucket
   * problem (a boilerplate bucket accumulating the whole corpus, degrading
   * toward batch-size × bucket-history join output) is guarded by BUCKET
-  * SATURATION: only the first `bucketCap` records per (band, bucket) —
-  * first-seen order, exactly the records that could have been emitted as
-  * keepers — serve as index-side exemplars, bounding candidates at
-  * batch-rows × cap. A newcomer matching only beyond-cap members of a
-  * saturated bucket can slip through; with L bands/tables a record needs
-  * ALL its buckets saturated past its matches to escape — the standard
-  * trade for bounded work.
+  * SATURATION: only the first `bucketCap` records per (band, bucket) in
+  * arrival order — keepers and dropped dups alike; any earlier arrival
+  * is a valid dedup witness under first-seen-wins — serve as index-side
+  * exemplars, bounding candidates at batch-rows × cap. A newcomer
+  * matching only beyond-cap members of a saturated bucket can slip
+  * through; with L bands/tables a record needs ALL its buckets saturated
+  * past its matches to escape — the standard trade for bounded work.
   */
 object StreamingDedup {
 
@@ -56,27 +56,28 @@ object StreamingDedup {
     * bucket's size, only degenerate boilerplate buckets saturate. */
   val DefaultBucketCap = 1024
 
-  /** What varies between the document and embedding tiers. `sig` maps the
-    * incoming frame's payload to the stored signature; `buckets` maps a
-    * signature to its bucket array (posexplode index = band/table id);
-    * `isDup` is the exact verification predicate over two signatures. */
+  /** What varies between the document and embedding tiers. `sig` is the
+    * stored-signature expression over the incoming frame's columns;
+    * `buckets` maps a signature to its bucket array (posexplode index =
+    * band/table id); `isDup` is the exact verification predicate over two
+    * signatures. */
   private[streaming] final case class LshDedupSpec(
       idCol: String,
-      sig: DataFrame => Column,
+      sig: Column,
       buckets: Column => Column,
       isDup: (Column, Column) => Column)
 
   private[streaming] def jaccardSpec(
       threshold: Double = Dedup.JaccardThreshold): LshDedupSpec =
     LshDedupSpec("doc_id",
-      _ => Dedup.shingleSet(col("text")),
+      Dedup.shingleSet(col("text")),
       Dedup.bandBuckets,
       (a, b) => Dedup.jaccardOf(a, b) >= threshold)
 
   private[streaming] def embeddingSpec(
       threshold: Double = Similarity.NearDupThreshold): LshDedupSpec =
     LshDedupSpec("vec_id",
-      _ => col("embedding"),
+      col("embedding"),
       Similarity.planeBuckets,
       (a, b) => graft.functions.GraftExpressions.cosineFast(a, b) >= threshold)
 
@@ -131,7 +132,7 @@ object StreamingDedup {
       bucketCap: Int): Unit = {
     val spark = batch.sparkSession
     val withSigs = batch
-      .select(col(spec.idCol).as("rec_id"), spec.sig(batch).as("sig"))
+      .select(col(spec.idCol).as("rec_id"), spec.sig.as("sig"))
       .persist()
     val bands = withSigs.select(col("rec_id"),
       posexplode(spec.buckets(col("sig"))).as(Seq("band", "bucket")))
@@ -146,12 +147,20 @@ object StreamingDedup {
     val allBands = spark.read.parquet(s"$stateDir/bands/*")
     val allSigs = spark.read.parquet(s"$stateDir/sets/*")
     // Hot-bucket guard: only the first bucketCap records per bucket (in
-    // first-seen order — exactly the records that could have been emitted
-    // as keepers) stay joinable, bounding join output at batch-rows × cap.
+    // first-seen arrival order — keepers AND dropped dups alike; any
+    // earlier arrival is a valid dedup witness under first-seen-wins)
+    // stay joinable, bounding join output at batch-rows × cap. The index
+    // is semi-joined to THIS batch's bucket keys before the rank window:
+    // ranks are per-bucket, so pruning non-colliding buckets first gives
+    // identical exemplars while the window only ever sorts the buckets
+    // this batch actually touches — per-batch cost stays proportional to
+    // collisions, not to accumulated history.
+    val touched = bands.select(col("band"), col("bucket")).distinct()
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
       .orderBy(col("batch_id"), col("rec_id"))
     val exemplars = allBands
+      .join(touched, Seq("band", "bucket"), "left_semi")
       .withColumn("_rn", row_number().over(wBucket))
       .filter(col("_rn") <= bucketCap)
       .drop("_rn")

@@ -70,6 +70,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("oracle-scale bucket sizes stay under the salt cap and the stream cap") {
+    import org.apache.spark.sql.functions._
+    // The batch oracle salts buckets at MaxBucketSize; the streaming path
+    // instead caps index exemplars at DefaultBucketCap. stream_embedding_
+    // dedup's oracle equivalence (and the salt's bench-inertness claim)
+    // hold only while every bucket is under BOTH caps at the scales the
+    // driver verifies — make that a checked invariant, not a comment.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(spark, dir)
+      val maxBucket = emb
+        .select(posexplode(graft.operators.Similarity.planeBuckets(col("embedding")))
+          .as(Seq("table_id", "bucket")))
+        .groupBy("table_id", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val bound = math.min(Similarity.MaxBucketSize,
+        graft.streaming.StreamingDedup.DefaultBucketCap)
+      assert(maxBucket < bound, s"$dir: max bucket $maxBucket >= $bound — " +
+        "salted-oracle vs capped-stream equivalence no longer holds")
+    }
+  }
+
   test("IVF recall@k vs exact top-k is measured and above the floor") {
     // Deterministic end to end (seeded sample order, Lloyd iterations,
     // id tiebreaks), so recall is a stable number, not a flake: pins the

@@ -7,6 +7,21 @@ import graft.streaming.{MicroBatchPipeline, StreamQueries}
 
 class StreamingSpec extends SparkSpec {
 
+  /** Stage a DataFrame as one single parquet FILE in a landing dir (the
+    * file-stream sources here watch files, not directories). */
+  private def landFile(landing: java.nio.file.Path, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("land_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+    Files.move(part, landing.resolve(name))
+  }
+
   test("hourly agg over the stream equals the same aggregation in batch") {
     val streamed = StreamQueries.hourlyAggQuery(spark, sf).collect()
     val batch = Tables.events(spark, sf)
@@ -76,14 +91,8 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("sdedup_out").toString
     val ckpt = Files.createTempDirectory("sdedup_ckpt").toString
     val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
-    def land(name: String, rows: Seq[(Long, String)]): Unit = {
-      val tmp = Files.createTempDirectory("sdedup_tmp")
-      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, landing.resolve(name))
-    }
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      landFile(landing, name, rows.toDF("doc_id", "text"))
     def runOnce(): Unit = StreamingDedup.run(
       spark.readStream.schema(schema).parquet(landing.toString),
       state, out, ckpt)
@@ -128,14 +137,8 @@ class StreamingSpec extends SparkSpec {
     val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
     val v3 = Array.tabulate(64)(i => if (i < 32) 0.5f else -0.5f)
     val schema = Seq((0L, v1)).toDF("vec_id", "embedding").schema
-    def land(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
-      val tmp = Files.createTempDirectory("sededup_tmp")
-      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite")
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, landing.resolve(name))
-    }
+    def land(name: String, rows: Seq[(Long, Array[Float])]): Unit =
+      landFile(landing, name, rows.toDF("vec_id", "embedding"))
     def runOnce(): Unit = StreamingDedup.runEmbedding(
       spark.readStream.schema(schema).parquet(landing.toString),
       state, out, ckpt)
@@ -158,14 +161,8 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("sdedup_hot_out").toString
     val ckpt = Files.createTempDirectory("sdedup_hot_ckpt").toString
     val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
-    def land(name: String, rows: Seq[(Long, String)]): Unit = {
-      val tmp = Files.createTempDirectory("sdedup_hot_tmp")
-      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, landing.resolve(name))
-    }
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      landFile(landing, name, rows.toDF("doc_id", "text"))
     // Every doc identical: all band buckets go hot immediately. With the
     // index capped at 2 exemplars per bucket, batch 2's docs exceed the
     // bucket population but must still dedup against the retained
