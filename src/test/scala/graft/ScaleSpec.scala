@@ -61,6 +61,22 @@ class ScaleSpec extends SparkSpec {
     assert(got < n.toLong * (n - 1) / 2 / 10) // nowhere near quadratic
   }
 
+  test("saltBuckets window and broadcast-size forms assign identical salts") {
+    import graft.operators.LshSkew
+    import spark.implicits._
+    // Skewed random bucket assignment (zipf-ish): both counting paths
+    // must yield the same ceil(B/cap) split for every row.
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(5000)(
+      (math.abs(rnd.nextLong()) % 100000, rnd.nextInt(rnd.nextInt(15) + 1).toLong))
+    val buckets = rows.toDF("id", "bucket")
+    def salted(broadcastSizes: Boolean): Map[(Long, Long), Long] =
+      LshSkew.saltBuckets(buckets, Seq("bucket"), "id", cap = 100, broadcastSizes)
+        .select("id", "bucket", "salt") // the join form reorders columns
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(salted(broadcastSizes = true) == salted(broadcastSizes = false))
+  }
+
   test("LSH salt is inert below the cap: candidates identical to unguarded") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)
