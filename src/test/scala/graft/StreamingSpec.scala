@@ -194,6 +194,29 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 2, sessions.mkString("; "))
   }
 
+  test("RocksDB state store: stateful dedup results identical to HDFS-backed") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // The declared 100 TB step for streaming state is the RocksDB
+    // provider (state off-heap, changelog-checkpointable); prove the
+    // switch is config-only and result-identical on the stateful dedup.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MicroBatchPipeline.eventsStream(spark, sf)
+      val doubled = src.union(MicroBatchPipeline.eventsStream(spark, sf))
+      val deduped = MicroBatchPipeline.runToResult(spark,
+        MicroBatchPipeline.dedupWithinWatermark(doubled), OutputMode.Append())
+      assert(deduped.count() == Tables.events(spark, sf).count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize: gap splits sessions, totals add up") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
