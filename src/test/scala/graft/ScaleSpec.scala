@@ -111,6 +111,35 @@ class ScaleSpec extends SparkSpec {
     assert(pairs(Dedup.MaxBandBucketSize) == pairs(Int.MaxValue))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // SURVEY's join scale note leans on AQE skew-splitting for hot keys;
+    // verify the mechanism actually engages: one key carrying ~all rows
+    // must be marked skew=true in the final adaptive plan.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(300000)
+        .select((when(col("id") % 100 === 0, col("id")).otherwise(lit(7L))).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"), col("id").as("w"))
+      // The filter depends on BOTH sides so it cannot push below the join;
+      // collect() executes THIS dataframe's own adaptive plan (count()
+      // would plan and execute a separate derived query).
+      val joined = skewed.join(dim, "k").filter(col("v") + col("w") < 0)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
