@@ -450,6 +450,49 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Decontamination: training docs vs an evaluation/benchmark set
+  // ---------------------------------------------------------------------
+
+  /** A training doc is contaminated when it shares at least this many
+    * distinct 3-gram shingles with the evaluation set. */
+  val MinSharedShingles = 5
+
+  /** Benchmark-overlap decontamination — the training-data stage that
+    * removes documents leaking evaluation content. The eval split is a
+    * deterministic md5 hash sample (≈1/16 of the corpus here, standing in
+    * for an external benchmark table); a training doc's contamination
+    * score is how many of its distinct shingles appear ANYWHERE in the
+    * eval set.
+    *
+    * Shape at scale: one explode + equi-join on the 8-byte shingle hash +
+    * per-doc count — the ngram index family's shuffle, linear in corpus
+    * shingles. A real benchmark set (thousands of docs, not a corpus
+    * fraction) makes the eval shingle side broadcast-small, deleting the
+    * shuffle entirely — same code path with the hint. */
+  def decontaminate(docs: DataFrame,
+      minShared: Int = MinSharedShingles): DataFrame = {
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val sets = docs.select(col("doc_id"), isEval.as("is_eval"),
+      shingleSet(col("text")).as("hv"))
+    val evalShingles = sets.filter(col("is_eval"))
+      .select(explode(col("hv")).as("s")).distinct()
+    val shared = sets.filter(!col("is_eval"))
+      .select(col("doc_id"), explode(col("hv")).as("s"))
+      .join(evalShingles, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sets.filter(!col("is_eval")).select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared)
+          .cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateQuery(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir))
+
+  // ---------------------------------------------------------------------
 
   import graft.QuerySpec
   import graft.QuerySpec.withOracle
@@ -461,6 +504,26 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
     withOracle("dedup_ngram_jaccard", ngramJaccard, jaccardOracleSql),
     withOracle("dedup_minhash_lsh", minhashLsh, jaccardOracleSql),
+    // String shingles stand in for the engine's 64-bit hashed shingles:
+    // distinct-set counts are hash-invariant (the jaccardPairsCte
+    // precedent). md5-prefix eval split replays bit-for-bit in DuckDB.
+    withOracle("text_decontaminate", decontaminateQuery,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+         |       WHERE len(toks) >= 3),
+         |ev AS (SELECT DISTINCT s FROM sh
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         |shared AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |           FROM sh JOIN ev USING (s)
+         |           WHERE sh.doc_id IN (SELECT doc_id FROM tr)
+         |           GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(s.n_shared, 0) >= $MinSharedShingles AS BIGINT) AS contaminated
+         |FROM tr t LEFT JOIN shared s ON s.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
     withOracle("dedup_simhash", simhash,
       s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
          |th AS (SELECT doc_id, (concat('0x', substr(md5(t), 1, 16)))::UBIGINT AS h FROM toks),

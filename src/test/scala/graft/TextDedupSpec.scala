@@ -34,6 +34,33 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("decontaminate flags only docs sharing enough shingles with the eval split") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc_id=2 hashes into the eval split (md5("2") starts with 'c'... pick
+    // ids empirically: find one whose md5 starts with '0').
+    val evalId = (0L to 100L).find(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(1).map("%02x".format(_)).mkString
+        .startsWith("0")).get
+    val trainIds = (0L to 100L).filter(i => i != evalId &&
+      !java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(1).map("%02x".format(_)).mkString
+        .startsWith("0"))
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (evalId, evalText), // eval member
+      (trainIds(0), evalText + " extra"), // near-copy: many shared shingles
+      (trainIds(1), "completely different words nothing in common with anything else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(evalId)) // eval docs are not scored
+    assert(out(trainIds(0))._1 >= Dedup.MinSharedShingles)
+    assert(out(trainIds(0))._2 == 1L)
+    assert(out(trainIds(1)) == (0L, 0L))
+  }
+
   test("exact dedup groups duplicates under one hash with min keeper") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
