@@ -123,6 +123,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token budget for [[domainMix]]: partial selection at both
+    * verification scales (each source holds ~1.4k tokens at sf0.01). */
+  val MixTokenBudget = 800L
+
+  /** Domain mixing by token budget — the corpus-composition stage that
+    * caps each source's contribution: docs are ordered per source by a
+    * deterministic md5 shuffle (an unbiased sample that replays in any
+    * engine) and taken while the running token count fits the budget.
+    *
+    * Shape at scale: one shuffle by source + a per-source running sum —
+    * parallel ACROSS sources, sequential within one (windows don't
+    * parallelize inside a partition). A single giant source would split
+    * its budget over md5 sub-buckets (same code on (source, bucket) keys
+    * with budget/K per sub-bucket) to restore parallelism. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= MixTokenBudget)
+      .orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -140,6 +165,18 @@ object TextAnalysis {
   }
 
   val specs: Seq[QuerySpec] = Seq(
+    // HUGEINT: DuckDB widens windowed BIGINT sums — cast back for schema
+    // parity. The md5 sample order replays bit-for-bat in both engines.
+    withOracle("text_domain_mix", domainMix,
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= $MixTokenBudget ORDER BY doc_id""".stripMargin),
     withOracle("text_token_stats", tokenStats,
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
