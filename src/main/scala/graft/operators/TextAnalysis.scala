@@ -148,6 +148,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition ratio — the boilerplate/spam signal: the fraction of a
+    * doc's 3-gram occurrences that are repeats (1 − distinct/total).
+    * Template spam repeats whole paragraphs, driving the ratio toward 1;
+    * normal prose sits near 0. Single narrow scan: total 3-grams is
+    * n_tokens − 2 arithmetically, distinct comes from the same hashed
+    * shingle-set kernel the dedup tier uses. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        size(graft.operators.Dedup.shingleSet(col("text"))).cast("long")
+          .as("n_distinct"))
+      .filter(col("n_tokens") >= 3)
+      .select(col("doc_id"),
+        (col("n_tokens") - 2).as("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2))
+          .as("repetition_ratio"))
+      .orderBy(col("doc_id"))
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -177,6 +195,19 @@ object TextAnalysis {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
          |FROM c WHERE cum <= $MixTokenBudget ORDER BY doc_id""".stripMargin),
+    withOracle("text_repetition", repetition,
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n_shingles,
+        |    CAST((SELECT COUNT(DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |          FROM (SELECT string_split(text, ' ') AS toks) w,
+        |               UNNEST(generate_series(1, len(toks) - 2)) AS t(i)) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_shingles AS repetition_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin),
     withOracle("text_token_stats", tokenStats,
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
