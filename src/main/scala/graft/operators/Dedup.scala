@@ -472,8 +472,12 @@ object Dedup {
   def decontaminate(docs: DataFrame,
       minShared: Int = MinSharedShingles): DataFrame = {
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    // persist: three subplans consume this frame (eval shingles, training
+    // explode, training id list) — uncached, the scan + shingle kernel
+    // would run three times (the ngramJaccardPairs persist rationale).
     val sets = docs.select(col("doc_id"), isEval.as("is_eval"),
       shingleSet(col("text")).as("hv"))
+      .persist()
     val evalShingles = sets.filter(col("is_eval"))
       .select(explode(col("hv")).as("s")).distinct()
     val shared = sets.filter(!col("is_eval"))

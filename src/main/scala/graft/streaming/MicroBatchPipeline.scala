@@ -84,9 +84,7 @@ object MicroBatchPipeline {
     // overhead ~4x versus the batch-side default of 32 while still keeping
     // every core busy (the stateful exchange is not the scan). The setting
     // is baked into the query at start; restore the session value after.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withBatchSizedShuffle(spark) {
       val q = streamed.writeStream
         .format("memory")
         .queryName(name)
@@ -94,10 +92,18 @@ object MicroBatchPipeline {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
+  }
+
+  /** Micro-batch volumes are bounded by trigger cadence, not corpus size
+    * — run a bounded drain with shuffles sized to the batch (one shared
+    * policy for every streaming drain), restoring the session value
+    * after. */
+  private[streaming] def withBatchSizedShuffle[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Micro-batch flush to parquet via foreachBatch — the reference's

@@ -196,16 +196,6 @@ object StreamingDedup {
     * larger side of any exact-Jaccard near-dup pair — on this corpus LSH
     * candidates equal the exact pair set (asserted by the batch tier's
     * tests), so the exact-SQL oracle covers the streaming path too. */
-  /** Micro-batch volumes are bounded by trigger cadence, not corpus size
-    * — size the per-batch shuffles to the batch, not to the scan width
-    * (same rationale as MicroBatchPipeline.runToResult). Restores the
-    * session value after the drain. */
-  private def withBatchSizedShuffle[A](spark: SparkSession)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
   def streamNearDupDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val state = java.nio.file.Files.createTempDirectory("graft_sdedup_state").toString
     val out = java.nio.file.Files.createTempDirectory("graft_sdedup_out").toString
@@ -215,7 +205,7 @@ object StreamingDedup {
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    withBatchSizedShuffle(spark) { run(docs, state, out, ckpt) }
+    MicroBatchPipeline.withBatchSizedShuffle(spark) { run(docs, state, out, ckpt) }
     survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
   }
 
@@ -233,7 +223,7 @@ object StreamingDedup {
       .schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
-    withBatchSizedShuffle(spark) {
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
       runEmbedding(emb.select(col("vec_id"), col("embedding")), state, out, ckpt)
     }
     survivors(spark, out).select(col("vec_id")).orderBy(col("vec_id"))
