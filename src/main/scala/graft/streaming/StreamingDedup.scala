@@ -136,16 +136,31 @@ object StreamingDedup {
       .persist()
     val bands = withSigs.select(col("rec_id"),
       posexplode(spec.buckets(col("sig"))).as(Seq("band", "bucket")))
-    // Index first, then read the union back: the batch's own slice must be
-    // part of the candidate search so within-batch duplicates fall out of
-    // the same join instead of needing a separate self-join code path.
-    // Slices carry their batch id so the join can tell "earlier batch"
-    // (first-seen wins, any id) from "this batch" (id tiebreak).
-    bands.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
+    // Persist this batch's slices for FUTURE batches, but search over
+    // prior slices UNIONed with the in-memory batch frames — the batch's
+    // own rows never round-trip through parquet, and within-batch
+    // duplicates still fall out of the same join (no separate self-join
+    // code path). Slices carry their batch id so the join can tell
+    // "earlier batch" (first-seen wins, any id) from "this batch"
+    // (id tiebreak).
+    val taggedBands = bands.withColumn("batch_id", lit(batchId))
+    taggedBands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     withSigs.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
-    val allBands = spark.read.parquet(s"$stateDir/bands/*")
-    val allSigs = spark.read.parquet(s"$stateDir/sets/*")
+    def priorSlices(base: String): Seq[String] = {
+      val path = new org.apache.hadoop.fs.Path(base)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.toString)
+        .filterNot(_.endsWith(s"/b$batchId")).toSeq
+    }
+    val priorBands = priorSlices(s"$stateDir/bands")
+    val allBands =
+      if (priorBands.isEmpty) taggedBands
+      else spark.read.parquet(priorBands: _*).unionByName(taggedBands)
+    val priorSigs = priorSlices(s"$stateDir/sets")
+    val allSigs =
+      if (priorSigs.isEmpty) withSigs
+      else spark.read.parquet(priorSigs: _*).unionByName(withSigs)
     // Hot-bucket guard: only the first bucketCap records per bucket (in
     // first-seen arrival order — keepers AND dropped dups alike; any
     // earlier arrival is a valid dedup witness under first-seen-wins)
