@@ -14,7 +14,8 @@ object Explain {
       else Seq("rel_filter_pushdown", "rel_star_join", "rel_join_asof",
         "rel_join_range", "rel_agg_salted", "rel_subquery_scalar",
         "rel_topk_grouped", "rel_window_range_frame",
-        "sim_neardup_pairs", "dedup_minhash_lsh")
+        "sim_neardup_pairs", "dedup_minhash_lsh",
+        "text_decontaminate", "text_domain_mix", "text_repetition")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
