@@ -146,13 +146,8 @@ object StreamingDedup {
     val taggedBands = bands.withColumn("batch_id", lit(batchId))
     taggedBands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     withSigs.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
-    def priorSlices(base: String): Seq[String] = {
-      val path = new org.apache.hadoop.fs.Path(base)
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.toString)
-        .filterNot(_.endsWith(s"/b$batchId")).toSeq
-    }
+    def priorSlices(base: String): Seq[String] =
+      listSlices(spark, base).filterNot(_.endsWith(s"/b$batchId"))
     val priorBands = priorSlices(s"$stateDir/bands")
     val allBands =
       if (priorBands.isEmpty) taggedBands
@@ -199,6 +194,58 @@ object StreamingDedup {
     batch.join(dupIds, Seq(spec.idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
     withSigs.unpersist()
+  }
+
+  /** Visible (non-hidden) slice directories under an index subdir.
+    * Dot-prefixed names are in-flight compaction temps — never read. */
+  private def listSlices(spark: SparkSession, base: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(base)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSeq
+  }
+
+  /** Compact the index's per-batch slices: thousands of micro-batches
+    * mean thousands of small parquet dirs, and listing + footer reads
+    * amplify every batch. Merges all slices for batches <= `upToBatchId`
+    * (and earlier compactions) into one `c<upToBatchId>` slice per
+    * subdir; band rows KEEP their original batch_id, so first-seen
+    * ordering and the earlier-batch/same-batch distinction are
+    * unaffected — results are bit-identical before and after.
+    *
+    * Crash safety: the merge writes to a dot-prefixed temp (invisible to
+    * readers), renames it visible, then deletes the merged inputs. A
+    * crash between rename and deletes leaves duplicate rows visible;
+    * re-running compactState removes them (the merge is
+    * distinct-preserving per slice set, and candidates/dup decisions are
+    * DISTINCT-ed downstream). Run it between drains — never concurrently
+    * with an active query on the same state dir. */
+  def compactState(spark: SparkSession, stateDir: String,
+      upToBatchId: Long): Unit = {
+    def sliceBatch(dir: String): Long = {
+      val name = dir.substring(dir.lastIndexOf('/') + 1)
+      name.stripPrefix("c").stripPrefix("b").toLong
+    }
+    for (sub <- Seq("bands", "sets")) {
+      val base = s"$stateDir/$sub"
+      val merge = listSlices(spark, base).filter(sliceBatch(_) <= upToBatchId)
+      if (merge.size > 1) {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
+        spark.read.parquet(merge: _*).distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
+        fs.delete(dst, true)
+        fs.rename(tmp, dst)
+        // dst itself may be among the inputs (re-run after a crash) — it
+        // now holds the fresh merge, so it must survive this cleanup
+        merge.filterNot(_.endsWith(s"/c$upToBatchId"))
+          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
   }
 
   /** All survivors emitted so far. */

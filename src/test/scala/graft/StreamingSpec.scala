@@ -124,6 +124,48 @@ class StreamingSpec extends SparkSpec {
     assert(survivorIds == Set(0L, 1L, 30L, 11L))
   }
 
+  test("compacting index slices preserves streaming dedup results") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val landing = Files.createTempDirectory("sdedup_cmp_landing")
+    val state = Files.createTempDirectory("sdedup_cmp_state").toString
+    val out = Files.createTempDirectory("sdedup_cmp_out").toString
+    val ckpt = Files.createTempDirectory("sdedup_cmp_ckpt").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def runOnce(): Unit = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(landing.toString),
+      state, out, ckpt)
+    def survivorIds: Set[Long] = StreamingDedup.survivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def sliceCount(sub: String): Long = {
+      val l = Files.list(java.nio.file.Paths.get(state, sub))
+      try l.filter(p => Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith(".")).count()
+      finally l.close()
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    landFile(landing, "a.parquet", Seq((0L, base), (1L, other)).toDF("doc_id", "text"))
+    runOnce() // batch 0
+    landFile(landing, "b.parquet",
+      Seq((10L, base + " mu"), (11L, "unrelated fresh words entirely new here"))
+        .toDF("doc_id", "text"))
+    runOnce() // batch 1
+    assert(survivorIds == Set(0L, 1L, 11L))
+    assert(sliceCount("bands") == 2)
+    StreamingDedup.compactState(spark, state, upToBatchId = 1)
+    assert(sliceCount("bands") == 1)
+    assert(sliceCount("sets") == 1)
+    // compaction is idempotent (re-run = no-op on a single slice)
+    StreamingDedup.compactState(spark, state, upToBatchId = 1)
+    assert(sliceCount("bands") == 1)
+    // dups arriving after compaction are still caught from the merged index
+    landFile(landing, "c.parquet",
+      Seq((12L, base + " nu"), (13L, other + " twelve")).toDF("doc_id", "text"))
+    runOnce() // batch 2 against the compacted slices
+    assert(survivorIds == Set(0L, 1L, 11L))
+  }
+
   test("streaming embedding dedup: cross-batch cosine duplicate dropped") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
