@@ -474,10 +474,13 @@ object Dedup {
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
     // persist: three subplans consume this frame (eval shingles, training
     // explode, training id list) — uncached, the scan + shingle kernel
-    // would run three times (the ngramJaccardPairs persist rationale).
-    val sets = docs.select(col("doc_id"), isEval.as("is_eval"),
-      shingleSet(col("text")).as("hv"))
+    // would run three times. The cached projection is EXACTLY the shape
+    // minhashLshPairs retains ((doc_id, hv), is_eval derived on top), so
+    // a query sweep shares one cache entry instead of holding two
+    // full-corpus shingle caches.
+    val sets = docs.select(col("doc_id"), shingleSet(col("text")).as("hv"))
       .persist()
+      .withColumn("is_eval", isEval)
     val evalShingles = sets.filter(col("is_eval"))
       .select(explode(col("hv")).as("s")).distinct()
     val shared = sets.filter(!col("is_eval"))

@@ -134,16 +134,19 @@ object StreamingDedup {
     val withSigs = batch
       .select(col(spec.idCol).as("rec_id"), spec.sig.as("sig"))
       .persist()
-    val bands = withSigs.select(col("rec_id"),
-      posexplode(spec.buckets(col("sig"))).as(Seq("band", "bucket")))
     // Persist this batch's slices for FUTURE batches, but search over
     // prior slices UNIONed with the in-memory batch frames — the batch's
     // own rows never round-trip through parquet, and within-batch
     // duplicates still fall out of the same join (no separate self-join
     // code path). Slices carry their batch id so the join can tell
     // "earlier batch" (first-seen wins, any id) from "this batch"
-    // (id tiebreak).
-    val taggedBands = bands.withColumn("batch_id", lit(batchId))
+    // (id tiebreak). persist: four consumers (slice write, touched keys,
+    // index union, candidate side) would otherwise re-run the banding
+    // kernel over the batch once each.
+    val taggedBands = withSigs.select(col("rec_id"),
+        posexplode(spec.buckets(col("sig"))).as(Seq("band", "bucket")))
+      .withColumn("batch_id", lit(batchId))
+      .persist()
     taggedBands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     withSigs.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
     def priorSlices(base: String): Seq[String] =
@@ -165,16 +168,21 @@ object StreamingDedup {
     // identical exemplars while the window only ever sorts the buckets
     // this batch actually touches — per-batch cost stays proportional to
     // collisions, not to accumulated history.
-    val touched = bands.select(col("band"), col("bucket")).distinct()
+    val touched = taggedBands.select(col("band"), col("bucket")).distinct()
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
       .orderBy(col("batch_id"), col("rec_id"))
     val exemplars = allBands
       .join(touched, Seq("band", "bucket"), "left_semi")
+      // a compaction crashed between rename and cleanup can leave a slice
+      // next to its own merge — identical rows twice; dedup the (small,
+      // already-pruned) exemplar input so the saturation cap counts
+      // records, not row copies
+      .dropDuplicates("rec_id", "band", "bucket", "batch_id")
       .withColumn("_rn", row_number().over(wBucket))
       .filter(col("_rn") <= bucketCap)
       .drop("_rn")
-    val candidates = bands
+    val candidates = taggedBands
       .select(col("band"), col("bucket"), col("rec_id").as("new_id"))
       .join(exemplars.select(col("band"), col("bucket"),
           col("rec_id").as("old_id"), col("batch_id")),
@@ -194,6 +202,7 @@ object StreamingDedup {
     batch.join(dupIds, Seq(spec.idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
     withSigs.unpersist()
+    taggedBands.unpersist()
   }
 
   /** Visible (non-hidden) slice directories under an index subdir.
@@ -216,12 +225,14 @@ object StreamingDedup {
     * unaffected — results are bit-identical before and after.
     *
     * Crash safety: the merge writes to a dot-prefixed temp (invisible to
-    * readers), renames it visible, then deletes the merged inputs. A
-    * crash between rename and deletes leaves duplicate rows visible;
-    * re-running compactState removes them (the merge is
-    * distinct-preserving per slice set, and candidates/dup decisions are
-    * DISTINCT-ed downstream). Run it between drains — never concurrently
-    * with an active query on the same state dir. */
+    * readers), renames it visible (return value CHECKED — Hadoop
+    * FileSystems report many failures by returning false), then deletes
+    * the merged inputs. A crash between rename and deletes leaves
+    * duplicate rows visible; results stay identical anyway (candidates
+    * and dup decisions are DISTINCT-ed, and the exemplar ranking dedups
+    * its input), and re-running compactState removes the copies. Run it
+    * between drains — never concurrently with an active query on the
+    * same state dir. */
   def compactState(spark: SparkSession, stateDir: String,
       upToBatchId: Long): Unit = {
     def sliceBatch(dir: String): Long = {
@@ -235,11 +246,20 @@ object StreamingDedup {
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
-        spark.read.parquet(merge: _*).distinct()
-          .write.mode("overwrite").parquet(tmp.toString)
+        // batch-sized shuffle: the merge must not fragment the compacted
+        // slice into session-default-many part files
+        MicroBatchPipeline.withBatchSizedShuffle(spark) {
+          spark.read.parquet(merge: _*).distinct()
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
         val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
         fs.delete(dst, true)
-        fs.rename(tmp, dst)
+        // Hadoop FileSystem signals many failures by RETURNING false, not
+        // throwing. An unchecked false here would leave the merge hidden
+        // in the dot-dir while the loop below deletes all inputs —
+        // silently destroying the index. Abort before any deletion.
+        if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+          s"compactState: rename $tmp -> $dst failed; index left unmodified")
         // dst itself may be among the inputs (re-run after a crash) — it
         // now holds the fresh merge, so it must survive this cleanup
         merge.filterNot(_.endsWith(s"/c$upToBatchId"))
