@@ -10,4 +10,8 @@ object GraftExtensionsProbe {
   def optimizerRules(ext: SparkSessionExtensions,
       session: SparkSession): Seq[Rule[LogicalPlan]] =
     ext.buildOptimizerRules(session)
+
+  def plannerStrategies(ext: SparkSessionExtensions,
+      session: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(session)
 }
