@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+
+/** Round-5 training-data curation operators: chunk-level exact-substring
+  * dedup (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+  * Models Better" pass at fixed-chunk granularity), GPT-style sequence
+  * packing (concat-then-chop into fixed token-budget contexts), and
+  * deterministic training-shard assignment — the three stages that turn a
+  * cleaned corpus into what a trainer actually reads.
+  *
+  * All three are declarative DataFrame plans (no UDFs, no collects): the
+  * chunk dedup is two hash shuffles (chunk key, then doc re-assembly), the
+  * packing is per-shard window arithmetic, the shard stats a single
+  * groupBy. Each replays bit-for-bit in the DuckDB oracle.
+  */
+object Curation {
+
+  /** Tokens per dedup chunk. Real substring dedup works on ~50-token
+    * spans; 8 keeps planted duplicates detectable at sf0.001. */
+  val ChunkTokens = 8
+
+  /** Token capacity of one packed training context. */
+  val PackCapacity = 256
+
+  /** Number of output training shards. */
+  val NumShards = 16
+
+  /** Chunk-level exact-substring dedup: split every document into
+    * consecutive [[ChunkTokens]]-token chunks, keep only the globally
+    * FIRST occurrence of each distinct chunk (corpus order = (doc_id,
+    * chunk index)), and reassemble the surviving chunks per document.
+    * Documents whose every chunk already appeared elsewhere drop out —
+    * exactly the C4/Lee-et-al duplicate-span removal at chunk granularity.
+    *
+    * Shape at scale: explode to one row per chunk, ONE shuffle on the
+    * chunk key for the first-occurrence rank, one groupBy(doc_id) to
+    * reassemble. At 100 TB the rank shuffle should carry (xxhash64(chunk),
+    * doc_id, idx) — 24 bytes/row — and re-attach text after the filter;
+    * same plan shape, smaller exchange. Duplicate-heavy corpora skew the
+    * chunk key; the rank is a window (sort within key group), so AQE skew
+    * split handles a hot chunk the same way it splits a hot join key.
+    */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val c = ChunkTokens
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_chunks",
+        ceil(size(col("toks")) / lit(c.toDouble)).cast("long"))
+    val chunks = base
+      .select(col("doc_id"), col("n_chunks"),
+        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))).as("idx"),
+        col("toks"))
+      .withColumn("chunk",
+        array_join(slice(col("toks"), col("idx") * c + 1, lit(c)), " "))
+      .drop("toks")
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x("chunk")), " ").as("deduped_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-style sequence packing: documents are concatenated in corpus
+    * order and chopped into fixed [[PackCapacity]]-token contexts; a
+    * document straddling a boundary contributes its head to one pack and
+    * its tail to the next. Output is the pack membership map — one row per
+    * (pack, document) overlap with the token count the document
+    * contributes — i.e. the index a data loader needs to materialize
+    * packed contexts.
+    *
+    * Packing is PER SOURCE (the window partition): real pipelines pack
+    * within a shard/domain so shards stay independently readable, and it
+    * is what keeps this parallel — the running sum is per-source, never a
+    * single global partition. At 100 TB the partition key would be the
+    * output shard id; same plan.
+    */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val cap = lit(PackCapacity.toLong)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .withColumn("pack_id0",
+        explode(sequence(
+          floor(col("cum_start") / cap).cast("int"),
+          floor((col("cum_end") - 1) / cap).cast("int"))))
+      .withColumn("pack_id", col("pack_id0").cast("long"))
+      .select(
+        col("source"), col("pack_id"), col("doc_id"), col("n_tokens"),
+        (least(col("cum_end"), (col("pack_id") + 1) * cap) -
+          greatest(col("cum_start"), col("pack_id") * cap)).as("n_in_pack"))
+      .orderBy(col("source"), col("pack_id"), col("doc_id"))
+  }
+
+  /** Deterministic training-shard assignment + per-shard manifest stats:
+    * shard = md5(doc_id) mod [[NumShards]] — a seed-free pseudo-random
+    * permutation that any engine reproduces, so a re-run (or a different
+    * engine) shards identically. The stats row per shard (doc count, token
+    * mass, id range) is the manifest a trainer checks before reading.
+    *
+    * At scale this IS the write partitioner: `repartition(N, shard)` +
+    * `sortWithinPartitions(doc_id)` + the graft-commit manifest sink —
+    * the query here is the audit view of that layout. One groupBy on a
+    * 16-value key (map-side combine collapses everything before the
+    * exchange).
+    */
+  def trainShards(docs: DataFrame): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % NumShards).as("shard_id")
+    docs
+      .select(shard, col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("shard_id"))
+  }
+
+  import graft.QuerySpec.withOracle
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("text_chunk_dedup", (s, dir) => chunkDedup(Tables.documents(s, dir)),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(ceil(len(toks) / ${ChunkTokens}.0) AS BIGINT) AS n_chunks, toks
+         |  FROM t),
+         |ch AS (SELECT doc_id, n_chunks, i AS idx,
+         |    array_to_string(list_slice(toks, i*$ChunkTokens + 1,
+         |      i*$ChunkTokens + $ChunkTokens), ' ') AS chunk
+         |  FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+         |    ORDER BY doc_id, idx) AS rn FROM ch)
+         |SELECT doc_id, n_chunks, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY idx) AS deduped_text
+         |FROM r WHERE rn = 1
+         |GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin),
+    withOracle("text_pack_sequences", (s, dir) => packSequences(Tables.documents(s, dir)),
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM t),
+         |sp AS (SELECT doc_id, source, n_tokens, cum_end,
+         |    cum_end - n_tokens AS cum_start FROM c)
+         |SELECT source, CAST(p AS BIGINT) AS pack_id, doc_id, n_tokens,
+         |  CAST(least(cum_end, (p + 1) * $PackCapacity)
+         |     - greatest(cum_start, p * $PackCapacity) AS BIGINT) AS n_in_pack
+         |FROM sp, UNNEST(generate_series(cum_start // $PackCapacity,
+         |  (cum_end - 1) // $PackCapacity)) AS g(p)
+         |ORDER BY source, pack_id, doc_id""".stripMargin),
+    withOracle("text_train_shards", (s, dir) => trainShards(Tables.documents(s, dir)),
+      s"""WITH t AS (SELECT
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         |      % $NumShards AS shard_id,
+         |    doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM t GROUP BY shard_id ORDER BY shard_id""".stripMargin))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text").select(
+      col("doc_id"), col("text"), col("source"))
+
+  // 8 tokens = exactly one chunk; repeat it to plant duplicates.
+  private val chunkA = "a b c d e f g h"
+  private val chunkB = "p q r s t u v w"
+
+  test("chunkDedup: first occurrence wins, later copies removed") {
+    val d = docs(
+      (1L, "s", s"$chunkA $chunkB"), // two chunks, both first occurrences
+      (2L, "s", chunkA),             // fully duplicate -> doc drops out
+      (3L, "s", s"$chunkB x y z"))   // chunkB dup, tail chunk survives
+    val out = Curation.chunkDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1) == (2L, s"$chunkA $chunkB"))
+    assert(!out.contains(2L))
+    assert(out(3) == (1L, "x y z"))
+  }
+
+  test("chunkDedup: kept chunks across the corpus = distinct chunks") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Curation.chunkDedup(d).agg(sum("n_kept")).as[Long].head()
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val distinctChunks = d
+      .select(col("doc_id"), explode(sequence(lit(0),
+        (ceil(size(toks) / 8.0) - 1).cast("int"))).as("i"), toks.as("t"))
+      .select(array_join(slice(col("t"), col("i") * 8 + 1, lit(8)), " ").as("c"))
+      .distinct().count()
+    assert(kept == distinctChunks)
+  }
+
+  test("packSequences: packs respect capacity and partition token mass") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Curation.packSequences(d).cache()
+    // every (source, pack) holds at most the capacity
+    val overfull = packed.groupBy("source", "pack_id")
+      .agg(sum("n_in_pack").as("fill"))
+      .filter(col("fill") > Curation.PackCapacity).count()
+    assert(overfull == 0)
+    // every pack except the last per source is exactly full
+    val lastPack = packed.groupBy("source").agg(max("pack_id").as("last"))
+    val notFull = packed.groupBy("source", "pack_id")
+      .agg(sum("n_in_pack").as("fill"))
+      .join(lastPack, "source")
+      .filter(col("pack_id") < col("last") &&
+        col("fill") =!= Curation.PackCapacity).count()
+    assert(notFull == 0)
+    // per-document contributions add back to its token count
+    val broken = packed.groupBy("doc_id").agg(
+      sum("n_in_pack").as("got"), first("n_tokens").as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(broken == 0)
+    packed.unpersist()
+  }
+
+  test("packSequences: straddling doc split across adjacent packs") {
+    // 200 + 100 tokens: doc 2 contributes 56 to pack 0 and 44 to pack 1
+    val t1 = Seq.fill(200)("x").mkString(" ")
+    val t2 = Seq.fill(100)("y").mkString(" ")
+    val out = Curation.packSequences(docs((1L, "s", t1), (2L, "s", t2)))
+      .select("pack_id", "doc_id", "n_in_pack").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((0L, 1L, 200L), (0L, 2L, 56L), (1L, 2L, 44L)))
+  }
+
+  test("trainShards: every doc lands in exactly one shard, ids in range") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val shards = Curation.trainShards(d).collect()
+    assert(shards.map(_.getLong(1)).sum == d.count())
+    assert(shards.forall { r =>
+      val id = r.getLong(0); id >= 0 && id < Curation.NumShards
+    })
+    // deterministic: a second run produces the identical manifest
+    val again = Curation.trainShards(d).collect()
+    assert(shards.toSeq == again.toSeq)
+  }
+}
