@@ -134,9 +134,78 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Bloom-filter decontamination
+
+  /** Bloom capacity for the eval-fingerprint filter (items; the sketch
+    * sizes itself at ~8 bits/item → ~100 KB shipped to executors). */
+  val BloomExpectedItems = 100000L
+
+  /** Fingerprints of the eval split (the benchmark stand-in: the same
+    * deterministic md5 id-sample [[Dedup.decontaminate]] uses). */
+  private def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_eval"))
+
+  /** Training docs the eval bloom filter lets through — a superset of the
+    * true exact matches (bloom filters have no false negatives). Public
+    * for the pruning assertions in CurationSpec. */
+  def bloomCandidates(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val base = fingerprints(docs)
+    val bloomAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col("fp"))),
+      org.apache.spark.sql.catalyst.expressions.Literal(BloomExpectedItems))
+      .toAggregateExpression())
+    // One tiny driver round-trip: the built sketch (~100 KB) comes back as
+    // a binary scalar and ships to every executor as a foldable literal —
+    // exactly how Spark's own injected runtime filters move the sketch.
+    val bloomBytes = base.filter(col("is_eval")).select(col("fp")).distinct()
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mc = column(new BloomFilterMightContain(
+      expression(lit(bloomBytes)), expression(xxhash64(col("fp")))))
+    base.filter(!col("is_eval")).filter(mc).select(col("doc_id"), col("fp"))
+  }
+
+  /** Exact-match benchmark decontamination at scale: drop every training
+    * document whose canonical fingerprint appears in the eval split —
+    * semantically a plain anti-join, executed as bloom-prefilter + exact
+    * verify so the 100 TB side never shuffles. The corpus scan evaluates
+    * `might_contain` inside codegen and only the surviving candidates
+    * (true matches + a vanishing false-positive tail) reach the exact
+    * semi-join; the final anti-join is against that tiny confirmed id
+    * set, broadcast. Output = the clean training corpus — identical to
+    * the naive anti-join (the bloom admits no false negatives), which is
+    * what the oracle replays.
+    */
+  def bloomDecontaminate(docs: DataFrame): DataFrame = {
+    val base = fingerprints(docs)
+    val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
+    val confirmed = bloomCandidates(docs)
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    base.filter(!col("is_eval"))
+      .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("text_bloom_decontaminate",
+      (s, dir) => bloomDecontaminate(Tables.documents(s, dir)),
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f t
+        |WHERE NOT is_eval
+        |  AND NOT EXISTS (SELECT 1 FROM f e WHERE e.is_eval AND e.fp = t.fp)
+        |ORDER BY doc_id""".stripMargin),
     withOracle("text_chunk_dedup", (s, dir) => chunkDedup(Tables.documents(s, dir)),
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |c AS (SELECT doc_id,

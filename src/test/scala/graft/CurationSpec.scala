@@ -72,6 +72,44 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((0L, 1L, 200L), (0L, 2L, 56L), (1L, 2L, 44L)))
   }
 
+  test("bloomDecontaminate: equals the exact anti-join, bloom has no false negatives") {
+    // plant an exact duplicate pair straddling the eval split: evalId's
+    // md5 starts with '0' (eval side), trainId's does not
+    val md5hex = (i: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes).take(1).map("%02x".format(_)).mkString
+    val evalId = (0L to 1000L).find(md5hex(_).startsWith("0")).get
+    val Seq(t1, t2, t3) =
+      (0L to 1000L).filter(!md5hex(_).startsWith("0")).take(3)
+    val leaked = "secret benchmark answer text"
+    val d = docs(
+      (evalId, "s", leaked),
+      (t1, "s", leaked),            // leaked -> must be dropped
+      (t2, "s", "clean doc one"),
+      (t3, "s", "clean doc two"))
+    val out = Curation.bloomDecontaminate(d).select("doc_id").as[Long]
+      .collect().toSet
+    assert(out == Set(t2, t3))
+  }
+
+  test("bloomDecontaminate: prefilter prunes the corpus before the exact join") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = d.filter(expr(
+      "substr(md5(cast(doc_id as string)), 1, 1) <> '0'")).count()
+    val candidates = Curation.bloomCandidates(d)
+    // exact matches (ground truth) must all survive the bloom...
+    val exact = d.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      expr("substr(md5(cast(doc_id as string)), 1, 1) = '0'").as("ev"))
+    val truth = exact.filter(!col("ev")).join(
+      exact.filter(col("ev")).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    val cand = candidates.select("doc_id").as[Long].collect().toSet
+    assert(truth.subsetOf(cand))
+    // ...and the bloom must actually prune (candidates << training corpus)
+    assert(cand.size < train / 2,
+      s"bloom passed ${cand.size} of $train training docs")
+  }
+
   test("trainShards: every doc lands in exactly one shard, ids in range") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val shards = Curation.trainShards(d).collect()
