@@ -91,6 +91,42 @@ object StreamQueries {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
+  /** Stream-stream interval join (click attribution): every purchase
+    * joined to the same user's clicks in the preceding 30 minutes, both
+    * sides unbounded streams. The event-time range condition plus the
+    * watermarks is what makes this runnable forever: each side's join
+    * state is evicted once the other side's watermark passes the range
+    * bound, so state holds only the last ~90 minutes per user. Both sides
+    * shuffle on user_id once; the join itself is the stateful
+    * symmetric-hash stream join, Append-only by construction. */
+  def attributionJoin(purchaseSide: DataFrame, clickSide: DataFrame): DataFrame = {
+    val purchases = purchaseSide
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = clickSide
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
+  def streamStreamJoinQuery(s: SparkSession, dir: String): DataFrame =
+    MicroBatchPipeline.runToResult(s,
+        attributionJoin(
+          MicroBatchPipeline.eventsStream(s, dir),
+          MicroBatchPipeline.eventsStream(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("purchase_id"), col("click_id"))
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -173,6 +209,14 @@ object StreamQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin),
+    withOracle("stream_stream_join", streamStreamJoinQuery,
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin),
     withOracle("stream_static_join", streamStaticJoinQuery,
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value

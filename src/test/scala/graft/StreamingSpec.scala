@@ -82,6 +82,34 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("stream-stream join matches click state across micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_ssj_landing")
+    // base well past epoch: rows AT the initial watermark (0) would be
+    // dropped as late-arriving
+    val base = 1700000000L * 1000000000L
+    def ev(id: Long, tsMin: Long, user: Long, typ: String) =
+      (id, base + tsMin * 60L * 1000000000L, user, typ, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: the click; batch 2: two purchases — one inside the 30-min
+    // attribution window (must join against batch-1 state), one outside
+    landFile(landing, "a.parquet", Seq(ev(1, 0, 7, "click")).toDF(cols: _*))
+    Thread.sleep(20) // distinct mtimes keep file-batch order deterministic
+    landFile(landing, "b.parquet",
+      Seq(ev(2, 10, 7, "purchase"), ev(3, 40, 7, "purchase")).toDF(cols: _*))
+    def side() = spark.readStream
+      .schema(MicroBatchPipeline.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val out = MicroBatchPipeline.runToResult(spark,
+        StreamQueries.attributionJoin(side(), side()), OutputMode.Append())
+      .select("purchase_id", "click_id", "user_id", "gap_sec")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 7L, 600L)))
+  }
+
   test("streaming near-dup dedup: within-batch, cross-batch, restart") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
