@@ -360,6 +360,103 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Product-quantization encoder: L2-normalize the input vector, split it
+    * into `m` contiguous subvectors, and emit for each the index of the
+    * nearest (L2) codebook centroid — the array<int> of PQ codes that
+    * compresses a d-dim float vector to m small ints. `codebooks` is the
+    * flattened [m*ks][subDim] table (subspace-major). Ties break to the
+    * lowest centroid index; interpreted eval mirrors the generated loop
+    * exactly, so codes are engine-reproducible for a fixed codebook.
+    * This is the corpus-side hot path of [[graft.operators.Similarity]]'s
+    * ADC scan: one codegen'd pass over 100 TB of vectors, after which
+    * queries only touch the 16-byte codes. */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
+      m: Int, ks: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getFloat(i).toDouble; nrm += x * x; i += 1 }
+      nrm = math.sqrt(nrm)
+      if (nrm == 0.0) nrm = 1.0
+      val subDim = if (m == 0) 0 else dim / m
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < ks) {
+          val cb = codebooks(s * ks + j)
+          var d = 0.0
+          var k = 0
+          while (k < subDim && k < cb.length) {
+            val diff = v.getFloat(s * subDim + k).toDouble / nrm - cb(k)
+            d += diff * diff
+            k += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][]")
+        val dim = ctx.freshName("dim")
+        val nrm = ctx.freshName("nrm")
+        val subDim = ctx.freshName("subDim")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val cb = ctx.freshName("cb")
+        val d = ctx.freshName("d")
+        val diff = ctx.freshName("diff")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        s"""
+           |int $dim = $c.numElements();
+           |double $nrm = 0.0;
+           |for (int $i = 0; $i < $dim; $i++) {
+           |  double x = (double) $c.getFloat($i);
+           |  $nrm += x * x;
+           |}
+           |$nrm = Math.sqrt($nrm);
+           |if ($nrm == 0.0) $nrm = 1.0;
+           |int $subDim = $m == 0 ? 0 : $dim / $m;
+           |int[] $out = new int[$m];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $best = 0;
+           |  double $bestD = Double.MAX_VALUE;
+           |  for (int $j = 0; $j < $ks; $j++) {
+           |    double[] $cb = $cbRef[$s * $ks + $j];
+           |    double $d = 0.0;
+           |    for (int $k = 0; $k < $subDim && $k < $cb.length; $k++) {
+           |      double $diff = (double) $c.getFloat($s * $subDim + $k) / $nrm - $cb[$k];
+           |      $d += $diff * $diff;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |  }
+           |  $out[$s] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column wrappers — Spark 4 bridges Column <-> catalyst Expression via
   // the (private[sql]) classic ExpressionUtils, reached through
   // GraftColumnBridge.
@@ -448,4 +545,8 @@ object GraftExpressions {
   def hyperplaneBuckets(v: Column, planes: Array[Array[Double]],
       tables: Int, bits: Int): Column =
     column(HyperplaneBuckets(expression(v), planes, tables, bits))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Double]],
+      m: Int, ks: Int): Column =
+    column(PqEncode(expression(v), codebooks, m, ks))
 }

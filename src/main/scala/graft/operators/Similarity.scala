@@ -366,6 +366,125 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ANN: product quantization (ADC scan + exact re-rank)
+  // -------------------------------------------------------------------
+
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+  val PqTrainSample = 1024
+  val PqIters = 3
+
+  /** Approximate candidates re-ranked exactly per query. */
+  val PqRerank = 40
+
+  /** Train PQ codebooks on the driver: the deterministic [[PqTrainSample]]
+    * id-ordered sample, L2-normalized (spherical PQ — the asymmetric dot
+    * against a normalized query then approximates cosine), split into
+    * [[PqSubspaces]] contiguous subvectors, each clustered with
+    * [[PqIters]] Lloyd iterations under L2. Returns the subspace-major
+    * flattened [m*ks][subDim] table [[graft.functions.GraftExpressions.PqEncode]]
+    * consumes. Train-small-on-driver, assign-distributed — the standard
+    * PQ recipe (same shape as [[learnCentroids]] for IVF). */
+  def learnPqCodebooks(emb: DataFrame): Array[Array[Double]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(PqTrainSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    val dim = sample.head.length
+    val subDim = dim / PqSubspaces
+    val flat = new Array[Array[Double]](PqSubspaces * PqCodebookSize)
+    for (s0 <- 0 until PqSubspaces) {
+      val sub = sample.map(_.slice(s0 * subDim, (s0 + 1) * subDim))
+      var centroids = sub.take(PqCodebookSize).map(_.clone())
+      for (_ <- 0 until PqIters) {
+        val sums = Array.fill(PqCodebookSize)(new Array[Double](subDim))
+        val counts = new Array[Int](PqCodebookSize)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < PqCodebookSize) {
+            var d = 0.0; var k = 0
+            while (k < subDim) {
+              val diff = v(k) - centroids(j)(k); d += diff * diff; k += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var k = 0
+          while (k < subDim) { sums(best)(k) += v(k); k += 1 }
+          counts(best) += 1
+        }
+        centroids = centroids.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+        }
+      }
+      for (j <- 0 until PqCodebookSize) flat(s0 * PqCodebookSize + j) = centroids(j)
+    }
+    flat
+  }
+
+  /** Approximate top-k via product quantization: the corpus is encoded
+    * once by the codegen'd [[graft.functions.GraftExpressions.PqEncode]]
+    * pass (m=8 codes, 4 bits of information each — a 256× compression of
+    * a 64-float vector), each query precomputes its m×ks dot-product
+    * lookup table on the driver, and the ADC scan scores a vector with m
+    * array lookups instead of d multiplications. The top [[PqRerank]]
+    * ADC candidates per query are re-ranked with the exact cosine kernel.
+    *
+    * At 100 TB this is the memory-bound win: the scan touches 16-byte
+    * codes (persisted once) rather than 256-byte vectors, and only
+    * |queries|·PqRerank full vectors are ever fetched back. */
+  def topKPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cbs = learnPqCodebooks(emb)
+    val dim = cbs.head.length * PqSubspaces
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftExpressions.pqEncode(
+        col("embedding"), cbs, PqSubspaces, PqCodebookSize).as("codes"))
+    // Per-query ADC lookup tables, built on the driver (|q|·m·ks doubles)
+    val luts = emb.filter(col("vec_id") < NumQueryVectors).collect().map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val qn = if (n == 0) q else q.map(_ / n)
+      val subDim = q.length / PqSubspaces
+      val lut = (0 until PqSubspaces).map { s0 =>
+        (0 until PqCodebookSize).map { j =>
+          val cb = cbs(s0 * PqCodebookSize + j)
+          var d = 0.0; var k = 0
+          while (k < subDim) { d += qn(s0 * subDim + k) * cb(k); k += 1 }
+          d
+        }
+      }
+      (qid, r.getSeq[Float](1), lut)
+    }.toSeq
+    val queries = luts.toDF("query_id", "qv", "lut")
+    val approx = (0 until PqSubspaces).map { i =>
+      element_at(element_at(col("lut"), i + 1),
+        element_at(col("codes"), i + 1) + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"),
+        approx.as("adc"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= PqRerank)
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -396,5 +515,8 @@ object Similarity {
     withOracle("sim_topk_ann", topKAnn, annOracleSql),
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
-    rowsOnly("sim_topk_ivf", topKIvf))
+    rowsOnly("sim_topk_ivf", topKIvf),
+    // PQ codebooks are likewise trained from the data at query-build
+    // time — rows-only here; recall pinned against exact in SimilaritySpec.
+    rowsOnly("sim_topk_pq", topKPq))
 }

@@ -106,6 +106,50 @@ class SimilaritySpec extends SparkSpec {
       "cells/probes parameters degraded")
   }
 
+  test("PQ recall@k vs exact top-k is measured and above the floor") {
+    // Same determinism argument as the IVF pin: seeded sample, Lloyd
+    // iterations, and id tiebreaks make recall a stable number. Pins the
+    // (m, ks, rerank) quality the rows-only gate can't see.
+    val dir = "/root/testdata/sf0.01"
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.topKExact(spark, dir))
+    val pq = resultSet(Similarity.topKPq(spark, dir))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@${Similarity.TopK} = $recall — " +
+      "m/ks/rerank parameters degraded")
+  }
+
+  test("PqEncode: codes match a Scala re-implementation (interpreted = codegen)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cbs = Similarity.learnPqCodebooks(emb)
+    val m = Similarity.PqSubspaces
+    val ks = Similarity.PqCodebookSize
+    val got = emb.select(col("vec_id"),
+        graft.functions.GraftExpressions.pqEncode(col("embedding"), cbs, m, ks)
+          .as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      val vn = if (n0 == 0) v else v.map(_ / n0)
+      val subDim = v.length / m
+      r.getLong(0) -> (0 until m).map { s0 =>
+        (0 until ks).minBy { j =>
+          val cb = cbs(s0 * ks + j)
+          (0 until subDim).map(k => {
+            val d = vn(s0 * subDim + k) - cb(k); d * d
+          }).sum
+        }
+      }
+    }.toMap
+    assert(got.size == want.size)
+    got.foreach { case (id, codes) => assert(codes == want(id), s"vec $id") }
+  }
+
   test("LSH near-dup recall vs exact n-squared is measured and above the floor") {
     import org.apache.spark.sql.functions._
     // The declared contract is the LSH-candidate subset (~0.8 per-pair
