@@ -8,23 +8,25 @@ import graft.{QuerySpec, Tables}
   * typed metadata, plus the decode / feature-extract / frame-sample
   * operators a training-data pipeline runs over them.
   *
-  * The container has no media codecs, so the DECODE STEP IS A STUB — a
-  * deterministic fake clearly marked below — while everything Spark-side
-  * is real and tested: the binary+struct schema, partition-parallel batch
-  * processing via mapPartitions (one JVM-side batch per partition, the
-  * Scala analogue of an Arrow-batched pandas UDF), frame slicing with
-  * binary substring arithmetic, and metadata queries that stay in
-  * whole-stage codegen. At 100 TB the payload column dominates I/O: these
-  * plans only project `payload` in operators that need the bytes, so
-  * metadata-only queries read a few KB of parquet column chunks per file.
+  * The decode path is REAL: [[imageTable]] encodes each document's pixels
+  * into an actual 16x16 grayscale PNG with `javax.imageio` on the
+  * executors, and `extractFeatures`/`resize` recover the pixels with
+  * `ImageIO.read` before running the pixel math. Pixels derive from the
+  * document's UTF-8 bytes by a fixed rule (`pix[p] = byte[p mod n]`), and
+  * 8-bit gray PNG is lossless, so the DuckDB oracle can replay pixel rule
+  * + math in SQL while Spark runs encode→decode→math over real PNG bytes
+  * — a full differential check of a real codec path. Everything Spark-side
+  * is partition-parallel batch processing via mapPartitions (one JVM-side
+  * batch per partition, the Scala analogue of an Arrow-batched pandas
+  * UDF); metadata queries stay in whole-stage codegen and never touch the
+  * payload. At 100 TB the payload column dominates I/O: these plans only
+  * project `payload` in operators that need the bytes, so metadata-only
+  * queries read a few KB of parquet column chunks per file.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       mime: String, source: String)
-
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      feat: Array[Float], feat_norm: Double)
 
   val kinds = Seq("image", "audio", "video")
   val mimes = Map("image" -> "image/jpeg", "audio" -> "audio/wav", "video" -> "video/mp4")
@@ -67,88 +69,99 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_id"))
   }
 
-  /** Decode + feature-extract over partition-local batches. The inner
-    * `decodeAndEmbed` is the STUB: a real deployment swaps in the codec
-    * (JPEG decode, PCM resample, frame grab) without touching the Spark
-    * plumbing around it. */
-  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  /** Image dimensions for the synthesized PNG corpus: 16x16 = 256 gray
+    * pixels per document, `pix[p] = text_byte[p mod n]` (0 if empty). The
+    * rule is what makes the codec path oracle-checkable — DuckDB derives
+    * the same pixels from the text hex, never touching PNG bytes. */
+  val ImgW = 16
+  val ImgH = 16
+
+  private[graft] def pixelsOf(src: Array[Byte]): Array[Int] =
+    Array.tabulate(ImgW * ImgH)(p => if (src.isEmpty) 0 else src(p % src.length) & 0xff)
+
+  /** The image corpus: real PNG payloads, encoded on the executors with
+    * `javax.imageio`. One narrow scan of documents; encoding is
+    * partition-local CPU with no shuffle. */
+  def imageTable(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    val FeatDim = 8
-
-    // ---- STUB: deterministic fake decoder ------------------------------
-    // Real impl: decode payload with a codec, run a feature model.
-    // Fake: FeatDim byte-bucket means over the payload — deterministic,
-    // batch-shaped like the real thing (bytes in, float vector out).
-    // Mean computed in double then narrowed to float: double arithmetic
-    // is what SQL engines speak, so the fake stays oracle-reproducible.
-    def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatDim)
-      if (payload.nonEmpty) {
-        val bucket = math.max(1, payload.length / FeatDim)
-        var i = 0
-        while (i < FeatDim) {
-          var sum = 0L
-          var n = 0
-          var j = i * bucket
-          while (j < math.min((i + 1) * bucket, payload.length)) {
-            sum += payload(j) & 0xff; n += 1; j += 1
-          }
-          out(i) = if (n == 0) 0f else (sum.toDouble / n).toFloat
-          i += 1
-        }
-      }
-      out
-    }
-    // --------------------------------------------------------------------
-
-    mediaTable(s, dir)
-      .select(col("media_id"), col("kind"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("src"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, kind, payload) =>
-          val feat = decodeAndEmbed(payload)
-          val norm = math.sqrt(feat.map(f => f.toDouble * f).sum)
-          MediaFeatures(id, kind, payload.length.toLong, feat, norm)
+        rows.map { case (id, src) =>
+          (id, ImageCodec.encodeGrayPng(pixelsOf(src), ImgW, ImgH))
         }
       }
   }
 
-  final case class ResizedMedia(media_id: Long, n_bytes: Long,
-      resized_bytes: Long, resized_head: Array[Byte])
+  final case class MediaFeaturesV2(media_id: Long, width: Int, height: Int,
+      feat: Array[Float], feat_norm: Double)
 
-  /** Resize / downsample: keep every `stride`-th payload byte — for real
-    * images this is the decode→scale→re-encode step; the byte-stride STUB
-    * keeps the same batch shape (bytes in, smaller bytes out) and runs in
-    * the same partition-local mapPartitions path a codec would. */
-  val ResizeStride = 4
-
-  def resize(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
+  /** Decode + feature-extract over partition-local batches: `ImageIO.read`
+    * recovers the pixels from the PNG container, then an 8-bucket mean
+    * pools them into the feature vector (mean in double, narrowed to
+    * float — the arithmetic SQL engines speak, so the real decode path
+    * keeps a full differential oracle). */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeaturesV2] = {
     import s.implicits._
-    mediaTable(s, dir)
-      .select(col("media_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    val FeatDim = 8
+    imageTable(s, dir)
       .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          // ---- STUB: byte-stride downsample (real impl: codec resize) ----
-          val resized = new Array[Byte]((payload.length + ResizeStride - 1) / ResizeStride)
-          var i = 0
-          while (i < resized.length) { resized(i) = payload(i * ResizeStride); i += 1 }
-          ResizedMedia(id, payload.length.toLong, resized.length.toLong,
-            resized.take(8))
+        rows.map { case (id, png) =>
+          val (w, h, px) = ImageCodec.decodeGray(png)
+          val bucket = math.max(1, px.length / FeatDim)
+          val feat = Array.tabulate(FeatDim) { i =>
+            var sum = 0L; var n = 0; var j = i * bucket
+            val end = math.min((i + 1) * bucket, px.length)
+            while (j < end) { sum += px(j); n += 1; j += 1 }
+            if (n == 0) 0f else (sum.toDouble / n).toFloat
+          }
+          val norm = math.sqrt(feat.map(f => f.toDouble * f).sum)
+          MediaFeaturesV2(id, w, h, feat, norm)
+        }
+      }
+  }
+
+  final case class ResizedImage(media_id: Long, width: Int, height: Int,
+      resized_w: Int, resized_h: Int, resized_sum: Long,
+      resized_head: Array[Byte], roundtrip_ok: Boolean)
+
+  /** Resize: real decode → 2x2 box-filter downsample → real PNG re-encode.
+    * The re-encoded PNG is decoded again and compared pixel-for-pixel
+    * (`roundtrip_ok`), so the encode leg is exercised inside the checked
+    * query, while the reported values (dims, pixel checksum, head pixels)
+    * stay SQL-derivable. */
+  def resize(s: SparkSession, dir: String): Dataset[ResizedImage] = {
+    import s.implicits._
+    imageTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val (w, h, px) = ImageCodec.decodeGray(png)
+          val (rw, rh, r) = ImageCodec.downsample2x2(px, w, h)
+          val reencoded = ImageCodec.encodeGrayPng(r, rw, rh)
+          val (w2, h2, px2) = ImageCodec.decodeGray(reencoded)
+          val ok = w2 == rw && h2 == rh && java.util.Arrays.equals(px2, r)
+          ResizedImage(id, w, h, rw, rh, r.map(_.toLong).sum,
+            r.take(8).map(_.toByte), ok)
         }
       }
   }
 
   def resizeQuery(s: SparkSession, dir: String): DataFrame =
     resize(s, dir).toDF()
-      .select(col("media_id"), col("n_bytes"), col("resized_bytes"),
-        hex(col("resized_head")).as("resized_head_hex"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"), col("resized_sum"),
+        hex(col("resized_head")).as("resized_head_hex"), col("roundtrip_ok"))
       .orderBy(col("media_id"))
 
-  def featuresQuery(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(s, dir).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("feat_norm"))
+  def featuresQuery(s: SparkSession, dir: String): DataFrame = {
+    val wide = extractFeatures(s, dir).toDF()
+    wide.select(
+      (col("media_id") +: col("width") +: col("height") +:
+        (0 until 8).map(i => element_at(col("feat"), i + 1).as(s"f$i")) :+
+        col("feat_norm")): _*)
       .orderBy(col("media_id"))
+  }
 
   import graft.QuerySpec.withOracle
 
@@ -170,37 +183,51 @@ object Multimodal {
         |  substring(payload_hex, frame_len * 2 * CAST(f.i AS INT) + 1, 8) AS frame_head_hex
         |FROM m, (SELECT UNNEST(generate_series(0, 3)) AS i) f
         |ORDER BY media_id, frame_id""".stripMargin),
+    // The oracle never sees PNG bytes: it re-derives the pixel grid from
+    // the text hex by the same `pix[p] = byte[p mod n]` rule the encoder
+    // used, then replays the 2x2 integer box filter. Spark's side runs
+    // ImageIO decode → downsample → PNG re-encode → decode (roundtrip_ok).
     withOracle("mm_resize", resizeQuery,
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),
-        |head AS (SELECT media_id,
-        |    string_agg(substr(h, 2*(4*CAST(j AS INT))+1, 2), '' ORDER BY j) AS head_hex
-        |  FROM m, UNNEST(generate_series(0, 7)) AS g(j)
-        |  WHERE 4*j < n GROUP BY media_id)
-        |SELECT m.media_id, CAST(m.n AS BIGINT) AS n_bytes,
-        |  CAST((m.n + 3) // 4 AS BIGINT) AS resized_bytes,
-        |  COALESCE(head.head_hex, '') AS resized_head_hex
-        |FROM m LEFT JOIN head USING (media_id) ORDER BY media_id""".stripMargin),
-    // The stub decoder's math is deliberately double-precision SQL algebra,
-    // so even the "decode" path gets a full differential oracle: byte
-    // extraction via hex-string slicing, bucket means in double narrowed
-    // to REAL, norm as the same sequential double fold Spark runs.
+        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+        |    (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+        |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
+        |    CAST(SUM(v) // 4 AS INT) AS r
+        |  FROM pix GROUP BY 1, 2),
+        |agg AS (SELECT media_id, CAST(SUM(r) AS BIGINT) AS resized_sum,
+        |    string_agg(CASE WHEN q < 8 THEN printf('%02X', r) END, '' ORDER BY q) AS head_hex
+        |  FROM blk GROUP BY media_id)
+        |SELECT m.media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(8 AS INT) AS resized_w, CAST(8 AS INT) AS resized_h,
+        |  agg.resized_sum, agg.head_hex AS resized_head_hex,
+        |  CAST(TRUE AS BOOLEAN) AS roundtrip_ok
+        |FROM m JOIN agg USING (media_id) ORDER BY media_id""".stripMargin),
+    // Full differential oracle over the real decode path: the pixel rule
+    // is replayed from the text hex, bucket means in double narrowed to
+    // REAL, norm as the same left-assoc double fold Spark runs. Complete
+    // 32-pixel buckets always (256/8), so no COALESCE needed.
     withOracle("mm_feature_extract", featuresQuery,
-      """WITH m AS (SELECT doc_id AS media_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
-        |grid AS (SELECT media_id, kind, n, greatest(1, n // 8) AS bucket, i, h
-        |         FROM m, UNNEST(generate_series(0, 7)) AS a(i)),
-        |jrows AS (SELECT media_id, i,
-        |    (concat('0x', substr(h, 2*CAST(j AS INT)+1, 2)))::INT AS byte
-        |  FROM grid, UNNEST(generate_series(bucket*i, least(bucket*(i+1), n)-1)) AS b(j)),
-        |sums AS (SELECT media_id, i, SUM(byte) AS s, COUNT(*) AS c FROM jrows GROUP BY 1, 2),
-        |feats AS (SELECT g.media_id, g.i,
-        |    CAST(COALESCE(CAST(s.s AS DOUBLE)/s.c, 0) AS REAL) AS f
-        |  FROM grid g LEFT JOIN sums s ON g.media_id = s.media_id AND g.i = s.i),
-        |norms AS (SELECT media_id,
-        |    sqrt(list_sum(list_transform(list(f ORDER BY i), x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS feat_norm
-        |  FROM feats GROUP BY media_id)
-        |SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes, norms.feat_norm
-        |FROM m JOIN norms USING (media_id) ORDER BY media_id""".stripMargin))
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+        |    (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+        |f AS (SELECT media_id, p // 32 AS i,
+        |    CAST(CAST(SUM(v) AS DOUBLE) / 32 AS REAL) AS f
+        |  FROM pix GROUP BY 1, 2),
+        |wide AS (SELECT media_id,
+        |    MAX(CASE WHEN i=0 THEN f END) AS f0, MAX(CASE WHEN i=1 THEN f END) AS f1,
+        |    MAX(CASE WHEN i=2 THEN f END) AS f2, MAX(CASE WHEN i=3 THEN f END) AS f3,
+        |    MAX(CASE WHEN i=4 THEN f END) AS f4, MAX(CASE WHEN i=5 THEN f END) AS f5,
+        |    MAX(CASE WHEN i=6 THEN f END) AS f6, MAX(CASE WHEN i=7 THEN f END) AS f7
+        |  FROM f GROUP BY media_id)
+        |SELECT media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  f0, f1, f2, f3, f4, f5, f6, f7,
+        |  sqrt(CAST(f0 AS DOUBLE)*CAST(f0 AS DOUBLE) + CAST(f1 AS DOUBLE)*CAST(f1 AS DOUBLE)
+        |    + CAST(f2 AS DOUBLE)*CAST(f2 AS DOUBLE) + CAST(f3 AS DOUBLE)*CAST(f3 AS DOUBLE)
+        |    + CAST(f4 AS DOUBLE)*CAST(f4 AS DOUBLE) + CAST(f5 AS DOUBLE)*CAST(f5 AS DOUBLE)
+        |    + CAST(f6 AS DOUBLE)*CAST(f6 AS DOUBLE) + CAST(f7 AS DOUBLE)*CAST(f7 AS DOUBLE)) AS feat_norm
+        |FROM wide ORDER BY media_id""".stripMargin))
 }

@@ -23,19 +23,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("feature extract stub: deterministic, dimension-stable, norm matches") {
+  test("feature extract: real PNG decode, deterministic, norm matches") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
+      assert(f.width == Multimodal.ImgW && f.height == Multimodal.ImgH)
       assert(f.feat.length == 8)
       val norm = math.sqrt(f.feat.map(x => x.toDouble * x).sum)
       assert(math.abs(norm - f.feat_norm) < 1e-9)
-      // payload is ascii text: bucket means must be in printable range
-      assert(f.feat.forall(v => v >= 32f && v < 127f))
+      assert(f.feat.forall(v => v >= 0f && v < 256f))
     }
-    // determinism: second run identical
+    // determinism: second run identical (PNG encode+decode is exact)
     val again = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.sortBy(_.media_id).map(_.feat.toSeq).toSeq ==
       again.sortBy(_.media_id).map(_.feat.toSeq).toSeq)
+  }
+
+  import graft.operators.ImageCodec
+
+  test("png codec: known 2x2 image encodes to a real PNG and decodes exactly") {
+    val px = Array(0, 255, 128, 7)
+    val png = ImageCodec.encodeGrayPng(px, 2, 2)
+    // PNG signature: 0x89 'P' 'N' 'G'
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, back) = ImageCodec.decodeGray(png)
+    assert(w == 2 && h == 2)
+    assert(back.toSeq == px.toSeq)
+  }
+
+  test("png codec: downsample2x2 is the integer box filter") {
+    // 4x2 image -> 2x1; blocks ((10,20),(30,40)) -> 25, ((0,255),(1,2)) -> 64
+    val (rw, rh, r) = ImageCodec.downsample2x2(Array(10, 20, 0, 255, 30, 40, 1, 2), 4, 2)
+    assert(rw == 2 && rh == 1)
+    assert(r.toSeq == Seq((10 + 20 + 30 + 40) / 4, (0 + 255 + 1 + 2) / 4))
+  }
+
+  test("image table: payloads are decodable PNGs carrying the derived pixels") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val imgs = Multimodal.imageTable(spark, sf).collect().toMap
+    docs.foreach { case (id, text) =>
+      val (w, h, px) = ImageCodec.decodeGray(imgs(id))
+      assert(w == Multimodal.ImgW && h == Multimodal.ImgH)
+      val expected = Multimodal.pixelsOf(text.getBytes("UTF-8"))
+      assert(px.toSeq == expected.toSeq)
+    }
+  }
+
+  test("resize: decode -> box filter -> re-encode round-trips exactly") {
+    val rows = Multimodal.resize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.resized_w == Multimodal.ImgW / 2 && r.resized_h == Multimodal.ImgH / 2)
+      assert(r.roundtrip_ok, s"PNG re-encode of media ${r.media_id} not lossless")
+    }
   }
 }
