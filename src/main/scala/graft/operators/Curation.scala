@@ -42,8 +42,12 @@ object Curation {
     * reassemble. At 100 TB the rank shuffle should carry (xxhash64(chunk),
     * doc_id, idx) — 24 bytes/row — and re-attach text after the filter;
     * same plan shape, smaller exchange. Duplicate-heavy corpora skew the
-    * chunk key; the rank is a window (sort within key group), so AQE skew
-    * split handles a hot chunk the same way it splits a hot join key.
+    * chunk key; the `rn = 1` rank is skew-safe because Spark inserts a
+    * PARTIAL `WindowGroupLimit` before the exchange — each map task
+    * forwards at most one row per chunk key, so a boilerplate chunk
+    * repeated a billion times contributes |mappers| rows to the shuffle,
+    * not a billion. (Verified in the physical plan; AQE's skew rewrite
+    * applies to joins, not window exchanges, and is not what saves this.)
     */
   def chunkDedup(docs: DataFrame): DataFrame = {
     val c = ChunkTokens
@@ -148,26 +152,38 @@ object Curation {
       graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
       (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_eval"))
 
-  /** Training docs the eval bloom filter lets through — a superset of the
-    * true exact matches (bloom filters have no false negatives). Public
-    * for the pruning assertions in CurationSpec. */
-  def bloomCandidates(docs: DataFrame): DataFrame = {
+  /** Build the ~100 KB eval bloom sketch with ONE tiny driver round-trip:
+    * the built sketch comes back as a binary scalar and ships to every
+    * executor as a foldable literal — exactly how Spark's own injected
+    * runtime filters move the sketch. Materializes `evalFps` (so persist
+    * it first when it will be reused). */
+  private def buildSketch(evalFps: DataFrame): Array[Byte] = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val base = fingerprints(docs)
     val bloomAgg = column(new BloomFilterAggregate(
       expression(xxhash64(col("fp"))),
       org.apache.spark.sql.catalyst.expressions.Literal(BloomExpectedItems))
       .toAggregateExpression())
-    // One tiny driver round-trip: the built sketch (~100 KB) comes back as
-    // a binary scalar and ships to every executor as a foldable literal —
-    // exactly how Spark's own injected runtime filters move the sketch.
-    val bloomBytes = base.filter(col("is_eval")).select(col("fp")).distinct()
-      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    evalFps.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** One corpus scan with `might_contain` evaluated inside codegen; only
+    * bloom survivors come out. */
+  private def candidatesFrom(base: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val mc = column(new BloomFilterMightContain(
       expression(lit(bloomBytes)), expression(xxhash64(col("fp")))))
     base.filter(!col("is_eval")).filter(mc).select(col("doc_id"), col("fp"))
+  }
+
+  /** Training docs the eval bloom filter lets through — a superset of the
+    * true exact matches (bloom filters have no false negatives). Public
+    * for the pruning assertions in CurationSpec. */
+  def bloomCandidates(docs: DataFrame): DataFrame = {
+    val base = fingerprints(docs)
+    val sketch = buildSketch(base.filter(col("is_eval")).select(col("fp")).distinct())
+    candidatesFrom(base, sketch)
   }
 
   /** Exact-match benchmark decontamination at scale: drop every training
@@ -180,11 +196,21 @@ object Curation {
     * set, broadcast. Output = the clean training corpus — identical to
     * the naive anti-join (the bloom admits no false negatives), which is
     * what the oracle replays.
+    *
+    * Scan accounting: `fingerprints(docs)` is built once; the eval
+    * fingerprint set is persisted and materialized by the sketch build, so
+    * the eval-side parquet scan happens exactly once and the final plan
+    * touches documents exactly TWICE — once to compute the confirmed ids
+    * (candidates → semi-join), once to emit the clean corpus. Two passes
+    * is structural for the streaming-output shape: producing the output in
+    * the same pass that discovers the contaminated ids would require
+    * caching the 100 TB side. (CurationSpec pins the scan count.)
     */
   def bloomDecontaminate(docs: DataFrame): DataFrame = {
     val base = fingerprints(docs)
     val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
-    val confirmed = bloomCandidates(docs)
+      .persist()
+    val confirmed = candidatesFrom(base, buildSketch(evalFps))
       .join(evalFps, Seq("fp"), "left_semi")
       .select(col("doc_id"))
     base.filter(!col("is_eval"))

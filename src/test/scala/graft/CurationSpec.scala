@@ -110,6 +110,26 @@ class CurationSpec extends SparkSpec {
       s"bloom passed ${cand.size} of $train training docs")
   }
 
+  test("bloomDecontaminate: final plan scans documents exactly twice") {
+    // eval-side scan happens once at sketch-build (evalFps persisted); the
+    // output plan touches the parquet corpus only for confirmed-ids and
+    // the emitting pass.
+    // Pin the pre-AQE physical plan: AQE may legitimately drop the whole
+    // anti-join at tiny SF (empty confirmed set -> empty-relation
+    // propagation), so the structural scan count lives in sparkPlan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.bloomDecontaminate(d)
+    val plan = out.queryExecution.sparkPlan
+    val parquetScans = plan.collect { case f: FileSourceScanExec => f }.size
+    val cachedScans = plan.collect { case c: InMemoryTableScanExec => c }.size
+    assert(parquetScans == 2,
+      s"expected exactly 2 parquet scans (confirmed-ids + emit), got $parquetScans:\n$plan")
+    assert(cachedScans >= 1, "eval fingerprint set should be served from cache")
+    assert(out.count() > 0) // and the query still runs end to end
+  }
+
   test("trainShards: every doc lands in exactly one shard, ids in range") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val shards = Curation.trainShards(d).collect()
