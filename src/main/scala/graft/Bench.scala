@@ -69,16 +69,28 @@ object Bench {
     // never carries duplicate keys.
     val measurePasses = 2
     val results = (1 to reps).flatMap { rep =>
-      selected.map { case (name, fn) =>
-        // A failed pass must not win min() with its short abort time; it
-        // records -1 in `passes`, and all-passes-failed reports min -1 so
-        // failures are visible in the JSON.
-        val passTimes = (1 to measurePasses).map { _ =>
+      // Pass 1 runs the whole suite in name order, pass 2 in REVERSE
+      // order: a time-correlated host-noise episode then lands on
+      // different queries in each pass, so min-of-2 keeps at least one
+      // clean measurement per query. (Back-to-back per-query passes let
+      // one noise window inflate BOTH samples of a contiguous
+      // alphabetical family — rounds 3 and 5 shipped such artifacts.)
+      val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      (1 to measurePasses).foreach { pass =>
+        val order = if (pass % 2 == 1) selected else selected.reverse
+        order.foreach { case (name, fn) =>
+          // A failed pass must not win min() with its short abort time;
+          // it records -1 in `passes`, and all-passes-failed reports min
+          // -1 so failures are visible in the JSON.
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          times(name) = times.getOrElse(name, Vector()) :+ t
         }
+      }
+      selected.map { case (name, _) =>
+        val passTimes = times(name)
         val good = passTimes.filter(_ >= 0)
         val key = if (reps == 1) name else s"$name#$rep"
         (key, if (good.isEmpty) -1.0 else good.min, passTimes)
@@ -94,7 +106,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","order":"pass1-forward,pass2-reverse","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
     println(json)
     // Also drop the bare JSON next to the repo root: sbt prefixes stdout
     // with [info], which downstream line parsers can trip over.
