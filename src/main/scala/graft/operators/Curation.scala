@@ -76,6 +76,70 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum duplicate-span length (tokens) for [[spanDedup]]. */
+  val SpanTokens = 8
+
+  /** Variable-length duplicate-SPAN removal — the real Lee et al. 2022
+    * ExactSubstr semantics that [[chunkDedup]] approximates at chunk
+    * granularity. Every stride-1 window of [[SpanTokens]] tokens is
+    * duplicate evidence; a token is removed iff some window covering it
+    * is a non-first occurrence of its content (corpus order = (doc_id,
+    * start)). A span of length L >= SpanTokens repeated verbatim marks
+    * exactly its own L tokens at the repeat site (windows straddling the
+    * span edge mix in unique context, so they don't match) — token-precise
+    * boundaries, no chunk-alignment over/under-shoot, and misaligned
+    * repeats are caught because windows start at every position.
+    *
+    * Shape at scale: one row per token position into the window-key
+    * shuffle. First-occurrence is a `min(struct(doc_id, p))` AGGREGATE
+    * (map-side combinable — a boilerplate window repeated a billion times
+    * collapses to one row per map task before the exchange), then a join
+    * back to the occurrence stream, which AQE skew-split handles like any
+    * hot join key. At 100 TB the window key should be xxhash64(win) — 8
+    * bytes — with text re-attached after; same plan shape. The coverage
+    * anti-join shuffles on doc_id only.
+    */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val w = SpanTokens
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val wins = base.filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n") - w)).as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("toks"), col("p") + 1, lit(w)), " ").as("win"))
+    // Windows that occur more than once are the only ones that can mark
+    // removals — aggregate first (map-side combinable), filter to that
+    // tiny set, and join it back: AQE broadcasts it, so the occurrence
+    // stream is scanned, never re-shuffled.
+    val dupWins = wins.groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("win"), col("first"))
+    val dups = wins.join(dupWins, Seq("win"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("first"))
+      .select(col("doc_id").as("d_doc"), col("p"))
+    val toks = base.select(col("doc_id"), col("n"),
+      posexplode(col("toks")).as(Seq("pos", "tk")))
+    val kept = toks.join(dups,
+      toks("doc_id") === dups("d_doc") &&
+        toks("pos") >= dups("p") && toks("pos") < dups("p") + w,
+      "left_anti")
+    kept.groupBy(col("doc_id"), col("n"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+            x => x("tk")), " ").as("deduped_text"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("n_kept"), col("deduped_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in corpus
     * order and chopped into fixed [[PackCapacity]]-token contexts; a
     * document straddling a boundary contributes its head to one pack and
@@ -247,6 +311,29 @@ object Curation {
          |  string_agg(chunk, ' ' ORDER BY idx) AS deduped_text
          |FROM r WHERE rn = 1
          |GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin),
+    withOracle("text_span_dedup", (s, dir) => spanDedup(Tables.documents(s, dir)),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n
+         |  FROM t WHERE len(toks) > 0),
+         |w AS (SELECT doc_id, CAST(p AS INT) AS p,
+         |    array_to_string(list_slice(toks, CAST(p AS INT) + 1,
+         |      CAST(p AS INT) + $SpanTokens), ' ') AS win
+         |  FROM base, UNNEST(generate_series(0, n - $SpanTokens)) AS g(p)
+         |  WHERE n >= $SpanTokens),
+         |r AS (SELECT doc_id, p, win,
+         |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn FROM w),
+         |dup AS (SELECT doc_id, p FROM r WHERE rn > 1),
+         |tok AS (SELECT doc_id, n, CAST(i AS INT) AS pos,
+         |    toks[CAST(i AS INT) + 1] AS tk
+         |  FROM base, UNNEST(generate_series(0, n - 1)) AS g(i)),
+         |kept AS (SELECT tok.doc_id, tok.n, tok.pos, tok.tk FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM dup
+         |    WHERE dup.doc_id = tok.doc_id
+         |      AND tok.pos >= dup.p AND tok.pos < dup.p + $SpanTokens))
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  string_agg(tk, ' ' ORDER BY pos) AS deduped_text
+         |FROM kept GROUP BY doc_id, n ORDER BY doc_id""".stripMargin),
     withOracle("text_pack_sequences", (s, dir) => packSequences(Tables.documents(s, dir)),
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

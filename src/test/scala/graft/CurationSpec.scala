@@ -38,6 +38,43 @@ class CurationSpec extends SparkSpec {
     assert(kept == distinctChunks)
   }
 
+  test("spanDedup: repeated span removed token-precisely, context kept") {
+    // doc 2 repeats doc 1's 10-token span inside unique context: exactly
+    // the 10 span tokens vanish, the surrounding unique tokens survive.
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = docs(
+      (1L, "s", span),
+      (2L, "s", s"u1 u2 u3 $span v1 v2 v3"))
+    val out = Curation.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1) == (10L, span))
+    assert(out(2) == (6L, "u1 u2 u3 v1 v2 v3"))
+  }
+
+  test("spanDedup: misaligned repeats caught (stride-1 windows)") {
+    // the repeat sits at offset 3 in doc 2 — a fixed-chunk pass at chunk
+    // size 8 would slice it differently and miss it
+    val span = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val d = docs(
+      (1L, "s", s"$span tail1 tail2"),
+      (2L, "s", s"x1 x2 x3 $span"))
+    val out = Curation.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1) == (10L, s"$span tail1 tail2"))
+    assert(out(2) == (3L, "x1 x2 x3"))
+  }
+
+  test("spanDedup: short docs untouched, self-repetition collapsed") {
+    val d = docs(
+      (1L, "s", "short doc under eight tokens"),        // n < SpanTokens
+      (2L, "s", Seq.fill(20)("rep").mkString(" ")))     // run of one token
+    val out = Curation.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1) == (5L, "short doc under eight tokens"))
+    // windows p=1..12 are dups of p=0 -> positions 1..19 removed
+    assert(out(2) == (1L, "rep"))
+  }
+
   test("packSequences: packs respect capacity and partition token mass") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Curation.packSequences(d).cache()
