@@ -139,6 +139,15 @@ object StreamQueries {
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.doc_b = d.doc_id)
          |ORDER BY doc_id""".stripMargin),
+    // Batch-incremental twin: two id-ordered slices appended to one index
+    // (compaction between). Monotone slice split => first-seen-wins
+    // coincides with min-lower-id, so the same exact-Jaccard oracle
+    // applies.
+    withOracle("text_incremental_dedup", StreamingDedup.incrementalDedupQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte}
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.doc_b = d.doc_id)
+         |ORDER BY doc_id""".stripMargin),
     // Embedding twin: survivors of the streaming LSH dedup = vectors that
     // are not the larger side of any verified LSH-candidate pair (the
     // batch dedup_embedding contract, which first-seen-wins reduces to in

@@ -124,6 +124,45 @@ object StreamingDedup {
     startEmbedding(emb, stateDir, outDir, checkpoint, threshold,
       bucketCap = bucketCap).awaitTermination()
 
+  /** Batch-side incremental dedup: match a new corpus slice against the
+    * existing LSH index (same parquet format the streaming tier writes)
+    * and append the slice to it — what a recurring curation job runs
+    * nightly, without rebuilding signatures for the accumulated corpus.
+    * Exactly the streaming tier's per-batch path, so batch and stream
+    * slices interoperate in one index and [[compactState]] applies.
+    * `batchId` defaults to (max slice id in the index) + 1; passing an
+    * id already in the index REPLACES that slice and its survivors
+    * (overwrite-mode replay, same as a retried micro-batch). Returns
+    * this slice's survivors. */
+  def appendBatch(slice: DataFrame, stateDir: String, outDir: String,
+      threshold: Double = Dedup.JaccardThreshold,
+      bucketCap: Int = DefaultBucketCap, batchId: Long = -1L): DataFrame = {
+    val spark = slice.sparkSession
+    val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
+    processBatch(slice, id, jaccardSpec(threshold), stateDir, outDir, bucketCap)
+    spark.read.parquet(s"$outDir/b$id")
+  }
+
+  /** Embedding twin of [[appendBatch]] (needs `vec_id` and `embedding`). */
+  def appendEmbeddingBatch(slice: DataFrame, stateDir: String, outDir: String,
+      threshold: Double = Similarity.NearDupThreshold,
+      bucketCap: Int = DefaultBucketCap, batchId: Long = -1L): DataFrame = {
+    val spark = slice.sparkSession
+    val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
+    processBatch(slice, id, embeddingSpec(threshold), stateDir, outDir, bucketCap)
+    spark.read.parquet(s"$outDir/b$id")
+  }
+
+  /** Next free batch id: one past the newest slice (compacted `c<id>`
+    * slices count — their id is the highest batch they contain). */
+  private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
+    val ids = listSlices(spark, s"$stateDir/bands").map { dir =>
+      dir.substring(dir.lastIndexOf('/') + 1)
+        .stripPrefix("c").stripPrefix("b").toLong
+    }
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
   /** One micro-batch: index this batch, candidate-join against the whole
     * index (this batch included, so within-batch dups are caught by the
     * same path), verify, emit survivors. */
@@ -288,6 +327,27 @@ object StreamingDedup {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     MicroBatchPipeline.withBatchSizedShuffle(spark) { run(docs, state, out, ckpt) }
+    survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Declared-query form of [[appendBatch]]: the documents table arrives
+    * as two id-ordered slices (a compaction between them), each matched
+    * against the accumulated index. Because the slice split is monotone
+    * in doc_id, first-seen-wins across slices coincides with the batch
+    * tiers' min-lower-id contract, so the exact-Jaccard SQL oracle of
+    * the single-drain stream applies unchanged — while the query itself
+    * exercises the incremental path: index append, cross-slice candidate
+    * join, compacted-slice read. */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("graft_incdedup_state").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_incdedup_out").toString
+    val docs = graft.Tables.documents(spark, dir)
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(col("doc_id") <= mid), state, out)
+      compactState(spark, state, 0)
+      appendBatch(docs.filter(col("doc_id") > mid), state, out)
+    }
     survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
   }
 

@@ -152,6 +152,40 @@ class StreamingSpec extends SparkSpec {
     assert(survivorIds == Set(0L, 1L, 30L, 11L))
   }
 
+  test("batch incremental dedup: batch-then-batch equals one-batch") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mid = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) / 2
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // one-shot: the whole corpus as a single slice
+    val s1 = Files.createTempDirectory("incdedup_one_state").toString
+    val o1 = Files.createTempDirectory("incdedup_one_out").toString
+    StreamingDedup.appendBatch(docs, s1, o1)
+    val oneShot = ids(StreamingDedup.survivors(spark, o1))
+    // incremental: two id-ordered slices, compaction between (monotone
+    // split => first-seen-wins == min-lower-id => same survivor set)
+    val s2 = Files.createTempDirectory("incdedup_two_state").toString
+    val o2 = Files.createTempDirectory("incdedup_two_out").toString
+    // materialize survivor sets eagerly: the replay below OVERWRITES b1,
+    // and a lazy frame re-read after that hits deleted part files
+    val lowIds = ids(StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") <= mid), s2, o2))
+    StreamingDedup.compactState(spark, s2, 0)
+    val highIds = ids(StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") > mid), s2, o2))
+    assert(lowIds ++ highIds == oneShot)
+    assert(ids(StreamingDedup.survivors(spark, o2)) == oneShot)
+    // replay: re-appending the same batch id overwrites its own slice
+    // and reproduces the same survivors (idempotent retry)
+    val highAgain = StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") > mid), s2, o2, batchId = 1L)
+    assert(ids(highAgain) == highIds)
+    assert(ids(StreamingDedup.survivors(spark, o2)) == oneShot)
+  }
+
   test("compacting index slices preserves streaming dedup results") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
