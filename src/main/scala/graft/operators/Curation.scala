@@ -49,16 +49,23 @@ object Curation {
     * not a billion. (Verified in the physical plan; AQE's skew rewrite
     * applies to joins, not window exchanges, and is not what saves this.)
     */
-  def chunkDedup(docs: DataFrame): DataFrame = {
+  def chunkDedup(docs: DataFrame): DataFrame = chunkDedupCarry(docs, Nil)
+
+  /** [[chunkDedup]] with pass-through columns (e.g. `source`) carried into
+    * the reassembled output — lets pipeline compositions keep metadata
+    * without a big-big join back to the corpus. */
+  private[graft] def chunkDedupCarry(docs: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val c = ChunkTokens
+    val carryCols = carry.map(col)
     val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: carryCols :+ tokens(col("text")).as("toks"): _*)
       .withColumn("n_chunks",
         ceil(size(col("toks")) / lit(c.toDouble)).cast("long"))
     val chunks = base
-      .select(col("doc_id"), col("n_chunks"),
-        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))).as("idx"),
-        col("toks"))
+      .select(col("doc_id") +: col("n_chunks") +: carryCols :+
+        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))).as("idx") :+
+        col("toks"): _*)
       .withColumn("chunk",
         array_join(slice(col("toks"), col("idx") * c + 1, lit(c)), " "))
       .drop("toks")
@@ -67,7 +74,7 @@ object Curation {
     chunks
       .withColumn("rn", row_number().over(firstSeen))
       .filter(col("rn") === 1)
-      .groupBy(col("doc_id"), col("n_chunks"))
+      .groupBy(col("doc_id") +: col("n_chunks") +: carryCols: _*)
       .agg(
         count(lit(1)).as("n_kept"),
         array_join(
@@ -283,6 +290,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed trainer-input flagship: decontaminate (bloom-prefilter
+    * anti-join) → chunk-level dedup → sequence packing → shard manifest,
+    * one declarative plan end to end. Output is what a training launcher
+    * reads: per shard, how many packed contexts, distinct documents, and
+    * tokens it will serve.
+    *
+    * Scale shape: decontamination touches the corpus with a codegen bloom
+    * filter + broadcast anti-join (no corpus shuffle); chunk dedup is the
+    * one wide shuffle; packing runs per-source windows over the already
+    * deduped (smaller) corpus; the manifest is a 16-key groupBy with
+    * map-side combine. Packs are sharded by md5(source:pack_id) so a
+    * shard's packs are spread pseudo-randomly and any engine reproduces
+    * the assignment. */
+  def trainerPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = fingerprints(docs)
+    val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
+      .persist()
+    val confirmed = candidatesFrom(base, buildSketch(evalFps))
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    // is_eval is derivable from doc_id alone, so the clean corpus needs no
+    // join against the fingerprint projection — just the broadcast anti
+    val clean = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+      .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+    val dd = chunkDedupCarry(clean, Seq("source"))
+    val packs = packSequences(dd.select(col("doc_id"), col("source"),
+      col("deduped_text").as("text")))
+    val shard = (conv(substring(md5(
+      concat_ws(":", col("source"), col("pack_id"))), 1, 6), 16, 10)
+      .cast("long") % NumShards).as("shard_id")
+    packs
+      .select(shard, col("source"), col("pack_id"), col("doc_id"),
+        col("n_in_pack"))
+      .groupBy(col("shard_id"))
+      .agg(
+        countDistinct(col("source"), col("pack_id")).as("n_packs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_in_pack")).as("sum_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -349,6 +399,48 @@ object Curation {
          |FROM sp, UNNEST(generate_series(cum_start // $PackCapacity,
          |  (cum_end - 1) // $PackCapacity)) AS g(p)
          |ORDER BY source, pack_id, doc_id""".stripMargin),
+    withOracle("text_trainer_pipeline", trainerPipeline,
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+         |  FROM documents),
+         |clean AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN f t ON d.doc_id = t.doc_id
+         |  WHERE NOT t.is_eval
+         |    AND NOT EXISTS (SELECT 1 FROM f e WHERE e.is_eval AND e.fp = t.fp)),
+         |t2 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM clean),
+         |c AS (SELECT doc_id, source,
+         |    CAST(ceil(len(toks) / ${ChunkTokens}.0) AS BIGINT) AS n_chunks, toks
+         |  FROM t2),
+         |ch AS (SELECT doc_id, source, n_chunks, i AS idx,
+         |    array_to_string(list_slice(toks, i*$ChunkTokens + 1,
+         |      i*$ChunkTokens + $ChunkTokens), ' ') AS chunk
+         |  FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+         |    ORDER BY doc_id, idx) AS rn FROM ch),
+         |dd AS (SELECT doc_id, source, string_agg(chunk, ' ' ORDER BY idx) AS dtext
+         |  FROM r WHERE rn = 1 GROUP BY doc_id, source),
+         |p0 AS (SELECT doc_id, source,
+         |    CAST(len(string_split(dtext, ' ')) AS BIGINT) AS n_tokens
+         |  FROM dd WHERE len(string_split(dtext, ' ')) > 0),
+         |c2 AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM p0),
+         |sp AS (SELECT doc_id, source, n_tokens, cum_end,
+         |    cum_end - n_tokens AS cum_start FROM c2),
+         |packs AS (SELECT source, CAST(p AS BIGINT) AS pack_id, doc_id,
+         |    CAST(least(cum_end, (p + 1) * $PackCapacity)
+         |       - greatest(cum_start, p * $PackCapacity) AS BIGINT) AS n_in_pack
+         |  FROM sp, UNNEST(generate_series(cum_start // $PackCapacity,
+         |    (cum_end - 1) // $PackCapacity)) AS g(p)),
+         |sh AS (SELECT
+         |    CAST(concat('0x', substr(md5(source || ':' ||
+         |      CAST(pack_id AS VARCHAR)), 1, 6)) AS BIGINT) % $NumShards AS shard_id,
+         |    source, pack_id, doc_id, n_in_pack FROM packs)
+         |SELECT shard_id, CAST(COUNT(DISTINCT (source, pack_id)) AS BIGINT) AS n_packs,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_in_pack) AS BIGINT) AS sum_tokens
+         |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin),
     withOracle("text_train_shards", (s, dir) => trainShards(Tables.documents(s, dir)),
       s"""WITH t AS (SELECT
          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
