@@ -277,13 +277,24 @@ object Curation {
     * the same pass that discovers the contaminated ids would require
     * caching the 100 TB side. (CurationSpec pins the scan count.)
     */
-  def bloomDecontaminate(docs: DataFrame): DataFrame = {
-    val base = fingerprints(docs)
+  /** Confirmed contaminated training-doc ids: bloom candidates verified
+    * by exact semi-join against the eval fingerprint set. The eval set is
+    * persisted WITHOUT a matching unpersist: the returned plan's semi-join
+    * consumes the cache lazily, so eager unpersist would un-cache before
+    * use. The entry is KBs (distinct eval fingerprints), deduped by
+    * CacheManager across identical invocations, and lives until session
+    * stop — an accepted cost for not rebuilding the eval set per pass. */
+  private def confirmedIds(base: DataFrame): DataFrame = {
     val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
       .persist()
-    val confirmed = candidatesFrom(base, buildSketch(evalFps))
+    candidatesFrom(base, buildSketch(evalFps))
       .join(evalFps, Seq("fp"), "left_semi")
       .select(col("doc_id"))
+  }
+
+  def bloomDecontaminate(docs: DataFrame): DataFrame = {
+    val base = fingerprints(docs)
+    val confirmed = confirmedIds(base)
     base.filter(!col("is_eval"))
       .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("fp"))
@@ -305,12 +316,7 @@ object Curation {
     * the assignment. */
   def trainerPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = fingerprints(docs)
-    val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
-      .persist()
-    val confirmed = candidatesFrom(base, buildSketch(evalFps))
-      .join(evalFps, Seq("fp"), "left_semi")
-      .select(col("doc_id"))
+    val confirmed = confirmedIds(fingerprints(docs))
     // is_eval is derivable from doc_id alone, so the clean corpus needs no
     // join against the fingerprint projection — just the broadcast anti
     val clean = docs

@@ -17,6 +17,12 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default disk-backed stream cache would create and delete a
+  // temp file per encode/decode — pure overhead for in-memory byte arrays
+  // on the hot mapPartitions path (and a failure mode if tmpdir is
+  // unwritable on an executor). Cache in heap instead.
+  ImageIO.setUseCache(false)
+
   /** Encode a row-major 8-bit grayscale pixel array as a real PNG. */
   def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
     require(pixels.length == w * h, s"pixels ${pixels.length} != ${w}x$h")

@@ -191,7 +191,9 @@ object Multimodal {
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),
         |pix AS (SELECT media_id, CAST(p AS INT) AS p,
-        |    (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT AS v
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
         |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
         |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
         |    CAST(SUM(v) // 4 AS INT) AS r
@@ -212,7 +214,9 @@ object Multimodal {
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),
         |pix AS (SELECT media_id, CAST(p AS INT) AS p,
-        |    (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT AS v
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
         |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
         |f AS (SELECT media_id, p // 32 AS i,
         |    CAST(CAST(SUM(v) AS DOUBLE) / 32 AS REAL) AS f

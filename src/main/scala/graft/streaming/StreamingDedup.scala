@@ -133,7 +133,10 @@ object StreamingDedup {
     * `batchId` defaults to (max slice id in the index) + 1; passing an
     * id already in the index REPLACES that slice and its survivors
     * (overwrite-mode replay, same as a retried micro-batch). Returns
-    * this slice's survivors. */
+    * this slice's survivors as a LAZY frame over `outDir/b<id>` — consume
+    * it before replaying the same batch id, because the replay overwrites
+    * the part files the frame points at (a stale read throws
+    * FileNotFoundException; [[survivors]] re-lists and is always safe). */
   def appendBatch(slice: DataFrame, stateDir: String, outDir: String,
       threshold: Double = Dedup.JaccardThreshold,
       bucketCap: Int = DefaultBucketCap, batchId: Long = -1L): DataFrame = {
@@ -153,13 +156,18 @@ object StreamingDedup {
     spark.read.parquet(s"$outDir/b$id")
   }
 
-  /** Next free batch id: one past the newest slice (compacted `c<id>`
-    * slices count — their id is the highest batch they contain). */
+  /** Batch id encoded in a slice directory name (`b<id>` for raw slices,
+    * `c<id>` for compactions — a compaction's id is the highest batch it
+    * contains). Single parser shared by [[nextBatchId]] and
+    * [[compactState]] so the naming scheme cannot drift. */
+  private def sliceBatch(dir: String): Long = {
+    val name = dir.substring(dir.lastIndexOf('/') + 1)
+    name.stripPrefix("c").stripPrefix("b").toLong
+  }
+
+  /** Next free batch id: one past the newest slice. */
   private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
-    val ids = listSlices(spark, s"$stateDir/bands").map { dir =>
-      dir.substring(dir.lastIndexOf('/') + 1)
-        .stripPrefix("c").stripPrefix("b").toLong
-    }
+    val ids = listSlices(spark, s"$stateDir/bands").map(sliceBatch)
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
@@ -274,10 +282,6 @@ object StreamingDedup {
     * same state dir. */
   def compactState(spark: SparkSession, stateDir: String,
       upToBatchId: Long): Unit = {
-    def sliceBatch(dir: String): Long = {
-      val name = dir.substring(dir.lastIndexOf('/') + 1)
-      name.stripPrefix("c").stripPrefix("b").toLong
-    }
     for (sub <- Seq("bands", "sets")) {
       val base = s"$stateDir/$sub"
       val merge = listSlices(spark, base).filter(sliceBatch(_) <= upToBatchId)
@@ -331,22 +335,26 @@ object StreamingDedup {
   }
 
   /** Declared-query form of [[appendBatch]]: the documents table arrives
-    * as two id-ordered slices (a compaction between them), each matched
-    * against the accumulated index. Because the slice split is monotone
-    * in doc_id, first-seen-wins across slices coincides with the batch
-    * tiers' min-lower-id contract, so the exact-Jaccard SQL oracle of
-    * the single-drain stream applies unchanged — while the query itself
-    * exercises the incremental path: index append, cross-slice candidate
-    * join, compacted-slice read. */
+    * as THREE id-ordered slices; after the second append the index is
+    * compacted (b0+b1 → c1, a real merge — compacting a single slice is
+    * a no-op), so the third append both parses a compacted `c` slice for
+    * its next-id computation and candidate-joins against merged history.
+    * Because the slice split is monotone in doc_id, first-seen-wins
+    * across slices coincides with the batch tiers' min-lower-id
+    * contract, so the exact-Jaccard SQL oracle of the single-drain
+    * stream applies unchanged. */
   def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val state = java.nio.file.Files.createTempDirectory("graft_incdedup_state").toString
     val out = java.nio.file.Files.createTempDirectory("graft_incdedup_out").toString
     val docs = graft.Tables.documents(spark, dir)
-    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val top = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(docs.filter(col("doc_id") <= mid), state, out)
-      compactState(spark, state, 0)
-      appendBatch(docs.filter(col("doc_id") > mid), state, out)
+      appendBatch(docs.filter(col("doc_id") <= cut1), state, out)
+      appendBatch(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        state, out)
+      compactState(spark, state, 1)
+      appendBatch(docs.filter(col("doc_id") > cut2), state, out)
     }
     survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
   }

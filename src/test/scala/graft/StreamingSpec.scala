@@ -165,24 +165,30 @@ class StreamingSpec extends SparkSpec {
     val o1 = Files.createTempDirectory("incdedup_one_out").toString
     StreamingDedup.appendBatch(docs, s1, o1)
     val oneShot = ids(StreamingDedup.survivors(spark, o1))
-    // incremental: two id-ordered slices, compaction between (monotone
-    // split => first-seen-wins == min-lower-id => same survivor set)
+    // incremental: three id-ordered slices, a REAL compaction after the
+    // second (b0+b1 -> c1; compacting one slice is a no-op), so the third
+    // append parses a c-slice for next-id AND joins merged history.
+    // Monotone split => first-seen-wins == min-lower-id => same survivors.
     val s2 = Files.createTempDirectory("incdedup_two_state").toString
     val o2 = Files.createTempDirectory("incdedup_two_out").toString
-    // materialize survivor sets eagerly: the replay below OVERWRITES b1,
-    // and a lazy frame re-read after that hits deleted part files
-    val lowIds = ids(StreamingDedup.appendBatch(
-      docs.filter(col("doc_id") <= mid), s2, o2))
-    StreamingDedup.compactState(spark, s2, 0)
-    val highIds = ids(StreamingDedup.appendBatch(
+    val third = mid * 2 / 3
+    // materialize survivor sets eagerly: the replay below OVERWRITES the
+    // last slice, and a lazy frame re-read after that hits deleted files
+    val aIds = ids(StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") <= third), s2, o2))
+    val bIds = ids(StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") > third && col("doc_id") <= mid), s2, o2))
+    StreamingDedup.compactState(spark, s2, 1)
+    // post-compaction the only band slice is c1 -> next id must be 2
+    val cIds = ids(StreamingDedup.appendBatch(
       docs.filter(col("doc_id") > mid), s2, o2))
-    assert(lowIds ++ highIds == oneShot)
+    assert(aIds ++ bIds ++ cIds == oneShot)
     assert(ids(StreamingDedup.survivors(spark, o2)) == oneShot)
     // replay: re-appending the same batch id overwrites its own slice
     // and reproduces the same survivors (idempotent retry)
-    val highAgain = StreamingDedup.appendBatch(
-      docs.filter(col("doc_id") > mid), s2, o2, batchId = 1L)
-    assert(ids(highAgain) == highIds)
+    val cAgain = StreamingDedup.appendBatch(
+      docs.filter(col("doc_id") > mid), s2, o2, batchId = 2L)
+    assert(ids(cAgain) == cIds)
     assert(ids(StreamingDedup.survivors(spark, o2)) == oneShot)
   }
 
