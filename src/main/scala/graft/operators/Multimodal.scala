@@ -163,6 +163,73 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Audio tier: real WAV/RIFF codec (javax.sound.sampled)
+
+  /** Samples per synthesized clip; sample rate of the WAV containers. */
+  val AudioSamples = 256
+  val AudioRate = 16000
+
+  /** Signed PCM16 sample rule, the audio analogue of [[pixelsOf]]:
+    * `s[i] = (byte[i mod n] - 128) * 256` (byte 0 if empty) — centered
+    * and scaled to the int16 range, and replayable in SQL. */
+  private[graft] def samplesOf(src: Array[Byte]): Array[Short] =
+    Array.tabulate(AudioSamples) { i =>
+      val b = if (src.isEmpty) 0 else src(i % src.length) & 0xff
+      ((b - 128) * 256).toShort
+    }
+
+  /** The audio corpus: real WAV payloads encoded on the executors. */
+  def audioTable(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, src) =>
+          (id, AudioCodec.encodePcm16Wav(samplesOf(src), AudioRate))
+        }
+      }
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, rms: Double, zero_crossings: Long, peak: Int)
+
+  /** Decode + signal features over partition-local batches: the JDK
+    * parses the RIFF container back to PCM, then RMS energy, zero-crossing
+    * count (sign changes, zero counted non-negative) and peak amplitude —
+    * the quality/VAD-style stats an audio curation pass computes. All
+    * integer-and-double math, so the real decode path keeps a full
+    * differential oracle. */
+  def audioFeatures(s: SparkSession, dir: String): Dataset[AudioFeatures] = {
+    import s.implicits._
+    audioTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          val (rate, pcm) = AudioCodec.decodePcm16Wav(wav)
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i).toInt
+            sumSq += v.toLong * v
+            if (i > 0 && ((v >= 0) != (pcm(i - 1) >= 0))) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val rms = math.sqrt(sumSq.toDouble / pcm.length)
+          AudioFeatures(id, rate, pcm.length.toLong, rms, zc, peak)
+        }
+      }
+  }
+
+  def audioFeaturesQuery(s: SparkSession, dir: String): DataFrame =
+    audioFeatures(s, dir).toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("rms"), col("zero_crossings"), col("peak"))
+      .orderBy(col("media_id"))
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -233,5 +300,35 @@ object Multimodal {
         |    + CAST(f2 AS DOUBLE)*CAST(f2 AS DOUBLE) + CAST(f3 AS DOUBLE)*CAST(f3 AS DOUBLE)
         |    + CAST(f4 AS DOUBLE)*CAST(f4 AS DOUBLE) + CAST(f5 AS DOUBLE)*CAST(f5 AS DOUBLE)
         |    + CAST(f6 AS DOUBLE)*CAST(f6 AS DOUBLE) + CAST(f7 AS DOUBLE)*CAST(f7 AS DOUBLE)) AS feat_norm
-        |FROM wide ORDER BY media_id""".stripMargin))
+        |FROM wide ORDER BY media_id""".stripMargin),
+    // Audio twin of the image oracles: the sample rule is replayed from
+    // the text hex ((v - 128) * 256), never from WAV bytes; RMS is exact
+    // integer sum-of-squares narrowed to double (< 2^53), zero crossings
+    // via lag, peak via max(abs). Spark's side runs a real RIFF
+    // encode→decode through javax.sound before the same math.
+    withOracle("mm_audio_features", audioFeaturesQuery,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |pix AS (SELECT media_id, CAST(p AS INT) AS i,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+        |s AS (SELECT media_id, i, (v - 128) * 256 AS s FROM pix),
+        |zc AS (SELECT media_id,
+        |    SUM(CASE WHEN ps IS NOT NULL AND ((s >= 0) <> (ps >= 0))
+        |      THEN 1 ELSE 0 END) AS zero_crossings
+        |  FROM (SELECT media_id, i, s,
+        |      lag(s) OVER (PARTITION BY media_id ORDER BY i) AS ps FROM s)
+        |  GROUP BY media_id),
+        |agg AS (SELECT media_id,
+        |    sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE) / 256) AS rms,
+        |    MAX(abs(s)) AS peak
+        |  FROM s GROUP BY media_id)
+        |SELECT m.media_id, CAST(16000 AS INT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples, agg.rms,
+        |  CAST(zc.zero_crossings AS BIGINT) AS zero_crossings,
+        |  CAST(agg.peak AS INT) AS peak
+        |FROM m JOIN agg USING (media_id) JOIN zc USING (media_id)
+        |ORDER BY media_id""".stripMargin))
 }

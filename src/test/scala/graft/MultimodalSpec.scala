@@ -71,6 +71,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  import graft.operators.AudioCodec
+
+  test("wav codec: known 4-sample clip encodes to real RIFF and decodes exactly") {
+    val pcm = Array[Short](0, 32767, -32768, -1)
+    val wav = AudioCodec.encodePcm16Wav(pcm, 16000)
+    // RIFF container magic: "RIFF" .... "WAVE"
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, back) = AudioCodec.decodePcm16Wav(wav)
+    assert(rate == 16000)
+    assert(back.toSeq == pcm.toSeq)
+  }
+
+  test("audio features: real WAV decode, rule-exact samples, stable stats") {
+    val feats = Multimodal.audioFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.sample_rate == Multimodal.AudioRate)
+      assert(f.n_samples == Multimodal.AudioSamples.toLong)
+      assert(f.rms >= 0 && f.peak >= 0 && f.peak <= 32768)
+    }
+    // spot-check one clip against the sample rule end to end
+    val doc = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(1).collect().head
+    val wav = Multimodal.audioTable(spark, sf).collect().toMap.apply(doc.getLong(0))
+    val (_, pcm) = AudioCodec.decodePcm16Wav(wav)
+    assert(pcm.toSeq == Multimodal.samplesOf(doc.getString(1).getBytes("UTF-8")).toSeq)
+  }
+
   test("resize: decode -> box filter -> re-encode round-trips exactly") {
     val rows = Multimodal.resize(spark, sf).collect()
     assert(rows.nonEmpty)
