@@ -112,23 +112,29 @@ object Curation {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
+    // (doc_id, p) packed into one BIGINT: min(long) hash-aggregates with
+    // a map-side partial (min(struct) would fall back to SortAggregate,
+    // sorting the whole window stream per partition). Lexicographic
+    // (doc_id, p) order == numeric order because p < 2^21 — ample for
+    // real documents; a 2M-token doc should be split upstream anyway.
+    val posPack = 1L << 21
     val wins = base.filter(col("n") >= w)
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n") - w)).as("p"),
         col("toks"))
       .select(col("doc_id"), col("p"),
+        (col("doc_id") * posPack + col("p")).as("occ"),
         array_join(slice(col("toks"), col("p") + 1, lit(w)), " ").as("win"))
     // Windows that occur more than once are the only ones that can mark
     // removals — aggregate first (map-side combinable), filter to that
     // tiny set, and join it back: AQE broadcasts it, so the occurrence
     // stream is scanned, never re-shuffled.
     val dupWins = wins.groupBy(col("win"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
-        count(lit(1)).as("cnt"))
+      .agg(min(col("occ")).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .select(col("win"), col("first"))
     val dups = wins.join(dupWins, Seq("win"))
-      .filter(struct(col("doc_id"), col("p")) =!= col("first"))
+      .filter(col("occ") =!= col("first"))
       .select(col("doc_id").as("d_doc"), col("p"))
     val toks = base.select(col("doc_id"), col("n"),
       posexplode(col("toks")).as(Seq("pos", "tk")))

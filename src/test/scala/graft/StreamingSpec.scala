@@ -192,6 +192,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids(StreamingDedup.survivors(spark, o2)) == oneShot)
   }
 
+  test("batch incremental embedding dedup equals one-batch") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val mid = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0) / 2
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val s1 = Files.createTempDirectory("incededup_one_state").toString
+    val o1 = Files.createTempDirectory("incededup_one_out").toString
+    StreamingDedup.appendEmbeddingBatch(emb, s1, o1)
+    val oneShot = ids(StreamingDedup.survivors(spark, o1))
+    val s2 = Files.createTempDirectory("incededup_two_state").toString
+    val o2 = Files.createTempDirectory("incededup_two_out").toString
+    val lowIds = ids(StreamingDedup.appendEmbeddingBatch(
+      emb.filter(col("vec_id") <= mid), s2, o2))
+    val highIds = ids(StreamingDedup.appendEmbeddingBatch(
+      emb.filter(col("vec_id") > mid), s2, o2))
+    assert(lowIds ++ highIds == oneShot)
+  }
+
   test("compacting index slices preserves streaming dedup results") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
