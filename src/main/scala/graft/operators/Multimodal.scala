@@ -230,6 +230,57 @@ object Multimodal {
         col("rms"), col("zero_crossings"), col("peak"))
       .orderBy(col("media_id"))
 
+  // -------------------------------------------------------------------
+  // Video tier: real multi-frame GIF container (JDK ImageIO)
+
+  /** Frame geometry: the same 256-pixel rule as [[pixelsOf]], viewed as
+    * [[VideoFrames]] frames of [[FrameW]]x[[FrameH]] — one linear rule
+    * serves image, audio, and video oracles. */
+  val VideoFrames = 4
+  val FrameW = 8
+  val FrameH = 8
+
+  /** The video corpus: real multi-frame GIFs encoded on the executors. */
+  def videoTable(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, src) =>
+          val frames = pixelsOf(src).grouped(FrameW * FrameH).toSeq
+          (id, VideoCodec.encodeGifFrames(frames, FrameW, FrameH))
+        }
+      }
+  }
+
+  final case class VideoFrameStats(media_id: Long, frame_id: Long,
+      frame_w: Int, frame_h: Int, frame_sum: Long, head_px: Int)
+
+  /** Decode every frame of the GIF container and emit per-frame stats —
+    * the real-codec upgrade of [[frameSample]]'s byte slicing: the frame
+    * boundary comes from the container's image directory, not arithmetic
+    * over raw bytes. */
+  def videoFrameStats(s: SparkSession, dir: String): Dataset[VideoFrameStats] = {
+    import s.implicits._
+    videoTable(s, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, gif) =>
+          val (w, h, frames) = VideoCodec.decodeGifFrames(gif)
+          frames.zipWithIndex.map { case (px, f) =>
+            VideoFrameStats(id, f.toLong, w, h,
+              px.map(_.toLong).sum, px(0))
+          }
+        }
+      }
+  }
+
+  def videoFramesQuery(s: SparkSession, dir: String): DataFrame =
+    videoFrameStats(s, dir).toDF()
+      .select(col("media_id"), col("frame_id"), col("frame_w"),
+        col("frame_h"), col("frame_sum"), col("head_px"))
+      .orderBy(col("media_id"), col("frame_id"))
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -330,5 +381,22 @@ object Multimodal {
         |  CAST(zc.zero_crossings AS BIGINT) AS zero_crossings,
         |  CAST(agg.peak AS INT) AS peak
         |FROM m JOIN agg USING (media_id) JOIN zc USING (media_id)
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin),
+    // Video twin: per-frame pixel sums and first pixel, frame f = p//64
+    // over the same derived pixel grid — Spark's side recovers the frames
+    // from a real multi-frame GIF via the container's image directory.
+    withOracle("mm_video_frames", videoFramesQuery,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p))
+        |SELECT media_id, CAST(p // 64 AS BIGINT) AS frame_id,
+        |  CAST(8 AS INT) AS frame_w, CAST(8 AS INT) AS frame_h,
+        |  CAST(SUM(v) AS BIGINT) AS frame_sum,
+        |  CAST(MAX(CASE WHEN p % 64 = 0 THEN v END) AS INT) AS head_px
+        |FROM pix GROUP BY media_id, p // 64
+        |ORDER BY media_id, frame_id""".stripMargin))
 }

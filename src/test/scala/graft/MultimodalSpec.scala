@@ -100,6 +100,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pcm.toSeq == Multimodal.samplesOf(doc.getString(1).getBytes("UTF-8")).toSeq)
   }
 
+  import graft.operators.VideoCodec
+
+  test("gif codec: multi-frame container encodes real GIF, frames decode exactly") {
+    val f0 = Array.tabulate(4)(i => i * 60)        // 2x2
+    val f1 = Array(255, 0, 128, 7)
+    val gif = VideoCodec.encodeGifFrames(Seq(f0, f1), 2, 2)
+    // GIF magic: "GIF89a" or "GIF87a"
+    assert(new String(gif.slice(0, 3), "US-ASCII") == "GIF")
+    val (w, h, frames) = VideoCodec.decodeGifFrames(gif)
+    assert(w == 2 && h == 2 && frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq)
+  }
+
+  test("video table: containers carry 4 derived frames per document") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vids = Multimodal.videoTable(spark, sf).collect().toMap
+    docs.foreach { case (id, text) =>
+      val (w, h, frames) = VideoCodec.decodeGifFrames(vids(id))
+      assert(w == Multimodal.FrameW && h == Multimodal.FrameH)
+      assert(frames.length == Multimodal.VideoFrames)
+      val expect = Multimodal.pixelsOf(text.getBytes("UTF-8"))
+        .grouped(Multimodal.FrameW * Multimodal.FrameH).toSeq
+      frames.zip(expect).foreach { case (got, want) =>
+        assert(got.toSeq == want.toSeq)
+      }
+    }
+  }
+
   test("resize: decode -> box filter -> re-encode round-trips exactly") {
     val rows = Multimodal.resize(spark, sf).collect()
     assert(rows.nonEmpty)
