@@ -170,6 +170,50 @@ object TextAnalysis {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Per-source data card — the audit table a corpus owner publishes
+    * alongside a release: volume (docs/tokens), eval-split share, exact
+    * duplicate incidence (content hash seen >1 anywhere in the corpus),
+    * benchmark contamination (canonical fingerprint present in the eval
+    * split), and corpus-level alpha/stopword ratios.
+    *
+    * Determinism at scale: the ratios are RATIOS OF INTEGER SUMS, not
+    * averages of per-doc doubles — long sums are order-independent across
+    * partitions (a double mean would hash-differ run to run), and one
+    * division happens after the aggregate. The duplicate-hash and
+    * eval-fingerprint sets are filtered before the broadcast joins, so
+    * the corpus scan shuffles only for the final 1-row-per-source
+    * aggregate (map-side combined). */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("source"),
+      tokenCount(col("text")).as("toks"),
+      length(col("text")).cast("long").as("chars"),
+      alphaChars(col("text")).cast("long").as("alpha"),
+      stopwordCount(col("text")).cast("long").as("stops"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_eval"),
+      md5(col("text")).as("chash"),
+      fingerprint(col("text")).as("fp"))
+    val dupContent = base.groupBy(col("chash"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("chash"), lit(1).as("is_dup"))
+    val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
+      .withColumn("in_eval", lit(1))
+    base
+      .join(broadcast(dupContent), Seq("chash"), "left")
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval_docs"),
+        sum(when(col("is_dup") === 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(when(!col("is_eval") && col("in_eval") === 1, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        (sum(col("alpha")).cast("double") / sum(col("chars"))).as("alpha_ratio"),
+        (sum(col("stops")).cast("double") / sum(col("toks"))).as("stop_ratio"))
+      .orderBy(col("source"))
+  }
+
   private val langScoreSql = langMarkers.map { case (l, ws) =>
     s"len(list_filter(string_split(text,' '), t -> t IN (${inList(ws)}))) AS score_$l"
   }.mkString(",\n  ")
@@ -270,5 +314,31 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_units,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  array_to_string(list_slice(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), 1, 3), '|') AS head_units
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    // Ratios are ratios of integer sums (order-independent), duplicate
+    // and contamination flags replayed with the same md5/fingerprint
+    // identities the other oracles use.
+    withOracle("text_data_card", dataCard,
+      s"""WITH b AS (SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN (${inList(stopwords)}))) AS BIGINT) AS stops,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+         |    md5(text) AS chash,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |dup AS (SELECT chash FROM b GROUP BY chash HAVING COUNT(*) > 1),
+         |ev AS (SELECT DISTINCT fp FROM b WHERE is_eval)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_docs,
+         |  CAST(SUM(CASE WHEN chash IN (SELECT chash FROM dup)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(SUM(CASE WHEN NOT is_eval AND fp IN (SELECT fp FROM ev)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(alpha) AS DOUBLE) / SUM(chars) AS alpha_ratio,
+         |  CAST(SUM(stops) AS DOUBLE) / SUM(toks) AS stop_ratio
+         |FROM b GROUP BY source ORDER BY source""".stripMargin))
 }
