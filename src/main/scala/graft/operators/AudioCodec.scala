@@ -41,8 +41,12 @@ object AudioCodec {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
     try {
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-        s"expected 16-bit mono PCM, got $fmt")
+      // Encoding matters too: 16-bit mono UNSIGNED PCM is legal RIFF and
+      // would pass a bits/channels-only check, then decode every sample
+      // offset by 32768 — reject it loudly instead.
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected signed 16-bit mono PCM, got $fmt")
       val raw = ais.readAllBytes()
       val n = raw.length / 2
       val out = new Array[Short](n)

@@ -98,13 +98,15 @@ object Curation {
     * repeats are caught because windows start at every position.
     *
     * Shape at scale: one row per token position into the window-key
-    * shuffle. First-occurrence is a `min(struct(doc_id, p))` AGGREGATE
-    * (map-side combinable — a boilerplate window repeated a billion times
-    * collapses to one row per map task before the exchange), then a join
-    * back to the occurrence stream, which AQE skew-split handles like any
-    * hot join key. At 100 TB the window key should be xxhash64(win) — 8
-    * bytes — with text re-attached after; same plan shape. The coverage
-    * anti-join shuffles on doc_id only.
+    * shuffle. First-occurrence is a `min(occ)` AGGREGATE over (doc_id, p)
+    * packed into one BIGINT — min over a plain long HASH-aggregates with
+    * a map-side partial (a boilerplate window repeated a billion times
+    * collapses to one row per map task before the exchange; `min(struct)`
+    * would fall back to SortAggregate and sort the whole window stream) —
+    * then a join back to the occurrence stream, which AQE skew-split
+    * handles like any hot join key. At 100 TB the window key should be
+    * xxhash64(win) — 8 bytes — with text re-attached after; same plan
+    * shape. The coverage anti-join shuffles on doc_id only.
     */
   def spanDedup(docs: DataFrame): DataFrame = {
     val w = SpanTokens
@@ -112,13 +114,19 @@ object Curation {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
-    // (doc_id, p) packed into one BIGINT: min(long) hash-aggregates with
-    // a map-side partial (min(struct) would fall back to SortAggregate,
-    // sorting the whole window stream per partition). Lexicographic
-    // (doc_id, p) order == numeric order because p < 2^21 — ample for
-    // real documents; a 2M-token doc should be split upstream anyway.
+    // (doc_id, p) packed into one BIGINT: lexicographic (doc_id, p) order
+    // == numeric order only while p < 2^21, so the contract is ENFORCED
+    // (assert_true fails the query loudly per offending doc) rather than
+    // silently corrupting first-occurrence picks for ~2M-token documents
+    // — such documents should be split upstream. doc_id * 2^21 overflow
+    // (doc_id >= 2^42) throws on its own under ANSI mode.
     val posPack = 1L << 21
-    val wins = base.filter(col("n") >= w)
+    val guarded = base.withColumn("n",
+      when(assert_true(col("n") - w < posPack,
+        concat(lit("spanDedup: doc "), col("doc_id"),
+          lit(s" exceeds $posPack tokens; split upstream"))).isNull,
+        col("n")))
+    val wins = guarded.filter(col("n") >= w)
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n") - w)).as("p"),
         col("toks"))

@@ -179,10 +179,15 @@ object TextAnalysis {
     * Determinism at scale: the ratios are RATIOS OF INTEGER SUMS, not
     * averages of per-doc doubles — long sums are order-independent across
     * partitions (a double mean would hash-differ run to run), and one
-    * division happens after the aggregate. The duplicate-hash and
-    * eval-fingerprint sets are filtered before the broadcast joins, so
-    * the corpus scan shuffles only for the final 1-row-per-source
-    * aggregate (map-side combined). */
+    * division happens after the aggregate.
+    *
+    * Plan shape: three corpus passes (duplicate-hash groupBy,
+    * eval-fingerprint distinct, the flag-joined aggregate); the two flag
+    * sets are corpus-derived, so join strategy is left to AQE — no forced
+    * broadcast (the eval split is ~1/16 of the corpus, which at 100 TB is
+    * NOT driver-collectable; if the flag joins ever dominate, the
+    * bloom-prefilter pattern of text_bloom_decontaminate applies). The
+    * final aggregate is map-side combined down to one row per source. */
   def dataCard(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(
       col("source"),
@@ -199,8 +204,8 @@ object TextAnalysis {
     val evalFps = base.filter(col("is_eval")).select(col("fp")).distinct()
       .withColumn("in_eval", lit(1))
     base
-      .join(broadcast(dupContent), Seq("chash"), "left")
-      .join(broadcast(evalFps), Seq("fp"), "left")
+      .join(dupContent, Seq("chash"), "left")
+      .join(evalFps, Seq("fp"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

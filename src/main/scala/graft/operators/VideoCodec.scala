@@ -77,6 +77,12 @@ object VideoCodec {
       val (w, h) = (first.getWidth, first.getHeight)
       val frames = (0 until n).map { i =>
         val img = if (i == 0) first else reader.read(i)
+        // GIF frames may legally be sub-rectangles of the logical screen;
+        // this decoder's contract is uniform full-size frames (what
+        // encodeGifFrames writes) — enforce instead of walking off the
+        // smaller raster.
+        require(img.getWidth == w && img.getHeight == h,
+          s"frame $i is ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
         val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
