@@ -485,6 +485,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieval composition — the RAG-serving shape: exact top-k over the
+    * embedding corpus, then the tiny hit list (|queries| x k rows)
+    * broadcast back against the documents table to fetch text metadata
+    * and a snippet. At 100 TB the corpus scan probes a KB-sized broadcast
+    * hash and projects only the metadata columns — the document fetch
+    * costs one narrow scan, never a shuffle. */
+  def retrieveDocs(s: SparkSession, dir: String): DataFrame = {
+    val hits = topKExact(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      substring(col("text"), 1, 80).as("snippet"))
+    docs.join(broadcast(hits), col("doc_id") === col("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        col("source"), col("n_tokens"), col("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -497,6 +515,20 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $NumQueryVectors)
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_retrieve_docs", retrieveDocs,
+      s"""WITH hits AS (SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors)
+         |  WHERE rank <= $TopK)
+         |SELECT h.query_id, h.rank, h.vec_id, h.score, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  substring(d.text, 1, 80) AS snippet
+         |FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+         |ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_neardup_pairs", nearDupPairs,
       s"""$lshPairScoresCtes
          |SELECT vec_a, vec_b, score FROM pair_scores
