@@ -166,9 +166,60 @@ object TextAnalysis {
           .as("repetition_ratio"))
       .orderBy(col("doc_id"))
 
-  import graft.QuerySpec.withOracle
+  import graft.QuerySpec.{rowsOnly, withOracle}
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID evaluation matrix: the heuristic's predictions against
+    * the corpus's labeled `lang` column — the confusion table a curation
+    * owner reads before trusting the classifier on unlabeled data. One
+    * narrow scan, groupBy on a tiny (label, prediction) key space with
+    * map-side combine. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  final case class CompressionRow(doc_id: Long, n_bytes: Long,
+      deflated_bytes: Long, ratio: Double, repetitive: Boolean)
+
+  /** Gopher-style compression-ratio quality signal: deflate each
+    * document (JDK zlib, fixed level) and report compressed/original
+    * size — boilerplate and template spam compress far better than
+    * natural prose, so a LOW ratio flags repetitive content. Runs
+    * partition-local with one reused Deflater per partition (the codec
+    * batch pattern of the multimodal tier).
+    *
+    * ROWS-ONLY by necessity: no SQL engine exposes deflate output sizes,
+    * so the driver records the weaker row-count check; determinism and
+    * the orderings that make the signal useful are pinned in
+    * TextAnalysisSpec (identical reruns; planted repetitive text scoring
+    * below planted high-entropy text). */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val RepetitiveBelow = 0.35
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6, /* nowrap = */ true)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, src) =>
+          deflater.reset()
+          deflater.setInput(src)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio = if (src.isEmpty) 1.0 else out.toDouble / src.length
+          CompressionRow(id, src.length.toLong, out, ratio,
+            ratio < RepetitiveBelow)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 
   /** Per-source data card — the audit table a corpus owner publishes
     * alongside a release: volume (docs/tokens), eval-split share, exact
@@ -320,6 +371,12 @@ object TextAnalysis {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  array_to_string(list_slice(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), 1, 3), '|') AS head_units
         |FROM documents ORDER BY doc_id""".stripMargin),
+    rowsOnly("text_compression_ratio", compressionRatio),
+    withOracle("text_lang_confusion", langConfusion,
+      s"""SELECT lang, $langCaseSql AS lang_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM (SELECT lang, $langScoreSql FROM documents)
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin),
     // Ratios are ratios of integer sums (order-independent), duplicate
     // and contamination flags replayed with the same md5/fingerprint
     // identities the other oracles use.

@@ -89,6 +89,30 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("compression ratio: deterministic, repetitive text scores below prose") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.compressionRatio(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // deflate at a fixed level is deterministic within one JVM: rerun equal
+    val b = TextAnalysis.compressionRatio(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(a == b)
+    assert(a.values.forall(r => r > 0 && r <= 1.2)) // tiny docs may expand
+    // planted ordering: template spam below varied prose, via the same path
+    val planted = Seq(
+      (1L, Seq.fill(60)("buy now limited offer").mkString(" ")),
+      (2L, (1 to 240).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) < 0.2, s"repetitive doc ratio ${r(1L)} not low")
+    assert(r(1L) < r(2L) / 2, s"ordering violated: ${r(1L)} vs ${r(2L)}")
+    assert(TextAnalysis.compressionRatio(spark, dir).collect()
+      .find(_.getLong(0) == 1L).get.getBoolean(4)) // flagged repetitive
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val docs = Seq((1L, "spark scan join filter table"),
       (2L, "spark scan join filter table"),
