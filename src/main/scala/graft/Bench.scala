@@ -47,7 +47,9 @@ object Bench {
     val smokeDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
     if (smokeDir.isDirectory) {
       Seq("dedup_ngram_jaccard", "dedup_groups", "sim_topk_ann",
-        "dedup_simhash", "text_curation_pipeline")
+        "dedup_simhash", "text_curation_pipeline",
+        "text_span_dedup", "text_trainer_pipeline",
+        "mm_resize", "mm_audio_features", "mm_video_frames")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, smokeDir.toString).count()
           catch { case _: Throwable => }

@@ -15,7 +15,9 @@ object Explain {
         "rel_join_range", "rel_agg_salted", "rel_subquery_scalar",
         "rel_topk_grouped", "rel_window_range_frame",
         "sim_neardup_pairs", "dedup_minhash_lsh",
-        "text_decontaminate", "text_domain_mix", "text_repetition")
+        "text_decontaminate", "text_domain_mix", "text_repetition",
+        "text_span_dedup", "text_trainer_pipeline",
+        "text_bloom_decontaminate", "text_data_card", "sim_retrieve_docs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -193,4 +193,39 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS li_bucket_b")
     }
   }
+
+  test("spanDedup plan: first-occurrence is a hash aggregate with partial combine") {
+    // The packed-long rewrite exists so a hot boilerplate window collapses
+    // map-side; a regression to min(struct) would reappear as
+    // SortAggregate over the full window stream. Pin the pre-AQE plan.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.operators.Curation.spanDedup(d).queryExecution.sparkPlan
+    val hashAggs = plan.collect { case h: HashAggregateExec => h }
+    val sortAggs = plan.collect { case s: SortAggregateExec => s }
+    assert(hashAggs.size >= 2, s"expected partial+final hash aggregates:\n$plan")
+    assert(sortAggs.isEmpty,
+      s"first-occurrence must not sort the window stream:\n$plan")
+  }
+
+  test("trainerPipeline plan: corpus side of decontamination never shuffles before the anti-join") {
+    // The clean-corpus branch must be scan -> filter -> broadcast anti;
+    // an Exchange under the anti-join's streamed side would mean the
+    // 100 TB side shuffles for decontamination.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = graft.operators.Curation
+      .trainerPipeline(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val antiJoins = plan.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, s"decontamination anti-join missing:\n$plan")
+    antiJoins.foreach { j =>
+      val shuffles = j.left.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"corpus side of the anti-join shuffles:\n${j.left}")
+    }
+  }
 }
