@@ -223,6 +223,40 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** The WRITE path behind [[trainShards]]'s audit view: lay the corpus
+    * out as [[NumShards]] shard directories (`shard=K/`, one file each,
+    * doc_id-sorted within) plus a `_manifest.json` (underscore: invisible to
+    * Hadoop input listings, like `_SUCCESS`) whose per-shard rows
+    * are exactly what [[trainShards]] reports — written LAST, so a
+    * manifest's presence certifies a complete layout (the graft-commit
+    * pattern; a crashed write leaves no manifest and a re-run overwrites
+    * in place).
+    *
+    * Shape at scale: `repartition(N, shard)` is the one shuffle;
+    * `sortWithinPartitions` makes each shard file locally ordered for
+    * sequential trainer reads. The manifest aggregate reuses the same
+    * 16-key map-side-combined groupBy as the audit query. */
+  def writeTrainShards(docs: DataFrame, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % NumShards).as("shard")
+    val laid = docs
+      .select(shard, col("doc_id"), col("source"), col("text"),
+        tokenCount(col("text")).as("n_tokens"))
+      .repartition(NumShards, col("shard"))
+      .sortWithinPartitions(col("doc_id"))
+    laid.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = trainShards(docs).collect().map { r =>
+      s"""{"shard_id":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+        s""""sum_tokens":${r.getLong(2)},"min_doc":${r.getLong(3)},""" +
+        s""""max_doc":${r.getLong(4)}}"""
+    }.mkString("[", ",", "]")
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
   // -------------------------------------------------------------------
   // Bloom-filter decontamination
 

@@ -167,6 +167,33 @@ class CurationSpec extends SparkSpec {
     assert(out.count() > 0) // and the query still runs end to end
   }
 
+  test("writeTrainShards: layout + manifest agree with the audit view") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeTrainShards(d, out)
+    // manifest written, parses, and matches the audit query row-for-row
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")), "UTF-8")
+    assert(manifest.startsWith("[") && manifest.contains("\"shard_id\""))
+    val audit = Curation.trainShards(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val laid = spark.read.parquet(out)
+    // partitionBy dir values read back as inferred INT — normalize to long
+    val got = laid.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == audit)
+    // every doc present exactly once; files are doc_id-sorted within shard
+    assert(laid.count() == d.count())
+    assert(laid.select("doc_id").distinct().count() == d.count())
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == Curation.NumShards)
+    val someShard = spark.read.parquet(shardDirs.head.getPath)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(someShard.sorted.sameElements(someShard), "shard not doc_id-sorted")
+  }
+
   test("trainShards: every doc lands in exactly one shard, ids in range") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val shards = Curation.trainShards(d).collect()
