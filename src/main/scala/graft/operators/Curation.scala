@@ -349,6 +349,47 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming decontamination — the deploy-time shape: the eval bloom
+    * sketch and fingerprint set are built ONCE from the static eval split
+    * and shipped to every micro-batch, where `might_contain` runs in
+    * codegen and survivors append to batch-id-keyed overwrite dirs
+    * (idempotent replay, the [[graft.streaming.StreamingDedup]] pattern).
+    * Because contamination is membership in the STATIC eval set, batch
+    * boundaries cannot change the result — the single-drain output equals
+    * the batch [[bloomDecontaminate]], which is what the oracle replays. */
+  def streamDecontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdecon_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdecon_ckpt").toString
+    val staticDocs = Tables.documents(spark, dir)
+    val evalFps = fingerprints(staticDocs)
+      .filter(col("is_eval")).select(col("fp")).distinct().persist()
+    val sketch = buildSketch(evalFps)
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val b = fingerprints(batch.toDF())
+          val confirmed = candidatesFrom(b, sketch)
+            .join(evalFps, Seq("fp"), "left_semi")
+            .select(col("doc_id"))
+          b.filter(!col("is_eval"))
+            .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("fp"))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
   /** The composed trainer-input flagship: decontaminate (bloom-prefilter
     * anti-join) → chunk-level dedup → sequence packing → shard manifest,
     * one declarative plan end to end. Output is what a training launcher
@@ -392,6 +433,18 @@ object Curation {
   val specs: Seq[QuerySpec] = Seq(
     withOracle("text_bloom_decontaminate",
       (s, dir) => bloomDecontaminate(Tables.documents(s, dir)),
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f t
+        |WHERE NOT is_eval
+        |  AND NOT EXISTS (SELECT 1 FROM f e WHERE e.is_eval AND e.fp = t.fp)
+        |ORDER BY doc_id""".stripMargin),
+    // Streaming twin of text_bloom_decontaminate: membership in the
+    // static eval set is batch-boundary-invariant, so the same SQL
+    // oracles the per-micro-batch path.
+    withOracle("stream_decontaminate", streamDecontaminateQuery,
       """WITH f AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval

@@ -100,7 +100,7 @@ object MicroBatchPipeline {
     * — run a bounded drain with shuffles sized to the batch (one shared
     * policy for every streaming drain), restoring the session value
     * after. */
-  private[streaming] def withBatchSizedShuffle[A](spark: SparkSession)(body: => A): A = {
+  private[graft] def withBatchSizedShuffle[A](spark: SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
