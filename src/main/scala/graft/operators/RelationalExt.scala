@@ -518,7 +518,37 @@ object RelationalExt {
 
   import graft.QuerySpec.withOracle
 
+  /** Ranking-function surface in one window pass: rank / dense_rank /
+    * percent_rank / cume_dist over a deliberately coarse key (price
+    * bucket) so ties are real and the four functions genuinely differ.
+    * All four are tie-insensitive (peers share values), so the output is
+    * deterministic without a unique tiebreak; percent_rank and cume_dist
+    * are single IEEE divisions of exact integer counts. */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") / 1000).cast("long").as("price_bucket"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("price_bucket"))
+    base
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_window_ranks", windowRanks,
+      """SELECT o_orderkey, o_custkey, price_bucket,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cume
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket
+        |  FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_bucket)
+        |ORDER BY o_orderkey""".stripMargin),
     withOracle("rel_join_asof", joinAsof,
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,

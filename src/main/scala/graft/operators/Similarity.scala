@@ -485,6 +485,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered vector search — top-k under a metadata predicate (the
+    * "hybrid search" shape every vector store grew in 2023): candidates
+    * are restricted to documents from even-numbered sources BEFORE
+    * scoring, so the filter prunes the scan instead of post-filtering a
+    * larger top-k (post-filtering under-fills k when the predicate is
+    * selective; pre-filtering is exact). At scale the predicate pushes
+    * into the corpus scan — `.explain` shows it under PushedFilters when
+    * it's a parquet-resident column. */
+  def topKFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(substring(col("source"), 4, 10).cast("int") % 2 === 0)
+    val corpus = emb.join(meta, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("source"))
+    val queries = emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("source"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("source"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Retrieval composition — the RAG-serving shape: exact top-k over the
     * embedding corpus, then the tiny hit list (|queries| x k rows)
     * broadcast back against the documents table to fetch text metadata
@@ -514,6 +543,18 @@ object Similarity {
          |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $NumQueryVectors)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_topk_filtered", topKFiltered,
+      s"""SELECT query_id, rank, vec_id, source, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, d.source,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
+         |  FROM embeddings q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  JOIN documents d ON d.doc_id = c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors
+         |    AND CAST(substring(d.source, 4, 10) AS INT) % 2 = 0)
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_retrieve_docs", retrieveDocs,
       s"""WITH hits AS (SELECT query_id, rank, vec_id, score FROM (
