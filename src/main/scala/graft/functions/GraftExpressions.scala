@@ -297,6 +297,40 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Learned-vocabulary tokenization counts: WordPiece-style greedy
+    * longest-match over each whitespace word against a trained vocab,
+    * returning [n_units, n_unk] per document. The vocab ships with the
+    * expression (like [[PqEncode]]'s codebooks) and becomes a codegen
+    * reference object, so the segmentation loop runs inside whole-stage
+    * codegen — one corpus pass computes learned-token budgets at 100 TB. */
+  case class WordpieceCounts(child: Expression, vocab: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val vocabSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](vocab.size * 2)
+      vocab.foreach(s.add)
+      s
+    }
+    @transient private lazy val maxLen: Int =
+      if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "wordpiece_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.wordpieceCounts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        vocabSet, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("wordpieceVocab", vocabSet,
+          "java.util.HashSet<String>")
+        s"${ev.value} = graft.functions.ShingleUtil.wordpieceCounts($c, $ref, $maxLen);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All L random-hyperplane LSH bucket signatures in one generated loop
     * nest: bucket t has bit b set iff dot(v, plane[t*bits+b]) >= 0 (the
     * table index rides along as the posexplode position downstream).
@@ -549,4 +583,7 @@ object GraftExpressions {
   def pqEncode(v: Column, codebooks: Array[Array[Double]],
       m: Int, ks: Int): Column =
     column(PqEncode(expression(v), codebooks, m, ks))
+
+  def wordpieceCounts(text: Column, vocab: Seq[String]): Column =
+    column(WordpieceCounts(expression(text), vocab))
 }

@@ -204,4 +204,35 @@ object ShingleUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** WordPiece-style greedy longest-match segmentation over whitespace
+    * words: per word, repeatedly consume the longest prefix present in
+    * `vocab` (bounded by `maxLen`); a position with no match (not even
+    * its single character) consumes one char as an UNK unit. Returns
+    * [n_units, n_unk]. Shared by interpreted eval and generated code of
+    * [[GraftExpressions.WordpieceCounts]]. */
+  def wordpieceCounts(s: UTF8String, vocab: java.util.HashSet[String],
+      maxLen: Int): ArrayData = {
+    var units = 0L
+    var unk = 0L
+    val text = s.toString
+    var ws = 0
+    val n = text.length
+    while (ws <= n) {
+      var we = text.indexOf(' ', ws)
+      if (we < 0) we = n
+      var i = ws
+      while (i < we) {
+        var j = math.min(we, i + maxLen)
+        var matched = -1
+        while (j > i && matched < 0) {
+          if (vocab.contains(text.substring(i, j))) matched = j else j -= 1
+        }
+        if (matched < 0) { unk += 1; units += 1; i += 1 }
+        else { units += 1; i = matched }
+      }
+      ws = we + 1
+    }
+    new GenericArrayData(Array(units, unk))
+  }
 }

@@ -182,6 +182,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("lang_pred"))
 
+  /** Learned vocabulary size for [[wordpieceTokens]] (most-frequent whole
+    * words; single characters are always included as the back-off). */
+  val WordpieceTopWords = 256
+
+  /** Train the wordpiece vocab from the corpus: the top
+    * [[WordpieceTopWords]] words by (count desc, word asc) — a
+    * deterministic distributed aggregate whose driver collect is BOUNDED
+    * at the vocab size (the IVF-centroid pattern) — plus every distinct
+    * character as the segmentation back-off. */
+  def trainWordpieceVocab(docs: DataFrame): Seq[String] = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(WordpieceTopWords)
+      .collect().map(_.getString(0))
+    val chars = docs
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= " " && length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0))
+    (words ++ chars).distinct.toSeq
+  }
+
+  /** Tokenize the corpus with the LEARNED vocabulary: greedy
+    * longest-match wordpiece segmentation (codegen
+    * [[graft.functions.GraftExpressions.WordpieceCounts]]) — the
+    * token-budget accounting a trainer does with its real tokenizer,
+    * upgraded from [[tokenizeRegex]]'s fixed regex to a data-trained
+    * vocab. ROWS-ONLY: the vocab is trained from the data at query-build
+    * time, so no static SQL replays it; the kernel is pinned in
+    * KernelSpec against an independent reimplementation and the query
+    * against hand-computable fixtures. */
+  def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = trainWordpieceVocab(docs)
+    val counts = graft.functions.GraftExpressions
+      .wordpieceCounts(col("text"), vocab)
+    docs.select(
+      col("doc_id"),
+      element_at(counts, 1).as("n_units"),
+      element_at(counts, 2).as("n_unk"),
+      tokenCount(col("text")).as("n_ws_tokens"))
+      .withColumn("units_per_word",
+        col("n_units").cast("double") / col("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   final case class CompressionRow(doc_id: Long, n_bytes: Long,
       deflated_bytes: Long, ratio: Double, repetitive: Boolean)
 
@@ -372,6 +420,7 @@ object TextAnalysis {
         |  array_to_string(list_slice(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), 1, 3), '|') AS head_units
         |FROM documents ORDER BY doc_id""".stripMargin),
     rowsOnly("text_compression_ratio", compressionRatio),
+    rowsOnly("text_wordpiece_tokens", wordpieceTokens),
     withOracle("text_lang_confusion", langConfusion,
       s"""SELECT lang, $langCaseSql AS lang_pred,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -246,4 +246,57 @@ class KernelSpec extends SparkSpec {
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L)) // one component, min-labeled
   }
+
+  test("WordpieceCounts equals an independent greedy reimplementation") {
+    // independent greedy longest-match, written against the CONTRACT
+    // (not the kernel's code): per word consume the longest vocab prefix,
+    // unmatched positions take one char as an UNK unit
+    def reference(text: String, vocab: Set[String]): (Long, Long) = {
+      val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+      var units = 0L; var unk = 0L
+      text.split(" ", -1).foreach { word =>
+        var i = 0
+        while (i < word.length) {
+          val j = (math.min(word.length, i + maxLen) to (i + 1) by -1)
+            .find(e => vocab.contains(word.substring(i, e)))
+          j match {
+            case Some(e) => units += 1; i = e
+            case None => units += 1; unk += 1; i += 1
+          }
+        }
+      }
+      (units, unk)
+    }
+    val vocab = Seq("the", "cat", "at", "a", "b", "c", "m", "s", "t", "x", "Ü")
+    val df = texts.toDF("text")
+    val got = df.select(col("text"),
+        GraftExpressions.wordpieceCounts(col("text"), vocab).as("wc"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[Long](1)(0), r.getSeq[Long](1)(1)))
+    got.foreach { case (t, counts) =>
+      assert(counts == reference(t, vocab.toSet), s"text '$t'")
+    }
+    // hand-pinned greedy semantics: "ab" has no "ab" entry -> "a"+"b";
+    // "mat" -> "m"+"at" (longest prefix wins over char-by-char);
+    // "z" is not in vocab -> one UNK unit
+    val pinned = Seq("ab mat z").toDF("text")
+      .select(GraftExpressions.wordpieceCounts(col("text"),
+        vocab).as("wc")).collect().head.getSeq[Long](0)
+    assert(pinned == Seq(5L, 1L), s"got $pinned") // a,b | m,at | z(unk)
+  }
+
+  test("wordpieceTokens query: deterministic, ws-token lower bound holds") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.wordpieceTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = TextAnalysis.wordpieceTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b) // vocab training + segmentation fully deterministic
+    assert(a.nonEmpty)
+    // every whitespace word yields >= 1 unit, so n_units >= n_ws_tokens;
+    // corpus words are in-vocab chars, so no UNKs on this testdata
+    TextAnalysis.wordpieceTokens(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(3), s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) == 0L, s"unexpected UNK in doc ${r.getLong(0)}")
+    }
+  }
 }
