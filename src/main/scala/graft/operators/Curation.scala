@@ -207,11 +207,16 @@ object Curation {
     * 16-value key (map-side combine collapses everything before the
     * exchange).
     */
-  def trainShards(docs: DataFrame): DataFrame = {
-    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long") % NumShards).as("shard_id")
+  /** The md5-mod shard key, shared by the audit view and the write path
+    * so the two can never drift. */
+  private def shardKey: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % NumShards
+
+  def trainShards(docs: DataFrame): DataFrame =
     docs
-      .select(shard, col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .select(shardKey.as("shard_id"), col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
