@@ -226,7 +226,6 @@ object Curation {
       .withColumn("avg_tokens",
         col("sum_tokens").cast("double") / col("n_docs"))
       .orderBy(col("shard_id"))
-  }
 
   /** The WRITE path behind [[trainShards]]'s audit view: lay the corpus
     * out as [[NumShards]] shard directories (`shard=K/`, one file each,
@@ -243,10 +242,8 @@ object Curation {
     * 16-key map-side-combined groupBy as the audit query. */
   def writeTrainShards(docs: DataFrame, outDir: String): Unit = {
     val spark = docs.sparkSession
-    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long") % NumShards).as("shard")
     val laid = docs
-      .select(shard, col("doc_id"), col("source"), col("text"),
+      .select(shardKey.as("shard"), col("doc_id"), col("source"), col("text"),
         tokenCount(col("text")).as("n_tokens"))
       .repartition(NumShards, col("shard"))
       .sortWithinPartitions(col("doc_id"))
