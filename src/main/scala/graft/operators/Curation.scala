@@ -362,8 +362,8 @@ object Curation {
   def streamDecontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sdecon_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdecon_ckpt").toString
+    val outDir = graft.TempDirs.scoped("graft_sdecon_out")
+    val ckpt = graft.TempDirs.scoped("graft_sdecon_ckpt")
     val staticDocs = Tables.documents(spark, dir)
     val evalFps = fingerprints(staticDocs)
       .filter(col("is_eval")).select(col("fp")).distinct().persist()
@@ -389,6 +389,9 @@ object Curation {
         .start()
         .awaitTermination()
     }
+    // the drain is done and the output is parquet on disk — the cached
+    // fingerprint set has no further consumers
+    evalFps.unpersist()
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 

@@ -490,9 +490,11 @@ object Similarity {
     * are restricted to documents from even-numbered sources BEFORE
     * scoring, so the filter prunes the scan instead of post-filtering a
     * larger top-k (post-filtering under-fills k when the predicate is
-    * selective; pre-filtering is exact). At scale the predicate pushes
-    * into the corpus scan — `.explain` shows it under PushedFilters when
-    * it's a parquet-resident column. */
+    * selective; pre-filtering is exact). The predicate here is a DERIVED
+    * expression (substring + cast), so parquet cannot push it — it runs
+    * as a post-scan codegen filter, still ahead of the scoring join; a
+    * predicate on a stored column would additionally reach
+    * PushedFilters and prune at the scan. */
   def topKFiltered(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val meta = Tables.documents(s, dir)

@@ -186,11 +186,21 @@ object TextAnalysis {
     * words; single characters are always included as the back-off). */
   val WordpieceTopWords = 256
 
+  /** Back-off alphabet cap: a 100 TB multilingual corpus can hold ~1M+
+    * distinct codepoints worst-case, so the char collect is bounded the
+    * same way the word side is — top-N by frequency with a deterministic
+    * tiebreak. Far above any single-script corpus's alphabet, so at
+    * verification scale the collected set is every distinct char and
+    * outputs are unchanged; beyond the cap, ultra-rare codepoints
+    * segment as UNK (the standard tokenizer trade). */
+  val WordpieceMaxChars = 4096
+
   /** Train the wordpiece vocab from the corpus: the top
     * [[WordpieceTopWords]] words by (count desc, word asc) — a
     * deterministic distributed aggregate whose driver collect is BOUNDED
-    * at the vocab size (the IVF-centroid pattern) — plus every distinct
-    * character as the segmentation back-off. */
+    * at the vocab size (the IVF-centroid pattern) — plus the top
+    * [[WordpieceMaxChars]] characters (same bounded-aggregate shape) as
+    * the segmentation back-off. */
   def trainWordpieceVocab(docs: DataFrame): Seq[String] = {
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
@@ -202,7 +212,10 @@ object TextAnalysis {
     val chars = docs
       .select(explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= " " && length(col("ch")) > 0)
-      .distinct().collect().map(_.getString(0))
+      .groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("ch").asc)
+      .limit(WordpieceMaxChars)
+      .collect().map(_.getString(0))
     (words ++ chars).distinct.toSeq
   }
 
@@ -254,7 +267,7 @@ object TextAnalysis {
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6, /* nowrap = */ true)
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, src) =>
+        val mapped = rows.map { case (id, src) =>
           deflater.reset()
           deflater.setInput(src)
           deflater.finish()
@@ -263,6 +276,18 @@ object TextAnalysis {
           val ratio = if (src.isEmpty) 1.0 else out.toDouble / src.length
           CompressionRow(id, src.length.toLong, out, ratio,
             ratio < RepetitiveBelow)
+        }
+        // release the native zlib buffers when the partition drains —
+        // waiting for GC accumulates native memory across tasks in a
+        // long-lived executor (end() is idempotent, so repeated hasNext
+        // after exhaustion is harmless)
+        new Iterator[CompressionRow] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): CompressionRow = mapped.next()
         }
       }
       .toDF()

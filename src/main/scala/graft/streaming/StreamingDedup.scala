@@ -159,15 +159,20 @@ object StreamingDedup {
   /** Batch id encoded in a slice directory name (`b<id>` for raw slices,
     * `c<id>` for compactions — a compaction's id is the highest batch it
     * contains). Single parser shared by [[nextBatchId]] and
-    * [[compactState]] so the naming scheme cannot drift. */
-  private def sliceBatch(dir: String): Long = {
-    val name = dir.substring(dir.lastIndexOf('/') + 1)
-    name.stripPrefix("c").stripPrefix("b").toLong
-  }
+    * [[compactState]] so the naming scheme cannot drift. Strict match:
+    * a foreign entry under the index dir (say a stray `_SUCCESS`-like
+    * dir, or `bc1`, which a loose stripPrefix parse would read as id 1)
+    * yields None and is skipped rather than misparsed. */
+  private val SliceName = "^[bc](\\d+)$".r
+  private def sliceBatch(dir: String): Option[Long] =
+    dir.substring(dir.lastIndexOf('/') + 1) match {
+      case SliceName(id) => Some(id.toLong)
+      case _ => None
+    }
 
   /** Next free batch id: one past the newest slice. */
   private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
-    val ids = listSlices(spark, s"$stateDir/bands").map(sliceBatch)
+    val ids = listSlices(spark, s"$stateDir/bands").flatMap(sliceBatch)
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
@@ -284,7 +289,8 @@ object StreamingDedup {
       upToBatchId: Long): Unit = {
     for (sub <- Seq("bands", "sets")) {
       val base = s"$stateDir/$sub"
-      val merge = listSlices(spark, base).filter(sliceBatch(_) <= upToBatchId)
+      val merge = listSlices(spark, base)
+        .filter(sliceBatch(_).exists(_ <= upToBatchId))
       if (merge.size > 1) {
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -322,9 +328,9 @@ object StreamingDedup {
     * candidates equal the exact pair set (asserted by the batch tier's
     * tests), so the exact-SQL oracle covers the streaming path too. */
   def streamNearDupDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = java.nio.file.Files.createTempDirectory("graft_sdedup_state").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_sdedup_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val state = graft.TempDirs.scoped("graft_sdedup_state")
+    val out = graft.TempDirs.scoped("graft_sdedup_out")
+    val ckpt = graft.TempDirs.scoped("graft_sdedup_ckpt")
     val schema = graft.Tables.documents(spark, dir).schema
     val docs = spark.readStream
       .schema(schema)
@@ -344,8 +350,8 @@ object StreamingDedup {
     * contract, so the exact-Jaccard SQL oracle of the single-drain
     * stream applies unchanged. */
   def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = java.nio.file.Files.createTempDirectory("graft_incdedup_state").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_incdedup_out").toString
+    val state = graft.TempDirs.scoped("graft_incdedup_state")
+    val out = graft.TempDirs.scoped("graft_incdedup_out")
     val docs = graft.Tables.documents(spark, dir)
     val top = docs.agg(max(col("doc_id"))).head().getLong(0)
     val (cut1, cut2) = (top / 3, 2 * top / 3)
@@ -365,9 +371,9 @@ object StreamingDedup {
     * — no bucket is near either cap — and the same min-lower-id policy,
     * which first-seen-wins reduces to in a single batch). */
   def streamEmbeddingDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = java.nio.file.Files.createTempDirectory("graft_sededup_state").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_sededup_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sededup_ckpt").toString
+    val state = graft.TempDirs.scoped("graft_sededup_state")
+    val out = graft.TempDirs.scoped("graft_sededup_out")
+    val ckpt = graft.TempDirs.scoped("graft_sededup_ckpt")
     val schema = graft.Tables.embeddings(spark, dir).schema
     val emb = spark.readStream
       .schema(schema)
