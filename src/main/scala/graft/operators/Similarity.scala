@@ -40,7 +40,7 @@ object Similarity {
     * but emitted as a tight Java loop — the N x |queries| and candidate
     * kernels below run inside whole-stage codegen instead of walking an
     * interpreted higher-order-function tree per element. */
-  private def cos(a: Column, b: Column): Column =
+  private[operators] def cos(a: Column, b: Column): Column =
     graft.functions.GraftExpressions.cosineFast(a, b)
 
   /** Exact cosine top-k for query vectors (vec_id < NumQueryVectors)
@@ -238,31 +238,39 @@ object Similarity {
     centroids.map(_.map(_.toFloat)).toSeq
   }
 
+  /** Per-(vector, cell) centroid cosine with each cell's per-vector rank
+    * (`pr` = 1 is the assignment cell; `pr <= IvfProbes` are a query's
+    * probe cells). One row per (vector, cell) with each cosine computed
+    * exactly once — an argmax via greatest + CASE would inline all 16
+    * kernels into every branch after projection collapse (a combinatorial
+    * expression-tree blowup); the explode + rank form keeps the plan
+    * linear. Shared by [[topKIvf]] and the persisted [[IvfIndex]] so the
+    * transient and persisted paths cannot drift. */
+  private[operators] def rankedCells(emb: DataFrame,
+      centroids: Seq[Array[Float]]): DataFrame = {
+    val centroidCols = centroids.map(c => array(c.map(lit): _*))
+    val cellScores = centroidCols.zipWithIndex.map { case (cc, i) =>
+      cos(col("embedding"), cc).as(s"cs_$i")
+    }
+    val scored = emb.select(col("vec_id") +: col("embedding") +: cellScores: _*)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array(centroids.indices.map(i => col(s"cs_$i")): _*))
+          .as(Seq("cell", "cell_score")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_score").desc, col("cell").asc)
+    scored.withColumn("pr", row_number().over(wCell))
+  }
+
   /** Approximate top-k via IVF: corpus vectors are assigned to their
     * nearest centroid cell in one codegen'd pass; each query probes its
     * IvfProbes nearest cells, so per-query cost is the probed cells'
     * population (~ probes/cells of the corpus), independent of N. */
   def topKIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val centroids = learnCentroids(emb)
-    val centroidCols = centroids.map(c => array(c.map(lit): _*))
-    val cellScores = centroidCols.zipWithIndex.map { case (cc, i) =>
-      cos(col("embedding"), cc).as(s"cs_$i")
-    }
-    // One row per (vector, cell) with each cosine computed exactly once —
-    // an argmax via greatest + CASE would inline all 16 kernels into every
-    // branch after projection collapse (a combinatorial expression-tree
-    // blowup); the explode + rank form keeps the plan linear.
-    val scored = emb.select(col("vec_id") +: col("embedding") +: cellScores: _*)
-      .select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until IvfCells).map(i => col(s"cs_$i")): _*))
-          .as(Seq("cell", "cell_score")))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_score").desc, col("cell").asc)
-    val rankedCells = scored.withColumn("pr", row_number().over(wCell))
-    val assigned = rankedCells.filter(col("pr") === 1)
+    val ranked = rankedCells(emb, learnCentroids(emb))
+    val assigned = ranked.filter(col("pr") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val probes = rankedCells
+    val probes = ranked
       .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))

@@ -159,6 +159,17 @@ object StreamQueries {
          |  WHERE ps.vec_b = e.vec_id
          |    AND ps.score >= ${graft.operators.Similarity.NearDupThreshold})
          |ORDER BY e.vec_id""".stripMargin),
+    // Embedding twin of text_incremental_dedup: three vec_id-ordered
+    // slices into one index with a compaction between — monotone split =>
+    // min-lower-id, so the stream_embedding_dedup oracle applies.
+    withOracle("embedding_incremental_dedup",
+      StreamingDedup.incrementalEmbeddingDedupQuery,
+      s"""${graft.operators.Similarity.lshPairScoresCtes}
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps
+         |  WHERE ps.vec_b = e.vec_id
+         |    AND ps.score >= ${graft.operators.Similarity.NearDupThreshold})
+         |ORDER BY e.vec_id""".stripMargin),
     withOracle("stream_hourly_agg", hourlyAggQuery,
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -164,17 +164,23 @@ object StreamingDedup {
     * dir, or `bc1`, which a loose stripPrefix parse would read as id 1)
     * yields None and is skipped rather than misparsed. */
   private val SliceName = "^[bc](\\d+)$".r
-  private def sliceBatch(dir: String): Option[Long] =
+  private[graft] def sliceBatch(dir: String): Option[Long] =
     dir.substring(dir.lastIndexOf('/') + 1) match {
       case SliceName(id) => Some(id.toLong)
       case _ => None
     }
 
-  /** Next free batch id: one past the newest slice. */
-  private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
-    val ids = listSlices(spark, s"$stateDir/bands").flatMap(sliceBatch)
+  /** Next free slice id under a slice base dir: one past the newest
+    * slice. Shared with the persisted ANN index, which reuses this
+    * b/c slice convention for its postings. */
+  private[graft] def nextSliceId(spark: SparkSession, base: String): Long = {
+    val ids = listSlices(spark, base).flatMap(sliceBatch)
     if (ids.isEmpty) 0L else ids.max + 1L
   }
+
+  /** Next free batch id: one past the newest slice. */
+  private def nextBatchId(spark: SparkSession, stateDir: String): Long =
+    nextSliceId(spark, s"$stateDir/bands")
 
   /** One micro-batch: index this batch, candidate-join against the whole
     * index (this batch included, so within-batch dups are caught by the
@@ -259,7 +265,7 @@ object StreamingDedup {
 
   /** Visible (non-hidden) slice directories under an index subdir.
     * Dot-prefixed names are in-flight compaction temps — never read. */
-  private def listSlices(spark: SparkSession, base: String): Seq[String] = {
+  private[graft] def listSlices(spark: SparkSession, base: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(base)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) Seq.empty
@@ -286,34 +292,41 @@ object StreamingDedup {
     * between drains — never concurrently with an active query on the
     * same state dir. */
   def compactState(spark: SparkSession, stateDir: String,
-      upToBatchId: Long): Unit = {
-    for (sub <- Seq("bands", "sets")) {
-      val base = s"$stateDir/$sub"
-      val merge = listSlices(spark, base)
-        .filter(sliceBatch(_).exists(_ <= upToBatchId))
-      if (merge.size > 1) {
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
-        // batch-sized shuffle: the merge must not fragment the compacted
-        // slice into session-default-many part files
-        MicroBatchPipeline.withBatchSizedShuffle(spark) {
-          spark.read.parquet(merge: _*).distinct()
-            .write.mode("overwrite").parquet(tmp.toString)
-        }
-        val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
-        fs.delete(dst, true)
-        // Hadoop FileSystem signals many failures by RETURNING false, not
-        // throwing. An unchecked false here would leave the merge hidden
-        // in the dot-dir while the loop below deletes all inputs —
-        // silently destroying the index. Abort before any deletion.
-        if (!fs.rename(tmp, dst)) throw new IllegalStateException(
-          s"compactState: rename $tmp -> $dst failed; index left unmodified")
-        // dst itself may be among the inputs (re-run after a crash) — it
-        // now holds the fresh merge, so it must survive this cleanup
-        merge.filterNot(_.endsWith(s"/c$upToBatchId"))
-          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      upToBatchId: Long): Unit =
+    for (sub <- Seq("bands", "sets"))
+      compactSlices(spark, s"$stateDir/$sub", upToBatchId) { (merged, dst) =>
+        merged.write.mode("overwrite").parquet(dst)
       }
+
+  /** The generic slice-merge step behind [[compactState]], shared with the
+    * persisted ANN index (whose compacted slice needs a partitioned
+    * write — hence the pluggable writer). Merges all slices with id <=
+    * `upToBatchId` into one `c<upToBatchId>` slice, deduplicated. */
+  private[graft] def compactSlices(spark: SparkSession, base: String,
+      upToBatchId: Long)(write: (DataFrame, String) => Unit): Unit = {
+    val merge = listSlices(spark, base)
+      .filter(sliceBatch(_).exists(_ <= upToBatchId))
+    if (merge.size > 1) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
+      // batch-sized shuffle: the merge must not fragment the compacted
+      // slice into session-default-many part files
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        write(spark.read.parquet(merge: _*).distinct(), tmp.toString)
+      }
+      val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
+      fs.delete(dst, true)
+      // Hadoop FileSystem signals many failures by RETURNING false, not
+      // throwing. An unchecked false here would leave the merge hidden
+      // in the dot-dir while the loop below deletes all inputs —
+      // silently destroying the index. Abort before any deletion.
+      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+        s"compactSlices: rename $tmp -> $dst failed; index left unmodified")
+      // dst itself may be among the inputs (re-run after a crash) — it
+      // now holds the fresh merge, so it must survive this cleanup
+      merge.filterNot(_.endsWith(s"/c$upToBatchId"))
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
   }
 
@@ -363,6 +376,30 @@ object StreamingDedup {
       appendBatch(docs.filter(col("doc_id") > cut2), state, out)
     }
     survivors(spark, out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Embedding twin of [[incrementalDedupQuery]]: the embeddings table
+    * arrives as THREE vec_id-ordered slices appended to one persisted LSH
+    * index, with a compaction (b0+b1 → c1) before the third append — the
+    * nightly-curation shape for a growing embedding corpus. The monotone
+    * slice split makes first-seen-wins coincide with the batch tier's
+    * min-lower-id contract, so dedup_embedding's exact-cosine SQL oracle
+    * applies unchanged. */
+  def incrementalEmbeddingDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_incededup_state")
+    val out = graft.TempDirs.scoped("graft_incededup_out")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendEmbeddingBatch(emb.filter(col("vec_id") <= cut1), state, out)
+      appendEmbeddingBatch(
+        emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), state, out)
+      compactState(spark, state, 1)
+      appendEmbeddingBatch(emb.filter(col("vec_id") > cut2), state, out)
+    }
+    survivors(spark, out).select(col("vec_id")).orderBy(col("vec_id"))
   }
 
   /** Embedding twin of the declared query: survivors of a one-drain
