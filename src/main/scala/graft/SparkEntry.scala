@@ -17,7 +17,8 @@ object SparkEntry {
       pipeline.BpiQueries.specs ++
       operators.TextAnalysis.specs ++ operators.Curation.specs ++
       operators.Dedup.specs ++
-      operators.Similarity.specs ++ streaming.StreamQueries.specs ++
+      operators.Similarity.specs ++ operators.IvfIndex.specs ++
+      streaming.StreamQueries.specs ++
       operators.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables, TempDirs}
+import graft.streaming.StreamingDedup
+
+/** Persisted IVF (inverted-file) ANN index — build once, query repeatedly,
+  * append as the corpus grows. The lifecycle the transient [[Similarity.topKIvf]]
+  * cannot express: that path retrains centroids per query invocation, which is
+  * fine for a one-shot analytic query but wrong for a serving deployment where
+  * the index is built once over 100 TB and then answers query streams.
+  *
+  * On-disk layout under `dir` (the [[StreamingDedup]] b/c slice convention,
+  * shared via [[StreamingDedup.nextSliceId]]/[[StreamingDedup.compactSlices]]
+  * so the two persisted-state implementations cannot drift):
+  *
+  *   - `dir/centroids/` — one tiny parquet of (cell, centroid), written ONCE
+  *     at build time and frozen; appends assign against these, never retrain
+  *     (retraining would silently re-shuffle every existing posting's cell).
+  *   - `dir/postings/b<N>/cell=<c>/` — per-slice postings (vec_id, embedding),
+  *     PARTITIONED BY cell: a query probing `IvfProbes` cells prunes to those
+  *     partition directories at the scan — at 100 TB the scan reads
+  *     probes/cells of the corpus (the IVF contract) straight off the
+  *     directory layout, no filter evaluation over cold data.
+  *   - compaction merges slices `b0..bN` into `c<N>` ([[compact]]), keeping
+  *     listing + footer overhead flat as append count grows.
+  *
+  * Replay safety matches [[StreamingDedup.appendBatch]]: each append writes
+  * its own overwrite-mode slice dir keyed by slice id, so a retried append
+  * replaces its partial output instead of doubling it.
+  */
+object IvfIndex {
+
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+
+  /** Build the index: train centroids from the corpus (or freeze the given
+    * ones — the rebuild-equivalence tests and cross-index comparisons need
+    * centroid-identical indexes) and write slice b0 of the postings. */
+  def build(emb: DataFrame, dir: String,
+      centroids: Option[Seq[Array[Float]]] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir(dir))
+    appendSlice(emb, dir, cents, sliceId = 0L)
+  }
+
+  /** Append a new corpus slice: assign against the FROZEN centroids and
+    * write a new postings slice. Returns the slice id. Passing an id
+    * already in the index replaces that slice (idempotent replay). */
+  def append(emb: DataFrame, dir: String, sliceId: Long = -1L): Long = {
+    val spark = emb.sparkSession
+    val id = if (sliceId >= 0) sliceId
+      else StreamingDedup.nextSliceId(spark, postingsDir(dir))
+    appendSlice(emb, dir, loadCentroids(spark, dir), id)
+    id
+  }
+
+  private def appendSlice(emb: DataFrame, dir: String,
+      cents: Seq[Array[Float]], sliceId: Long): Unit =
+    Similarity.rankedCells(emb.select(col("vec_id"), col("embedding")), cents)
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${postingsDir(dir)}/b$sliceId")
+
+  /** Merge postings slices `<= upToSliceId` into one `c<id>` slice — the
+    * [[StreamingDedup.compactSlices]] machinery with a partitioned writer,
+    * so the compacted slice keeps the cell directory layout (and with it
+    * partition pruning). Bit-identical results before and after: postings
+    * carry no slice-order semantics, only (vec_id, embedding, cell). */
+  def compact(spark: SparkSession, dir: String, upToSliceId: Long): Unit =
+    StreamingDedup.compactSlices(spark, postingsDir(dir), upToSliceId) {
+      (merged, dst) =>
+        merged.write.mode("overwrite").partitionBy("cell").parquet(dst)
+    }
+
+  /** The frozen centroid table, cell-ordered (16 rows — a driver read the
+    * same size as the per-query LUTs the PQ path builds). */
+  def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
+    spark.read.parquet(centroidsDir(dir))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .toSeq
+
+  /** All postings across slices. Each slice is read under its own root so
+    * the cell partition column is discovered per slice — no basePath
+    * coupling between slices. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    StreamingDedup.listSlices(spark, postingsDir(dir))
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+
+  /** Answer a query frame (query_id, qv) against the persisted index:
+    * rank cells per query through the shared [[Similarity.rankedCells]]
+    * (so the persisted and transient probe definitions cannot drift),
+    * prune the postings scan to the probed cells — a driver-side id list
+    * bounded by [[Similarity.IvfCells]], never data — then score the
+    * probed postings against the broadcast query set and keep the top
+    * [[Similarity.TopK]] per query. */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    val probes = Similarity.rankedCells(
+        queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+        cents)
+      .filter(col("pr") <= Similarity.IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    // <= IvfCells ints on the driver: the partition-pruning predicate,
+    // not a data collect.
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    postings(spark, dir)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The standard query set of the sim_* family (vec_id < NumQueryVectors)
+    * as a (query_id, qv) frame. */
+  private def standardQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Declared query: build the persisted index from the embeddings table,
+    * then answer the standard query set from the persisted state. Same
+    * centroids, probes and scoring as [[Similarity.topKIvf]] (pinned equal
+    * in IvfIndexSpec), but every byte of index state round-trips through
+    * parquet — the serving lifecycle, not the analytic one. ROWS-ONLY:
+    * centroids are trained from the data at build time, so no static SQL
+    * reproduces them; equality with the transient path plus its recall pin
+    * carry the correctness argument. */
+  def topKIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfidx")
+    build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), idx)
+    topK(s, idx, standardQueries(s, dir))
+  }
+
+  /** Declared query — streaming ANN serving, the serving twin of
+    * [[Curation.streamDecontaminateQuery]]'s pattern: the index is built
+    * ONCE from the static corpus; a micro-batch query stream is answered
+    * against it, each batch's results landing in an overwrite-mode
+    * `b<batchId>` dir (idempotent replay). The index is static during the
+    * drain and each query is answered independently, so batch boundaries
+    * cannot change the result — the drain equals [[topKIvfPersisted]]
+    * (pinned in IvfIndexSpec, including a two-batch split). */
+  def streamAnnServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val idx = TempDirs.scoped("graft_annserve_idx")
+    val out = TempDirs.scoped("graft_annserve_out")
+    val ckpt = TempDirs.scoped("graft_annserve_ckpt")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          serveBatch(spark, idx, batch.toDF(), out, batchId)
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One serving micro-batch: answer `queries` against the persisted index,
+    * write to the batch-keyed overwrite dir. Factored out so the
+    * batch-boundary-invariance test drives the exact code the stream runs. */
+  private[graft] def serveBatch(spark: SparkSession, idx: String,
+      queries: DataFrame, out: String, batchId: Long): Unit =
+    topK(spark, idx, queries)
+      .write.mode("overwrite").parquet(s"$out/b$batchId")
+
+  import graft.QuerySpec.rowsOnly
+
+  val specs: Seq[QuerySpec] = Seq(
+    rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
+    rowsOnly("stream_ann_serve", streamAnnServeQuery))
+}

@@ -311,9 +311,14 @@ object StreamingDedup {
         .getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
       // batch-sized shuffle: the merge must not fragment the compacted
-      // slice into session-default-many part files
+      // slice into session-default-many part files. Each slice is read
+      // under its own root and unioned by name: a single multi-root read
+      // would trip partition discovery on partitioned slices (the
+      // persisted ANN index's cell=N layout) with
+      // CONFLICTING_DIRECTORY_STRUCTURES.
       MicroBatchPipeline.withBatchSizedShuffle(spark) {
-        write(spark.read.parquet(merge: _*).distinct(), tmp.toString)
+        write(merge.map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .distinct(), tmp.toString)
       }
       val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
       fs.delete(dst, true)

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends SparkSpec {
+
+  private def keyOf(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def queriesOf(dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  test("persisted query path equals the transient topKIvf exactly") {
+    // Same corpus, same deterministic centroid training => the persisted
+    // round-trip (centroids + postings through parquet) must change nothing.
+    val persisted = IvfIndex.topKIvfPersisted(spark, sf)
+    val transient = Similarity.topKIvf(spark, sf)
+    assert(keyOf(persisted) == keyOf(transient))
+    assert(keyOf(persisted).nonEmpty)
+  }
+
+  test("append-then-query equals rebuild-then-query (frozen centroids)") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
+
+    // Incremental: build from the first slice, append the rest, compact
+    // between appends (so the query path reads a compacted c slice too).
+    val inc = TempDirs.scoped("graft_ivf_inc")
+    IvfIndex.build(emb.filter(col("vec_id") <= cut1), inc)
+    IvfIndex.append(emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), inc)
+    IvfIndex.compact(spark, inc, 1)
+    IvfIndex.append(emb.filter(col("vec_id") > cut2), inc)
+
+    // Rebuild: one slice over the full corpus under the SAME centroids
+    // (appends never retrain, so equality is over the frozen geometry).
+    val full = TempDirs.scoped("graft_ivf_full")
+    IvfIndex.build(emb, full,
+      centroids = Some(IvfIndex.loadCentroids(spark, inc)))
+
+    val q = queriesOf(sf)
+    assert(keyOf(IvfIndex.topK(spark, inc, q)) ==
+      keyOf(IvfIndex.topK(spark, full, q)))
+  }
+
+  test("compaction leaves results bit-identical and removes merged slices") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val idx = TempDirs.scoped("graft_ivf_compact")
+    IvfIndex.build(emb.filter(col("vec_id") <= top / 2), idx)
+    IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx)
+    val q = queriesOf(sf)
+    val before = keyOf(IvfIndex.topK(spark, idx, q))
+    IvfIndex.compact(spark, idx, 1)
+    val slices = graft.streaming.StreamingDedup
+      .listSlices(spark, s"$idx/postings").map(_.split('/').last)
+    assert(slices == Seq("c1"), s"expected one compacted slice, got $slices")
+    assert(keyOf(IvfIndex.topK(spark, idx, q)) == before)
+  }
+
+  test("replayed append slice id overwrites instead of doubling postings") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val idx = TempDirs.scoped("graft_ivf_replay")
+    IvfIndex.build(emb.filter(col("vec_id") <= top / 2), idx)
+    val id = IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx)
+    val n = IvfIndex.postings(spark, idx).count()
+    IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx, sliceId = id)
+    assert(IvfIndex.postings(spark, idx).count() == n)
+  }
+
+  test("query scan is pruned to the probed cells (partition pruning)") {
+    val idx = TempDirs.scoped("graft_ivf_prune")
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    IvfIndex.build(emb, idx)
+    val plan = IvfIndex.topK(spark, idx, queriesOf(sf))
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    val postingsScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings")))
+    assert(postingsScans.nonEmpty)
+    // The probe-cell isin predicate must land on the partition column of
+    // every postings scan — at 100 TB this is what turns "scan the corpus"
+    // into "scan probes/cells of it".
+    postingsScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"postings scan has no partition filters: ${s.simpleStringWithNodeId()}")
+    }
+  }
+
+  test("streaming ANN serving is batch-boundary invariant and equals the drain") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idx = TempDirs.scoped("graft_ivf_serve_idx")
+    IvfIndex.build(emb, idx)
+    val q = queriesOf(sf)
+
+    // One batch with all queries vs the same queries split across two
+    // batches: the index is static and queries are independent, so the
+    // union of per-batch outputs must be identical.
+    val out1 = TempDirs.scoped("graft_ivf_serve1")
+    IvfIndex.serveBatch(spark, idx, q, out1, 0L)
+    val one = keyOf(spark.read.parquet(s"$out1/b*")
+      .orderBy(col("query_id"), col("rank")))
+
+    val out2 = TempDirs.scoped("graft_ivf_serve2")
+    IvfIndex.serveBatch(spark, idx, q.filter(col("query_id") < 2), out2, 0L)
+    IvfIndex.serveBatch(spark, idx, q.filter(col("query_id") >= 2), out2, 1L)
+    val two = keyOf(spark.read.parquet(s"$out2/b*")
+      .orderBy(col("query_id"), col("rank")))
+
+    assert(one == two)
+    assert(one.nonEmpty)
+
+    // And the declared streaming drain equals the persisted batch query.
+    val streamed = IvfIndex.streamAnnServeQuery(spark, sf)
+    assert(keyOf(streamed) == keyOf(IvfIndex.topKIvfPersisted(spark, sf)))
+  }
+}
