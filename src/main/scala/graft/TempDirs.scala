@@ -9,39 +9,76 @@ package graft
   * invocation's index and double its survivors) — and ONE JVM shutdown
   * hook deletes everything recursively, so repeated bench/verify
   * invocations no longer leak disk past the session. Within a session the
-  * footprint is bounded by the invocation count; returned frames are lazy
-  * over these dirs, which is why cleanup waits for JVM exit instead of
-  * racing the caller's reads.
+  * footprint is bounded by min(invocation count, [[TempDirs.MaxDirs]]):
+  * returned frames are lazy over these dirs, which is why cleanup waits
+  * for JVM exit, with oldest-first eviction as a resident-service backstop
+  * once the cap is crossed.
   */
-object TempDirs {
+private[graft] class TempDirRegistry(cap: Int) {
 
   private val created = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
 
-  // Initialized on first use; Scala lazy vals are thread-safe, so exactly
-  // one hook is ever registered.
-  private lazy val hookInstalled: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.synchronized { created.foreach(deleteRecursively) }
-    }, "graft-tempdir-cleanup"))
-  }
-
   /** A fresh temp directory, registered for recursive deletion at JVM
-    * exit. */
+    * exit (or eager oldest-first eviction once `cap` older dirs have
+    * accumulated). */
   def scoped(prefix: String): String = {
-    hookInstalled
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    created.synchronized { created += p }
+    created.synchronized {
+      created += p
+      while (created.size > cap) {
+        val oldest = created.remove(0)
+        try deleteRecursively(oldest) catch { case _: Exception => () }
+      }
+    }
     p.toString
   }
+
+  /** Live registered dirs (eviction test hook). */
+  private[graft] def liveCount: Int = created.synchronized { created.size }
+
+  protected def deleteAll(): Unit =
+    // per-dir isolation: one undeletable dir (permissions, live handles)
+    // must not abort cleanup of the rest
+    created.synchronized {
+      created.foreach(p => try deleteRecursively(p) catch {
+        case _: Exception => ()
+      })
+    }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(root)) {
       val stream = Files.walk(root)
       try {
+        // Files.walk streams surface I/O failures as UncheckedIOException
+        // (a RuntimeException) — catching IOException alone would let one
+        // bad entry propagate out of forEach, kill the cleanup thread, and
+        // skip deletion of everything after it.
         stream.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+          .forEach(p => try Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => ()
+            case _: java.io.UncheckedIOException => ()
+          })
       } finally stream.close()
     }
   }
+}
+
+object TempDirs extends TempDirRegistry(512) {
+
+  /** Resident-service backstop: beyond this many live registered dirs the
+    * OLDEST are evicted eagerly instead of waiting for JVM exit, bounding
+    * a long-lived session's disk footprint at ~MaxDirs query states. Far
+    * above any bench/verify invocation count (~3 dirs per streaming query,
+    * ~100 queries, 2 passes), so eviction never fires during the harness —
+    * the oldest dirs there may still back lazy frames, which is why the
+    * cap is a backstop, not an aggressive GC. Keep in sync with the
+    * extends clause above (a literal there — referencing this val in the
+    * object's own superclass constructor is an init-order trap). */
+  private[graft] final val MaxDirs = 512
+
+  // One hook for the whole session; Scala object init is thread-safe, so
+  // exactly one is ever registered.
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => deleteAll(), "graft-tempdir-cleanup"))
 }

@@ -266,8 +266,16 @@ object TextAnalysis {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6, /* nowrap = */ true)
+        // release the native zlib buffers on TASK COMPLETION, not iterator
+        // exhaustion: a partially consumed partition (limit/take, task
+        // kill, downstream early-exit) never drains the iterator, which is
+        // exactly the long-lived-executor scenario where waiting for GC
+        // accumulates native memory. The listener fires on success,
+        // failure, and cancellation alike (end() is idempotent).
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => deflater.end())
         val buf = new Array[Byte](1 << 16)
-        val mapped = rows.map { case (id, src) =>
+        rows.map { case (id, src) =>
           deflater.reset()
           deflater.setInput(src)
           deflater.finish()
@@ -276,18 +284,6 @@ object TextAnalysis {
           val ratio = if (src.isEmpty) 1.0 else out.toDouble / src.length
           CompressionRow(id, src.length.toLong, out, ratio,
             ratio < RepetitiveBelow)
-        }
-        // release the native zlib buffers when the partition drains —
-        // waiting for GC accumulates native memory across tasks in a
-        // long-lived executor (end() is idempotent, so repeated hasNext
-        // after exhaustion is harmless)
-        new Iterator[CompressionRow] {
-          def hasNext: Boolean = {
-            val h = mapped.hasNext
-            if (!h) deflater.end()
-            h
-          }
-          def next(): CompressionRow = mapped.next()
         }
       }
       .toDF()

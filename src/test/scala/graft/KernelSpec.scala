@@ -299,4 +299,23 @@ class KernelSpec extends SparkSpec {
       assert(r.getLong(2) == 0L, s"unexpected UNK in doc ${r.getLong(0)}")
     }
   }
+
+  test("wordpiece char cap is not reached at verification scale") {
+    import graft.operators.TextAnalysis
+    // The WordpieceMaxChars back-off cap changes tokenizer output (UNK
+    // segmentation) once a corpus holds more distinct codepoints than the
+    // cap, and text_wordpiece_tokens has no oracle to catch that drift.
+    // Pin the headroom: if a corpus change pushes the alphabet toward the
+    // cap, this fails loudly instead of silently altering outputs.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val distinctChars = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= " " && length(col("ch")) > 0)
+        .select(col("ch")).distinct().count()
+      assert(distinctChars < TextAnalysis.WordpieceMaxChars,
+        s"$dir: $distinctChars distinct chars >= cap " +
+          s"${TextAnalysis.WordpieceMaxChars} — vocab back-off now truncates " +
+          "and wordpiece outputs silently change")
+    }
+  }
 }

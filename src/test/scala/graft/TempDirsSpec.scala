@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TempDirsSpec extends AnyFunSuite {
+
+  test("registry evicts oldest dirs beyond the cap, newest survive") {
+    val reg = new TempDirRegistry(cap = 3)
+    val dirs = (1 to 5).map(_ => reg.scoped("graft_tempdirs_test"))
+    assert(reg.liveCount == 3)
+    // oldest two evicted from disk, newest three still present
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs(0))))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs(1))))
+    dirs.drop(2).foreach { d =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    }
+  }
+
+  test("eviction deletes non-empty dirs recursively") {
+    val reg = new TempDirRegistry(cap = 1)
+    val d1 = reg.scoped("graft_tempdirs_deep")
+    val nested = java.nio.file.Paths.get(d1, "a", "b")
+    java.nio.file.Files.createDirectories(nested)
+    java.nio.file.Files.write(nested.resolve("f.txt"), "x".getBytes)
+    reg.scoped("graft_tempdirs_next") // pushes d1 past the cap
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)))
+    assert(reg.liveCount == 1)
+  }
+
+  test("session registry cap leaves harness invocation counts untouched") {
+    // The backstop must never fire during bench/verify (~3 dirs per
+    // streaming query, ~15 such queries, 2 passes ≈ 90 dirs) — eviction
+    // there could delete dirs still backing lazy frames.
+    assert(TempDirs.MaxDirs >= 256)
+  }
+}

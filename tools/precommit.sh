@@ -22,12 +22,16 @@ fi
 echo "== 2/4 test =="
 sbt --client test
 
-echo "== 3/4 verify (sf0.01) =="
-OUT=/tmp/precommit_verify
+# Data dir is overridable so the gate isn't hard-coupled to this host's
+# layout; the default matches the driver's verification scale.
+DATA="${GRAFT_TESTDATA:-/root/testdata/sf0.01}"
+
+echo "== 3/4 verify ($DATA) =="
+OUT="${GRAFT_PRECOMMIT_OUT:-/tmp/precommit_verify}"
 rm -rf "$OUT"
-sbt --client "runMain graft.Verify /root/testdata/sf0.01 $OUT"
+sbt --client "runMain graft.Verify $DATA $OUT"
 
 echo "== 4/4 oracle diff =="
-python3 tools/local_check.py "$OUT" /root/testdata/sf0.01
+python3 tools/local_check.py "$OUT" "$DATA"
 
 echo "== precommit gate GREEN =="
