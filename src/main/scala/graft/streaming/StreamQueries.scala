@@ -127,6 +127,28 @@ object StreamQueries {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .orderBy(col("purchase_id"), col("click_id"))
 
+  /** The same stream-stream join under the RocksDB state-store provider —
+    * the declared 100 TB step for streaming state (off-heap, changelog-
+    * checkpointable). Declared as its own query so BOTH claims are on the
+    * official record: the driver's oracle proves the provider switch is
+    * result-identical on the heaviest stateful query (symmetric join
+    * state), and the bench artifact carries a measured RocksDB timing
+    * next to the HDFS-backed twin. The provider is baked into the stream
+    * at start; the session value is restored afterwards. */
+  def streamStreamJoinRocksDbQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // runToResult drains the stream before returning, so the provider
+    // conf can be restored here without racing the query.
+    try streamStreamJoinQuery(s, dir)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -230,6 +252,16 @@ object StreamQueries {
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin),
     withOracle("stream_stream_join", streamStreamJoinQuery,
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin),
+    // Same semantics, RocksDB state store: the identical oracle IS the
+    // result-identity proof for the provider switch.
+    withOracle("stream_stream_join_rocksdb", streamStreamJoinRocksDbQuery,
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
         |FROM events p JOIN events c
