@@ -18,7 +18,7 @@ object SparkEntry {
       operators.TextAnalysis.specs ++ operators.Curation.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++ operators.IvfIndex.specs ++
-      operators.PqIndex.specs ++
+      operators.PqIndex.specs ++ operators.IvfPqIndex.specs ++
       streaming.StreamQueries.specs ++
       operators.Multimodal.specs
 

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables, TempDirs}
+import graft.streaming.StreamingDedup
+
+/** Persisted IVF+PQ index — the composition a 100 TB ANN deployment
+  * actually runs (the FAISS `IndexIVFPQ` shape, here in its
+  * `by_residual=false` form: codes encode the normalized vector itself,
+  * not the cell residual, so the spherical-PQ dot-product LUTs stay exact
+  * approximations of cosine and one codebook serves every cell):
+  *
+  *   - IVF prunes WHICH rows are scanned: postings are partitioned by
+  *     cell, a query reads only its probed cells' directories.
+  *   - PQ shrinks WHAT is scanned: the probed partitions hold ~16-byte
+  *     (vec_id, codes) rows, not 256-byte vectors; the ADC scan costs m
+  *     array lookups per row.
+  *   - Exact re-rank: the top [[Similarity.PqRerank]] ADC candidates per
+  *     query fetch their full vectors back by id (broadcast hit list) and
+  *     re-rank under the exact cosine kernel.
+  *
+  * Per-query scanned bytes ≈ corpus × (probes/cells) × (16B/row-width) —
+  * the two pruning axes multiply, which is why this layout is the default
+  * at extreme scale. Both axes ride the SAME persisted machinery as the
+  * single-axis indexes ([[IvfIndex]], [[PqIndex]]): frozen centroids AND
+  * codebooks at build, overwrite-mode b/c slices for appends, shared
+  * compaction.
+  */
+object IvfPqIndex {
+
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def codebooksDir(dir: String) = s"$dir/codebooks"
+
+  /** Build: train IVF centroids and PQ codebooks from the corpus (or
+    * freeze the given ones), write postings slice b0. */
+  def build(emb: DataFrame, dir: String,
+      centroids: Option[Seq[Array[Float]]] = None,
+      codebooks: Option[Array[Array[Double]]] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
+    val cbs = codebooks.getOrElse(Similarity.learnPqCodebooks(emb))
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir(dir))
+    cbs.zipWithIndex.map { case (c, i) =>
+      (i / Similarity.PqCodebookSize, i % Similarity.PqCodebookSize, c.toSeq)
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(codebooksDir(dir))
+    appendSlice(emb, dir, cents, cbs, sliceId = 0L)
+  }
+
+  /** Append a corpus slice against the FROZEN centroids and codebooks.
+    * Passing an existing id replaces that slice (idempotent replay). */
+  def append(emb: DataFrame, dir: String, sliceId: Long = -1L): Long = {
+    val spark = emb.sparkSession
+    val id = if (sliceId >= 0) sliceId
+      else StreamingDedup.nextSliceId(spark, postingsDir(dir))
+    appendSlice(emb, dir, loadCentroids(spark, dir),
+      loadCodebooks(spark, dir), id)
+    id
+  }
+
+  private def appendSlice(emb: DataFrame, dir: String,
+      cents: Seq[Array[Float]], cbs: Array[Array[Double]],
+      sliceId: Long): Unit =
+    Similarity.rankedCells(emb.select(col("vec_id"), col("embedding")), cents)
+      .filter(col("pr") === 1)
+      .select(col("vec_id"),
+        graft.functions.GraftExpressions.pqEncode(col("embedding"), cbs,
+          Similarity.PqSubspaces, Similarity.PqCodebookSize).as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${postingsDir(dir)}/b$sliceId")
+
+  /** Merge postings slices `<= upToSliceId`, keeping the cell layout. */
+  def compact(spark: SparkSession, dir: String, upToSliceId: Long): Unit =
+    StreamingDedup.compactSlices(spark, postingsDir(dir), upToSliceId) {
+      (merged, dst) =>
+        merged.write.mode("overwrite").partitionBy("cell").parquet(dst)
+    }
+
+  def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
+    spark.read.parquet(centroidsDir(dir))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .toSeq
+
+  def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(codebooksDir(dir))
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(_.getSeq[Double](2).toArray)
+
+  /** All persisted (vec_id, codes, cell) postings across slices. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    StreamingDedup.listSlices(spark, postingsDir(dir))
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+
+  /** Answer a query frame (query_id, qv): probe cells via the shared
+    * [[Similarity.rankedCells]], prune the postings scan to the probed
+    * cells (partition dirs), ADC-rank the surviving codes with per-query
+    * driver-built LUTs, fetch the top [[Similarity.PqRerank]] candidates'
+    * vectors back from `corpus` by id, exact re-rank, top-k. */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, dir)
+    val cbs = loadCodebooks(spark, dir)
+    val probes = Similarity.rankedCells(
+        queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+        cents)
+      .filter(col("pr") <= Similarity.IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    // Per-query LUTs: |q| rows collected on the driver (the PQ recipe).
+    val luts = queries.collect().map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val qn = if (n == 0) q else q.map(_ / n)
+      val subDim = q.length / Similarity.PqSubspaces
+      val lut = (0 until Similarity.PqSubspaces).map { s0 =>
+        (0 until Similarity.PqCodebookSize).map { j =>
+          val cb = cbs(s0 * Similarity.PqCodebookSize + j)
+          var d = 0.0; var k = 0
+          while (k < subDim) { d += qn(s0 * subDim + k) * cb(k); k += 1 }
+          d
+        }
+      }
+      (qid, r.getSeq[Float](1), lut)
+    }.toSeq
+    val queryLuts = luts.toDF("query_id", "qv", "lut")
+    val approx = (0 until Similarity.PqSubspaces).map { i =>
+      element_at(element_at(col("lut"), i + 1),
+        element_at(col("codes"), i + 1) + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val candidates = postings(spark, dir)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queryLuts), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), approx.as("adc"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= Similarity.PqRerank)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Declared query: build the persisted IVF+PQ index from the embeddings
+    * table, answer the standard query set. ROWS-ONLY (data-trained
+    * centroids and codebooks); determinism, append==rebuild, partition
+    * pruning, and a measured recall floor vs exact are pinned in
+    * IvfPqIndexSpec. */
+  def topKIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfpqidx")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topK(s, idx, queries, emb)
+  }
+
+  import graft.QuerySpec.rowsOnly
+
+  val specs: Seq[QuerySpec] = Seq(
+    rowsOnly("sim_topk_ivfpq_persisted", topKIvfPqPersisted))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.{IvfPqIndex, Similarity}
+
+class IvfPqIndexSpec extends SparkSpec {
+
+  private def keyOf(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def queriesOf(dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  test("deterministic across runs, k rows per query") {
+    val a = IvfPqIndex.topKIvfPqPersisted(spark, sf)
+    val rows = a.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueryVectors)
+    byQuery.values.foreach(r => assert(r.length == Similarity.TopK))
+    assert(keyOf(a) == keyOf(IvfPqIndex.topKIvfPqPersisted(spark, sf)))
+  }
+
+  test("append-then-query equals rebuild-then-query (frozen geometry)") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
+
+    val inc = TempDirs.scoped("graft_ivfpq_inc")
+    IvfPqIndex.build(emb.filter(col("vec_id") <= cut1), inc)
+    IvfPqIndex.append(
+      emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), inc)
+    IvfPqIndex.compact(spark, inc, 1)
+    IvfPqIndex.append(emb.filter(col("vec_id") > cut2), inc)
+
+    val full = TempDirs.scoped("graft_ivfpq_full")
+    IvfPqIndex.build(emb, full,
+      centroids = Some(IvfPqIndex.loadCentroids(spark, inc)),
+      codebooks = Some(IvfPqIndex.loadCodebooks(spark, inc)))
+
+    val q = queriesOf(sf)
+    assert(keyOf(IvfPqIndex.topK(spark, inc, q, emb)) ==
+      keyOf(IvfPqIndex.topK(spark, full, q, emb)))
+  }
+
+  test("postings scan is pruned to the probed cells") {
+    val idx = TempDirs.scoped("graft_ivfpq_prune")
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    IvfPqIndex.build(emb, idx)
+    val plan = IvfPqIndex.topK(spark, idx, queriesOf(sf), emb)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    val postingsScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings")))
+    assert(postingsScans.nonEmpty)
+    postingsScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"postings scan has no partition filters: ${s.simpleStringWithNodeId()}")
+    }
+  }
+
+  test("recall@k vs exact top-k is measured and above the floor") {
+    // Both approximation axes compound (IVF misses cells, ADC misranks
+    // within them), so the floor sits below the single-axis pins — but a
+    // broken composition (wrong LUT indexing, wrong cell join) lands near
+    // zero, which is what this guards. Deterministic end to end.
+    val dir = "/root/testdata/sf0.01"
+    def resultSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.topKExact(spark, dir))
+    val ivfpq = resultSet(IvfPqIndex.topKIvfPqPersisted(spark, dir))
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(s"IVF+PQ recall@${Similarity.TopK} = $recall")
+    assert(recall >= 0.4, s"IVF+PQ recall@${Similarity.TopK} = $recall — " +
+      "composition degraded")
+  }
+}
