@@ -98,29 +98,8 @@ object PqIndex {
     * broadcast hit list, never a corpus shuffle. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame): DataFrame = {
-    import spark.implicits._
-    val cbs = loadCodebooks(spark, dir)
-    val luts = queries.collect().map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
-      val n = math.sqrt(q.map(x => x * x).sum)
-      val qn = if (n == 0) q else q.map(_ / n)
-      val subDim = q.length / Similarity.PqSubspaces
-      val lut = (0 until Similarity.PqSubspaces).map { s0 =>
-        (0 until Similarity.PqCodebookSize).map { j =>
-          val cb = cbs(s0 * Similarity.PqCodebookSize + j)
-          var d = 0.0; var k = 0
-          while (k < subDim) { d += qn(s0 * subDim + k) * cb(k); k += 1 }
-          d
-        }
-      }
-      (qid, r.getSeq[Float](1), lut)
-    }.toSeq
-    val queryLuts = luts.toDF("query_id", "qv", "lut")
-    val approx = (0 until Similarity.PqSubspaces).map { i =>
-      element_at(element_at(col("lut"), i + 1),
-        element_at(col("codes"), i + 1) + 1)
-    }.reduce(_ + _)
+    val queryLuts = Similarity.pqQueryLuts(queries, loadCodebooks(spark, dir))
+    val approx = Similarity.adcScore
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val wRank = Window.partitionBy(col("query_id"))

@@ -435,27 +435,16 @@ object Similarity {
     flat
   }
 
-  /** Approximate top-k via product quantization: the corpus is encoded
-    * once by the codegen'd [[graft.functions.GraftExpressions.PqEncode]]
-    * pass (m=8 codes, 4 bits of information each — a 256× compression of
-    * a 64-float vector), each query precomputes its m×ks dot-product
-    * lookup table on the driver, and the ADC scan scores a vector with m
-    * array lookups instead of d multiplications. The top [[PqRerank]]
-    * ADC candidates per query are re-ranked with the exact cosine kernel.
-    *
-    * At 100 TB this is the memory-bound win: the scan touches 16-byte
-    * codes (persisted once) rather than 256-byte vectors, and only
-    * |queries|·PqRerank full vectors are ever fetched back. */
-  def topKPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cbs = learnPqCodebooks(emb)
-    val dim = cbs.head.length * PqSubspaces
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      graft.functions.GraftExpressions.pqEncode(
-        col("embedding"), cbs, PqSubspaces, PqCodebookSize).as("codes"))
-    // Per-query ADC lookup tables, built on the driver (|q|·m·ks doubles)
-    val luts = emb.filter(col("vec_id") < NumQueryVectors).collect().map { r =>
+  /** Per-query ADC lookup tables as a (query_id, qv, lut) frame, built on
+    * the driver (|q|·m·ks doubles — the standard per-query PQ cost). One
+    * definition shared by the transient [[topKPq]] and the persisted
+    * [[PqIndex]]/[[IvfPqIndex]] query paths, so the three ADC scans
+    * cannot drift. `queries` must be a (query_id: long, qv: array<float>)
+    * frame small enough to collect — the LUTs ship inside it. */
+  private[operators] def pqQueryLuts(queries: DataFrame,
+      cbs: Array[Array[Double]]): DataFrame = {
+    import queries.sparkSession.implicits._
+    queries.collect().map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Float](1).map(_.toDouble).toArray
       val n = math.sqrt(q.map(x => x * x).sum)
@@ -470,12 +459,39 @@ object Similarity {
         }
       }
       (qid, r.getSeq[Float](1), lut)
-    }.toSeq
-    val queries = luts.toDF("query_id", "qv", "lut")
-    val approx = (0 until PqSubspaces).map { i =>
+    }.toSeq.toDF("query_id", "qv", "lut")
+  }
+
+  /** The ADC approximate-dot column over a joined (codes, lut) row: m
+    * array lookups per row. Shared with the persisted PQ paths. */
+  private[operators] def adcScore: Column =
+    (0 until PqSubspaces).map { i =>
       element_at(element_at(col("lut"), i + 1),
         element_at(col("codes"), i + 1) + 1)
     }.reduce(_ + _)
+
+  /** Approximate top-k via product quantization: the corpus is encoded
+    * once by the codegen'd [[graft.functions.GraftExpressions.PqEncode]]
+    * pass (m=8 codes, 4 bits of information each — a 256× compression of
+    * a 64-float vector), each query precomputes its m×ks dot-product
+    * lookup table on the driver, and the ADC scan scores a vector with m
+    * array lookups instead of d multiplications. The top [[PqRerank]]
+    * ADC candidates per query are re-ranked with the exact cosine kernel.
+    *
+    * At 100 TB this is the memory-bound win: the scan touches 16-byte
+    * codes (persisted once) rather than 256-byte vectors, and only
+    * |queries|·PqRerank full vectors are ever fetched back — which is
+    * exactly how the persisted [[PqIndex]] plans it. */
+  def topKPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cbs = learnPqCodebooks(emb)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftExpressions.pqEncode(
+        col("embedding"), cbs, PqSubspaces, PqCodebookSize).as("codes"))
+    val queries = pqQueryLuts(
+      emb.filter(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), cbs)
+    val approx = adcScore
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val wRank = Window.partitionBy(col("query_id"))
