@@ -36,11 +36,12 @@ object IvfIndex {
   private def postingsDir(dir: String) = s"$dir/postings"
   private def centroidsDir(dir: String) = s"$dir/centroids"
 
-  /** Build the index: train centroids from the corpus (or freeze the given
-    * ones — the rebuild-equivalence tests and cross-index comparisons need
-    * centroid-identical indexes) and write slice b0 of the postings. */
-  def build(emb: DataFrame, dir: String,
-      centroids: Option[Seq[Array[Float]]] = None): Unit = {
+  /** Train centroids from the bootstrap corpus (or freeze the given
+    * ones) and persist them WITHOUT writing any postings — the init step
+    * of a streaming-maintained index, where every posting arrives as an
+    * append. Returns the frozen centroids. */
+  def init(emb: DataFrame, dir: String,
+      centroids: Option[Seq[Array[Float]]] = None): Seq[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
@@ -48,8 +49,15 @@ object IvfIndex {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centroidsDir(dir))
-    appendSlice(emb, dir, cents, sliceId = 0L)
+    cents
   }
+
+  /** Build the index: train centroids from the corpus (or freeze the given
+    * ones — the rebuild-equivalence tests and cross-index comparisons need
+    * centroid-identical indexes) and write slice b0 of the postings. */
+  def build(emb: DataFrame, dir: String,
+      centroids: Option[Seq[Array[Float]]] = None): Unit =
+    appendSlice(emb, dir, init(emb, dir, centroids), sliceId = 0L)
 
   /** Append a new corpus slice: assign against the FROZEN centroids and
     * write a new postings slice. Returns the slice id. Passing an id
@@ -195,9 +203,47 @@ object IvfIndex {
     topK(spark, idx, queries)
       .write.mode("overwrite").parquet(s"$out/b$batchId")
 
+  /** Declared query — streaming index MAINTENANCE, the write-side twin of
+    * [[streamAnnServeQuery]]: centroids are trained once from the
+    * bootstrap corpus ([[init]]), then the embedding stream appends each
+    * micro-batch as a batch-id-keyed postings slice — `append(batch, idx,
+    * sliceId = batchId)` makes a retried batch REPLACE its own slice, the
+    * checkpoint guarantees a committed batch never re-runs, so the index
+    * holds every vector exactly once regardless of batch boundaries or
+    * restarts. The drained index answers the standard query set
+    * identically to the batch-built [[topKIvfPersisted]] (same frozen
+    * centroids ⇒ same assignments ⇒ same postings set; pinned in
+    * IvfIndexSpec, including a manual two-batch split). ROWS-ONLY
+    * (data-trained centroids). */
+  def streamIvfAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val idx = TempDirs.scoped("graft_sivfappend_idx")
+    val ckpt = TempDirs.scoped("graft_sivfappend_ckpt")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    init(emb, idx)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .select(col("vec_id"), col("embedding"))
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          append(batch.toDF(), idx, sliceId = batchId)
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    topK(spark, idx, standardQueries(spark, dir))
+  }
+
   import graft.QuerySpec.rowsOnly
 
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
-    rowsOnly("stream_ann_serve", streamAnnServeQuery))
+    rowsOnly("stream_ann_serve", streamAnnServeQuery),
+    rowsOnly("stream_ivf_index_append", streamIvfAppendQuery))
 }

@@ -127,4 +127,24 @@ class IvfIndexSpec extends SparkSpec {
     val streamed = IvfIndex.streamAnnServeQuery(spark, sf)
     assert(keyOf(streamed) == keyOf(IvfIndex.topKIvfPersisted(spark, sf)))
   }
+
+  test("streaming index maintenance: streamed appends equal the batch build") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val q = queriesOf(sf)
+    val batchBuilt = keyOf(IvfIndex.topKIvfPersisted(spark, sf))
+
+    // The declared single-drain form.
+    assert(keyOf(IvfIndex.streamIvfAppendQuery(spark, sf)) == batchBuilt)
+
+    // Batch-boundary invariance of the write side: the same corpus split
+    // across two batch-id-keyed appends (with one batch replayed — the
+    // retry path) yields the identical index.
+    val idx = TempDirs.scoped("graft_ivf_mb")
+    IvfIndex.init(emb, idx)
+    IvfIndex.append(emb.filter(col("vec_id") <= top / 2), idx, sliceId = 0L)
+    IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx, sliceId = 1L)
+    IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx, sliceId = 1L) // replay
+    assert(keyOf(IvfIndex.topK(spark, idx, q)) == batchBuilt)
+  }
 }
