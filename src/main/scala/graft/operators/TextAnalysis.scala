@@ -123,6 +123,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document bigram novelty — the inverse-boilerplate quality
+    * signal (CCNet-family, exact form): per document, the fraction of its
+    * DISTINCT word bigrams that appear in no other document. Template spam
+    * and mirrored boilerplate score near 0 (every bigram shared); original
+    * prose scores high. Complements [[textRepetition]]'s WITHIN-doc signal
+    * with a cross-corpus one, without the libm-dependent log-probs an
+    * n-gram LM would need (integer counts + one division ⇒ bit-exact
+    * oracle).
+    *
+    * Scale shape: the ngram-index family's plan — per-row array_distinct
+    * (no shuffle), one explode, a map-side-combined groupBy on the bigram,
+    * the document-frequency table joined back on the already-shuffled
+    * bigram key, one per-doc aggregate. Linear in corpus bigrams; the df
+    * side scales with the bigram vocabulary, so no broadcast hint (AQE
+    * still broadcasts at bench scale). */
+  def rareBigramRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bigrams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.GraftExpressions.shingleStrings(col("text"), 2)))
+        .as("gram"))
+    // distinct-per-doc grams => count(*) IS document frequency
+    val df = bigrams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = bigrams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("n_unique").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source token budget for [[domainMix]]: partial selection at both
     * verification scales (each source holds ~1.4k tokens at sf0.01). */
   val MixTokenBudget = 800L
@@ -419,6 +456,24 @@ object TextAnalysis {
         |      WHERE len(toks) >= 2)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin),
+    withOracle("text_rare_bigram_ratio", rareBigramRatio,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |      FROM w, UNNEST(generate_series(1, len(toks)-1)) AS t(i)
+        |      WHERE len(toks) >= 2),
+        |dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+        |per_doc AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM g JOIN dfreq USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.n_unique, 0) AS n_unique,
+        |  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+        |       THEN CAST(p.n_unique AS DOUBLE) / p.n_bigrams
+        |       ELSE 0.0 END AS novelty
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     withOracle("text_tfidf_top_term", tfidfTopTerm,
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

@@ -113,6 +113,25 @@ class TextDedupSpec extends SparkSpec {
       .find(_.getLong(0) == 1L).get.getBoolean(4)) // flagged repetitive
   }
 
+  test("rare-bigram novelty: shared boilerplate scores 0, unique prose 1") {
+    import graft.operators.TextAnalysis
+    // Docs 1 and 2 are the same template (every bigram df=2 => novelty 0);
+    // doc 3 shares no bigram with anything (df=1 everywhere => novelty 1);
+    // doc 4 has a single token (no bigrams => defined as 0).
+    val planted = Seq(
+      (1L, "click here to win a prize now"),
+      (2L, "click here to win a prize now"),
+      (3L, "orthogonal vocabulary entirely unshared tokens"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val dir = TempDirs.scoped("graft_novelty")
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.rareBigramRatio(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L)._3 == 0.0 && r(2L)._3 == 0.0)
+    assert(r(3L) == ((4L, 4L, 1.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val docs = Seq((1L, "spark scan join filter table"),
       (2L, "spark scan join filter table"),
