@@ -17,7 +17,9 @@ object Explain {
         "sim_neardup_pairs", "dedup_minhash_lsh",
         "text_decontaminate", "text_domain_mix", "text_repetition",
         "text_span_dedup", "text_trainer_pipeline",
-        "text_bloom_decontaminate", "text_data_card", "sim_retrieve_docs")
+        "text_bloom_decontaminate", "text_data_card", "sim_retrieve_docs",
+        "sim_topk_ivf_persisted", "sim_topk_pq_persisted",
+        "sim_topk_ivfpq_persisted", "text_rare_bigram_ratio")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -42,13 +42,8 @@ object IvfIndex {
     * append. Returns the frozen centroids. */
   def init(emb: DataFrame, dir: String,
       centroids: Option[Seq[Array[Float]]] = None): Seq[Array[Float]] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsDir(dir))
+    IndexFiles.writeCentroids(emb.sparkSession, centroidsDir(dir), cents)
     cents
   }
 
@@ -89,22 +84,13 @@ object IvfIndex {
         merged.write.mode("overwrite").partitionBy("cell").parquet(dst)
     }
 
-  /** The frozen centroid table, cell-ordered (16 rows — a driver read the
-    * same size as the per-query LUTs the PQ path builds). */
+  /** The frozen centroid table, cell-ordered. */
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
-    spark.read.parquet(centroidsDir(dir))
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-      .toSeq
+    IndexFiles.loadCentroids(spark, centroidsDir(dir))
 
-  /** All postings across slices. Each slice is read under its own root so
-    * the cell partition column is discovered per slice — no basePath
-    * coupling between slices. */
+  /** All postings across slices. */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    StreamingDedup.listSlices(spark, postingsDir(dir))
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    IndexFiles.readSlices(spark, postingsDir(dir))
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * rank cells per query through the shared [[Similarity.rankedCells]]

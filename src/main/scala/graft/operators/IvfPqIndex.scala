@@ -40,18 +40,10 @@ object IvfPqIndex {
       centroids: Option[Seq[Array[Float]]] = None,
       codebooks: Option[Array[Array[Double]]] = None): Unit = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
     val cbs = codebooks.getOrElse(Similarity.learnPqCodebooks(emb))
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsDir(dir))
-    cbs.zipWithIndex.map { case (c, i) =>
-      (i / Similarity.PqCodebookSize, i % Similarity.PqCodebookSize, c.toSeq)
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(codebooksDir(dir))
+    IndexFiles.writeCentroids(spark, centroidsDir(dir), cents)
+    IndexFiles.writeCodebooks(spark, codebooksDir(dir), cbs)
     appendSlice(emb, dir, cents, cbs, sliceId = 0L)
   }
 
@@ -86,23 +78,14 @@ object IvfPqIndex {
     }
 
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
-    spark.read.parquet(centroidsDir(dir))
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-      .toSeq
+    IndexFiles.loadCentroids(spark, centroidsDir(dir))
 
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(codebooksDir(dir))
-      .orderBy(col("subspace"), col("code"))
-      .collect()
-      .map(_.getSeq[Double](2).toArray)
+    IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
   /** All persisted (vec_id, codes, cell) postings across slices. */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    StreamingDedup.listSlices(spark, postingsDir(dir))
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    IndexFiles.readSlices(spark, postingsDir(dir))
 
   /** Answer a query frame (query_id, qv): probe cells via the shared
     * [[Similarity.rankedCells]], prune the postings scan to the probed

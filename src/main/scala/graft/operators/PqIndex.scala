@@ -40,14 +40,8 @@ object PqIndex {
     * write codes slice b0. */
   def build(emb: DataFrame, dir: String,
       codebooks: Option[Array[Array[Double]]] = None): Unit = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val cbs = codebooks.getOrElse(Similarity.learnPqCodebooks(emb))
-    cbs.zipWithIndex.map { case (c, i) =>
-      (i / Similarity.PqCodebookSize, i % Similarity.PqCodebookSize, c.toSeq)
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(codebooksDir(dir))
+    IndexFiles.writeCodebooks(emb.sparkSession, codebooksDir(dir), cbs)
     appendSlice(emb, dir, cbs, sliceId = 0L)
   }
 
@@ -78,16 +72,11 @@ object PqIndex {
   /** The frozen codebooks in the subspace-major flattened [m*ks][subDim]
     * order [[graft.functions.GraftExpressions.PqEncode]] consumes. */
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(codebooksDir(dir))
-      .orderBy(col("subspace"), col("code"))
-      .collect()
-      .map(_.getSeq[Double](2).toArray)
+    IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
   /** All persisted codes across slices. */
   def codes(spark: SparkSession, dir: String): DataFrame =
-    StreamingDedup.listSlices(spark, codesDir(dir))
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    IndexFiles.readSlices(spark, codesDir(dir))
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * per-query ADC lookup tables built on the driver (|q|·m·ks doubles,
