@@ -53,8 +53,10 @@ private[operators] object IndexFiles {
   /** All rows across the b/c slices under `base`. Each slice is read
     * under its own root so partition columns (the cell=N layout) are
     * discovered per slice — no basePath coupling between slices. */
-  def readSlices(spark: SparkSession, base: String): DataFrame =
-    StreamingDedup.listSlices(spark, base)
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+  def readSlices(spark: SparkSession, base: String): DataFrame = {
+    val slices = StreamingDedup.listSlices(spark, base)
+    require(slices.nonEmpty,
+      s"no index slices under $base — build/append before querying")
+    slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
 }
