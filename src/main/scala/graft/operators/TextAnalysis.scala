@@ -160,6 +160,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG chunk geometry: 64-token windows at stride 32 (50% overlap —
+    * the standard retrieval-ingest shape, so a fact straddling a chunk
+    * boundary still appears whole in the neighboring chunk). */
+  val RagChunkTokens = 64
+  val RagChunkStride = 32
+
+  /** RAG-ingest chunking: split each document into overlapping
+    * [[RagChunkTokens]]-token windows with stable (doc_id, chunk_id) keys
+    * and token offsets — the unit a retrieval index embeds and serves,
+    * with offsets kept so a hit can be mapped back into its source
+    * document. One narrow scan + a per-row sequence/posexplode (output
+    * rows ≈ docs × n/stride, no shuffle except the presentation sort);
+    * trailing windows shorter than a full chunk are kept (slice clamps),
+    * matching what an embedding batcher actually receives. */
+  def ragChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // Stop bound n - (chunk - stride), NOT the textbook n - chunk + 1: the
+    // windows are stride-aligned, so the last aligned start must be allowed
+    // to overshoot until its window END reaches the final token (slice
+    // clamps the overhang). n - chunk + 1 drops up to stride-1 tail tokens
+    // whenever n mod stride lands past the last full window — exactly the
+    // tail a retrieval index must not lose. (Coverage pinned per-doc in
+    // TextDedupSpec.)
+    val starts = sequence(
+      lit(1),
+      greatest(size(toks) - (RagChunkTokens - RagChunkStride), lit(1)),
+      lit(RagChunkStride))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), posexplode(starts)
+        .as(Seq("chunk_id", "start_token")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_token").cast("long").as("start_token"),
+        size(slice(col("toks"), col("start_token"), lit(RagChunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start_token"),
+          lit(RagChunkTokens))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Per-source token budget for [[domainMix]]: partial selection at both
     * verification scales (each source holds ~1.4k tokens at sf0.01). */
   val MixTokenBudget = 800L
@@ -456,6 +495,21 @@ object TextAnalysis {
         |      WHERE len(toks) >= 2)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin),
+    withOracle("text_rag_chunks", ragChunks,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        UNNEST(generate_series(1,
+         |          greatest(len(toks) - ${RagChunkTokens - RagChunkStride}, 1),
+         |          $RagChunkStride)) AS start_token
+         |      FROM w)
+         |SELECT doc_id,
+         |  CAST((start_token - 1) // $RagChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start_token AS BIGINT) AS start_token,
+         |  CAST(len(list_slice(toks, start_token,
+         |    start_token + ${RagChunkTokens - 1})) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, start_token,
+         |    start_token + ${RagChunkTokens - 1}), ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
     withOracle("text_rare_bigram_ratio", rareBigramRatio,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram

@@ -132,6 +132,29 @@ class TextDedupSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("rag chunks: contiguous ids, stride offsets, full token coverage") {
+    import graft.operators.TextAnalysis
+    val chunks = TextAnalysis.ragChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTokens = graft.functions.TextFunctions
+      .tokenCount(col("text")) // whitespace splitter, same as the chunker
+    val counts = Tables.documents(spark, sf)
+      .select(col("doc_id"), nTokens.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == counts.keySet) // every doc chunked
+    chunks.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // chunk ids contiguous from 0; offsets follow the stride exactly
+      sorted.zipWithIndex.foreach { case ((_, id, start, _), i) =>
+        assert(id == i && start == i * TextAnalysis.RagChunkStride + 1)
+      }
+      // the last chunk reaches the document's final token — no tail loss
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 == counts(doc), s"doc $doc tail")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val docs = Seq((1L, "spark scan join filter table"),
       (2L, "spark scan join filter table"),
