@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+
+/** Rule-based corpus gating — the two audit tables a pretraining-data
+  * owner runs before anything expensive touches the corpus:
+  *
+  *   - [[gopherRules]]: the Gopher-family per-document quality rules
+  *     (token-count bounds, mean word length, type-token ratio, stopword
+  *     presence) with one flag column PER RULE plus the conjunctive keep
+  *     decision — the per-rule flags are what makes the table an audit
+  *     artifact rather than a filter (a corpus owner reads rejection
+  *     rates per rule before trusting the gate).
+  *   - [[contaminationScore]]: per-document n-gram overlap with the eval
+  *     split — the graded companion to the binary decontamination filter
+  *     (`text_decontaminate` drops docs over a threshold; this reports
+  *     the full distribution so the threshold can be chosen).
+  *
+  * Scale shape: [[gopherRules]] is a single narrow scan — every rule is a
+  * codegen'd Column over one tokenize pass (subexpression elimination
+  * collapses the repeated kernels), no shuffle except the presentation
+  * sort. [[contaminationScore]] is the ngram-index family's plan: explode
+  * distinct grams, one map-side-combined groupBy, the eval gram set
+  * joined on the already-shuffled gram key (the eval split is ~1/16 of
+  * the corpus — NOT broadcast-small at 100 TB, so join strategy is left
+  * to AQE; the bloom-prefilter pattern of text_bloom_decontaminate
+  * applies if the join ever dominates).
+  *
+  * Ratios are single divisions of exact integer counts (bit-reproducible
+  * across partitionings and engines), so every rule boundary compares
+  * identically in Spark and the DuckDB oracle.
+  */
+object QualityGate {
+
+  /** Token-count bounds (Gopher uses 50..100k words; scaled to this
+    * corpus's 10..99-token documents so the rule discriminates). */
+  val MinTokens = 20L
+  val MaxTokens = 1000L
+
+  /** Mean-word-length bounds (Gopher: 3..10 chars). */
+  val MinMeanTokenLen = 3.0
+  val MaxMeanTokenLen = 10.0
+
+  /** Type-token-ratio floor — the repetition guard (a doc that repeats
+    * a tiny vocabulary scores near 0). */
+  val MinTtr = 0.2
+
+  /** Minimum stopword occurrences — the "looks like prose" check. */
+  val MinStopHits = 2L
+
+  /** Per-rule flags + keep decision over any (doc_id, text) frame.
+    * Factored from the declared query so planted-fixture tests exercise
+    * the exact production expressions. */
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val meanLen = tokenChars(col("text")).cast("double") / nTok
+    val ttr = distinctTokenCount(col("text")).cast("double") / nTok
+    val nStop = stopwordCount(col("text"))
+    val rLen = nTok >= MinTokens && nTok <= MaxTokens
+    val rMean = meanLen >= MinMeanTokenLen && meanLen <= MaxMeanTokenLen
+    val rTtr = ttr > MinTtr
+    val rStop = nStop >= MinStopHits
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_tok_len"),
+      ttr.as("ttr"),
+      nStop.as("n_stop"),
+      rLen.as("r_len"),
+      rMean.as("r_mean_len"),
+      rTtr.as("r_ttr"),
+      rStop.as("r_stop"),
+      (rLen && rMean && rTtr && rStop).as("keep"))
+  }
+
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Contamination n-gram width: 3 matches the decontamination tier's
+    * shingle width, so the graded score and the binary filter measure
+    * the same overlap signal. */
+  val ContaminationGram = 3
+
+  /** Graded contamination over any (doc_id, text) frame: for each doc
+    * NOT satisfying `isEval`, the fraction of its DISTINCT
+    * [[ContaminationGram]]-grams that appear anywhere in the eval split.
+    * Docs shorter than the gram width have no grams and drop out (they
+    * cannot be contaminated by n-gram evidence). */
+  private[graft] def contaminationOn(docs: DataFrame, isEval: Column): DataFrame = {
+    val grams = docs.select(
+      col("doc_id"),
+      isEval.as("is_eval"),
+      explode(array_distinct(graft.functions.GraftExpressions
+        .shingleStrings(col("text"), ContaminationGram))).as("gram"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+      .withColumn("in_eval", lit(1))
+    grams.filter(!col("is_eval"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("in_eval") === 1, 1L).otherwise(0L)).as("n_eval_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_eval_hits"),
+        (col("n_eval_hits").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
+  /** Declared query: the corpus's eval split is the same md5(doc_id)
+    * 1/16 bucket the data-card and decontamination queries use, so all
+    * three audit artifacts describe one split. */
+  def contaminationScore(s: SparkSession, dir: String): DataFrame =
+    contaminationOn(
+      Tables.documents(s, dir),
+      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .orderBy(col("doc_id"))
+
+  import graft.QuerySpec.withOracle
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("text_gopher_rules", gopherRules,
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS mean_tok_len,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ttr,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_tok_len, ttr, n_stop,
+         |  n_tokens BETWEEN $MinTokens AND $MaxTokens AS r_len,
+         |  mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen AS r_mean_len,
+         |  ttr > $MinTtr AS r_ttr,
+         |  n_stop >= $MinStopHits AS r_stop,
+         |  (n_tokens BETWEEN $MinTokens AND $MaxTokens)
+         |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
+         |    AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
+         |FROM t ORDER BY doc_id""".stripMargin),
+    withOracle("text_contamination_score", contaminationScore,
+      """WITH w AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, is_eval,
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+        |      WHERE len(toks) >= 3),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+        |  CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination
+        |FROM g WHERE NOT is_eval GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityGate
+
+class QualityGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flagsOf(text: String): Map[String, Any] = {
+    val row = QualityGate.gopherFlags(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("gopher rules: prose-like doc passes every rule") {
+    val good = ("the quick brown fox jumps over the lazy dog and " * 3).trim // 30 tokens
+    val f = flagsOf(good)
+    assert(f("r_len") == true && f("r_mean_len") == true &&
+      f("r_ttr") == true && f("r_stop") == true && f("keep") == true)
+  }
+
+  test("gopher rules: short doc fails only the length rule") {
+    val f = flagsOf("the quick brown fox jumps and dogs") // 7 tokens < MinTokens
+    assert(f("r_len") == false)
+    assert(f("r_mean_len") == true && f("r_ttr") == true && f("r_stop") == true)
+    assert(f("keep") == false)
+  }
+
+  test("gopher rules: repeated-vocabulary doc fails the ttr rule") {
+    val f = flagsOf(("the " * 30).trim) // ttr = 1/30 < MinTtr
+    assert(f("r_ttr") == false && f("keep") == false)
+    assert(f("r_stop") == true) // 30 stopword hits
+  }
+
+  test("gopher rules: stopword-free doc fails the stopword rule") {
+    val f = flagsOf(("lorem ipsum dolor sit amet " * 5).trim) // 25 tokens, 0 stops
+    assert(f("r_stop") == false && f("keep") == false)
+    assert(f("r_len") == true)
+  }
+
+  test("contamination: exact eval copy scores 1.0, disjoint doc scores 0.0") {
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, evalText),                         // the eval doc
+      (2L, evalText),                         // train: exact copy -> 1.0
+      (3L, "one two three four five six"),    // train: disjoint  -> 0.0
+      (4L, "alpha beta gamma nine ten eleven") // train: shares 1 of 4 grams
+    ).toDF("doc_id", "text")
+    val out = QualityGate.contaminationOn(docs, col("doc_id") === 1L)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getDouble(3) == 1.0)
+    assert(byId(3L).getDouble(3) == 0.0)
+    assert(byId(4L).getLong(1) == 4L && byId(4L).getLong(2) == 1L)
+  }
+
+  test("contamination: docs shorter than the gram width drop out") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "x y")).toDF("doc_id", "text")
+    val out = QualityGate.contaminationOn(docs, col("doc_id") === 1L).collect()
+    assert(out.isEmpty) // doc 2 has no 3-grams; doc 1 is the eval split
+  }
+}
