@@ -18,7 +18,8 @@ object SparkEntry {
       operators.TextAnalysis.specs ++ operators.QualityGate.specs ++
       operators.Curation.specs ++
       operators.Dedup.specs ++
-      operators.Similarity.specs ++ operators.IvfIndex.specs ++
+      operators.Similarity.specs ++ operators.EmbeddingOps.specs ++
+      operators.IvfIndex.specs ++
       operators.PqIndex.specs ++ operators.IvfPqIndex.specs ++
       streaming.StreamQueries.specs ++
       operators.Multimodal.specs

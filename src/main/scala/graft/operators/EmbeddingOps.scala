@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Embedding-column utilities beyond search: storage quantization and
+  * cluster-bucketed semantic dedup (the SemDeDup recipe: k-means cells
+  * make the quadratic pair scan local).
+  *
+  *   - [[quantizeInt8]]: per-vector max-abs int8 scalar quantization —
+  *     the 4x storage/bandwidth reduction an embedding store applies
+  *     before anything else, with the per-vector reconstruction error so
+  *     a corpus owner can audit the precision loss. Pure codegen'd
+  *     higher-order Column functions over the array — one narrow scan,
+  *     no shuffle, no driver state.
+  *   - [[semDedup]]: near-duplicate removal where candidate pairs come
+  *     from shared k-means cells instead of LSH buckets — the
+  *     SemDeDup-style alternative to [[Similarity.embeddingDedup]]; both
+  *     declare the same min-lower-id survivor rule and the same cosine
+  *     threshold, so the two bucketing strategies are directly
+  *     comparable on one corpus.
+  *
+  * Scale shape: quantization is embarrassingly parallel. SemDeDup's cell
+  * self-join is quadratic WITHIN a cell, linear across cells — the 100 TB
+  * deployment picks the cell count so the mean cell fits a work budget
+  * (K ∝ N / target_cell_size, the published SemDeDup configuration) and
+  * splits oversized cells with a second k-means level (hierarchical
+  * refinement); at verification scale the flat 16-cell codebook the IVF
+  * tier trains is the right size, and the training collect is the same
+  * bounded 1024-row sample [[Similarity.learnCentroids]] always uses.
+  */
+object EmbeddingOps {
+
+  /** Int8 code range: symmetric [-127, 127] (the usual zero-preserving
+    * max-abs scheme — -128 is unused so negation stays in range). */
+  val QuantLevels = 127.0
+
+  /** Quantize any (vec_id, embedding) frame: per-vector max-abs scale,
+    * nearest-int codes (floor(x+0.5) — explicit so the oracle replays the
+    * exact rounding), L2 reconstruction error. Codes are emitted
+    * comma-joined: the differential harness compares scalar columns.
+    * All-zero vectors quantize to all-zero codes (scale 0 guard). */
+  private[graft] def quantized(emb: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val withScale = emb.select(col("vec_id"), col("embedding"),
+      scale.as("scale"))
+    val codes = transform(col("embedding"), x =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") * lit(QuantLevels) / col("scale")
+          + lit(0.5))))
+    val withCodes = withScale.select(col("vec_id"), col("embedding"),
+      col("scale"), codes.as("codes"))
+    val errTerms = zip_with(col("embedding"), col("codes"), (x, c) => {
+      val d = x.cast("double") - c.cast("double") * col("scale") / lit(QuantLevels)
+      d * d
+    })
+    withCodes.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      col("scale"),
+      concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"),
+      sqrt(aggregate(errTerms, lit(0.0), (a, b) => a + b)).as("recon_err"))
+  }
+
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantized(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .orderBy(col("vec_id"))
+
+  /** Same declared threshold as the LSH dedup path — the point of the
+    * query is comparing bucketing strategies, not thresholds. */
+  val SemDedupThreshold: Double = Similarity.NearDupThreshold
+
+  /** SemDeDup decision layer over any (vec_id, embedding) frame with a
+    * given codebook: assign each vector to its nearest centroid cell,
+    * scan pairs within a cell, and mark a vector duplicate iff a lower-id
+    * same-cell vector sits within the cosine threshold (keeper = smallest
+    * such id — the same survivor rule as [[Similarity.embeddingDedup]],
+    * so outputs differ only where the bucketing strategies disagree). */
+  private[graft] def semDedupOn(emb: DataFrame,
+      centroids: Seq[Array[Float]]): DataFrame = {
+    val assigned = Similarity.rankedCells(emb, centroids)
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val left = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val right = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dupOf = left.join(right, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        Similarity.cos(col("ea"), col("eb")) >= SemDedupThreshold)
+      .groupBy(col("vec_b")).agg(min(col("vec_a")).as("dup_of"))
+    assigned.join(dupOf, col("vec_id") === col("vec_b"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), col("vec_id")).as("keeper"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+  }
+
+  /** Declared query — ROWS-ONLY: the codebook is trained from the data
+    * at query-build time (no static SQL replays it); the decision rule is
+    * pinned against an independent brute-force reimplementation in
+    * EmbeddingOpsSpec. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    semDedupOn(emb, Similarity.learnCentroids(emb)).orderBy(col("vec_id"))
+  }
+
+  import graft.QuerySpec.{rowsOnly, withOracle}
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_quantize_int8", quantizeInt8,
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+        |          AS BIGINT) END) AS codes
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  scale,
+        |  array_to_string(codes, ',') AS codes,
+        |  sqrt(list_sum(list_transform(list_zip(embedding, codes),
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0)
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0))))
+        |    AS recon_err
+        |FROM c ORDER BY vec_id""".stripMargin),
+    rowsOnly("sim_semdedup", semDedup))
+}
