@@ -164,6 +164,73 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // Image near-dup: perceptual hash (aHash) + banded hamming join
+
+  /** 16-bit bands over the 64-bit hash. With hamming threshold
+    * [[PhashMaxHamming]] = bands − 1, the band join is EXACT by
+    * pigeonhole: ≤ 3 differing bits cannot touch all 4 bands, so every
+    * qualifying pair shares at least one identical band. */
+  val PhashBands = 4
+  val PhashMaxHamming = 3
+
+  /** 64-bit average hash of a decoded grayscale image: 2x2 box filter to
+    * 8x8, bit q set iff block q exceeds the integer mean — all integer
+    * arithmetic, so the DuckDB oracle replays it exactly from the pixel
+    * rule. */
+  private[graft] def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val (rw, rh, r) = ImageCodec.downsample2x2(px, w, h)
+    require(rw * rh == 64, s"aHash expects an 8x8 grid, got ${rw}x$rh")
+    val thr = r.map(_.toLong).sum / 64
+    var hash = 0L
+    var q = 0
+    while (q < 64) { if (r(q) > thr) hash |= 1L << q; q += 1 }
+    hash
+  }
+
+  /** Banded hamming near-dup pairs over any (media_id, phash) frame —
+    * factored so planted-fixture tests exercise the exact production
+    * join. The band explode is the LSH-bucket pattern: pairs are only
+    * generated within a (band, value) bucket, so cost scales with bucket
+    * population, never all-pairs. A degenerate corpus (millions of
+    * identical flat images hashing to one band value) concentrates one
+    * bucket — the cap/salt treatment of LshSkew applies unchanged; at
+    * this corpus's scale buckets stay small. */
+  private[graft] def phashPairsOn(hashes: DataFrame): DataFrame = {
+    val bandVals = array((0 until PhashBands).map(b =>
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*)
+    val bands = hashes.select(col("media_id"), col("phash"),
+      posexplode(bandVals).as(Seq("b", "bv")))
+    val left = bands.select(col("b"), col("bv"),
+      col("media_id").as("id_a"), col("phash").as("ha"))
+    val right = bands.select(col("b"), col("bv"),
+      col("media_id").as("id_b"), col("phash").as("hb"))
+    left.join(right, Seq("b", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
+
+  /** Image near-duplicate pairs through the REAL codec path: PNG decode,
+    * box-downsample, aHash on the executors; banded hamming join for the
+    * pair scan. Near-identical images (the corpus's planted text dups)
+    * land at hamming 0; the oracle replays hash + join from the pixel
+    * rule without touching PNG bytes. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = imageTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val (w, h, px) = ImageCodec.decodeGray(png)
+          (id, aHash64(px, w, h))
+        }
+      }
+      .toDF("media_id", "phash")
+    phashPairsOn(hashes).orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------------------
   // Audio tier: real WAV/RIFF codec (javax.sound.sampled)
 
   /** Samples per synthesized clip; sample rate of the WAV containers. */
@@ -382,6 +449,40 @@ object Multimodal {
         |  CAST(agg.peak AS INT) AS peak
         |FROM m JOIN agg USING (media_id) JOIN zc USING (media_id)
         |ORDER BY media_id""".stripMargin),
+    // The aHash + band join replayed from the pixel rule: same blk CTE as
+    // mm_resize, integer mean threshold, bit q as a signed power of two
+    // (q=63 is MIN_LONG — a shifted literal would overflow), bands by
+    // arithmetic shift + mask (identical to Spark's shiftright + AND).
+    withOracle("mm_phash_neardup", phashNearDup,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+        |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
+        |    CAST(SUM(v) // 4 AS INT) AS r
+        |  FROM pix GROUP BY 1, 2),
+        |ph AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN r > thr THEN
+        |      CASE WHEN q = 63 THEN -9223372036854775808
+        |        ELSE (1::BIGINT << CAST(q AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM (SELECT b.*, s.thr FROM blk b
+        |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
+        |        USING (media_id))
+        |  GROUP BY media_id),
+        |bands AS (SELECT media_id, phash, b,
+        |    (phash >> (b * 16)) & 65535 AS bv
+        |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
+        |    b.media_id AS id_b, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |    AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
     // Video twin: per-frame pixel sums and first pixel, frame f = p//64
     // over the same derived pixel grid — Spark's side recovers the frames
     // from a real multi-frame GIF via the container's image directory.

@@ -138,4 +138,42 @@ class MultimodalSpec extends SparkSpec {
       assert(r.roundtrip_ok, s"PNG re-encode of media ${r.media_id} not lossless")
     }
   }
+
+  test("aHash: flat image hashes to 0; a bright block sets exactly its bits") {
+    val flat = Array.fill(256)(100)
+    assert(Multimodal.aHash64(flat, 16, 16) == 0L) // no block exceeds the mean
+    // brighten the top-left 2x2 source block -> downsampled block 0 only
+    val oneHot = flat.clone()
+    oneHot(0) = 255; oneHot(1) = 255; oneHot(16) = 255; oneHot(17) = 255
+    assert(Multimodal.aHash64(oneHot, 16, 16) == 1L)
+  }
+
+  test("phash band join: finds all pairs within hamming 3, none beyond") {
+    import spark.implicits._
+    val h0 = 0x0123456789abcdefL
+    val hashes = Seq(
+      (0L, h0),
+      (1L, h0),               // hamming 0
+      (2L, h0 ^ 0x7L),        // hamming 3 (one band)
+      (3L, h0 ^ 0x0001000100010001L), // hamming 4, spread across all 4 bands
+      (4L, h0 ^ 0x8000000000000000L)  // hamming 1, sign bit (band 3)
+    ).toDF("media_id", "phash")
+    val pairs = Multimodal.phashPairsOn(hashes)
+      .orderBy($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every pair among {0,1,2,4} qualifies (mutual hamming <= 4? verify):
+    // d(0,1)=0 d(0,2)=3 d(0,4)=1 d(1,2)=3 d(1,4)=1 d(2,4)=4 -> excluded
+    assert(pairs.toSeq == Seq(
+      (0L, 1L, 0L), (0L, 2L, 3L), (0L, 4L, 1L),
+      (1L, 2L, 3L), (1L, 4L, 1L)))
+  }
+
+  test("phash near-dup: planted exact text dups land at hamming 0") {
+    val out = Multimodal.phashNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= Multimodal.PhashMaxHamming)
+    }
+  }
 }
