@@ -118,6 +118,42 @@ object QualityGate {
       substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
       .orderBy(col("doc_id"))
 
+  /** The gate run IN-STREAM: each micro-batch of arriving documents is
+    * scored and filtered by the same [[gopherFlags]] expressions, and
+    * survivors append to batch-id-keyed overwrite dirs (idempotent
+    * replay — the [[graft.streaming.StreamingDedup]] sink pattern). The
+    * rules are per-row and stateless, so batch boundaries cannot change
+    * the result: the drained output equals the batch [[gopherRules]]
+    * restricted to keep=true, which is exactly what the oracle replays.
+    * This is how a 100 TB ingest actually runs the gate — documents are
+    * scored as they arrive, not in a nightly rescan. */
+  def streamQualityGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sqgate_out")
+    val ckpt = graft.TempDirs.scoped("graft_sqgate_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          gopherFlags(batch.toDF())
+            .filter(col("keep"))
+            .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+              col("ttr"), col("n_stop"))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.withOracle
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -142,6 +178,22 @@ object QualityGate {
          |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
          |    AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
          |FROM t ORDER BY doc_id""".stripMargin),
+    withOracle("stream_quality_gate", streamQualityGateQuery,
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS mean_tok_len,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ttr,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_tok_len, ttr, n_stop
+         |FROM t
+         |WHERE (n_tokens BETWEEN $MinTokens AND $MaxTokens)
+         |  AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
+         |  AND ttr > $MinTtr AND n_stop >= $MinStopHits
+         |ORDER BY doc_id""".stripMargin),
     withOracle("text_contamination_score", contaminationScore,
       """WITH w AS (SELECT doc_id,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,

@@ -118,6 +118,34 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
   }
 
+  /** Neighbors per vector in the kNN graph. */
+  val KnnK = 5
+
+  /** Approximate kNN GRAPH over the whole corpus — the all-vectors
+    * neighbor structure semantic-dedup clustering and graph-based
+    * diversity sampling consume (a top-k per vector, not the per-query
+    * search of topKAnn). Candidates come from the LSH bucket join —
+    * bucket-collision cost, never n² — symmetrized so both endpoints of
+    * a candidate pair see each other as neighbor candidates, then exact
+    * cosine ranks the top [[KnnK]] per vector (ties broken on neighbor
+    * id). Vectors whose buckets collide with nothing have no neighbors
+    * and drop out — the declared semantics (recall is the LSH tier's
+    * measured trade, pinned in SimilaritySpec for topKAnn's identical
+    * bucketing). One shuffle for the pair scores, one for the per-vector
+    * window. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val scores = lshCandidatePairScores(s, dir)
+    val sym = scores
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("score"))
+      .unionAll(scores
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("score")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nbr").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Near-duplicate pairs: LSH candidates verified by exact cosine >=
     * threshold. Cost is bucket-collision pairs, not n²; the same seeded
     * hyperplanes as topKAnn, so one bucketing serves both. */
@@ -601,6 +629,20 @@ object Similarity {
          |SELECT vec_a, vec_b, score FROM pair_scores
          |WHERE score >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
+    withOracle("sim_knn_graph", knnGraph,
+      s"""$lshPairScoresCtes,
+         |sym AS (
+         |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
+         |  UNION ALL
+         |  SELECT vec_b AS vec_id, vec_a AS nbr, score FROM pair_scores),
+         |ranked AS (
+         |  SELECT vec_id, nbr, score,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, nbr ASC) AS rank
+         |  FROM sym)
+         |SELECT vec_id, nbr, score, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $KnnK
+         |ORDER BY vec_id, rank""".stripMargin),
     withOracle("dedup_embedding", embeddingDedup,
       s"""$lshPairScoresCtes,
          |p AS (

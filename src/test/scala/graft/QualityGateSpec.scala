@@ -55,6 +55,15 @@ class QualityGateSpec extends SparkSpec {
     assert(byId(4L).getLong(1) == 4L && byId(4L).getLong(2) == 1L)
   }
 
+  test("streaming gate drains to exactly the batch gate's keep set") {
+    val streamed = QualityGate.streamQualityGateQuery(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = QualityGate.gopherRules(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("contamination: docs shorter than the gram width drop out") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "x y")).toDF("doc_id", "text")
     val out = QualityGate.contaminationOn(docs, col("doc_id") === 1L).collect()
