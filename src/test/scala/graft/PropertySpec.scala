@@ -79,4 +79,41 @@ class PropertySpec extends SparkSpec {
       assert(got.contains(whFmt.format(instant)), s"iso $iso")
     }
   }
+
+  test("quantize: codes in [-127,127], per-dim error within half a step") {
+    val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = samples(genVec).map(_.toArray) :+
+      Array.fill(8)(0.0f) // the scale-0 guard case
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.EmbeddingOps.quantized(df).collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0).toInt)
+      val scale = r.getDouble(2)
+      val codes = r.getString(3).split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val step = if (scale == 0) 0.0 else scale / 127.0
+      v.zip(codes).foreach { case (x, c) =>
+        val err = math.abs(x.toDouble - c * scale / 127.0)
+        assert(err <= step / 2 * (1 + 1e-9) + 1e-12,
+          s"vec ${r.getLong(0)}: x=$x c=$c scale=$scale err=$err")
+      }
+    }
+  }
+
+  test("phash bands: any pair within hamming 3 shares a band (pigeonhole)") {
+    val genCase = for {
+      h <- Gen.long
+      k <- Gen.chooseNum(0, graft.operators.Multimodal.PhashMaxHamming)
+      flips <- Gen.listOfN(k, Gen.chooseNum(0, 63))
+    } yield (h, flips)
+    samples(genCase).foreach { case (h, flips) =>
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val bandsA = (0 until 4).map(b => (h >> (b * 16)) & 0xFFFFL)
+      val bandsB = (0 until 4).map(b => (h2 >> (b * 16)) & 0xFFFFL)
+      assert(bandsA.zip(bandsB).exists { case (x, y) => x == y },
+        s"hash $h flips $flips: no shared band")
+    }
+  }
 }
