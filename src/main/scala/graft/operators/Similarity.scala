@@ -118,6 +118,28 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
   }
 
+  /** Recall audit of the ANN tier as a DECLARED QUERY — the number a
+    * serving owner tracks before trusting approximate search: per query
+    * vector, how many of the exact top-[[TopK]] the LSH ANN recovered.
+    * Both sides are the declared queries themselves (definitional
+    * equality — the audit measures exactly what users run), joined on
+    * membership; queries whose ANN candidates miss everything score 0.
+    * The spec-pinned recall numbers in SimilaritySpec are this query's
+    * values; here they are a monitorable table. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = topKExact(s, dir).select(col("query_id"), col("vec_id"))
+    val ann = topKAnn(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK)
+          .as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Neighbors per vector in the kNN graph. */
   val KnnK = 5
 
@@ -379,6 +401,45 @@ object Similarity {
        |  FROM cand c
        |  JOIN embeddings va ON va.vec_id = c.vec_a
        |  JOIN embeddings vb ON vb.vec_id = c.vec_b)""".stripMargin
+
+  /** The recall audit replayed end to end: exact and ANN rankings both in
+    * SQL (the same CTE bodies as their own oracles), joined on membership. */
+  private def annRecallOracleSql: String = {
+    s"""$lshBucketCtes,
+       |qb AS (SELECT vec_id AS query_id, table_id, bucket
+       |       FROM buckets WHERE vec_id < $NumQueryVectors),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM qb JOIN buckets b
+       |           ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+       |         WHERE b.vec_id <> qb.query_id),
+       |ann AS (SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |        ORDER BY ${cosSql("q.embedding", "v.embedding")} DESC,
+       |          c.vec_id ASC) AS rank
+       |    FROM cand c
+       |    JOIN embeddings q ON q.vec_id = c.query_id
+       |    JOIN embeddings v ON v.vec_id = c.vec_id) t
+       |  WHERE rank <= $TopK),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id ASC) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < $NumQueryVectors) t
+       |  WHERE rank <= $TopK),
+       |hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ex e JOIN ann a
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
 
   private def annOracleSql: String = {
     s"""$lshBucketCtes,
@@ -654,6 +715,7 @@ object Similarity {
          |FROM embeddings e LEFT JOIN p ON e.vec_id = p.v
          |ORDER BY e.vec_id""".stripMargin),
     withOracle("sim_topk_ann", topKAnn, annOracleSql),
+    withOracle("sim_ann_recall", annRecall, annRecallOracleSql),
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),
