@@ -423,6 +423,21 @@ object Dedup {
   def dedupGroups(s: SparkSession, dir: String): DataFrame =
     dedupGroupsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** Dup-group SIZE HISTOGRAM — the audit a dedup owner reads before
+    * shipping: how many components of each size, and the documents they
+    * cover (n_docs column sums to the corpus). A fat tail here means a
+    * template family is collapsing to one survivor each — worth a manual
+    * look before deleting. Two map-side-combinable aggregates over the
+    * component labels; the histogram key space is tiny. */
+  def dedupGroupStats(s: SparkSession, dir: String): DataFrame =
+    dedupGroupsOf(Tables.documents(s, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+      .orderBy(col("group_size"))
+
   // ---------------------------------------------------------------------
   // Composed corpus-curation pipeline (the flagship training-data flow)
   // ---------------------------------------------------------------------
@@ -556,6 +571,21 @@ object Dedup {
          |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v)
          |SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
          |FROM r GROUP BY v ORDER BY doc_id""".stripMargin),
+    withOracle("dedup_group_stats", dedupGroupStats,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(lbl) AS component FROM r GROUP BY v),
+         |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+         |          FROM comp GROUP BY 1)
+         |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY group_size ORDER BY group_size""".stripMargin),
     withOracle("text_curation_pipeline", curationPipeline,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,

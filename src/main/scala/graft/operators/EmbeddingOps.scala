@@ -68,6 +68,30 @@ object EmbeddingOps {
     quantized(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .orderBy(col("vec_id"))
 
+  /** Embedding-column QA — the audit an indexing owner runs before
+    * trusting a corpus of vectors: per label, vector counts, zero-vector
+    * incidence, and the norm envelope (a norm far from 1 on a supposedly
+    * normalized corpus flags a broken producer). Deliberately NO double
+    * averages: min/max/counts are partition-order-independent, where a
+    * float mean would hash-differ run to run (the data-card rule). One
+    * narrow scan, tiny-key groupBy with map-side combine. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val sq = transform(col("embedding"), x => x.cast("double") * x.cast("double"))
+    val norm = sqrt(aggregate(sq, lit(0.0), (a, b) => a + b))
+    Tables.embeddings(s, dir)
+      .select(col("label"), norm.as("norm"),
+        size(col("embedding")).cast("long").as("n_dims"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_vecs"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        min(col("n_dims")).as("min_dims"),
+        max(col("n_dims")).as("max_dims"))
+      .orderBy(col("label"))
+  }
+
   /** Same declared threshold as the LSH dedup path — the point of the
     * query is comparing bucketing strategies, not thresholds. */
   val SemDedupThreshold: Double = Similarity.NearDupThreshold
@@ -131,5 +155,17 @@ object EmbeddingOps {
         |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0))))
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin),
+    withOracle("sim_embedding_stats", embeddingStats,
+      """WITH v AS (SELECT label,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+        |  MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+        |  CAST(MIN(n_dims) AS BIGINT) AS min_dims,
+        |  CAST(MAX(n_dims) AS BIGINT) AS max_dims
+        |FROM v GROUP BY label ORDER BY label""".stripMargin),
     rowsOnly("sim_semdedup", semDedup))
 }
