@@ -217,9 +217,9 @@ object Multimodal {
     * pair scan. Near-identical images (the corpus's planted text dups)
     * land at hamming 0; the oracle replays hash + join from the pixel
     * rule without touching PNG bytes. */
-  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def phashTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = imageTable(s, dir)
+    imageTable(s, dir)
       .mapPartitions { rows =>
         rows.map { case (id, png) =>
           val (w, h, px) = ImageCodec.decodeGray(png)
@@ -227,7 +227,25 @@ object Multimodal {
         }
       }
       .toDF("media_id", "phash")
-    phashPairsOn(hashes).orderBy(col("id_a"), col("id_b"))
+  }
+
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairsOn(phashTable(s, dir)).orderBy(col("id_a"), col("id_b"))
+
+  /** Image DEDUP decision over the phash pair stream — the same
+    * min-lower-id survivor rule as [[Similarity.embeddingDedup]] and the
+    * SemDeDup path, so all three modality dedups share one contract: an
+    * image is a duplicate iff some lower-id image sits within hamming
+    * [[PhashMaxHamming]]; its keeper is the smallest such id. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = phashTable(s, dir)
+    val dupOf = phashPairsOn(hashes)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    hashes.join(dupOf, col("media_id") === col("id_b"), "left")
+      .select(col("media_id"),
+        coalesce(col("dup_of"), col("media_id")).as("keeper"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+      .orderBy(col("media_id"))
   }
 
   // -------------------------------------------------------------------
@@ -483,6 +501,42 @@ object Multimodal {
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+    // The dedup decision over the same replayed hash + band join: group
+    // the qualifying pairs by their higher id, keeper = min lower id.
+    withOracle("mm_phash_dedup", phashDedup,
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+        |    END AS v
+        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+        |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
+        |    CAST(SUM(v) // 4 AS INT) AS r
+        |  FROM pix GROUP BY 1, 2),
+        |ph AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN r > thr THEN
+        |      CASE WHEN q = 63 THEN -9223372036854775808
+        |        ELSE (1::BIGINT << CAST(q AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM (SELECT b.*, s.thr FROM blk b
+        |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
+        |        USING (media_id))
+        |  GROUP BY media_id),
+        |bands AS (SELECT media_id, phash, b,
+        |    (phash >> (b * 16)) & 65535 AS bv
+        |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
+        |    b.media_id AS id_b, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |    AND a.media_id < b.media_id),
+        |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
+        |  WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY id_b)
+        |SELECT ph.media_id,
+        |  COALESCE(dup.dup_of, ph.media_id) AS keeper,
+        |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id
+        |ORDER BY media_id""".stripMargin),
     // Video twin: per-frame pixel sums and first pixel, frame f = p//64
     // over the same derived pixel grid — Spark's side recovers the frames
     // from a real multi-frame GIF via the container's image directory.
