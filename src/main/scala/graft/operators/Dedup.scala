@@ -514,6 +514,65 @@ object Dedup {
   def decontaminateQuery(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir))
 
+  /** Shared decontamination CTE blocks — one SQL text serving the
+    * text_decontaminate oracle and the curation funnel, so the two
+    * replays cannot drift. Split in two because the funnel already gets
+    * `w`/`sh` (identical definitions) from [[jaccardPairsCte]]. */
+  private val deconShingleCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+      |       WHERE len(toks) >= 3)""".stripMargin
+
+  private val deconMatchCtes: String =
+    """ev AS (SELECT DISTINCT s FROM sh
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+      |tr AS (SELECT doc_id FROM documents
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+      |shared AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |           FROM sh JOIN ev USING (s)
+      |           WHERE sh.doc_id IN (SELECT doc_id FROM tr)
+      |           GROUP BY 1)""".stripMargin
+
+  /** The CURATION FUNNEL — the one-row operational readout a corpus owner
+    * watches per run: how many documents (and finally tokens) survive
+    * each stage of train-split → quality gate → decontamination →
+    * dedup-canonical. Stages are cumulative (each counts survivors of all
+    * previous), so a regression in any stage moves exactly one boundary.
+    * All columns are integer counts/sums — order-independent and
+    * bit-reproducible. The component labels, gate flags, and
+    * contamination counts are the same subplans the individual declared
+    * queries run (definitional consistency); one final single-row
+    * aggregate joins them. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val flags = QualityGate.gopherFlags(docs).select(col("doc_id"), col("keep"))
+    val contaminated = decontaminate(docs)
+      .select(col("doc_id"), col("contaminated"))
+    val comps = dedupGroupsOf(docs)
+    val surviving = !col("is_eval") && col("keep") &&
+      coalesce(col("contaminated"), lit(0L)) === 0 &&
+      col("component") === col("doc_id")
+    docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("toks"))
+      .join(flags, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left") // eval docs: no decon row
+      .join(comps, "doc_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_eval") && col("keep"), 1L).otherwise(0L))
+          .as("n_gate"),
+        sum(when(!col("is_eval") && col("keep") &&
+          coalesce(col("contaminated"), lit(0L)) === 0, 1L).otherwise(0L))
+          .as("n_decon"),
+        sum(when(surviving, 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(surviving, col("toks")).otherwise(0L))
+          .as("surviving_tokens"))
+  }
+
   // ---------------------------------------------------------------------
 
   import graft.QuerySpec
@@ -530,18 +589,8 @@ object Dedup {
     // distinct-set counts are hash-invariant (the jaccardPairsCte
     // precedent). md5-prefix eval split replays bit-for-bit in DuckDB.
     withOracle("text_decontaminate", decontaminateQuery,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
-         |       WHERE len(toks) >= 3),
-         |ev AS (SELECT DISTINCT s FROM sh
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
-         |tr AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
-         |shared AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |           FROM sh JOIN ev USING (s)
-         |           WHERE sh.doc_id IN (SELECT doc_id FROM tr)
-         |           GROUP BY 1)
+      s"""WITH $deconShingleCtes,
+         |$deconMatchCtes
          |SELECT t.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
          |  CAST(COALESCE(s.n_shared, 0) >= $MinSharedShingles AS BIGINT) AS contaminated
          |FROM tr t LEFT JOIN shared s ON s.doc_id = t.doc_id
@@ -571,6 +620,42 @@ object Dedup {
          |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v)
          |SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
          |FROM r GROUP BY v ORDER BY doc_id""".stripMargin),
+    withOracle("text_curation_funnel", curationFunnel,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(lbl) AS component FROM r GROUP BY v),
+         |$deconMatchCtes,
+         |${QualityGate.gateCteSql},
+         |base AS (SELECT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents)
+         |SELECT
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN NOT is_eval AND keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gate,
+         |  CAST(SUM(CASE WHEN NOT is_eval AND keep
+         |    AND COALESCE(s.n_shared, 0) < $MinSharedShingles
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_decon,
+         |  CAST(SUM(CASE WHEN NOT is_eval AND keep
+         |    AND COALESCE(s.n_shared, 0) < $MinSharedShingles
+         |    AND c.component = b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_canonical,
+         |  CAST(SUM(CASE WHEN NOT is_eval AND keep
+         |    AND COALESCE(s.n_shared, 0) < $MinSharedShingles
+         |    AND c.component = b.doc_id THEN toks ELSE 0 END) AS BIGINT)
+         |    AS surviving_tokens
+         |FROM base b
+         |JOIN gate g USING (doc_id)
+         |LEFT JOIN shared s USING (doc_id)
+         |JOIN comp c USING (doc_id)""".stripMargin),
     withOracle("dedup_group_stats", dedupGroupStats,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,

@@ -158,6 +158,24 @@ object QualityGate {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** The gate as a named SQL CTE (`gate(doc_id, keep)`) — shared with the
+    * curation-funnel oracle in [[Dedup]] so the two replays of the rule
+    * set cannot drift. */
+  private[operators] def gateCteSql: String =
+    s"""gate AS (SELECT doc_id,
+       |    (n_tokens BETWEEN $MinTokens AND $MaxTokens)
+       |      AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
+       |      AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
+       |  FROM (SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split(text, ' ')) AS mean_tok_len,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) AS ttr,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |          x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
+       |    FROM documents) t)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("text_gopher_rules", gopherRules,
       s"""WITH t AS (SELECT doc_id,
