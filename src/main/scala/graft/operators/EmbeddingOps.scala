@@ -41,7 +41,10 @@ object EmbeddingOps {
     * exact rounding), L2 reconstruction error. Codes are emitted
     * comma-joined: the differential harness compares scalar columns.
     * All-zero vectors quantize to all-zero codes (scale 0 guard). */
-  private[graft] def quantized(emb: DataFrame): DataFrame = {
+  /** The quantized corpus with codes still as arrays — the form the
+    * int8 search path consumes (and [[quantized]] renders for the
+    * differential harness). */
+  private[graft] def quantizedArrays(emb: DataFrame): DataFrame = {
     val scale = array_max(transform(col("embedding"),
       x => abs(x.cast("double"))))
     val withScale = emb.select(col("vec_id"), col("embedding"),
@@ -50,8 +53,12 @@ object EmbeddingOps {
       when(col("scale") === 0.0, lit(0L))
         .otherwise(floor(x.cast("double") * lit(QuantLevels) / col("scale")
           + lit(0.5))))
-    val withCodes = withScale.select(col("vec_id"), col("embedding"),
+    withScale.select(col("vec_id"), col("embedding"),
       col("scale"), codes.as("codes"))
+  }
+
+  private[graft] def quantized(emb: DataFrame): DataFrame = {
+    val withCodes = quantizedArrays(emb)
     val errTerms = zip_with(col("embedding"), col("codes"), (x, c) => {
       val d = x.cast("double") - c.cast("double") * col("scale") / lit(QuantLevels)
       d * d
@@ -67,6 +74,39 @@ object EmbeddingOps {
   def quantizeInt8(s: SparkSession, dir: String): DataFrame =
     quantized(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .orderBy(col("vec_id"))
+
+  /** Top-k search OVER THE QUANTIZED CODES — the int8 serving path that
+    * justifies the 4× compression: the integer code dot product is exact
+    * 64-bit arithmetic, descaled once per pair by the two max-abs scales
+    * (score ≈ the float dot; ranking quality pinned against the exact
+    * float top-k in EmbeddingOpsSpec). Query convention matches
+    * [[Similarity.topKExact]] (vec_id < NumQueryVectors, self excluded);
+    * the scan touches only (vec_id, scale, codes) — at 100 TB the float
+    * embedding column stays on disk, the point of quantized serving. */
+  def topKInt8(s: SparkSession, dir: String): DataFrame = {
+    val q = quantizedArrays(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("scale"), col("codes"))
+    val queries = q.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+        col("codes").as("qcodes"))
+    val dotL = aggregate(
+      zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = broadcast(queries)
+      .join(q.select(col("vec_id"), col("scale"), col("codes")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotL.cast("double") * col("qscale") * col("scale")
+          / lit(QuantLevels * QuantLevels)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Embedding-column QA — the audit an indexing owner runs before
     * trusting a corpus of vectors: per label, vector counts, zero-vector
@@ -155,6 +195,34 @@ object EmbeddingOps {
         |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0))))
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin),
+    withOracle("sim_topk_int8", topKInt8,
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(embedding, x ->
+         |      CASE WHEN scale = 0 THEN 0
+         |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+         |          AS BIGINT) END) AS codes
+         |  FROM q),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+         |      p -> p[1] * p[2])) AS DOUBLE) * a.scale * b.scale
+         |      / ${QuantLevels * QuantLevels} AS score
+         |  FROM c a JOIN c b
+         |    ON a.vec_id < ${Similarity.NumQueryVectors}
+         |   AND b.vec_id <> a.vec_id)
+         |SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= ${Similarity.TopK}
+         |ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_embedding_stats", embeddingStats,
       """WITH v AS (SELECT label,
         |    CAST(len(embedding) AS BIGINT) AS n_dims,

@@ -68,6 +68,17 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("int8 search preserves the exact top-k (recall floor)") {
+    val exact = Similarity.topKExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val i8 = EmbeddingOps.topKInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(i8.contains).toDouble / exact.size
+    // measured 1.0 at both verification scales; floor leaves margin for
+    // corpus regeneration
+    assert(recall >= 0.9, s"int8 recall@10 $recall below floor")
+  }
+
   test("semdedup: survivor rule invariants hold") {
     val out = EmbeddingOps.semDedup(spark, sf).collect()
     assert(out.nonEmpty)
