@@ -195,6 +195,29 @@ object Curation {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
+  /** Pack-efficiency audit over [[packSequences]] — the padding-waste
+    * readout a trainer tracks per source: pack counts, how many packs hit
+    * exactly [[PackCapacity]] tokens (every pack but each source's last,
+    * when packing is correct), token mass, and the overall fill ratio
+    * (one division of integer sums — deterministic). Two
+    * map-side-combinable aggregates over the membership index; the
+    * per-(source, pack) level reuses the shuffle the window pass already
+    * produced. */
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_in_pack")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(when(col("n_tokens") === PackCapacity.toLong, 1L).otherwise(0L))
+          .as("n_full_packs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("n_docs")).as("max_docs_per_pack"))
+      .withColumn("fill_ratio",
+        col("n_tokens").cast("double") / (col("n_packs") * PackCapacity))
+      .orderBy(col("source"))
+
   /** Deterministic training-shard assignment + per-shard manifest stats:
     * shard = md5(doc_id) mod [[NumShards]] — a seed-free pseudo-random
     * permutation that any engine reproduces, so a re-run (or a different
@@ -511,6 +534,32 @@ object Curation {
          |FROM sp, UNNEST(generate_series(cum_start // $PackCapacity,
          |  (cum_end - 1) // $PackCapacity)) AS g(p)
          |ORDER BY source, pack_id, doc_id""".stripMargin),
+    withOracle("text_pack_stats", packStats,
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM t),
+         |sp AS (SELECT doc_id, source, n_tokens, cum_end,
+         |    cum_end - n_tokens AS cum_start FROM c),
+         |member AS (SELECT source, CAST(p AS BIGINT) AS pack_id, doc_id,
+         |    CAST(least(cum_end, (p + 1) * $PackCapacity)
+         |       - greatest(cum_start, p * $PackCapacity) AS BIGINT) AS n_in_pack
+         |  FROM sp, UNNEST(generate_series(cum_start // $PackCapacity,
+         |    (cum_end - 1) // $PackCapacity)) AS g(p)),
+         |packs AS (SELECT source, pack_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_in_pack) AS BIGINT) AS n_tokens
+         |  FROM member GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |  CAST(SUM(CASE WHEN n_tokens = $PackCapacity THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_full_packs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_pack,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * $PackCapacity)
+         |    AS fill_ratio
+         |FROM packs GROUP BY source ORDER BY source""".stripMargin),
     withOracle("text_trainer_pipeline", trainerPipeline,
       s"""WITH f AS (SELECT doc_id,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
