@@ -63,6 +63,23 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("pack stats conserve tokens and fill every non-final pack") {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    val stats = Curation.packStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      // contiguous chopping: every pack except each source's last is full
+      assert(r.getLong(2) >= r.getLong(1) - 1)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    val byStats = stats.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val byDocs = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(sum(TextFunctions.tokenCount(col("text"))).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStats == byDocs) // packing loses no tokens
+  }
+
   test("phash dedup decision agrees with the pair stream") {
     val pairs = Multimodal.phashNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
