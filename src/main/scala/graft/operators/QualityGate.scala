@@ -118,6 +118,41 @@ object QualityGate {
       substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
       .orderBy(col("doc_id"))
 
+  /** Quality bands for [[qualitySample]] (lexical-diversity boundaries
+    * chosen so the synthetic corpus splits into three real bands). */
+  val HighTtr = 0.55
+  val MidTtr = 0.40
+
+  /** Per-band keep rates out of 65536 md5 draws: keep all high-quality
+    * docs, half the mid band, an eighth of the low band. */
+  val KeepHigh = 65536L
+  val KeepMid = 32768L
+  val KeepLow = 8192L
+
+  /** Quality-CONDITIONED sampling — the mixture-weighting step between a
+    * hard gate and uniform sampling (the DCLM-family recipe): rather than
+    * dropping low-quality documents outright, each quality band keeps a
+    * different deterministic fraction, preserving some low-band mass for
+    * diversity while upweighting high-quality prose. The draw is the
+    * first 16 bits of md5(doc_id) — seed-free, engine-reproducible, and
+    * independent of the band signal, so within a band the sample is
+    * unbiased. One narrow codegen scan, no shuffle but the presentation
+    * sort. */
+  def qualitySample(s: SparkSession, dir: String): DataFrame = {
+    val ttr = distinctTokenCount(col("text")).cast("double") /
+      tokenCount(col("text"))
+    val band = when(ttr >= HighTtr, "high")
+      .when(ttr >= MidTtr, "mid").otherwise("low")
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val rate = when(band === "high", KeepHigh)
+      .when(band === "mid", KeepMid).otherwise(KeepLow)
+    Tables.documents(s, dir)
+      .filter(draw < rate)
+      .select(col("doc_id"), band.as("band"), ttr.as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The gate run IN-STREAM: each micro-batch of arriving documents is
     * scored and filtered by the same [[gopherFlags]] expressions, and
     * survivors append to batch-id-keyed overwrite dirs (idempotent
@@ -196,6 +231,20 @@ object QualityGate {
          |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
          |    AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
          |FROM t ORDER BY doc_id""".stripMargin),
+    withOracle("text_quality_sample", qualitySample,
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ttr,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS draw
+         |  FROM documents),
+         |b AS (SELECT doc_id, ttr, draw,
+         |    CASE WHEN ttr >= $HighTtr THEN 'high'
+         |         WHEN ttr >= $MidTtr THEN 'mid' ELSE 'low' END AS band
+         |  FROM t)
+         |SELECT doc_id, band, ttr FROM b
+         |WHERE draw < CASE band WHEN 'high' THEN $KeepHigh
+         |  WHEN 'mid' THEN $KeepMid ELSE $KeepLow END
+         |ORDER BY doc_id""".stripMargin),
     withOracle("stream_quality_gate", streamQualityGateQuery,
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
