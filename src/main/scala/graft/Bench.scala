@@ -49,7 +49,9 @@ object Bench {
       Seq("dedup_ngram_jaccard", "dedup_groups", "sim_topk_ann",
         "dedup_simhash", "text_curation_pipeline",
         "text_span_dedup", "text_trainer_pipeline",
-        "mm_resize", "mm_audio_features", "mm_video_frames")
+        "mm_resize", "mm_audio_features", "mm_video_frames",
+        "text_curation_funnel", "dedup_group_stats", "sim_knn_graph",
+        "mm_phash_neardup")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, smokeDir.toString).count()
           catch { case _: Throwable => }
