@@ -187,24 +187,33 @@ object Multimodal {
     hash
   }
 
+  /** Hot-band cap: a degenerate corpus (millions of identical flat
+    * images hashing to one band value) would turn the band join
+    * quadratic; over-cap bands split into id-mod salt groups via
+    * [[LshSkew.saltBuckets]] (window-count sizing — band values are
+    * content hashes, so the key space is unbounded and the sizes table
+    * must stay shuffle-side). Under the cap the salt is constant 0 and
+    * the join is bit-identical to the unguarded one. */
+  val PhashBucketCap = 1024
+
   /** Banded hamming near-dup pairs over any (media_id, phash) frame —
     * factored so planted-fixture tests exercise the exact production
     * join. The band explode is the LSH-bucket pattern: pairs are only
-    * generated within a (band, value) bucket, so cost scales with bucket
-    * population, never all-pairs. A degenerate corpus (millions of
-    * identical flat images hashing to one band value) concentrates one
-    * bucket — the cap/salt treatment of LshSkew applies unchanged; at
-    * this corpus's scale buckets stay small. */
-  private[graft] def phashPairsOn(hashes: DataFrame): DataFrame = {
+    * generated within a (band, value, salt) bucket, so cost scales with
+    * min(bucket, cap) population, never all-pairs. */
+  private[graft] def phashPairsOn(hashes: DataFrame,
+      cap: Int = PhashBucketCap): DataFrame = {
     val bandVals = array((0 until PhashBands).map(b =>
       shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*)
-    val bands = hashes.select(col("media_id"), col("phash"),
-      posexplode(bandVals).as(Seq("b", "bv")))
-    val left = bands.select(col("b"), col("bv"),
+    val bands = LshSkew.saltBuckets(
+      hashes.select(col("media_id"), col("phash"),
+        posexplode(bandVals).as(Seq("b", "bv"))),
+      Seq("b", "bv"), "media_id", cap)
+    val left = bands.select(col("b"), col("bv"), col("salt"),
       col("media_id").as("id_a"), col("phash").as("ha"))
-    val right = bands.select(col("b"), col("bv"),
+    val right = bands.select(col("b"), col("bv"), col("salt"),
       col("media_id").as("id_b"), col("phash").as("hb"))
-    left.join(right, Seq("b", "bv"))
+    left.join(right, Seq("b", "bv", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
@@ -472,7 +481,7 @@ object Multimodal {
     // (q=63 is MIN_LONG — a shifted literal would overflow), bands by
     // arithmetic shift + mask (identical to Spark's shiftright + AND).
     withOracle("mm_phash_neardup", phashNearDup,
-      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),
         |pix AS (SELECT media_id, CAST(p AS INT) AS p,
         |    CASE WHEN n = 0 THEN 0
@@ -494,17 +503,21 @@ object Multimodal {
         |bands AS (SELECT media_id, phash, b,
         |    (phash >> (b * 16)) & 65535 AS bv
         |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+        |salted AS (SELECT media_id, phash, b, bv,
+        |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
+        |      / $PhashBucketCap.0) AS BIGINT) AS salt
+        |  FROM bands),
         |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
         |    b.media_id AS id_b, b.phash AS hb
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-        |    AND a.media_id < b.media_id)
+        |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
+        |    AND a.salt = b.salt AND a.media_id < b.media_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
     // The dedup decision over the same replayed hash + band join: group
     // the qualifying pairs by their higher id, keeper = min lower id.
     withOracle("mm_phash_dedup", phashDedup,
-      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),
         |pix AS (SELECT media_id, CAST(p AS INT) AS p,
         |    CASE WHEN n = 0 THEN 0
@@ -526,10 +539,14 @@ object Multimodal {
         |bands AS (SELECT media_id, phash, b,
         |    (phash >> (b * 16)) & 65535 AS bv
         |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+        |salted AS (SELECT media_id, phash, b, bv,
+        |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
+        |      / $PhashBucketCap.0) AS BIGINT) AS salt
+        |  FROM bands),
         |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
         |    b.media_id AS id_b, b.phash AS hb
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-        |    AND a.media_id < b.media_id),
+        |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
+        |    AND a.salt = b.salt AND a.media_id < b.media_id),
         |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
         |  WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY id_b)
         |SELECT ph.media_id,

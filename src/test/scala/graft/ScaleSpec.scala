@@ -65,6 +65,23 @@ class ScaleSpec extends SparkSpec {
     assert(got < n.toLong * (n - 1) / 2 / 10) // nowhere near quadratic
   }
 
+  test("phash hot-band guard bounds candidates on a degenerate image corpus") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // every image identical => one hot (band, value) bucket per band; the
+    // unguarded join would emit C(n,2) pairs
+    val n = 30
+    val cap = 8
+    val hashes = (0L until n.toLong).map(i => (i, 0x1234567890abcdefL))
+      .toDF("media_id", "phash")
+    val got = Multimodal.phashPairsOn(hashes, cap).count()
+    val nSalt = math.ceil(n.toDouble / cap).toLong
+    val expected = (0L until n.toLong).groupBy(_ % nSalt).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got < n.toLong * (n - 1) / 2) // strictly below quadratic
+  }
+
   test("saltBuckets window and broadcast-size forms assign identical salts") {
     import graft.operators.LshSkew
     import spark.implicits._
