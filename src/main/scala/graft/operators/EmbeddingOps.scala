@@ -22,13 +22,14 @@ import graft.{QuerySpec, Tables}
   *     comparable on one corpus.
   *
   * Scale shape: quantization is embarrassingly parallel. SemDeDup's cell
-  * self-join is quadratic WITHIN a cell, linear across cells — the 100 TB
-  * deployment picks the cell count so the mean cell fits a work budget
-  * (K ∝ N / target_cell_size, the published SemDeDup configuration) and
-  * splits oversized cells with a second k-means level (hierarchical
-  * refinement); at verification scale the flat 16-cell codebook the IVF
-  * tier trains is the right size, and the training collect is the same
-  * bounded 1024-row sample [[Similarity.learnCentroids]] always uses.
+  * self-join is quadratic WITHIN a (cell, salt) group, linear across
+  * them — the 100 TB deployment picks the cell count so the mean cell
+  * fits a work budget (K ∝ N / target_cell_size, the published SemDeDup
+  * configuration), and the [[LshSkew.saltBuckets]] guard bounds the
+  * cells that overshoot it anyway ([[SemDedupCellCap]]). At verification
+  * scale the flat 16-cell codebook the IVF tier trains is the right
+  * size, and the training collect is the same bounded 1024-row sample
+  * [[Similarity.learnCentroids]] always uses.
   */
 object EmbeddingOps {
 
@@ -136,22 +137,35 @@ object EmbeddingOps {
     * query is comparing bucketing strategies, not thresholds. */
   val SemDedupThreshold: Double = Similarity.NearDupThreshold
 
+  /** Hot-cell cap: k-means cells go hot exactly like LSH buckets (a
+    * degenerate corpus can put every vector in one cell), so the cell
+    * self-join gets the same [[LshSkew.saltBuckets]] guard — over-cap
+    * cells split into id-mod salt groups, bounding per-cell work at
+    * ~cell·cap (cross-salt pairs lost, the standard bounded-work trade).
+    * Under the cap the salt is constant 0 and the join is unguarded-
+    * identical. */
+  val SemDedupCellCap = 1024
+
   /** SemDeDup decision layer over any (vec_id, embedding) frame with a
     * given codebook: assign each vector to its nearest centroid cell,
-    * scan pairs within a cell, and mark a vector duplicate iff a lower-id
-    * same-cell vector sits within the cosine threshold (keeper = smallest
-    * such id — the same survivor rule as [[Similarity.embeddingDedup]],
-    * so outputs differ only where the bucketing strategies disagree). */
+    * scan pairs within a (cell, salt) group, and mark a vector duplicate
+    * iff a lower-id same-group vector sits within the cosine threshold
+    * (keeper = smallest such id — the same survivor rule as
+    * [[Similarity.embeddingDedup]], so outputs differ only where the
+    * bucketing strategies disagree). */
   private[graft] def semDedupOn(emb: DataFrame,
-      centroids: Seq[Array[Float]]): DataFrame = {
-    val assigned = Similarity.rankedCells(emb, centroids)
-      .filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val left = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
-    val right = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
-    val dupOf = left.join(right, Seq("cell"))
+      centroids: Seq[Array[Float]],
+      cap: Int = SemDedupCellCap): DataFrame = {
+    val assigned = LshSkew.saltBuckets(
+      Similarity.rankedCells(emb, centroids)
+        .filter(col("pr") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      Seq("cell"), "vec_id", cap)
+    val left = assigned.select(col("cell"), col("salt"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val right = assigned.select(col("cell"), col("salt"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val dupOf = left.join(right, Seq("cell", "salt"))
       .filter(col("vec_a") < col("vec_b") &&
         Similarity.cos(col("ea"), col("eb")) >= SemDedupThreshold)
       .groupBy(col("vec_b")).agg(min(col("vec_a")).as("dup_of"))

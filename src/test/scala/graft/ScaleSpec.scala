@@ -82,6 +82,29 @@ class ScaleSpec extends SparkSpec {
     assert(got < n.toLong * (n - 1) / 2) // strictly below quadratic
   }
 
+  test("semdedup hot-cell guard splits a degenerate single-cell corpus") {
+    import graft.operators.{EmbeddingOps, Similarity}
+    // identical vectors => one k-means cell; the guard must split it
+    val n = 30
+    val cap = 8
+    val vec = array((0 until Similarity.Dim).map(i =>
+      lit(0.1f * ((i % 5) + 1))): _*)
+    val emb = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+    val centroids = Seq(
+      Array.tabulate(Similarity.Dim)(i => 0.1f * ((i % 5) + 1)))
+    val out = EmbeddingOps.semDedupOn(emb, centroids, cap).collect()
+    val nSalt = math.ceil(n.toDouble / cap).toLong
+    assert(out.length == n)
+    out.foreach { r =>
+      val (id, keeper, isDup) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (id < nSalt) { // smallest id of its salt group: survives
+        assert(keeper == id && isDup == 0L)
+      } else { // duplicate of its salt group's minimum
+        assert(keeper == id % nSalt && isDup == 1L)
+      }
+    }
+  }
+
   test("saltBuckets window and broadcast-size forms assign identical salts") {
     import graft.operators.LshSkew
     import spark.implicits._
