@@ -170,6 +170,19 @@ object StreamQueries {
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM jp WHERE jp.doc_b = d.doc_id)
          |ORDER BY doc_id""".stripMargin),
+    // Read-side serving twin: the eval split streamed as queries against
+    // the train split's persisted LSH index (index fixed during serving
+    // => batch-boundary invariant). Candidates equal the exact pair set
+    // on this corpus, so the oracle is the cross-split Jaccard pairs.
+    withOracle("stream_text_serve", StreamingDedup.streamTextServeQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
+         |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp
+         |        UNION ALL SELECT doc_b AS q, doc_a AS m, jaccard FROM jp)
+         |SELECT q AS query_doc, m AS match_doc, jaccard
+         |FROM sym
+         |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
+         |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
+         |ORDER BY query_doc, match_doc""".stripMargin),
     // Embedding twin: survivors of the streaming LSH dedup = vectors that
     // are not the larger side of any verified LSH-candidate pair (the
     // batch dedup_embedding contract, which first-seen-wins reduces to in

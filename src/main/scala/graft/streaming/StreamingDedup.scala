@@ -339,6 +339,98 @@ object StreamingDedup {
   def survivors(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/b*")
 
+  /** READ-side serving against the text LSH index: match one batch of
+    * query documents against the persisted index WITHOUT mutating it —
+    * the retrieval twin of the write path ("which already-indexed
+    * documents does this new document duplicate?"). Candidates come from
+    * the index's (band, bucket) exemplars under the same saturation cap
+    * as the write path, semi-joined to this batch's touched buckets
+    * first (per-batch cost ∝ collisions, never accumulated history);
+    * exact Jaccard verifies. Output is batch-id-keyed overwrite parquet
+    * (idempotent replay), and because the index is FIXED during serving,
+    * batch boundaries cannot change the result. */
+  private[graft] def serveTextBatch(batch: DataFrame, stateDir: String,
+      outDir: String, batchId: Long, threshold: Double,
+      bucketCap: Int): Unit = {
+    val spark = batch.sparkSession
+    val withSigs = batch.select(col("doc_id").as("q_id"),
+        Dedup.shingleSet(col("text")).as("sig_q"))
+      .persist()
+    val qBands = withSigs.select(col("q_id"),
+        posexplode(Dedup.bandBuckets(col("sig_q"))).as(Seq("band", "bucket")))
+      .persist()
+    val bandSlices = listSlices(spark, s"$stateDir/bands")
+    require(bandSlices.nonEmpty,
+      s"serve: no index slices under $stateDir/bands — build the index first")
+    val allBands = spark.read.parquet(bandSlices: _*)
+    val touched = qBands.select(col("band"), col("bucket")).distinct()
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+      .orderBy(col("batch_id"), col("rec_id"))
+    val exemplars = allBands
+      .join(touched, Seq("band", "bucket"), "left_semi")
+      .dropDuplicates("rec_id", "band", "bucket", "batch_id")
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= bucketCap)
+      .drop("_rn")
+    val allSigs = spark.read.parquet(listSlices(spark, s"$stateDir/sets"): _*)
+    val candidates = qBands
+      .join(exemplars.select(col("band"), col("bucket"),
+          col("rec_id").as("m_id")),
+        Seq("band", "bucket"))
+      .select(col("q_id"), col("m_id"))
+      .distinct()
+    candidates
+      .join(withSigs, Seq("q_id"))
+      .join(allSigs.select(col("rec_id").as("m_id"), col("sig").as("sig_m")),
+        Seq("m_id"))
+      .select(col("q_id"), col("m_id"),
+        Dedup.jaccardOf(col("sig_q"), col("sig_m")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("q_id").as("query_doc"), col("m_id").as("match_doc"),
+        col("jaccard"))
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    withSigs.unpersist()
+    qBands.unpersist()
+  }
+
+  /** Declared-query form: the train split is indexed once (one
+    * [[appendBatch]] slice — the write path unchanged), then the eval
+    * split arrives as a QUERY STREAM and each micro-batch is served
+    * read-only against that index. The near-dup serving twin of
+    * `stream_ann_serve`. Oracle: the index's LSH candidates equal the
+    * exact pair set on this corpus (the batch tier's pinned property),
+    * so the output is exactly the cross-split exact-Jaccard pairs. */
+  def streamTextServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.OutputMode
+    val state = graft.TempDirs.scoped("graft_tserve_state")
+    val sink = graft.TempDirs.scoped("graft_tserve_sink")
+    val out = graft.TempDirs.scoped("graft_tserve_out")
+    val ckpt = graft.TempDirs.scoped("graft_tserve_ckpt")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(!isEval), state, sink).count()
+      val queries = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(isEval)
+      queries.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          serveTextBatch(b.toDF(), state, out, id,
+            Dedup.JaccardThreshold, DefaultBucketCap)
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*")
+      .orderBy(col("query_doc"), col("match_doc"))
+  }
+
   /** The declared-query form: stream the documents table through the
     * dedup (one AvailableNow drain into session-scoped temp dirs) and
     * return surviving doc ids. Oracle: a doc survives iff it is not the

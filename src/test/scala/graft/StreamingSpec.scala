@@ -365,4 +365,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(7L).longest_session_events == 3)
     assert(out(8L).n_sessions == 1)
   }
+
+  test("text serving is batch-boundary invariant and leaves the index untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    val state = graft.TempDirs.scoped("test_tserve_state")
+    val sink = graft.TempDirs.scoped("test_tserve_sink")
+    val docs = graft.Tables.documents(spark, sf)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    StreamingDedup.appendBatch(docs.filter(!isEval), state, sink).count()
+    val slicesBefore = StreamingDedup.listSlices(spark, s"$state/bands").sorted
+
+    def serve(splits: Seq[org.apache.spark.sql.DataFrame]): Seq[(Long, Long)] = {
+      val out = graft.TempDirs.scoped("test_tserve_out")
+      splits.zipWithIndex.foreach { case (b, i) =>
+        StreamingDedup.serveTextBatch(b, state, out, i.toLong,
+          graft.operators.Dedup.JaccardThreshold, StreamingDedup.DefaultBucketCap)
+      }
+      spark.read.parquet(s"$out/b*").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+
+    val queries = docs.filter(isEval)
+    val oneBatch = serve(Seq(queries))
+    val mid = queries.agg(avg(col("doc_id"))).head().getDouble(0)
+    val twoBatches = serve(Seq(
+      queries.filter(col("doc_id") <= mid), queries.filter(col("doc_id") > mid)))
+    assert(oneBatch == twoBatches) // fixed index => boundaries cannot matter
+    assert(oneBatch.nonEmpty)
+    // read-only: serving wrote nothing into the index
+    assert(StreamingDedup.listSlices(spark, s"$state/bands").sorted == slicesBefore)
+  }
 }
