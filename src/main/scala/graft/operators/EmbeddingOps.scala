@@ -37,14 +37,11 @@ object EmbeddingOps {
     * max-abs scheme — -128 is unused so negation stays in range). */
   val QuantLevels = 127.0
 
-  /** Quantize any (vec_id, embedding) frame: per-vector max-abs scale,
-    * nearest-int codes (floor(x+0.5) — explicit so the oracle replays the
-    * exact rounding), L2 reconstruction error. Codes are emitted
-    * comma-joined: the differential harness compares scalar columns.
-    * All-zero vectors quantize to all-zero codes (scale 0 guard). */
   /** The quantized corpus with codes still as arrays — the form the
     * int8 search path consumes (and [[quantized]] renders for the
-    * differential harness). */
+    * differential harness): per-vector max-abs scale, nearest-int codes
+    * (floor(x+0.5) — explicit so the oracle replays the exact rounding).
+    * All-zero vectors quantize to all-zero codes (scale 0 guard). */
   private[graft] def quantizedArrays(emb: DataFrame): DataFrame = {
     val scale = array_max(transform(col("embedding"),
       x => abs(x.cast("double"))))
@@ -58,6 +55,9 @@ object EmbeddingOps {
       col("scale"), codes.as("codes"))
   }
 
+  /** Presentation form of [[quantizedArrays]] plus the L2 reconstruction
+    * error; codes are emitted comma-joined because the differential
+    * harness compares scalar columns. */
   private[graft] def quantized(emb: DataFrame): DataFrame = {
     val withCodes = quantizedArrays(emb)
     val errTerms = zip_with(col("embedding"), col("codes"), (x, c) => {
@@ -156,11 +156,17 @@ object EmbeddingOps {
   private[graft] def semDedupOn(emb: DataFrame,
       centroids: Seq[Array[Float]],
       cap: Int = SemDedupCellCap): DataFrame = {
+    // persist: three consumers (both pair-join sides and the final keeper
+    // join) would otherwise re-run the 16-kernel centroid scoring and both
+    // windows. broadcastSizes: the key space is the bounded centroid count
+    // (16 cells), the case LshSkew documents for the groupBy+broadcast
+    // sizing form — no window sort-shuffle just to count cells.
     val assigned = LshSkew.saltBuckets(
       Similarity.rankedCells(emb, centroids)
         .filter(col("pr") === 1)
         .select(col("vec_id"), col("embedding"), col("cell")),
-      Seq("cell"), "vec_id", cap)
+      Seq("cell"), "vec_id", cap, broadcastSizes = true)
+      .persist()
     val left = assigned.select(col("cell"), col("salt"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val right = assigned.select(col("cell"), col("salt"),
@@ -184,22 +190,28 @@ object EmbeddingOps {
     semDedupOn(emb, Similarity.learnCentroids(emb)).orderBy(col("vec_id"))
   }
 
+  /** Shared quantization-oracle prefix (per-vector scale -> int8 codes):
+    * ONE SQL text behind the quantize and int8-search oracles so the
+    * rounding replay cannot drift. */
+  private val quantOracleCtes: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding, x ->
+      |      CASE WHEN scale = 0 THEN 0
+      |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+      |          AS BIGINT) END) AS codes
+      |  FROM q)""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("sim_quantize_int8", quantizeInt8,
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, embedding, scale,
-        |    list_transform(embedding, x ->
-        |      CASE WHEN scale = 0 THEN 0
-        |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
-        |          AS BIGINT) END) AS codes
-        |  FROM q)
+      s"""$quantOracleCtes
         |SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS n_dims,
         |  scale,
@@ -210,18 +222,7 @@ object EmbeddingOps {
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin),
     withOracle("sim_topk_int8", topKInt8,
-      s"""WITH q AS (
-         |  SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding,
-         |      x -> abs(CAST(x AS DOUBLE)))) AS scale
-         |  FROM embeddings),
-         |c AS (
-         |  SELECT vec_id, scale,
-         |    list_transform(embedding, x ->
-         |      CASE WHEN scale = 0 THEN 0
-         |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
-         |          AS BIGINT) END) AS codes
-         |  FROM q),
+      s"""$quantOracleCtes,
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          |    CAST(list_sum(list_transform(list_zip(a.codes, b.codes),

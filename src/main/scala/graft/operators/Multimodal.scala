@@ -247,7 +247,10 @@ object Multimodal {
     * image is a duplicate iff some lower-id image sits within hamming
     * [[PhashMaxHamming]]; its keeper is the smallest such id. */
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = phashTable(s, dir)
+    // persist: the pair subtree and the outer corpus join both consume the
+    // hash table, and regenerating it means a second full PNG decode pass
+    // (the dominant cost) — the withSigs/minhashLshPairs precedent
+    val hashes = phashTable(s, dir).persist()
     val dupOf = phashPairsOn(hashes)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
     hashes.join(dupOf, col("media_id") === col("id_b"), "left")
@@ -375,6 +378,42 @@ object Multimodal {
         col("frame_h"), col("frame_sum"), col("head_px"))
       .orderBy(col("media_id"), col("frame_id"))
 
+  /** Shared phash-oracle prefix (pixel rule -> blocks -> hash -> bands ->
+    * salt -> candidate pairs): ONE SQL text behind both phash oracles so
+    * the hash/band/salt replay cannot drift (the deconShingleCtes /
+    * gateCteSql convention). */
+  private val phashOracleCtes: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n FROM documents),
+       |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+       |    CASE WHEN n = 0 THEN 0
+       |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+       |    END AS v
+       |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+       |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
+       |    CAST(SUM(v) // 4 AS INT) AS r
+       |  FROM pix GROUP BY 1, 2),
+       |ph AS (SELECT media_id,
+       |    CAST(SUM(CASE WHEN r > thr THEN
+       |      CASE WHEN q = 63 THEN -9223372036854775808
+       |        ELSE (1::BIGINT << CAST(q AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM (SELECT b.*, s.thr FROM blk b
+       |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
+       |        USING (media_id))
+       |  GROUP BY media_id),
+       |bands AS (SELECT media_id, phash, b,
+       |    (phash >> (b * 16)) & 65535 AS bv
+       |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+       |salted AS (SELECT media_id, phash, b, bv,
+       |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
+       |      / $PhashBucketCap.0) AS BIGINT) AS salt
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
+       |    b.media_id AS id_b, b.phash AS hb
+       |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.salt = b.salt AND a.media_id < b.media_id)""".stripMargin
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -481,72 +520,14 @@ object Multimodal {
     // (q=63 is MIN_LONG — a shifted literal would overflow), bands by
     // arithmetic shift + mask (identical to Spark's shiftright + AND).
     withOracle("mm_phash_neardup", phashNearDup,
-      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
-        |    CASE WHEN n = 0 THEN 0
-        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
-        |    END AS v
-        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
-        |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
-        |    CAST(SUM(v) // 4 AS INT) AS r
-        |  FROM pix GROUP BY 1, 2),
-        |ph AS (SELECT media_id,
-        |    CAST(SUM(CASE WHEN r > thr THEN
-        |      CASE WHEN q = 63 THEN -9223372036854775808
-        |        ELSE (1::BIGINT << CAST(q AS INT)) END
-        |      ELSE 0 END) AS BIGINT) AS phash
-        |  FROM (SELECT b.*, s.thr FROM blk b
-        |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
-        |        USING (media_id))
-        |  GROUP BY media_id),
-        |bands AS (SELECT media_id, phash, b,
-        |    (phash >> (b * 16)) & 65535 AS bv
-        |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
-        |salted AS (SELECT media_id, phash, b, bv,
-        |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
-        |      / $PhashBucketCap.0) AS BIGINT) AS salt
-        |  FROM bands),
-        |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
-        |    b.media_id AS id_b, b.phash AS hb
-        |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
-        |    AND a.salt = b.salt AND a.media_id < b.media_id)
+      s"""$phashOracleCtes
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
     // The dedup decision over the same replayed hash + band join: group
     // the qualifying pairs by their higher id, keeper = min lower id.
     withOracle("mm_phash_dedup", phashDedup,
-      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |pix AS (SELECT media_id, CAST(p AS INT) AS p,
-        |    CASE WHEN n = 0 THEN 0
-        |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
-        |    END AS v
-        |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
-        |blk AS (SELECT media_id, ((p//16)//2)*8 + (p%16)//2 AS q,
-        |    CAST(SUM(v) // 4 AS INT) AS r
-        |  FROM pix GROUP BY 1, 2),
-        |ph AS (SELECT media_id,
-        |    CAST(SUM(CASE WHEN r > thr THEN
-        |      CASE WHEN q = 63 THEN -9223372036854775808
-        |        ELSE (1::BIGINT << CAST(q AS INT)) END
-        |      ELSE 0 END) AS BIGINT) AS phash
-        |  FROM (SELECT b.*, s.thr FROM blk b
-        |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
-        |        USING (media_id))
-        |  GROUP BY media_id),
-        |bands AS (SELECT media_id, phash, b,
-        |    (phash >> (b * 16)) & 65535 AS bv
-        |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
-        |salted AS (SELECT media_id, phash, b, bv,
-        |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
-        |      / $PhashBucketCap.0) AS BIGINT) AS salt
-        |  FROM bands),
-        |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
-        |    b.media_id AS id_b, b.phash AS hb
-        |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
-        |    AND a.salt = b.salt AND a.media_id < b.media_id),
+      s"""$phashOracleCtes,
         |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
         |  WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY id_b)
         |SELECT ph.media_id,

@@ -196,40 +196,40 @@ object QualityGate {
   /** The gate as a named SQL CTE (`gate(doc_id, keep)`) — shared with the
     * curation-funnel oracle in [[Dedup]] so the two replays of the rule
     * set cannot drift. */
+  /** The rule-input projection (one row per doc with the four rule
+    * signals) — ONE SQL text behind the gate, stream-gate, and funnel
+    * oracles so the signal definitions cannot drift. */
+  private def ruleInputsSql: String =
+    s"""SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS mean_tok_len,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
+       |  FROM documents""".stripMargin
+
+  /** The conjunctive keep predicate over the rule-input columns — shared
+    * by every SQL replay of the decision. */
+  private def keepSql: String =
+    s"""(n_tokens BETWEEN $MinTokens AND $MaxTokens)
+       |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
+       |    AND ttr > $MinTtr AND n_stop >= $MinStopHits""".stripMargin
+
   private[operators] def gateCteSql: String =
-    s"""gate AS (SELECT doc_id,
-       |    (n_tokens BETWEEN $MinTokens AND $MaxTokens)
-       |      AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
-       |      AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
-       |  FROM (SELECT doc_id,
-       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |        / len(string_split(text, ' ')) AS mean_tok_len,
-       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |        / len(string_split(text, ' ')) AS ttr,
-       |      CAST(len(list_filter(string_split(text, ' '),
-       |          x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
-       |    FROM documents) t)""".stripMargin
+    s"""gate AS (SELECT doc_id, $keepSql AS keep
+       |  FROM ($ruleInputsSql) t)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("text_gopher_rules", gopherRules,
-      s"""WITH t AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS mean_tok_len,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS ttr,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |        x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
-         |  FROM documents)
+      s"""WITH t AS ($ruleInputsSql)
          |SELECT doc_id, n_tokens, mean_tok_len, ttr, n_stop,
          |  n_tokens BETWEEN $MinTokens AND $MaxTokens AS r_len,
          |  mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen AS r_mean_len,
          |  ttr > $MinTtr AS r_ttr,
          |  n_stop >= $MinStopHits AS r_stop,
-         |  (n_tokens BETWEEN $MinTokens AND $MaxTokens)
-         |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
-         |    AND ttr > $MinTtr AND n_stop >= $MinStopHits AS keep
+         |  $keepSql AS keep
          |FROM t ORDER BY doc_id""".stripMargin),
     withOracle("text_quality_sample", qualitySample,
       s"""WITH t AS (SELECT doc_id,
@@ -246,20 +246,10 @@ object QualityGate {
          |  WHEN 'mid' THEN $KeepMid ELSE $KeepLow END
          |ORDER BY doc_id""".stripMargin),
     withOracle("stream_quality_gate", streamQualityGateQuery,
-      s"""WITH t AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS mean_tok_len,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS ttr,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |        x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
-         |  FROM documents)
+      s"""WITH t AS ($ruleInputsSql)
          |SELECT doc_id, n_tokens, mean_tok_len, ttr, n_stop
          |FROM t
-         |WHERE (n_tokens BETWEEN $MinTokens AND $MaxTokens)
-         |  AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
-         |  AND ttr > $MinTtr AND n_stop >= $MinStopHits
+         |WHERE $keepSql
          |ORDER BY doc_id""".stripMargin),
     withOracle("text_contamination_score", contaminationScore,
       """WITH w AS (SELECT doc_id,
