@@ -79,27 +79,36 @@ object QualityGate {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherFlags(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  /** Contamination n-gram width: 3 matches the decontamination tier's
-    * shingle width, so the graded score and the binary filter measure
-    * the same overlap signal. */
-  val ContaminationGram = 3
+  /** Contamination n-gram width IS the decontamination tier's shingle
+    * width (same kernel), so the graded score and the binary filter
+    * measure the same overlap signal by construction. */
+  val ContaminationGram: Int = Dedup.ShingleSize
 
   /** Graded contamination over any (doc_id, text) frame: for each doc
     * NOT satisfying `isEval`, the fraction of its DISTINCT
     * [[ContaminationGram]]-grams that appear anywhere in the eval split.
     * Docs shorter than the gram width have no grams and drop out (they
-    * cannot be contaminated by n-gram evidence). */
+    * cannot be contaminated by n-gram evidence).
+    *
+    * Uses the dedup tier's HASHED shingle-set kernel, not gram strings:
+    * ~10x less shuffle/cache volume, and distinct-hash counts equal
+    * distinct-string counts (the codebase's hash-invariance contract the
+    * decontaminate oracle already relies on). The cached projection is
+    * the exact shape [[Dedup.decontaminate]] persists, so a query sweep
+    * shares one cache entry; persist is required regardless — the eval
+    * gram set and the train-side join both consume it. */
   private[graft] def contaminationOn(docs: DataFrame, isEval: Column): DataFrame = {
-    val grams = docs.select(
-      col("doc_id"),
-      isEval.as("is_eval"),
-      explode(array_distinct(graft.functions.GraftExpressions
-        .shingleStrings(col("text"), ContaminationGram))).as("gram"))
+    val sets = docs.select(col("doc_id"),
+        Dedup.shingleSet(col("text")).as("hv"))
+      .persist()
+      .withColumn("is_eval", isEval)
+    val grams = sets.select(col("doc_id"), col("is_eval"),
+      explode(col("hv")).as("g"))
     val evalGrams = grams.filter(col("is_eval"))
-      .select(col("gram")).distinct()
+      .select(col("g")).distinct()
       .withColumn("in_eval", lit(1))
     grams.filter(!col("is_eval"))
-      .join(evalGrams, Seq("gram"), "left")
+      .join(evalGrams, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -193,9 +202,6 @@ object QualityGate {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
-  /** The gate as a named SQL CTE (`gate(doc_id, keep)`) — shared with the
-    * curation-funnel oracle in [[Dedup]] so the two replays of the rule
-    * set cannot drift. */
   /** The rule-input projection (one row per doc with the four rule
     * signals) — ONE SQL text behind the gate, stream-gate, and funnel
     * oracles so the signal definitions cannot drift. */
@@ -217,6 +223,9 @@ object QualityGate {
        |    AND (mean_tok_len BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen)
        |    AND ttr > $MinTtr AND n_stop >= $MinStopHits""".stripMargin
 
+  /** The gate as a named SQL CTE (`gate(doc_id, keep)`) — spliced into
+    * the curation-funnel oracle in [[Dedup]] so the two replays of the
+    * rule set cannot drift. */
   private[operators] def gateCteSql: String =
     s"""gate AS (SELECT doc_id, $keepSql AS keep
        |  FROM ($ruleInputsSql) t)""".stripMargin

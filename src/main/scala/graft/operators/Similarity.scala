@@ -131,7 +131,12 @@ object Similarity {
     val ann = topKAnn(s, dir).select(col("query_id"), col("vec_id"))
     val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    exact.select(col("query_id")).distinct()
+    // query-id spine straight from the corpus (the exact top-k's query
+    // set IS this filter by definition) — deriving it from `exact` would
+    // re-execute the rank window a second time just to list ids
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -373,7 +373,12 @@ object StreamingDedup {
       .withColumn("_rn", row_number().over(wBucket))
       .filter(col("_rn") <= bucketCap)
       .drop("_rn")
+    // a compaction crashed between rename and cleanup can leave a slice
+    // next to its own merge — identical signature rows twice; dedupe by
+    // id (same defense as the exemplar input above) so the sig join
+    // cannot double matched output rows
     val allSigs = spark.read.parquet(listSlices(spark, s"$stateDir/sets"): _*)
+      .dropDuplicates("rec_id")
     val candidates = qBands
       .join(exemplars.select(col("band"), col("bucket"),
           col("rec_id").as("m_id")),
