@@ -19,7 +19,10 @@ object Explain {
         "text_span_dedup", "text_trainer_pipeline",
         "text_bloom_decontaminate", "text_data_card", "sim_retrieve_docs",
         "sim_topk_ivf_persisted", "sim_topk_pq_persisted",
-        "sim_topk_ivfpq_persisted", "text_rare_bigram_ratio")
+        "sim_topk_ivfpq_persisted", "text_rare_bigram_ratio",
+        "text_gopher_rules", "text_contamination_score", "sim_knn_graph",
+        "sim_topk_int8", "mm_phash_neardup", "text_curation_funnel",
+        "text_quality_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
