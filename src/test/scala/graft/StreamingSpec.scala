@@ -366,6 +366,33 @@ class StreamingSpec extends SparkSpec {
     assert(out(8L).n_sessions == 1)
   }
 
+  test("serving tolerates a slice left next to its own merge by a crashed compaction") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    val state = graft.TempDirs.scoped("test_tserve_crash_state")
+    val sink = graft.TempDirs.scoped("test_tserve_crash_sink")
+    val docs = graft.Tables.documents(spark, sf)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    StreamingDedup.appendBatch(docs.filter(!isEval), state, sink).count()
+
+    def serveOnce(): Seq[(Long, Long)] = {
+      val out = graft.TempDirs.scoped("test_tserve_crash_out")
+      StreamingDedup.serveTextBatch(docs.filter(isEval), state, out, 0L,
+        graft.operators.Dedup.JaccardThreshold, StreamingDedup.DefaultBucketCap)
+      spark.read.parquet(s"$out/b0").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+
+    val clean = serveOnce()
+    assert(clean.nonEmpty)
+    // simulate the crash: the b0 slice's rows appear AGAIN as c0 (a
+    // compaction that renamed its merge but died before cleanup)
+    spark.read.parquet(s"$state/sets/b0").write.parquet(s"$state/sets/c0")
+    spark.read.parquet(s"$state/bands/b0").write.parquet(s"$state/bands/c0")
+    val dirty = serveOnce()
+    assert(dirty == clean) // no doubled matches, no lost matches
+  }
+
   test("text serving is batch-boundary invariant and leaves the index untouched") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingDedup
