@@ -127,7 +127,7 @@ object TextAnalysis {
     * signal (CCNet-family, exact form): per document, the fraction of its
     * DISTINCT word bigrams that appear in no other document. Template spam
     * and mirrored boilerplate score near 0 (every bigram shared); original
-    * prose scores high. Complements [[textRepetition]]'s WITHIN-doc signal
+    * prose scores high. Complements [[repetition]]'s WITHIN-doc signal
     * with a cross-corpus one, without the libm-dependent log-probs an
     * n-gram LM would need (integer counts + one division ⇒ bit-exact
     * oracle).
