@@ -106,12 +106,35 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Thresholds the sweep audit evaluates (ascending; the lowest one
+    * bounds the single pair scan). */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Threshold WHAT-IF sweep — the table a dedup owner reads before
+    * fixing the cutoff: for each candidate threshold, how many exact
+    * Jaccard pairs qualify and how many documents the min-lower-id rule
+    * would drop. ONE exact PPJoin pass at the lowest threshold (exact at
+    * any cutoff — the prefix scheme adapts), then a 5-way explode and a
+    * tiny-key aggregate; thresholds with zero qualifying pairs drop out
+    * (both engines agree). */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir), SweepThresholds.min)
+      .select(col("doc_b"), col("jaccard"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .orderBy(col("threshold"))
+
   /** The exact Jaccard pair set (with scores) as a single reusable CTE
     * body — THE definition of the pair semantics, shared verbatim by the
     * pair oracle, the MinHash+LSH oracle, the connected-components oracle
     * and the curation-pipeline oracle, so the four can never
     * desynchronize. */
-  val jaccardPairsCte: String =
+  /** The same pair semantics at any threshold (the sweep audit reuses
+    * this text at its lowest cutoff). */
+  def jaccardPairsCteAt(threshold: Double): String =
     s"""w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
        |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
@@ -124,7 +147,9 @@ object Dedup {
        |       FROM inter
        |       JOIN cnt ca ON ca.doc_id = doc_a
        |       JOIN cnt cb ON cb.doc_id = doc_b
-       |       WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $JaccardThreshold)""".stripMargin
+       |       WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $threshold)""".stripMargin
+
+  val jaccardPairsCte: String = jaccardPairsCteAt(JaccardThreshold)
 
   /** Shared DuckDB oracle for the Jaccard-pair semantics (also the oracle
     * for MinHash+LSH, whose verified candidates equal the exact pair set
@@ -656,6 +681,14 @@ object Dedup {
          |JOIN gate g USING (doc_id)
          |LEFT JOIN shared s USING (doc_id)
          |JOIN comp c USING (doc_id)""".stripMargin),
+    withOracle("dedup_threshold_sweep", dedupThresholdSweep,
+      s"""WITH ${jaccardPairsCteAt(SweepThresholds.min)},
+         |th AS (SELECT UNNEST([${SweepThresholds.map(t => s"$t::DOUBLE").mkString(", ")}])
+         |       AS threshold)
+         |SELECT th.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT jp.doc_b) AS BIGINT) AS n_docs_dropped
+         |FROM jp JOIN th ON jp.jaccard >= th.threshold
+         |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin),
     withOracle("dedup_group_stats", dedupGroupStats,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,
