@@ -1,15 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.streaming.StreamingDedup
 
 /** Shared persistence primitives for the persisted ANN indexes
-  * ([[IvfIndex]], [[PqIndex]], [[IvfPqIndex]]): one definition of how
-  * frozen centroids and PQ codebooks round-trip through parquet, and one
-  * multi-slice reader, so the three index layouts cannot drift in their
-  * on-disk geometry encoding. */
-private[operators] object IndexFiles {
+  * ([[IvfIndex]], [[PqIndex]], [[IvfPqIndex]]) and the streaming LSH
+  * index: one definition of how frozen centroids and PQ codebooks
+  * round-trip through parquet, one multi-slice reader, and ONE tombstone
+  * convention (write / read-minus / fold-at-compaction), so the persisted
+  * state implementations cannot drift in their on-disk geometry or their
+  * delete semantics. */
+private[graft] object IndexFiles {
 
   /** Persist IVF centroids as (cell, centroid), overwriting. */
   def writeCentroids(spark: SparkSession, dir: String,
@@ -58,5 +60,110 @@ private[operators] object IndexFiles {
     require(slices.nonEmpty,
       s"no index slices under $base — build/append before querying")
     slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  // -------------------------------------------------------------------
+  // Tombstones: the persisted indexes' DELETE verb (the reference's O15
+  // staging delete, bpi_crawler.py:37-41, re-expressed for durable
+  // serving state). A delete writes a TOMBSTONE SLICE of ids under the
+  // same b/c naming as the data slices, drawing its id from a clock
+  // SHARED with the data subdir, and kills rows in STRICTLY EARLIER
+  // slices — so a replayed delete is idempotent (overwrite-mode slice),
+  // serving anti-joins the (usually tiny) tombstone set, and an id
+  // re-appended after its delete is alive again (LSM semantics, the
+  // slice id as the logical clock). Compaction folds tombstones into the
+  // physical rows and removes them.
+
+  /** Each slice's rows tagged with the slice's numeric id (`c<N>` tags as
+    * N — safe, because every tombstone that survived its compaction has
+    * id > N, and every row in the compacted slice came from a slice
+    * <= N). */
+  private def taggedSlices(spark: SparkSession,
+      slices: Seq[String]): Seq[DataFrame] =
+    slices.flatMap { d =>
+      StreamingDedup.sliceBatch(d).map(id =>
+        spark.read.parquet(d).withColumn("_slice", lit(id)))
+    }
+
+  /** Next free slice id across subdirs sharing one logical clock (data +
+    * tombstones): a tombstone must out-number every slice it is meant to
+    * kill, so both verbs draw from the max over BOTH subdirs. */
+  def nextSliceIdAcross(spark: SparkSession, bases: Seq[String]): Long =
+    bases.map(StreamingDedup.nextSliceId(spark, _)).max
+
+  /** Write tombstone slice `b<sliceId>` of distinct ids under `tombsBase`
+    * (overwrite mode — a replayed delete replaces its own slice). */
+  def writeTombstoneSlice(ids: DataFrame, idCol: String, tombsBase: String,
+      sliceId: Long): Unit =
+    ids.select(col(idCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tombsBase/b$sliceId")
+
+  /** `rows` (tagged with `tagCol`) minus tombstoned ones: a row is dead
+    * iff some tombstone slice with a STRICTLY larger id carries its id.
+    * Equi-join on the id with the slice comparison as residual — never a
+    * cartesian. */
+  private def minusTombstoned(rows: DataFrame, tombs: DataFrame,
+      idCol: String, tagCol: String): DataFrame = {
+    val t = tombs.select(col(idCol).as("_t_id"), col("_slice").as("_t_slice"))
+    rows.join(t,
+      rows(idCol) === t("_t_id") && t("_t_slice") > rows(tagCol), "left_anti")
+  }
+
+  /** Live rows over an explicit slice list: the plain per-slice union
+    * when no tombstones exist (byte-identical plan to the pre-delete
+    * engine), the tagged anti-join otherwise. */
+  def readLiveFrom(spark: SparkSession, slices: Seq[String],
+      tombsBase: String, idCol: String): DataFrame = {
+    val tombSlices = StreamingDedup.listSlices(spark, tombsBase)
+    if (tombSlices.isEmpty)
+      slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else
+      minusTombstoned(
+        taggedSlices(spark, slices).reduce(_ unionByName _),
+        taggedSlices(spark, tombSlices).reduce(_ unionByName _),
+        idCol, "_slice")
+        .drop("_slice")
+  }
+
+  /** All LIVE rows across the b/c slices under `base`: [[readSlices]]
+    * minus the ids tombstoned under `tombsBase`. */
+  def readLive(spark: SparkSession, base: String, tombsBase: String,
+      idCol: String): DataFrame = {
+    val slices = StreamingDedup.listSlices(spark, base)
+    require(slices.nonEmpty,
+      s"no index slices under $base — build/append before querying")
+    readLiveFrom(spark, slices, tombsBase, idCol)
+  }
+
+  /** Tombstone-folding compaction: merge data slices `<= upTo` into one
+    * `c<upTo>` slice MINUS the rows killed by tombstones `<= upTo`, then
+    * delete those tombstone slices — every row they cover (slice id
+    * strictly below theirs, hence `<= upTo`) is in the merge, so after
+    * folding they carry no information. Tombstones `> upTo` survive and
+    * still apply to `c<upTo>` (its tag `upTo` is below their id).
+    * `purgeTombstones=false` folds without deleting — for state layouts
+    * where several subdirs share one tombstone dir ([[StreamingDedup]]'s
+    * bands+sets) and only the LAST fold may purge. Runs even for a
+    * single data slice when tombstones exist (the fold is the point);
+    * no-ops when there is nothing to merge or fold. */
+  def compactWithTombstones(spark: SparkSession, base: String,
+      tombsBase: String, upTo: Long, idCol: String,
+      purgeTombstones: Boolean = true)(
+      write: (DataFrame, String) => Unit): Unit = {
+    val posts = StreamingDedup.listSlices(spark, base)
+      .filter(StreamingDedup.sliceBatch(_).exists(_ <= upTo))
+    val tombs = StreamingDedup.listSlices(spark, tombsBase)
+      .filter(StreamingDedup.sliceBatch(_).exists(_ <= upTo))
+    if (tombs.isEmpty)
+      StreamingDedup.compactSlices(spark, base, upTo)(write)
+    else if (posts.nonEmpty) {
+      val merged = minusTombstoned(
+          taggedSlices(spark, posts).reduce(_ unionByName _),
+          taggedSlices(spark, tombs).reduce(_ unionByName _),
+          idCol, "_slice")
+        .drop("_slice").distinct()
+      StreamingDedup.publishCompacted(spark, base, upTo, merged, posts,
+        alsoDelete = if (purgeTombstones) tombs else Nil)(write)
+    }
   }
 }

@@ -35,6 +35,7 @@ object IvfIndex {
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def tombstonesDir(dir: String) = s"$dir/tombstones"
 
   /** Train centroids from the bootstrap corpus (or freeze the given
     * ones) and persist them WITHOUT writing any postings — the init step
@@ -60,8 +61,27 @@ object IvfIndex {
   def append(emb: DataFrame, dir: String, sliceId: Long = -1L): Long = {
     val spark = emb.sparkSession
     val id = if (sliceId >= 0) sliceId
-      else StreamingDedup.nextSliceId(spark, postingsDir(dir))
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(postingsDir(dir), tombstonesDir(dir)))
     appendSlice(emb, dir, loadCentroids(spark, dir), id)
+    id
+  }
+
+  /** Forget vectors — the persisted index's DELETE verb (the reference's
+    * O15 staging delete re-expressed for durable serving state; the dedup
+    * tier's dropped-ids list is the natural input). Writes a tombstone
+    * slice under the shared b/c convention: [[topK]] anti-joins it,
+    * [[compact]] folds it into the physical postings. The tombstone's
+    * slice id comes from the clock shared with the postings, so it kills
+    * exactly the postings that exist NOW — a later [[append]] of the same
+    * vec_id is alive again. Passing an explicit `sliceId` replays
+    * idempotently (overwrite-mode slice). Returns the slice id. */
+  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long = {
+    val spark = ids.sparkSession
+    val id = if (sliceId >= 0) sliceId
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(postingsDir(dir), tombstonesDir(dir)))
+    IndexFiles.writeTombstoneSlice(ids, "vec_id", tombstonesDir(dir), id)
     id
   }
 
@@ -76,11 +96,13 @@ object IvfIndex {
   /** Merge postings slices `<= upToSliceId` into one `c<id>` slice — the
     * [[StreamingDedup.compactSlices]] machinery with a partitioned writer,
     * so the compacted slice keeps the cell directory layout (and with it
-    * partition pruning). Bit-identical results before and after: postings
-    * carry no slice-order semantics, only (vec_id, embedding, cell). */
+    * partition pruning). Folds tombstones `<= upToSliceId` into the
+    * physical rows and removes them ([[IndexFiles.compactWithTombstones]]).
+    * Bit-identical QUERY results before and after: postings carry no
+    * slice-order semantics once the tombstones they answer to are gone. */
   def compact(spark: SparkSession, dir: String, upToSliceId: Long): Unit =
-    StreamingDedup.compactSlices(spark, postingsDir(dir), upToSliceId) {
-      (merged, dst) =>
+    IndexFiles.compactWithTombstones(spark, postingsDir(dir),
+      tombstonesDir(dir), upToSliceId, "vec_id") { (merged, dst) =>
         merged.write.mode("overwrite").partitionBy("cell").parquet(dst)
     }
 
@@ -88,9 +110,10 @@ object IvfIndex {
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
     IndexFiles.loadCentroids(spark, centroidsDir(dir))
 
-  /** All postings across slices. */
+  /** All LIVE postings across slices (tombstoned vec_ids excluded; the
+    * plain multi-slice union when no delete ever ran). */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readSlices(spark, postingsDir(dir))
+    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id")
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * rank cells per query through the shared [[Similarity.rankedCells]]
@@ -143,6 +166,30 @@ object IvfIndex {
   def topKIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val idx = TempDirs.scoped("graft_ivfidx")
     build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), idx)
+    topK(s, idx, standardQueries(s, dir))
+  }
+
+  /** The deterministic forget-set of the delete lifecycle queries and
+    * tests: every 7th corpus vector (phase 3), query vectors excluded so
+    * the query set itself stays servable. */
+  private[graft] def deleteSet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") >= Similarity.NumQueryVectors &&
+        col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+
+  /** Declared query — the DELETE lifecycle end-to-end: build the persisted
+    * index, forget the [[deleteSet]] (the dedup tier's dropped-ids shape),
+    * answer the standard query set. Tombstoned vectors can no longer be
+    * returned; everything else ranks exactly as it would in an index
+    * rebuilt without them (pinned in IvfIndexSpec, along with
+    * compaction-folds-tombstones and replayed-delete idempotence).
+    * ROWS-ONLY: data-trained centroids, like every persisted-index
+    * query. */
+  def topKIvfDeleted(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfdel")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    delete(deleteSet(emb), idx)
     topK(s, idx, standardQueries(s, dir))
   }
 
@@ -230,6 +277,7 @@ object IvfIndex {
 
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
+    rowsOnly("sim_topk_ivf_deleted", topKIvfDeleted),
     rowsOnly("stream_ann_serve", streamAnnServeQuery),
     rowsOnly("stream_ivf_index_append", streamIvfAppendQuery))
 }

@@ -33,6 +33,7 @@ object IvfPqIndex {
   private def postingsDir(dir: String) = s"$dir/postings"
   private def centroidsDir(dir: String) = s"$dir/centroids"
   private def codebooksDir(dir: String) = s"$dir/codebooks"
+  private def tombstonesDir(dir: String) = s"$dir/tombstones"
 
   /** Build: train IVF centroids and PQ codebooks from the corpus (or
     * freeze the given ones), write postings slice b0. */
@@ -52,9 +53,22 @@ object IvfPqIndex {
   def append(emb: DataFrame, dir: String, sliceId: Long = -1L): Long = {
     val spark = emb.sparkSession
     val id = if (sliceId >= 0) sliceId
-      else StreamingDedup.nextSliceId(spark, postingsDir(dir))
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(postingsDir(dir), tombstonesDir(dir)))
     appendSlice(emb, dir, loadCentroids(spark, dir),
       loadCodebooks(spark, dir), id)
+    id
+  }
+
+  /** Forget vectors — the shared tombstone DELETE verb ([[IvfIndex.delete]]
+    * semantics, same slice clock): [[topK]] anti-joins the tombstones,
+    * [[compact]] folds them into the physical postings. */
+  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long = {
+    val spark = ids.sparkSession
+    val id = if (sliceId >= 0) sliceId
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(postingsDir(dir), tombstonesDir(dir)))
+    IndexFiles.writeTombstoneSlice(ids, "vec_id", tombstonesDir(dir), id)
     id
   }
 
@@ -70,10 +84,11 @@ object IvfPqIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${postingsDir(dir)}/b$sliceId")
 
-  /** Merge postings slices `<= upToSliceId`, keeping the cell layout. */
+  /** Merge postings slices `<= upToSliceId`, keeping the cell layout and
+    * folding (and removing) tombstones `<= upToSliceId`. */
   def compact(spark: SparkSession, dir: String, upToSliceId: Long): Unit =
-    StreamingDedup.compactSlices(spark, postingsDir(dir), upToSliceId) {
-      (merged, dst) =>
+    IndexFiles.compactWithTombstones(spark, postingsDir(dir),
+      tombstonesDir(dir), upToSliceId, "vec_id") { (merged, dst) =>
         merged.write.mode("overwrite").partitionBy("cell").parquet(dst)
     }
 
@@ -83,9 +98,10 @@ object IvfPqIndex {
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
     IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
-  /** All persisted (vec_id, codes, cell) postings across slices. */
+  /** All LIVE persisted (vec_id, codes, cell) postings across slices
+    * (tombstoned vec_ids excluded). */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readSlices(spark, postingsDir(dir))
+    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id")
 
   /** Answer a query frame (query_id, qv): probe cells via the shared
     * [[Similarity.rankedCells]], prune the postings scan to the probed

@@ -35,6 +35,7 @@ object PqIndex {
 
   private def codesDir(dir: String) = s"$dir/codes"
   private def codebooksDir(dir: String) = s"$dir/codebooks"
+  private def tombstonesDir(dir: String) = s"$dir/tombstones"
 
   /** Build: train codebooks from the corpus (or freeze the given ones) and
     * write codes slice b0. */
@@ -51,8 +52,21 @@ object PqIndex {
   def append(emb: DataFrame, dir: String, sliceId: Long = -1L): Long = {
     val spark = emb.sparkSession
     val id = if (sliceId >= 0) sliceId
-      else StreamingDedup.nextSliceId(spark, codesDir(dir))
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(codesDir(dir), tombstonesDir(dir)))
     appendSlice(emb, dir, loadCodebooks(spark, dir), id)
+    id
+  }
+
+  /** Forget vectors — the shared tombstone DELETE verb ([[IvfIndex.delete]]
+    * semantics, same slice clock): [[topK]] anti-joins the tombstones,
+    * [[compact]] folds them into the physical codes. */
+  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long = {
+    val spark = ids.sparkSession
+    val id = if (sliceId >= 0) sliceId
+      else IndexFiles.nextSliceIdAcross(spark,
+        Seq(codesDir(dir), tombstonesDir(dir)))
+    IndexFiles.writeTombstoneSlice(ids, "vec_id", tombstonesDir(dir), id)
     id
   }
 
@@ -63,9 +77,11 @@ object PqIndex {
           Similarity.PqSubspaces, Similarity.PqCodebookSize).as("codes"))
       .write.mode("overwrite").parquet(s"${codesDir(dir)}/b$sliceId")
 
-  /** Merge codes slices `<= upToSliceId` into one `c<id>` slice. */
+  /** Merge codes slices `<= upToSliceId` into one `c<id>` slice, folding
+    * (and removing) tombstones `<= upToSliceId`. */
   def compact(spark: SparkSession, dir: String, upToSliceId: Long): Unit =
-    StreamingDedup.compactSlices(spark, codesDir(dir), upToSliceId) {
+    IndexFiles.compactWithTombstones(spark, codesDir(dir),
+      tombstonesDir(dir), upToSliceId, "vec_id") {
       (merged, dst) => merged.write.mode("overwrite").parquet(dst)
     }
 
@@ -74,9 +90,10 @@ object PqIndex {
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
     IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
-  /** All persisted codes across slices. */
+  /** All LIVE persisted codes across slices (tombstoned vec_ids
+    * excluded; the plain union when no delete ever ran). */
   def codes(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readSlices(spark, codesDir(dir))
+    IndexFiles.readLive(spark, codesDir(dir), tombstonesDir(dir), "vec_id")
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * per-query ADC lookup tables built on the driver (|q|·m·ks doubles,

@@ -183,6 +183,20 @@ object StreamQueries {
          |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
          |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
          |ORDER BY query_doc, match_doc""".stripMargin),
+    // The DELETE lifecycle: same serve, but train docs with doc_id%5==2
+    // were tombstoned before serving — the oracle drops exactly the pairs
+    // whose match side was forgotten. A full differential check that the
+    // tombstone anti-join removes those matches and ONLY those.
+    withOracle("dedup_serve_deleted", StreamingDedup.serveDeletedQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
+         |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp
+         |        UNION ALL SELECT doc_b AS q, doc_a AS m, jaccard FROM jp)
+         |SELECT q AS query_doc, m AS match_doc, jaccard
+         |FROM sym
+         |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
+         |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
+         |  AND NOT (m % 5 = 2)
+         |ORDER BY query_doc, match_doc""".stripMargin),
     // Embedding twin: survivors of the streaming LSH dedup = vectors that
     // are not the larger side of any verified LSH-candidate pair (the
     // batch dedup_embedding contract, which first-seen-wins reduces to in

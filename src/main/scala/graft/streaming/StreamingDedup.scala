@@ -178,9 +178,28 @@ object StreamingDedup {
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
-  /** Next free batch id: one past the newest slice. */
+  /** Next free batch id: one past the newest slice OR tombstone — the
+    * shared clock that makes a tombstone kill exactly the index state
+    * that existed when the delete ran ([[deleteFromIndex]]). */
   private def nextBatchId(spark: SparkSession, stateDir: String): Long =
-    nextSliceId(spark, s"$stateDir/bands")
+    graft.operators.IndexFiles.nextSliceIdAcross(spark,
+      Seq(s"$stateDir/bands", s"$stateDir/tombstones"))
+
+  /** Forget documents from the persisted LSH index — the dedup tier's own
+    * DELETE verb (same tombstone convention as [[graft.operators.IvfIndex.delete]]):
+    * a tombstone slice of rec_ids under `stateDir/tombstones`, killing
+    * band/signature rows from STRICTLY earlier batches. A forgotten
+    * record stops serving as a dedup witness on both the read side
+    * ([[serveTextBatch]]) and the write side (later batches' candidate
+    * joins); [[compactState]] folds tombstones into the physical slices.
+    * Explicit `sliceId` replays idempotently. Returns the slice id. */
+  def deleteFromIndex(spark: SparkSession, stateDir: String, ids: DataFrame,
+      sliceId: Long = -1L): Long = {
+    val id = if (sliceId >= 0) sliceId else nextBatchId(spark, stateDir)
+    graft.operators.IndexFiles.writeTombstoneSlice(
+      ids.toDF("rec_id"), "rec_id", s"$stateDir/tombstones", id)
+    id
+  }
 
   /** One micro-batch: index this batch, candidate-join against the whole
     * index (this batch included, so within-batch dups are caught by the
@@ -207,16 +226,25 @@ object StreamingDedup {
       .persist()
     taggedBands.write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     withSigs.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
+    // Prior state is read tombstone-aware: a deleted record must not
+    // witness-dedup this batch ([[deleteFromIndex]]). The in-memory batch
+    // frames are never tombstoned (their batch id postdates every
+    // existing tombstone), so only the disk side anti-joins.
     def priorSlices(base: String): Seq[String] =
       listSlices(spark, base).filterNot(_.endsWith(s"/b$batchId"))
+    val tombsBase = s"$stateDir/tombstones"
     val priorBands = priorSlices(s"$stateDir/bands")
     val allBands =
       if (priorBands.isEmpty) taggedBands
-      else spark.read.parquet(priorBands: _*).unionByName(taggedBands)
+      else graft.operators.IndexFiles
+        .readLiveFrom(spark, priorBands, tombsBase, "rec_id")
+        .unionByName(taggedBands)
     val priorSigs = priorSlices(s"$stateDir/sets")
     val allSigs =
       if (priorSigs.isEmpty) withSigs
-      else spark.read.parquet(priorSigs: _*).unionByName(withSigs)
+      else graft.operators.IndexFiles
+        .readLiveFrom(spark, priorSigs, tombsBase, "rec_id")
+        .unionByName(withSigs)
     // Hot-bucket guard: only the first bucketCap records per bucket (in
     // first-seen arrival order — keepers AND dropped dups alike; any
     // earlier arrival is a valid dedup witness under first-seen-wins)
@@ -293,8 +321,14 @@ object StreamingDedup {
     * same state dir. */
   def compactState(spark: SparkSession, stateDir: String,
       upToBatchId: Long): Unit =
-    for (sub <- Seq("bands", "sets"))
-      compactSlices(spark, s"$stateDir/$sub", upToBatchId) { (merged, dst) =>
+    // bands and sets share one tombstone dir, so only the LAST fold may
+    // purge it (a crash between the two re-folds bands' fresh `c` slice
+    // harmlessly: its tag equals upToBatchId, above every folded
+    // tombstone, so the re-applied anti-join matches nothing).
+    for ((sub, last) <- Seq("bands" -> false, "sets" -> true))
+      graft.operators.IndexFiles.compactWithTombstones(spark,
+        s"$stateDir/$sub", s"$stateDir/tombstones", upToBatchId, "rec_id",
+        purgeTombstones = last) { (merged, dst) =>
         merged.write.mode("overwrite").parquet(dst)
       }
 
@@ -306,33 +340,47 @@ object StreamingDedup {
       upToBatchId: Long)(write: (DataFrame, String) => Unit): Unit = {
     val merge = listSlices(spark, base)
       .filter(sliceBatch(_).exists(_ <= upToBatchId))
-    if (merge.size > 1) {
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
-      // batch-sized shuffle: the merge must not fragment the compacted
-      // slice into session-default-many part files. Each slice is read
-      // under its own root and unioned by name: a single multi-root read
-      // would trip partition discovery on partitioned slices (the
-      // persisted ANN index's cell=N layout) with
-      // CONFLICTING_DIRECTORY_STRUCTURES.
-      MicroBatchPipeline.withBatchSizedShuffle(spark) {
-        write(merge.map(spark.read.parquet(_)).reduce(_ unionByName _)
-          .distinct(), tmp.toString)
-      }
-      val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
-      fs.delete(dst, true)
-      // Hadoop FileSystem signals many failures by RETURNING false, not
-      // throwing. An unchecked false here would leave the merge hidden
-      // in the dot-dir while the loop below deletes all inputs —
-      // silently destroying the index. Abort before any deletion.
-      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
-        s"compactSlices: rename $tmp -> $dst failed; index left unmodified")
-      // dst itself may be among the inputs (re-run after a crash) — it
-      // now holds the fresh merge, so it must survive this cleanup
-      merge.filterNot(_.endsWith(s"/c$upToBatchId"))
-        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    if (merge.size > 1)
+      // Each slice is read under its own root and unioned by name: a
+      // single multi-root read would trip partition discovery on
+      // partitioned slices (the persisted ANN index's cell=N layout)
+      // with CONFLICTING_DIRECTORY_STRUCTURES.
+      publishCompacted(spark, base, upToBatchId,
+        merge.map(spark.read.parquet(_)).reduce(_ unionByName _).distinct(),
+        merge)(write)
+  }
+
+  /** The crash-safe publish step of every compaction: write `merged` to a
+    * dot-prefixed temp (invisible to readers), rename it to `c<upTo>`
+    * (return value CHECKED — Hadoop FileSystems report many failures by
+    * returning false), then delete the `inputs` it replaces plus
+    * `alsoDelete` (a tombstone-folding compaction removes the tombstone
+    * slices it just applied). Factored out of [[compactSlices]] so the
+    * tombstone-aware variant ([[graft.operators.IndexFiles.compactWithTombstones]])
+    * shares one rename dance. */
+  private[graft] def publishCompacted(spark: SparkSession, base: String,
+      upToBatchId: Long, merged: DataFrame, inputs: Seq[String],
+      alsoDelete: Seq[String] = Nil)(
+      write: (DataFrame, String) => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(base, s".c$upToBatchId.tmp")
+    // batch-sized shuffle: the merge must not fragment the compacted
+    // slice into session-default-many part files.
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      write(merged, tmp.toString)
     }
+    val dst = new org.apache.hadoop.fs.Path(base, s"c$upToBatchId")
+    fs.delete(dst, true)
+    // An unchecked false here would leave the merge hidden in the
+    // dot-dir while the loop below deletes all inputs — silently
+    // destroying the index. Abort before any deletion.
+    if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+      s"compactSlices: rename $tmp -> $dst failed; index left unmodified")
+    // dst itself may be among the inputs (re-run after a crash) — it
+    // now holds the fresh merge, so it must survive this cleanup
+    (inputs ++ alsoDelete).filterNot(_.endsWith(s"/c$upToBatchId"))
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   /** All survivors emitted so far. */
@@ -362,7 +410,10 @@ object StreamingDedup {
     val bandSlices = listSlices(spark, s"$stateDir/bands")
     require(bandSlices.nonEmpty,
       s"serve: no index slices under $stateDir/bands — build the index first")
-    val allBands = spark.read.parquet(bandSlices: _*)
+    // Tombstone-aware: a deleted record must not come back as a match
+    // ([[deleteFromIndex]] — the serving side of the forget verb).
+    val allBands = graft.operators.IndexFiles
+      .readLiveFrom(spark, bandSlices, s"$stateDir/tombstones", "rec_id")
     val touched = qBands.select(col("band"), col("bucket")).distinct()
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
@@ -377,7 +428,9 @@ object StreamingDedup {
     // next to its own merge — identical signature rows twice; dedupe by
     // id (same defense as the exemplar input above) so the sig join
     // cannot double matched output rows
-    val allSigs = spark.read.parquet(listSlices(spark, s"$stateDir/sets"): _*)
+    val allSigs = graft.operators.IndexFiles
+      .readLiveFrom(spark, listSlices(spark, s"$stateDir/sets"),
+        s"$stateDir/tombstones", "rec_id")
       .dropDuplicates("rec_id")
     val candidates = qBands
       .join(exemplars.select(col("band"), col("bucket"),
@@ -433,6 +486,31 @@ object StreamingDedup {
         .awaitTermination()
     }
     spark.read.parquet(s"$out/b*")
+      .orderBy(col("query_doc"), col("match_doc"))
+  }
+
+  /** Declared query — the DELETE lifecycle of the text index end-to-end:
+    * index the train split, FORGET every train doc with `doc_id % 5 == 2`
+    * ([[deleteFromIndex]] — the curation tier's "these documents were
+    * dropped, stop matching against them" call), then serve the eval
+    * split read-only. Deleted documents must not reappear as matches, so
+    * the oracle is [[streamTextServeQuery]]'s cross-split exact-Jaccard
+    * pair set minus pairs whose match side was forgotten — a FULL
+    * differential oracle over the tombstone path. */
+  def serveDeletedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_servedel_state")
+    val sink = graft.TempDirs.scoped("graft_servedel_sink")
+    val out = graft.TempDirs.scoped("graft_servedel_out")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(!isEval), state, sink).count()
+      deleteFromIndex(spark, state,
+        docs.filter(!isEval && col("doc_id") % 5 === 2).select(col("doc_id")))
+      serveTextBatch(docs.filter(isEval), state, out, batchId = 0L,
+        Dedup.JaccardThreshold, DefaultBucketCap)
+    }
+    spark.read.parquet(s"$out/b0")
       .orderBy(col("query_doc"), col("match_doc"))
   }
 

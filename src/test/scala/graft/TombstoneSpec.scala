@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IvfIndex, IvfPqIndex, PqIndex, Similarity}
+import graft.streaming.StreamingDedup
+
+/** The persisted indexes' DELETE/tombstone lifecycle (the reference's O15
+  * staging delete re-expressed for durable serving state): forget-then-query
+  * equals rebuild-without-forgotten, compaction folds tombstones into the
+  * physical slices, replayed deletes are idempotent, and a re-append after a
+  * delete resurrects the id (the slice-id clock is the LSM ordering). */
+class TombstoneSpec extends SparkSpec {
+
+  private def keyOf(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def emb: DataFrame =
+    Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+
+  private def queries: DataFrame =
+    emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  private def deletedIds: Set[Long] =
+    IvfIndex.deleteSet(emb).collect().map(_.getLong(0)).toSet
+
+  test("IVF: delete-then-query equals rebuild-without-deleted") {
+    val idx = TempDirs.scoped("graft_tomb_ivf")
+    IvfIndex.build(emb, idx)
+    IvfIndex.delete(IvfIndex.deleteSet(emb), idx)
+    val afterDelete = keyOf(IvfIndex.topK(spark, idx, queries))
+
+    // Rebuild over the filtered corpus under the SAME frozen centroids:
+    // the tombstone anti-join must be indistinguishable from never having
+    // indexed the deleted vectors.
+    val dead = deletedIds
+    val rebuilt = TempDirs.scoped("graft_tomb_ivf_rebuild")
+    IvfIndex.build(emb.filter(!col("vec_id").isin(dead.toSeq.map(Long.box): _*)),
+      rebuilt, centroids = Some(IvfIndex.loadCentroids(spark, idx)))
+    assert(afterDelete == keyOf(IvfIndex.topK(spark, rebuilt, queries)))
+    assert(afterDelete.nonEmpty)
+    assert(afterDelete.forall { case (_, _, v) => !dead.contains(v) })
+    // And the declared query is exactly this path.
+    assert(keyOf(IvfIndex.topKIvfDeleted(spark, sf)) == afterDelete)
+  }
+
+  test("IVF: compaction folds tombstones physically and removes them") {
+    val idx = TempDirs.scoped("graft_tomb_fold")
+    IvfIndex.build(emb, idx)
+    val tombId = IvfIndex.delete(IvfIndex.deleteSet(emb), idx)
+    val before = keyOf(IvfIndex.topK(spark, idx, queries))
+    IvfIndex.compact(spark, idx, tombId)
+    // Tombstones consumed; the surviving slice physically lacks the ids.
+    assert(StreamingDedup.listSlices(spark, s"$idx/tombstones").isEmpty)
+    val slices = StreamingDedup.listSlices(spark, s"$idx/postings")
+      .map(_.split('/').last)
+    assert(slices == Seq(s"c$tombId"), s"unexpected slices $slices")
+    val dead = deletedIds
+    val physical = spark.read.parquet(s"$idx/postings/c$tombId")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(physical.intersect(dead).isEmpty)
+    assert(keyOf(IvfIndex.topK(spark, idx, queries)) == before)
+  }
+
+  test("IVF: replayed delete is idempotent; re-append resurrects the id") {
+    val idx = TempDirs.scoped("graft_tomb_replay")
+    IvfIndex.build(emb, idx)
+    val ids = IvfIndex.deleteSet(emb)
+    val tombId = IvfIndex.delete(ids, idx)
+    val once = keyOf(IvfIndex.topK(spark, idx, queries))
+    IvfIndex.delete(ids, idx, sliceId = tombId) // retry replaces its slice
+    assert(keyOf(IvfIndex.topK(spark, idx, queries)) == once)
+
+    // Re-appending the forgotten vectors (a NEWER slice than the
+    // tombstone) brings them back: the index equals the never-deleted one.
+    val fullBefore = TempDirs.scoped("graft_tomb_full")
+    IvfIndex.build(emb, fullBefore,
+      centroids = Some(IvfIndex.loadCentroids(spark, idx)))
+    val dead = deletedIds
+    val reAddId = IvfIndex.append(
+      emb.filter(col("vec_id").isin(dead.toSeq.map(Long.box): _*)), idx)
+    val resurrected = keyOf(IvfIndex.topK(spark, idx, queries))
+    assert(resurrected == keyOf(IvfIndex.topK(spark, fullBefore, queries)))
+    // Slice-precise folding: compacting over b0 + tombstone + the re-add
+    // must kill only the PRE-tombstone copies — the re-added rows (newer
+    // than the tombstone) survive the fold.
+    IvfIndex.compact(spark, idx, reAddId)
+    assert(keyOf(IvfIndex.topK(spark, idx, queries)) == resurrected)
+  }
+
+  test("PQ and IVF+PQ: delete excludes the ids; PQ compact folds") {
+    val dead = deletedIds
+    val deadCol = col("vec_id").isin(dead.toSeq.map(Long.box): _*)
+
+    val pq = TempDirs.scoped("graft_tomb_pq")
+    PqIndex.build(emb, pq)
+    val tombId = PqIndex.delete(IvfIndex.deleteSet(emb), pq)
+    val afterDelete = keyOf(PqIndex.topK(spark, pq, queries, emb))
+    val pqRebuilt = TempDirs.scoped("graft_tomb_pq_rebuild")
+    PqIndex.build(emb.filter(!deadCol), pqRebuilt,
+      codebooks = Some(PqIndex.loadCodebooks(spark, pq)))
+    assert(afterDelete ==
+      keyOf(PqIndex.topK(spark, pqRebuilt, queries, emb.filter(!deadCol))))
+    PqIndex.compact(spark, pq, tombId)
+    assert(StreamingDedup.listSlices(spark, s"$pq/tombstones").isEmpty)
+    assert(keyOf(PqIndex.topK(spark, pq, queries, emb)) == afterDelete)
+
+    val ivfpq = TempDirs.scoped("graft_tomb_ivfpq")
+    IvfPqIndex.build(emb, ivfpq)
+    IvfPqIndex.delete(IvfIndex.deleteSet(emb), ivfpq)
+    val got = keyOf(IvfPqIndex.topK(spark, ivfpq, queries, emb))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, v) => !dead.contains(v) })
+  }
+
+  test("LSH text index: deleted docs stop matching on serve and write paths") {
+    val docs = Tables.documents(spark, sf)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val train = docs.filter(!isEval)
+    val eval = docs.filter(isEval)
+    val delCond = !isEval && col("doc_id") % 5 === 2
+    val delIds = docs.filter(delCond).select(col("doc_id"))
+    val dead = delIds.collect().map(_.getLong(0)).toSet
+
+    def serveAgainst(state: String): Seq[(Long, Long)] = {
+      val out = TempDirs.scoped("graft_tomb_lsh_out")
+      StreamingDedup.serveTextBatch(eval, state, out, batchId = 0L,
+        Dedup.JaccardThreshold, StreamingDedup.DefaultBucketCap)
+      spark.read.parquet(s"$out/b0").select("query_doc", "match_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+
+    // Index train, forget the subset, serve: equals serving an index that
+    // never saw the forgotten docs.
+    val state = TempDirs.scoped("graft_tomb_lsh")
+    val sink = TempDirs.scoped("graft_tomb_lsh_sink")
+    StreamingDedup.appendBatch(train, state, sink).count()
+    val tombId = StreamingDedup.deleteFromIndex(spark, state, delIds)
+    val served = serveAgainst(state)
+
+    val cleanState = TempDirs.scoped("graft_tomb_lsh_clean")
+    val cleanSink = TempDirs.scoped("graft_tomb_lsh_clean_sink")
+    StreamingDedup.appendBatch(train.filter(!delCond), cleanState, cleanSink).count()
+    assert(served == serveAgainst(cleanState))
+    assert(served.forall { case (_, m) => !dead.contains(m) })
+
+    // Compaction folds: tombstones purged, band rows physically gone,
+    // serving unchanged.
+    StreamingDedup.compactState(spark, state, tombId)
+    assert(StreamingDedup.listSlices(spark, s"$state/tombstones").isEmpty)
+    val bandIds = spark.read
+      .parquet(StreamingDedup.listSlices(spark, s"$state/bands"): _*)
+      .select("rec_id").collect().map(_.getLong(0)).toSet
+    assert(bandIds.intersect(dead).isEmpty)
+    assert(serveAgainst(state) == served)
+
+    // Write path: a later batch is NOT deduped against forgotten
+    // witnesses — appending the eval docs (post-delete, pre-compaction)
+    // yields the same survivors as appending them to the index that
+    // never saw the forgotten docs.
+    val stateW = TempDirs.scoped("graft_tomb_lsh_w")
+    val sinkW = TempDirs.scoped("graft_tomb_lsh_w_sink")
+    StreamingDedup.appendBatch(train, stateW, sinkW).count()
+    StreamingDedup.deleteFromIndex(spark, stateW, delIds)
+    val survA = StreamingDedup.appendBatch(eval, stateW, sinkW)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survB = StreamingDedup.appendBatch(eval, cleanState, cleanSink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survA == survB)
+  }
+}
