@@ -100,18 +100,33 @@ object Bench {
         (key, if (good.isEmpty) -1.0 else good.min, passTimes)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 0.1 ms resolution keeps the full line as small as possible (raw
+    // nanos print 15+ digits each and double the artifact for no
+    // information: host noise is >> 0.1 ms).
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     // Every raw pass time ships alongside the min headline: a host-noise
     // episode (one slow pass) is then visible in the artifact itself
     // instead of masquerading as a query regression.
     val passesJson = results
-      .map { case (k, _, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
+      .map { case (k, _, ts) => "\"" + k + "\":[" + ts.map(r4).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","order":"pass1-forward,pass2-reverse","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","order":"pass1-forward,pass2-reverse","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
+    // The full line with both dicts runs ~10 KB and downstream log capture
+    // clips at ~2000 chars, which leaves invalid JSON. Bracket it with a
+    // self-contained compact headline (< 250 chars) printed BEFORE and
+    // AFTER, so whichever end of the output a clipped capture keeps, a
+    // parseable total survives; the full per-query data always lands in
+    // BENCH_LOCAL.json.
+    val failed = results.count(_._2 < 0)
+    val headline =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"order":"pass1-forward,pass2-reverse","sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    println(headline)
     println(json)
+    println(headline)
     // Also drop the bare JSON next to the repo root: sbt prefixes stdout
     // with [info], which downstream line parsers can trip over.
     try java.nio.file.Files.write(

@@ -194,7 +194,7 @@ object EmbeddingOps {
     * ONE SQL text behind the quantize and int8-search oracles so the
     * rounding replay cannot drift. */
   private val quantOracleCtes: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding,
       |      x -> abs(CAST(x AS DOUBLE)))) AS scale
@@ -203,7 +203,7 @@ object EmbeddingOps {
       |  SELECT vec_id, embedding, scale,
       |    list_transform(embedding, x ->
       |      CASE WHEN scale = 0 THEN 0
-      |        ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+      |        ELSE CAST(floor(CAST(x AS DOUBLE) * $QuantLevels / scale + 0.5)
       |          AS BIGINT) END) AS codes
       |  FROM q)""".stripMargin
 
@@ -217,8 +217,8 @@ object EmbeddingOps {
         |  scale,
         |  array_to_string(codes, ',') AS codes,
         |  sqrt(list_sum(list_transform(list_zip(embedding, codes),
-        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0)
-        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / 127.0))))
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / $QuantLevels)
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale / $QuantLevels))))
         |    AS recon_err
         |FROM c ORDER BY vec_id""".stripMargin),
     withOracle("sim_topk_int8", topKInt8,

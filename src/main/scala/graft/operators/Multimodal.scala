@@ -404,7 +404,7 @@ object Multimodal {
        |  GROUP BY media_id),
        |bands AS (SELECT media_id, phash, b,
        |    (phash >> (b * 16)) & 65535 AS bv
-       |  FROM ph, UNNEST(generate_series(0, 3)) AS g(b)),
+       |  FROM ph, UNNEST(generate_series(0, ${PhashBands - 1})) AS g(b)),
        |salted AS (SELECT media_id, phash, b, bv,
        |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
        |      / $PhashBucketCap.0) AS BIGINT) AS salt
@@ -522,14 +522,14 @@ object Multimodal {
     withOracle("mm_phash_neardup", phashNearDup,
       s"""$phashOracleCtes
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
         |ORDER BY id_a, id_b""".stripMargin),
     // The dedup decision over the same replayed hash + band join: group
     // the qualifying pairs by their higher id, keeper = min lower id.
     withOracle("mm_phash_dedup", phashDedup,
       s"""$phashOracleCtes,
         |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
-        |  WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY id_b)
+        |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b)
         |SELECT ph.media_id,
         |  COALESCE(dup.dup_of, ph.media_id) AS keeper,
         |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
