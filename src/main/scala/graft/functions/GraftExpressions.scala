@@ -491,6 +491,113 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Residual product-quantization encoder (the FAISS `by_residual` form):
+    * L2-normalize the input vector, subtract its cell's (pre-normalized)
+    * centroid, and PQ-encode the RESIDUAL against residual-trained
+    * codebooks. Residuals are much smaller in magnitude than the vectors
+    * themselves, so the same code budget spends its resolution on the
+    * within-cell differences that actually order an IVF cell's candidates —
+    * the standard composition fix when IVF+PQ recall trails IVF alone.
+    * The ADC side then scores dot(q̂, v̂) ≈ dot(q̂, ĉ_cell) + LUT(codes),
+    * with the per-(query, cell) offset carried by the probe join.
+    * `centroids` must already be L2-normalized; `cell` indexes into it. */
+  case class PqEncodeResidual(left: Expression, right: Expression,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Double]],
+      m: Int, ks: Int) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode_residual"
+
+    override def nullSafeEval(input: Any, cellIn: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val cell = cellIn.asInstanceOf[Int]
+      val dim = v.numElements()
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getFloat(i).toDouble; nrm += x * x; i += 1 }
+      nrm = math.sqrt(nrm)
+      if (nrm == 0.0) nrm = 1.0
+      val cent = centroids(cell)
+      val subDim = if (m == 0) 0 else dim / m
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < ks) {
+          val cb = codebooks(s * ks + j)
+          var d = 0.0
+          var k = 0
+          while (k < subDim && k < cb.length) {
+            val p = s * subDim + k
+            val diff = v.getFloat(p).toDouble / nrm - cent(p) - cb(k)
+            d += diff * diff
+            k += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, cellV) => {
+        val cbRef = ctx.addReferenceObj("pqResCodebooks", codebooks, "double[][]")
+        val ctRef = ctx.addReferenceObj("pqResCentroids", centroids, "double[][]")
+        val dim = ctx.freshName("dim")
+        val nrm = ctx.freshName("nrm")
+        val subDim = ctx.freshName("subDim")
+        val cent = ctx.freshName("cent")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val cb = ctx.freshName("cb")
+        val d = ctx.freshName("d")
+        val diff = ctx.freshName("diff")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        s"""
+           |int $dim = $c.numElements();
+           |double $nrm = 0.0;
+           |for (int $i = 0; $i < $dim; $i++) {
+           |  double x = (double) $c.getFloat($i);
+           |  $nrm += x * x;
+           |}
+           |$nrm = Math.sqrt($nrm);
+           |if ($nrm == 0.0) $nrm = 1.0;
+           |double[] $cent = $ctRef[$cellV];
+           |int $subDim = $m == 0 ? 0 : $dim / $m;
+           |int[] $out = new int[$m];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $best = 0;
+           |  double $bestD = Double.MAX_VALUE;
+           |  for (int $j = 0; $j < $ks; $j++) {
+           |    double[] $cb = $cbRef[$s * $ks + $j];
+           |    double $d = 0.0;
+           |    for (int $k = 0; $k < $subDim && $k < $cb.length; $k++) {
+           |      int $p = $s * $subDim + $k;
+           |      double $diff = (double) $c.getFloat($p) / $nrm - $cent[$p] - $cb[$k];
+           |      $d += $diff * $diff;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |  }
+           |  $out[$s] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column wrappers — Spark 4 bridges Column <-> catalyst Expression via
   // the (private[sql]) classic ExpressionUtils, reached through
   // GraftColumnBridge.
@@ -583,6 +690,12 @@ object GraftExpressions {
   def pqEncode(v: Column, codebooks: Array[Array[Double]],
       m: Int, ks: Int): Column =
     column(PqEncode(expression(v), codebooks, m, ks))
+
+  def pqEncodeResidual(v: Column, cell: Column,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Double]],
+      m: Int, ks: Int): Column =
+    column(PqEncodeResidual(expression(v), expression(cell),
+      centroids, codebooks, m, ks))
 
   def wordpieceCounts(text: Column, vocab: Seq[String]): Column =
     column(WordpieceCounts(expression(text), vocab))

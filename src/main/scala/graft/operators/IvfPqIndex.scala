@@ -7,16 +7,18 @@ import graft.{QuerySpec, Tables, TempDirs}
 import graft.streaming.StreamingDedup
 
 /** Persisted IVF+PQ index — the composition a 100 TB ANN deployment
-  * actually runs (the FAISS `IndexIVFPQ` shape, here in its
-  * `by_residual=false` form: codes encode the normalized vector itself,
-  * not the cell residual, so the spherical-PQ dot-product LUTs stay exact
-  * approximations of cosine and one codebook serves every cell):
+  * actually runs (the FAISS `IndexIVFPQ` shape, in its `by_residual=true`
+  * default form: codes encode the residual of the normalized vector
+  * against its cell's normalized centroid, so the code budget resolves
+  * the WITHIN-cell differences an IVF probe actually ranks; the ADC score
+  * is dot(q̂, ĉ_cell) + LUT(codes), with the per-(query, cell) offset
+  * riding the probe join for free — it IS `rankedCells`' cell_score):
   *
   *   - IVF prunes WHICH rows are scanned: postings are partitioned by
   *     cell, a query reads only its probed cells' directories.
   *   - PQ shrinks WHAT is scanned: the probed partitions hold ~16-byte
   *     (vec_id, codes) rows, not 256-byte vectors; the ADC scan costs m
-  *     array lookups per row.
+  *     array lookups per row plus one offset add.
   *   - Exact re-rank: the top [[Similarity.PqRerank]] ADC candidates per
   *     query fetch their full vectors back by id (broadcast hit list) and
   *     re-rank under the exact cosine kernel.
@@ -30,6 +32,16 @@ import graft.streaming.StreamingDedup
   */
 object IvfPqIndex {
 
+  /** The composed index probes MORE cells than plain IVF
+    * ([[Similarity.IvfProbes]] = 4): each probed row costs m array
+    * lookups over ~16-byte codes instead of a d-dim float kernel, so the
+    * recall ceiling (probes/cells of the corpus reachable at all) can be
+    * raised ~free — the standard FAISS nprobe trade for IndexIVFPQ. The
+    * wider ADC rerank budget recovers code-resolution misrankings inside
+    * the probed cells; both only touch |q| × candidates, never the corpus. */
+  val IvfPqProbes = 6
+  val IvfPqRerank = 80
+
   private def postingsDir(dir: String) = s"$dir/postings"
   private def centroidsDir(dir: String) = s"$dir/centroids"
   private def codebooksDir(dir: String) = s"$dir/codebooks"
@@ -42,7 +54,7 @@ object IvfPqIndex {
       codebooks: Option[Array[Array[Double]]] = None): Unit = {
     val spark = emb.sparkSession
     val cents = centroids.getOrElse(Similarity.learnCentroids(emb))
-    val cbs = codebooks.getOrElse(Similarity.learnPqCodebooks(emb))
+    val cbs = codebooks.getOrElse(Similarity.learnResidualPqCodebooks(emb, cents))
     IndexFiles.writeCentroids(spark, centroidsDir(dir), cents)
     IndexFiles.writeCodebooks(spark, codebooksDir(dir), cbs)
     appendSlice(emb, dir, cents, cbs, sliceId = 0L)
@@ -78,7 +90,9 @@ object IvfPqIndex {
     Similarity.rankedCells(emb.select(col("vec_id"), col("embedding")), cents)
       .filter(col("pr") === 1)
       .select(col("vec_id"),
-        graft.functions.GraftExpressions.pqEncode(col("embedding"), cbs,
+        graft.functions.GraftExpressions.pqEncodeResidual(
+          col("embedding"), col("cell"),
+          Similarity.normalizedCentroids(cents), cbs,
           Similarity.PqSubspaces, Similarity.PqCodebookSize).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -111,11 +125,15 @@ object IvfPqIndex {
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame): DataFrame = {
     val cents = loadCentroids(spark, dir)
+    // cell_score = cos(q, centroid) = dot(q̂, ĉ) — exactly the residual
+    // ADC's per-(query, cell) offset, already computed by the probe
+    // ranking; carrying it through the join costs nothing.
     val probes = Similarity.rankedCells(
         queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
         cents)
-      .filter(col("pr") <= Similarity.IvfProbes)
-      .select(col("vec_id").as("query_id"), col("cell"))
+      .filter(col("pr") <= IvfPqProbes)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("cell_score").as("adc_base"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val queryLuts = Similarity.pqQueryLuts(queries, loadCodebooks(spark, dir))
@@ -129,9 +147,10 @@ object IvfPqIndex {
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queryLuts), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), approx.as("adc"))
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        (col("adc_base") + approx).as("adc"))
       .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= Similarity.PqRerank)
+      .filter(col("ar") <= IvfPqRerank)
       .select(col("query_id"), col("qv"), col("vec_id"))
     corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(candidates), Seq("vec_id"))

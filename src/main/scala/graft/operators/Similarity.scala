@@ -492,10 +492,60 @@ object Similarity {
     val sample = emb.orderBy(col("vec_id")).limit(PqTrainSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(l2Normalize)
+    trainSubspaceCodebooks(sample)
+  }
+
+  /** Residual PQ codebooks (the FAISS `by_residual` default): same
+    * bounded, deterministic driver sample, but each normalized vector is
+    * replaced by its residual against its own (nearest) normalized IVF
+    * centroid before the subspace k-means. Residuals concentrate near
+    * zero, so the [[PqCodebookSize]] codes spend their resolution on the
+    * within-cell differences an IVF probe actually has to rank — the
+    * composition fix for IVF+PQ recall trailing IVF alone. */
+  def learnResidualPqCodebooks(emb: DataFrame,
+      centroids: Seq[Array[Float]]): Array[Array[Double]] = {
+    val cents = normalizedCentroids(centroids)
+    val sample = emb.orderBy(col("vec_id")).limit(PqTrainSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(l2Normalize)
       .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
+        var best = 0; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val cent = cents(best)
+        val r = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
+        r
       }
+    trainSubspaceCodebooks(sample)
+  }
+
+  /** IVF centroids L2-normalized in double — the geometry both
+    * [[graft.functions.GraftExpressions.PqEncodeResidual]] and the
+    * residual trainer subtract, so encode and train cannot drift. */
+  def normalizedCentroids(centroids: Seq[Array[Float]]): Array[Array[Double]] =
+    centroids.map(c => l2Normalize(c.map(_.toDouble))).toArray
+
+  private def l2Normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** The shared subspace-k-means PQ trainer: [[PqSubspaces]] contiguous
+    * subvectors, each clustered with [[PqIters]] Lloyd iterations under
+    * L2, first-[[PqCodebookSize]]-rows seeding. Consumes whatever vector
+    * population the caller prepared (normalized vectors for plain PQ,
+    * centroid residuals for [[learnResidualPqCodebooks]]). */
+  private def trainSubspaceCodebooks(
+      sample: Array[Array[Double]]): Array[Array[Double]] = {
     val dim = sample.head.length
     val subDim = dim / PqSubspaces
     val flat = new Array[Array[Double]](PqSubspaces * PqCodebookSize)

@@ -70,10 +70,12 @@ class IvfPqIndexSpec extends SparkSpec {
   }
 
   test("recall@k vs exact top-k is measured and above the floor") {
-    // Both approximation axes compound (IVF misses cells, ADC misranks
-    // within them), so the floor sits below the single-axis pins — but a
-    // broken composition (wrong LUT indexing, wrong cell join) lands near
-    // zero, which is what this guards. Deterministic end to end.
+    // Residual encoding plus the composed index's own probe/rerank budget
+    // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the
+    // serving-grade floor at 0.85 (measured: 0.92 at sf0.01; plain IVF at
+    // 4 probes ceilings at 0.86, which the 6-probe composition clears).
+    // A broken composition (wrong LUT indexing, wrong offset, wrong cell
+    // join) lands far below it. Deterministic end to end.
     val dir = "/root/testdata/sf0.01"
     def resultSet(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "vec_id").collect()
@@ -82,7 +84,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val ivfpq = resultSet(IvfPqIndex.topKIvfPqPersisted(spark, dir))
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
     info(s"IVF+PQ recall@${Similarity.TopK} = $recall")
-    assert(recall >= 0.4, s"IVF+PQ recall@${Similarity.TopK} = $recall — " +
-      "composition degraded")
+    assert(recall >= 0.85, s"IVF+PQ recall@${Similarity.TopK} = $recall — " +
+      "composition below serving grade")
   }
 }
