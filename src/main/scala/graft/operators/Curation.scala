@@ -195,6 +195,62 @@ object Curation {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
+  /** Padding marker in materialized packed contexts ([[packTokens]]). */
+  val PadTokenId = -1L
+
+  /** Materialized packed training contexts — the trainer handoff artifact
+    * [[packSequences]] indexes: one row per (source, pack) carrying the
+    * ACTUAL token-id sequence. Token ids are the md5 vocab-hash
+    * (`conv(md5[0:6], 16, 10)` — the [[trainShards]] key convention, so
+    * any engine reproduces the ids), each source's final partial pack is
+    * padded to [[PackCapacity]] with [[PadTokenId]], and `doc_starts`
+    * lists the in-pack offsets where a new document begins — the
+    * attention-boundary-reset markers; a pack whose first tokens continue
+    * a straddling document has no offset 0 in the list.
+    *
+    * Shape at scale: the window pass reuses [[packSequences]]' per-source
+    * partition; the explode produces one row per token and the groupBy
+    * re-shuffles on (source, pack_id) — the id-ordered collect_list sort
+    * is per-pack (≤ [[PackCapacity]] elements), never global. Token ids
+    * join sorted as strings only inside the pack payload; counts stay
+    * integer, so the oracle replays bit-for-bit. */
+  def packTokens(docs: DataFrame): DataFrame = {
+    val cap = PackCapacity.toLong
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val toks = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      .select(col("source"), col("doc_id"), col("cum_start"),
+        posexplode(col("toks")).as(Seq("pos", "tk")))
+      .withColumn("gp", col("cum_start") + col("pos"))
+      .withColumn("pack_id", floor(col("gp") / cap).cast("long"))
+      .withColumn("off", col("gp") % cap)
+      .withColumn("token_id",
+        conv(substring(md5(col("tk")), 1, 6), 16, 10).cast("long"))
+    toks.groupBy(col("source"), col("pack_id"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("off"), col("token_id")))),
+            x => x("token_id").cast("string")), ",").as("ids"),
+        array_join(
+          transform(array_sort(collect_list(when(col("pos") === 0, col("off")))),
+            x => x.cast("string")), ",").as("doc_starts"))
+      .withColumn("n_pad", lit(cap) - col("n_tokens"))
+      .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("n_pad"),
+        // repeat(",-1", n_pad) — empty for the full (non-final) packs
+        concat(col("ids"),
+          concat_ws("", array_repeat(lit("," + PadTokenId),
+            col("n_pad").cast("int")))).as("token_ids"),
+        col("doc_starts"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
   /** Pack-efficiency audit over [[packSequences]] — the padding-waste
     * readout a trainer tracks per source: pack counts, how many packs hit
     * exactly [[PackCapacity]] tokens (every pack but each source's last,
@@ -560,6 +616,40 @@ object Curation {
          |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * $PackCapacity)
          |    AS fill_ratio
          |FROM packs GROUP BY source ORDER BY source""".stripMargin),
+    // The materialized packs: same window/cum CTEs, then one row per token
+    // (gp = global position), md5 vocab-hash ids, per-pack ordered
+    // string_agg, repeat(',-1') padding — every step integer or exact-string.
+    withOracle("text_pack_tokens",
+      (s, dir) => packTokens(Tables.documents(s, dir)),
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM t),
+         |sp AS (SELECT doc_id, source, toks, n_tok,
+         |    cum_end - n_tok AS cum_start FROM c),
+         |tok AS (SELECT source, doc_id, CAST(i AS BIGINT) AS pos,
+         |    cum_start + i AS gp,
+         |    CAST(concat('0x', substr(md5(toks[CAST(i AS INT) + 1]), 1, 6))
+         |      AS BIGINT) AS token_id
+         |  FROM sp, UNNEST(generate_series(0, n_tok - 1)) AS g(i)),
+         |p AS (SELECT source, doc_id, pos, token_id,
+         |    gp // $PackCapacity AS pack_id, gp % $PackCapacity AS off
+         |  FROM tok),
+         |agg AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY off) AS ids,
+         |    COALESCE(string_agg(CASE WHEN pos = 0 THEN CAST(off AS VARCHAR) END,
+         |      ',' ORDER BY off), '') AS doc_starts
+         |  FROM p GROUP BY 1, 2)
+         |SELECT source, pack_id, n_docs, n_tokens,
+         |  CAST($PackCapacity - n_tokens AS BIGINT) AS n_pad,
+         |  concat(ids, repeat(',$PadTokenId',
+         |    CAST($PackCapacity - n_tokens AS INT))) AS token_ids,
+         |  doc_starts
+         |FROM agg ORDER BY source, pack_id""".stripMargin),
     withOracle("text_trainer_pipeline", trainerPipeline,
       s"""WITH f AS (SELECT doc_id,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -109,6 +109,58 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((0L, 1L, 200L), (0L, 2L, 56L), (1L, 2L, 44L)))
   }
 
+  test("packTokens: materialized packs conserve tokens, pad only the tail") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packs = Curation.packTokens(d).cache()
+    // token conservation: per-source token mass matches the pack_stats view
+    val stats = Curation.packStats(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("n_tokens").as("want"))
+    val broken = packs.groupBy("source").agg(sum("n_tokens").as("got"))
+      .join(stats, "source").filter(col("got") =!= col("want")).count()
+    assert(broken == 0)
+    // every materialized sequence is exactly capacity long (ids + pads),
+    // and only each source's LAST pack carries padding
+    val rows = packs.collect()
+    val lastPack = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    rows.foreach { r =>
+      val (src, packId) = (r.getString(0), r.getLong(1))
+      val ids = r.getString(5).split(",")
+      assert(ids.length == Curation.PackCapacity,
+        s"pack ($src, $packId) materialized ${ids.length} slots")
+      // hashed ids are non-negative, so "-1" slots are exactly the pads
+      val nPad = r.getLong(4)
+      assert(ids.count(_ == Curation.PadTokenId.toString) == nPad)
+      if (packId < lastPack(src))
+        assert(nPad == 0L, s"non-final pack ($src, $packId) padded")
+      assert(r.getLong(3) + nPad == Curation.PackCapacity)
+    }
+    packs.unpersist()
+  }
+
+  test("packTokens: boundary markers and padding on a straddling doc") {
+    // 200 + 100 tokens in one source: pack 0 = doc1 + 56 head tokens of
+    // doc2 (doc_starts "0,200"); pack 1 = 44 tail tokens + 212 pads
+    // (doc_starts "" — nothing starts there)
+    val t1 = Seq.fill(200)("x").mkString(" ")
+    val t2 = Seq.fill(100)("y").mkString(" ")
+    val out = Curation.packTokens(docs((1L, "s", t1), (2L, "s", t2)))
+      .select("pack_id", "n_docs", "n_tokens", "n_pad", "token_ids", "doc_starts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(out.length == 2)
+    val (p0, p1) = (out(0), out(1))
+    assert((p0._1, p0._2, p0._3, p0._4, p0._6) == (0L, 2L, 256L, 0L, "0,200"))
+    assert((p1._1, p1._2, p1._3, p1._4, p1._6) == (1L, 1L, 44L, 212L, ""))
+    // pads are all the marker id, and the x/y token ids are uniform runs
+    val ids1 = p1._5.split(",")
+    assert(ids1.length == 256 && ids1.drop(44).forall(_ == "-1"))
+    assert(ids1.take(44).distinct.length == 1 && ids1.take(44).head != "-1")
+    val ids0 = p0._5.split(",")
+    assert(ids0.take(200).distinct.length == 1 && ids0.drop(200).distinct.length == 1)
+    assert(ids0.take(200).head != ids0.drop(200).head)
+  }
+
   test("bloomDecontaminate: equals the exact anti-join, bloom has no false negatives") {
     // plant an exact duplicate pair straddling the eval split: evalId's
     // md5 starts with '0' (eval side), trainId's does not
