@@ -241,16 +241,17 @@ object Multimodal {
   def phashNearDup(s: SparkSession, dir: String): DataFrame =
     phashPairsOn(phashTable(s, dir)).orderBy(col("id_a"), col("id_b"))
 
-  /** Image DEDUP decision over the phash pair stream — the same
-    * min-lower-id survivor rule as [[Similarity.embeddingDedup]] and the
-    * SemDeDup path, so all three modality dedups share one contract: an
-    * image is a duplicate iff some lower-id image sits within hamming
-    * [[PhashMaxHamming]]; its keeper is the smallest such id. */
-  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The min-lower-id DEDUP decision over any (media_id, phash) frame —
+    * one body behind the image and audio dedups so every modality keeps
+    * the same survivor contract as [[Similarity]]'s embedding dedup and
+    * the SemDeDup path: a clip/image is a duplicate iff some lower-id one
+    * sits within hamming [[PhashMaxHamming]]; its keeper is the smallest
+    * such id. */
+  private def hashDedupOn(hashTable: DataFrame): DataFrame = {
     // persist: the pair subtree and the outer corpus join both consume the
-    // hash table, and regenerating it means a second full PNG decode pass
-    // (the dominant cost) — the withSigs/minhashLshPairs precedent
-    val hashes = phashTable(s, dir).persist()
+    // hash table, and regenerating it means a second full codec decode
+    // pass (the dominant cost) — the withSigs/minhashLshPairs precedent
+    val hashes = hashTable.persist()
     val dupOf = phashPairsOn(hashes)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
     hashes.join(dupOf, col("media_id") === col("id_b"), "left")
@@ -259,6 +260,10 @@ object Multimodal {
         col("dup_of").isNotNull.cast("long").as("is_dup"))
       .orderBy(col("media_id"))
   }
+
+  /** Image DEDUP decision through the real PNG codec path. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame =
+    hashDedupOn(phashTable(s, dir))
 
   // -------------------------------------------------------------------
   // Audio tier: real WAV/RIFF codec (javax.sound.sampled)
@@ -328,6 +333,60 @@ object Multimodal {
       .orderBy(col("media_id"))
 
   // -------------------------------------------------------------------
+  // Audio near-dup: banded energy fingerprint + the shared hamming join
+
+  /** 64-bit audio fingerprint of a decoded PCM16 clip — the audio
+    * analogue of [[aHash64]]: the clip splits into 64 equal blocks, bit q
+    * set iff block q's absolute-amplitude energy exceeds the integer mean
+    * energy. All integer arithmetic over the losslessly-decoded samples,
+    * so the DuckDB oracle replays it exactly from the sample rule; a
+    * re-encoded identical clip lands at hamming 0, and the near-dup join,
+    * threshold and survivor contract are the SAME machinery as the image
+    * tier ([[phashPairsOn]], [[hashDedupOn]]). */
+  private[graft] def audioHash64(pcm: Array[Short]): Long = {
+    val blocks = 64
+    val per = math.max(1, pcm.length / blocks)
+    val e = new Array[Long](blocks)
+    var q = 0
+    while (q < blocks) {
+      var s = 0L
+      var i = q * per
+      val end = math.min((q + 1) * per, pcm.length)
+      while (i < end) { s += math.abs(pcm(i).toInt); i += 1 }
+      e(q) = s
+      q += 1
+    }
+    val thr = e.sum / blocks
+    var hash = 0L
+    q = 0
+    while (q < blocks) { if (e(q) > thr) hash |= 1L << q; q += 1 }
+    hash
+  }
+
+  /** (media_id, phash) over the REAL audio codec path: WAV decode on the
+    * executors, then the banded energy fingerprint. One narrow documents
+    * scan, partition-local CPU, no shuffle before the band join. */
+  private def audioHashTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          val (_, pcm) = AudioCodec.decodePcm16Wav(wav)
+          (id, audioHash64(pcm))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Audio near-duplicate pairs through the real WAV codec path. */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairsOn(audioHashTable(s, dir)).orderBy(col("id_a"), col("id_b"))
+
+  /** Audio DEDUP decision — same survivor contract as every modality. */
+  def audioDedup(s: SparkSession, dir: String): DataFrame =
+    hashDedupOn(audioHashTable(s, dir))
+
+  // -------------------------------------------------------------------
   // Video tier: real multi-frame GIF container (JDK ImageIO)
 
   /** Frame geometry: the same 256-pixel rule as [[pixelsOf]], viewed as
@@ -378,10 +437,116 @@ object Multimodal {
         col("frame_h"), col("frame_sum"), col("head_px"))
       .orderBy(col("media_id"), col("frame_id"))
 
-  /** Shared phash-oracle prefix (pixel rule -> blocks -> hash -> bands ->
-    * salt -> candidate pairs): ONE SQL text behind both phash oracles so
-    * the hash/band/salt replay cannot drift (the deconShingleCtes /
-    * gateCteSql convention). */
+  // -------------------------------------------------------------------
+  // Video near-dup: per-frame aHash + temporally-aligned frame votes
+
+  /** Minimum matching frames (of [[VideoFrames]]) for a video pair to
+    * count as near-duplicate — the frame-vote threshold that tolerates
+    * one edited/corrupted frame without letting a single coincidental
+    * frame match pair up two unrelated clips. */
+  val VideoVoteMin = 3
+
+  /** Direct 64-bit aHash of one 8x8 frame: bit q set iff pixel q exceeds
+    * the frame's integer mean — the [[aHash64]] rule without the
+    * downsample step (the frame already IS the 64-cell grid). */
+  private[graft] def frameHash64(px: Array[Int]): Long = {
+    val thr = px.map(_.toLong).sum / px.length
+    var hash = 0L
+    var q = 0
+    while (q < px.length && q < 64) { if (px(q) > thr) hash |= 1L << q; q += 1 }
+    hash
+  }
+
+  /** (media_id, frame_id, phash) through the REAL GIF container path:
+    * frames come from the container's image directory, hashed
+    * partition-locally. */
+  private def videoHashTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, gif) =>
+          val (_, _, frames) = VideoCodec.decodeGifFrames(gif)
+          frames.zipWithIndex.map { case (px, f) => (id, f.toLong, frameHash64(px)) }
+        }
+      }
+      .toDF("media_id", "frame_id", "phash")
+  }
+
+  /** Temporally-aligned per-frame candidate pairs: the image tier's
+    * banded hamming join with `frame_id` prepended to the bucket key, so
+    * only same-position frames ever pair (frame-vote near-dup compares
+    * clip timelines, not bags of frames — and the stricter key also
+    * shrinks every bucket). Same exact-by-pigeonhole threshold, same
+    * salt-cap guard. */
+  private def framePairs(hashes: DataFrame): DataFrame = {
+    val bandVals = array((0 until PhashBands).map(b =>
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*)
+    val bands = LshSkew.saltBuckets(
+      hashes.select(col("media_id"), col("frame_id"), col("phash"),
+        posexplode(bandVals).as(Seq("b", "bv"))),
+      Seq("frame_id", "b", "bv"), "media_id", PhashBucketCap)
+    val left = bands.select(col("frame_id"), col("b"), col("bv"), col("salt"),
+      col("media_id").as("id_a"), col("phash").as("ha"))
+    val right = bands.select(col("frame_id"), col("b"), col("bv"), col("salt"),
+      col("media_id").as("id_b"), col("phash").as("hb"))
+    left.join(right, Seq("frame_id", "b", "bv", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_id"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
+
+  /** Video near-duplicate pairs by frame vote: a pair qualifies iff at
+    * least [[VideoVoteMin]] of its aligned frames match within hamming
+    * [[PhashMaxHamming]]. Emits the vote count and total hamming — the
+    * similarity evidence a review queue would sort by. */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame =
+    framePairs(videoHashTable(s, dir))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_match"),
+        sum(col("hamming")).as("sum_hamming"))
+      .filter(col("n_frames_match") >= VideoVoteMin)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Video DEDUP decision — the shared min-lower-id survivor contract
+    * over the frame-vote pairs. */
+  def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    // persist: pair subtree and the id universe both consume the hash
+    // table; regenerating means a second full GIF decode pass
+    val hashes = videoHashTable(s, dir).persist()
+    val dupOf = framePairs(hashes)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_match"))
+      .filter(col("n_frames_match") >= VideoVoteMin)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    hashes.select(col("media_id")).distinct()
+      .join(dupOf, col("media_id") === col("id_b"), "left")
+      .select(col("media_id"),
+        coalesce(col("dup_of"), col("media_id")).as("keeper"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Shared band/salt/candidate-pair oracle suffix over a CTE named
+    * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
+    * oracle (image AND audio) so the band/salt replay cannot drift (the
+    * deconShingleCtes / gateCteSql convention). */
+  private val bandJoinCtes: String =
+    s"""bands AS (SELECT media_id, phash, b,
+       |    (phash >> (b * 16)) & 65535 AS bv
+       |  FROM ph, UNNEST(generate_series(0, ${PhashBands - 1})) AS g(b)),
+       |salted AS (SELECT media_id, phash, b, bv,
+       |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
+       |      / $PhashBucketCap.0) AS BIGINT) AS salt
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
+       |    b.media_id AS id_b, b.phash AS hb
+       |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.salt = b.salt AND a.media_id < b.media_id)""".stripMargin
+
+  /** Image phash oracle prefix: pixel rule -> 8x8 blocks -> aHash, then
+    * the shared [[bandJoinCtes]]. */
   private val phashOracleCtes: String =
     s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
        |    octet_length(encode(text)) AS n FROM documents),
@@ -402,17 +567,72 @@ object Multimodal {
        |        JOIN (SELECT media_id, SUM(r) // 64 AS thr FROM blk GROUP BY 1) s
        |        USING (media_id))
        |  GROUP BY media_id),
-       |bands AS (SELECT media_id, phash, b,
+       |$bandJoinCtes""".stripMargin
+
+  /** Audio fingerprint oracle prefix: the PCM16 sample rule
+    * ((byte - 128) * 256), 64 four-sample blocks of absolute-amplitude
+    * energy, bit q iff block energy > integer mean — then the SAME
+    * [[bandJoinCtes]] the image oracle uses. */
+  private val audioHashOracleCtes: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n FROM documents),
+       |pix AS (SELECT media_id, CAST(p AS INT) AS i,
+       |    CASE WHEN n = 0 THEN 0
+       |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+       |    END AS v
+       |  FROM m, UNNEST(generate_series(0, ${AudioSamples - 1})) AS g(p)),
+       |e AS (SELECT media_id, i // 4 AS q,
+       |    SUM(CAST(abs((v - 128) * 256) AS BIGINT)) AS e
+       |  FROM pix GROUP BY 1, 2),
+       |ph AS (SELECT media_id,
+       |    CAST(SUM(CASE WHEN e > thr THEN
+       |      CASE WHEN q = 63 THEN -9223372036854775808
+       |        ELSE (1::BIGINT << CAST(q AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM (SELECT b.*, s.thr FROM e b
+       |        JOIN (SELECT media_id, SUM(e) // 64 AS thr FROM e GROUP BY 1) s
+       |        USING (media_id))
+       |  GROUP BY media_id),
+       |$bandJoinCtes""".stripMargin
+
+  /** Video frame-vote oracle prefix: pixel rule -> per-frame direct aHash
+    * (frame f = p // 64, in-frame bit q = p % 64) -> per-frame bands with
+    * frame_id in the bucket key -> qualifying frame pairs `fp`. */
+  private val videoHashOracleCtes: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n FROM documents),
+       |pix AS (SELECT media_id, CAST(p AS INT) AS p,
+       |    CASE WHEN n = 0 THEN 0
+       |      ELSE (concat('0x', substr(h, 2*CAST(p % n AS INT)+1, 2)))::INT
+       |    END AS v
+       |  FROM m, UNNEST(generate_series(0, 255)) AS g(p)),
+       |fpix AS (SELECT media_id, p // ${FrameW * FrameH} AS f,
+       |    p % ${FrameW * FrameH} AS q, v FROM pix),
+       |fh AS (SELECT media_id, CAST(f AS BIGINT) AS frame_id,
+       |    CAST(SUM(CASE WHEN v > thr THEN
+       |      CASE WHEN q = 63 THEN -9223372036854775808
+       |        ELSE (1::BIGINT << CAST(q AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM (SELECT a.*, s.thr FROM fpix a
+       |        JOIN (SELECT media_id, f, SUM(v) // ${FrameW * FrameH} AS thr
+       |              FROM fpix GROUP BY 1, 2) s
+       |        ON a.media_id = s.media_id AND a.f = s.f)
+       |  GROUP BY media_id, frame_id),
+       |bands AS (SELECT media_id, frame_id, phash, b,
        |    (phash >> (b * 16)) & 65535 AS bv
-       |  FROM ph, UNNEST(generate_series(0, ${PhashBands - 1})) AS g(b)),
-       |salted AS (SELECT media_id, phash, b, bv,
-       |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY b, bv)
+       |  FROM fh, UNNEST(generate_series(0, ${PhashBands - 1})) AS g(b)),
+       |salted AS (SELECT media_id, frame_id, phash, b, bv,
+       |    media_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY frame_id, b, bv)
        |      / $PhashBucketCap.0) AS BIGINT) AS salt
        |  FROM bands),
-       |cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS ha,
-       |    b.media_id AS id_b, b.phash AS hb
-       |  FROM salted a JOIN salted b ON a.b = b.b AND a.bv = b.bv
-       |    AND a.salt = b.salt AND a.media_id < b.media_id)""".stripMargin
+       |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.frame_id, a.phash AS ha, b.phash AS hb
+       |  FROM salted a JOIN salted b ON a.frame_id = b.frame_id
+       |    AND a.b = b.b AND a.bv = b.bv AND a.salt = b.salt
+       |    AND a.media_id < b.media_id),
+       |fp AS (SELECT id_a, id_b, frame_id,
+       |    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming)""".stripMargin
 
   import graft.QuerySpec.withOracle
 
@@ -534,6 +754,40 @@ object Multimodal {
         |  COALESCE(dup.dup_of, ph.media_id) AS keeper,
         |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
         |FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id
+        |ORDER BY media_id""".stripMargin),
+    // Audio twin of the phash pair: the banded energy fingerprint replayed
+    // from the sample rule, then the SAME band/salt/candidate SQL text.
+    withOracle("mm_audio_neardup", audioNearDup,
+      s"""$audioHashOracleCtes
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+        |ORDER BY id_a, id_b""".stripMargin),
+    withOracle("mm_audio_dedup", audioDedup,
+      s"""$audioHashOracleCtes,
+        |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
+        |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b)
+        |SELECT ph.media_id,
+        |  COALESCE(dup.dup_of, ph.media_id) AS keeper,
+        |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id
+        |ORDER BY media_id""".stripMargin),
+    // Video: frame-vote aggregation over the per-frame qualifying pairs.
+    withOracle("mm_video_neardup", videoNearDup,
+      s"""$videoHashOracleCtes
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames_match,
+        |  CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+        |FROM fp GROUP BY 1, 2 HAVING COUNT(*) >= $VideoVoteMin
+        |ORDER BY id_a, id_b""".stripMargin),
+    withOracle("mm_video_dedup", videoDedup,
+      s"""$videoHashOracleCtes,
+        |votes AS (SELECT id_a, id_b FROM fp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $VideoVoteMin),
+        |dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM votes GROUP BY id_b),
+        |ids AS (SELECT DISTINCT media_id FROM fh)
+        |SELECT ids.media_id,
+        |  COALESCE(dup.dup_of, ids.media_id) AS keeper,
+        |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM ids LEFT JOIN dup ON dup.id_b = ids.media_id
         |ORDER BY media_id""".stripMargin),
     // Video twin: per-frame pixel sums and first pixel, frame f = p//64
     // over the same derived pixel grid — Spark's side recovers the frames

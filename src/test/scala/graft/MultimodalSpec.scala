@@ -176,4 +176,58 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(2) >= 0L && r.getLong(2) <= Multimodal.PhashMaxHamming)
     }
   }
+
+  test("frameHash64: flat frame hashes to 0; one bright pixel sets its bit") {
+    val flat = Array.fill(64)(100)
+    assert(Multimodal.frameHash64(flat) == 0L)
+    val oneHot = flat.clone(); oneHot(7) = 255
+    assert(Multimodal.frameHash64(oneHot) == (1L << 7))
+  }
+
+  test("video near-dup + dedup: frame votes through the real GIF path") {
+    val pairs = Multimodal.videoNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty) // planted text dups -> identical clips, 4 frame votes
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val votes = r.getLong(2)
+      assert(votes >= Multimodal.VideoVoteMin && votes <= Multimodal.VideoFrames)
+      // each voting frame contributes at most the hamming threshold
+      assert(r.getLong(3) <= votes * Multimodal.PhashMaxHamming)
+    }
+    val dedup = Multimodal.videoDedup(spark, sf).collect()
+    val byId = dedup.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    pairs.foreach { p =>
+      val (keeper, isDup) = byId(p.getLong(1))
+      assert(isDup == 1L && keeper <= p.getLong(0))
+    }
+    dedup.filter(_.getLong(2) == 0L).foreach(r => assert(r.getLong(1) == r.getLong(0)))
+  }
+
+  test("audioHash64: silence hashes to 0; a loud block sets exactly its bit") {
+    // constant signal: every block's energy equals the mean, no bit set
+    val flat = Array.fill[Short](256)(100)
+    assert(Multimodal.audioHash64(flat) == 0L)
+    // one loud 4-sample block (block 5) -> only bit 5
+    val oneHot = flat.clone()
+    (20 until 24).foreach(i => oneHot(i) = 30000)
+    assert(Multimodal.audioHash64(oneHot) == (1L << 5))
+  }
+
+  test("audio near-dup + dedup: real WAV path, shared survivor contract") {
+    val pairs = Multimodal.audioNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty) // planted text dups -> identical clips, hamming 0
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= Multimodal.PhashMaxHamming)
+    }
+    val dedup = Multimodal.audioDedup(spark, sf).collect()
+    val byId = dedup.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every pair's higher id must be marked dup with keeper <= the lower id
+    pairs.foreach { p =>
+      val (keeper, isDup) = byId(p.getLong(1))
+      assert(isDup == 1L && keeper <= p.getLong(0))
+    }
+    // non-dups keep themselves
+    dedup.filter(_.getLong(2) == 0L).foreach(r => assert(r.getLong(1) == r.getLong(0)))
+  }
 }
