@@ -22,7 +22,9 @@ object Explain {
         "sim_topk_ivfpq_persisted", "text_rare_bigram_ratio",
         "text_gopher_rules", "text_contamination_score", "sim_knn_graph",
         "sim_topk_int8", "mm_phash_neardup", "text_curation_funnel",
-        "text_quality_sample")
+        "text_quality_sample",
+        "mm_audio_neardup", "mm_video_neardup", "text_pack_tokens",
+        "sim_semantic_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

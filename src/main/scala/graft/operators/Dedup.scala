@@ -405,11 +405,22 @@ object Dedup {
     * ([[largeSmallStarComponents]]) — O(log n) rounds w.h.p., each a
     * join+aggregate over a contracting edge set. */
   def dedupGroupsOf(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
-    val spark = docs.sparkSession
+      threshold: Double = JaccardThreshold): DataFrame =
+    componentsOver(docs.select(col("doc_id")),
+      ngramJaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Min-id component labels over an arbitrary undirected edge list —
+    * the adjudicated-CC machinery behind [[dedupGroupsOf]], factored so
+    * other pair streams (the mutual-kNN cluster query) run the identical
+    * contraction. `universe` is a single-id-column frame naming every
+    * vertex (isolated ones label themselves); `pairs0` any two-long-column
+    * (a, b) frame. Output: (<id column>, component). */
+  private[operators] def componentsOver(universe: DataFrame,
+      pairs0: DataFrame): DataFrame = {
+    val spark = universe.sparkSession
     import spark.implicits._
-    val pairs = ngramJaccardPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b")).persist()
+    val idCol = universe.columns.head
+    val pairs = pairs0.toDF("doc_a", "doc_b").persist()
     val nEdges = pairs.count()
     val graphLabels: DataFrame =
       if (nEdges <= LocalEdgeLimit) {
@@ -432,17 +443,17 @@ object Dedup {
       } else largeSmallStarComponents(pairs)
     // pairs were materialized by count() and fully consumed above (local
     // collect, or the iteration's own persists) — release that cache.
-    // The hashed-shingle-set cache INSIDE ngramJaccardPairs is
-    // deliberately retained: it is small (~12 MB at sf0.1), and the other
+    // Any cache INSIDE the pair stream (e.g. ngramJaccardPairs' hashed
+    // shingle sets, ~12 MB at sf0.1) is deliberately retained: the other
     // dedup queries in a sweep reuse it via plan-cache matching.
     pairs.unpersist()
     // Broadcast only on the driver-small path; the giant-graph path joins
     // shuffle-side (labels there can exceed broadcast limits).
     val labelsSide =
       if (nEdges <= LocalEdgeLimit) broadcast(graphLabels) else graphLabels
-    docs.select(col("doc_id"))
-      .join(labelsSide, col("doc_id") === col("v"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+    universe
+      .join(labelsSide, col(idCol) === col("v"), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("component"))
   }
 
   def dedupGroups(s: SparkSession, dir: String): DataFrame =

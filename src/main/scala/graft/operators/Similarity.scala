@@ -173,6 +173,61 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Semantic clusters — the structure [[knnGraph]] exists to feed: a
+    * vector pair is an edge iff each is in the other's top-[[KnnK]]
+    * (mutual-kNN, the standard symmetric-strictness upgrade that keeps
+    * hub vectors from chaining unrelated neighborhoods into one blob),
+    * then connected components label every corpus vector with its
+    * cluster's min id plus the cluster size — the grouping a curation
+    * pass samples per-cluster from (cluster-cap diversity sampling) or
+    * hands to annotators as topic families.
+    *
+    * Shape at scale: mutual filtering is a self-semi-join of the kNN
+    * edge list on the reversed key — edge-list-sized, never corpus² —
+    * and the component contraction is [[Dedup.componentsOver]]'s
+    * adjudicated machinery (driver union-find under the edge cap, else
+    * distributed large/small-star rounds). */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    // persist: the forward filter and the reversed semi-join side both
+    // consume the graph; without it the LSH bucket join runs twice
+    val edges = knnGraph(s, dir).select(col("vec_id"), col("nbr")).persist()
+    val mutual = edges.filter(col("vec_id") < col("nbr"))
+      .join(edges.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")),
+        Seq("vec_id", "nbr"), "left_semi")
+    val labeled = Dedup.componentsOver(
+      Tables.embeddings(s, dir).select(col("vec_id")), mutual)
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "component")
+      .select(col("vec_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-cluster keep budget for [[diverseSample]]. */
+  val DiversityCap = 3
+
+  /** Cluster-capped DIVERSITY SAMPLING — the curation decision
+    * [[semanticClusters]] exists to drive: at most [[DiversityCap]]
+    * vectors survive per semantic cluster, chosen by the seed-free md5
+    * rank (the `text_quality_sample`/`trainShards` determinism
+    * convention — any engine replays the same sample), so over-represented
+    * semantic neighborhoods are capped instead of letting one template
+    * family dominate the training mix. Singleton clusters always keep
+    * their vector; the output is the full corpus with the keep decision
+    * and each vector's in-cluster sample rank — one window over the
+    * cluster labels, no new shuffle beyond the clustering itself. */
+  def diverseSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    semanticClusters(s, dir)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("sample_rank"),
+        (col("sample_rank") <= DiversityCap).cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Near-duplicate pairs: LSH candidates verified by exact cosine >=
     * threshold. Cost is bucket-collision pairs, not n²; the same seeded
     * hyperplanes as topKAnn, so one bucketing serves both. */
@@ -702,6 +757,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Shared mutual-kNN cluster oracle CTEs (`comp` = min-id labels over
+    * every corpus vector, `sizes` = member counts): ONE SQL text behind
+    * the clusters query and its diversity-sampling consumer so the two
+    * replays cannot drift. The kNN ranking CTEs are the sim_knn_graph
+    * oracle's, the recursive component CTE the dedup_groups pattern. */
+  private def clusterOracleCtes: String =
+    s"""${lshPairScoresCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS nbr, score FROM pair_scores),
+       |ranked AS (
+       |  SELECT vec_id, nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, nbr ASC) AS rank
+       |  FROM sym),
+       |knn AS (SELECT vec_id, nbr FROM ranked WHERE rank <= $KnnK),
+       |mutual AS (SELECT a.vec_id AS u, a.nbr AS v FROM knn a
+       |  JOIN knn b ON b.vec_id = a.nbr AND b.nbr = a.vec_id
+       |  WHERE a.vec_id < a.nbr),
+       |edges(a, b) AS (SELECT u, v FROM mutual
+       |                UNION ALL SELECT v, u FROM mutual),
+       |r(v, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+       |comp AS (SELECT v AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+       |  FROM r GROUP BY v),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY 1)""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -759,6 +845,25 @@ object Similarity {
          |SELECT vec_id, nbr, score, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $KnnK
          |ORDER BY vec_id, rank""".stripMargin),
+    // The kNN-graph consumer: mutual-kNN edges + recursive-CTE components
+    // (the dedup_groups oracle pattern), sizes joined back.
+    withOracle("sim_semantic_clusters", semanticClusters,
+      s"""$clusterOracleCtes
+         |SELECT c.vec_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id)
+         |ORDER BY vec_id""".stripMargin),
+    // The clusters' own consumer: md5-ranked per-cluster keep budget.
+    withOracle("sim_diverse_sample", diverseSample,
+      s"""$clusterOracleCtes,
+         |sampled AS (SELECT c.vec_id, c.cluster_id, s.cluster_size,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY md5(CAST(c.vec_id AS VARCHAR)) ASC, c.vec_id ASC)
+         |      AS BIGINT) AS sample_rank
+         |  FROM comp c JOIN sizes s USING (cluster_id))
+         |SELECT vec_id, cluster_id, cluster_size, sample_rank,
+         |  CAST(CASE WHEN sample_rank <= $DiversityCap THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM sampled ORDER BY vec_id""".stripMargin),
     withOracle("dedup_embedding", embeddingDedup,
       s"""$lshPairScoresCtes,
          |p AS (

@@ -177,4 +177,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall (${found.size}/${exact.size}) " +
       "below floor — bucketing parameters degraded")
   }
+
+  test("semantic clusters: labels partition the corpus, edges are mutual kNN") {
+    val out = Similarity.semanticClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n) // every vector labeled, isolated ones singleton
+    // cluster id is the component min: each cluster contains its own label
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      // reported size is the actual member count
+      members.foreach { case (_, _, size) => assert(size == members.length) }
+    }
+    // sizes partition the corpus
+    assert(byCluster.values.map(_.length).sum == n)
+    // every multi-member cluster is built ONLY from mutual-kNN edges:
+    // spot-check that some non-singleton cluster exists at this sf (the
+    // corpus plants near-identical docs, which are mutual 1-NNs)
+    assert(byCluster.values.exists(_.length > 1))
+  }
+
+  test("diverse sample: per-cluster keep budget, singletons always kept") {
+    val out = Similarity.diverseSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      val kept = members.count(_._5 == 1L)
+      assert(kept == math.min(Similarity.DiversityCap, members.length))
+      // ranks are a permutation of 1..size
+      assert(members.map(_._4).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // singletons keep themselves
+    out.filter(_._3 == 1L).foreach { case (_, _, _, rank, keep) =>
+      assert(rank == 1L && keep == 1L)
+    }
+    // the sample is capped: kept fraction strictly below 1 when any
+    // cluster exceeds the budget
+    if (byCluster.values.exists(_.length > Similarity.DiversityCap))
+      assert(out.count(_._5 == 1L) < out.length)
+  }
 }
