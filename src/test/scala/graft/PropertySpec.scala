@@ -116,4 +116,46 @@ class PropertySpec extends SparkSpec {
         s"hash $h flips $flips: no shared band")
     }
   }
+
+  test("audioHash64: amplitude-scale families and invariants on random PCM") {
+    import graft.operators.Multimodal
+    val genPcm = Gen.listOfN(256, Gen.chooseNum(-32768, 32767))
+      .map(_.map(_.toShort).toArray)
+    samples(genPcm).foreach { pcm =>
+      val h = Multimodal.audioHash64(pcm)
+      // deterministic
+      assert(h == Multimodal.audioHash64(pcm.clone()))
+      // a constant clip never sets a bit (every block energy == the mean)
+      // and doubling... scaling by -1 preserves abs energies exactly
+      val neg = pcm.map(s => if (s == Short.MinValue) s else (-s).toShort)
+      assert(Multimodal.audioHash64(neg) == h,
+        "fingerprint must be phase-invariant (abs amplitude)")
+    }
+    assert(Multimodal.audioHash64(Array.fill[Short](256)(1234)) == 0L)
+  }
+
+  test("packTokens: random corpora conserve tokens at exact capacity") {
+    import graft.operators.Curation
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 600) // straddles: some docs exceed PackCapacity
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws.mkString(" ")
+    val corpus = samples(genDoc).take(40).zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"src${i % 3}", t)
+    }
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val packs = Curation.packTokens(docs).collect()
+    // conservation: non-pad slots across packs == total token count
+    val totalTokens = corpus.map(_._3.split(" ", -1).length.toLong).sum
+    assert(packs.map(_.getLong(3)).sum == totalTokens)
+    // every pack materializes exactly capacity slots; pads only on each
+    // source's last pack
+    val lastPack = packs.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    packs.foreach { r =>
+      assert(r.getString(5).split(",", -1).length == Curation.PackCapacity)
+      if (r.getLong(1) < lastPack(r.getString(0))) assert(r.getLong(4) == 0L)
+      assert(r.getLong(3) + r.getLong(4) == Curation.PackCapacity)
+    }
+  }
 }
