@@ -478,13 +478,14 @@ object Multimodal {
     * clip timelines, not bags of frames — and the stricter key also
     * shrinks every bucket). Same exact-by-pigeonhole threshold, same
     * salt-cap guard. */
-  private def framePairs(hashes: DataFrame): DataFrame = {
+  private[graft] def framePairs(hashes: DataFrame,
+      cap: Int = PhashBucketCap): DataFrame = {
     val bandVals = array((0 until PhashBands).map(b =>
       shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*)
     val bands = LshSkew.saltBuckets(
       hashes.select(col("media_id"), col("frame_id"), col("phash"),
         posexplode(bandVals).as(Seq("b", "bv"))),
-      Seq("frame_id", "b", "bv"), "media_id", PhashBucketCap)
+      Seq("frame_id", "b", "bv"), "media_id", cap)
     val left = bands.select(col("frame_id"), col("b"), col("bv"), col("salt"),
       col("media_id").as("id_a"), col("phash").as("ha"))
     val right = bands.select(col("frame_id"), col("b"), col("bv"), col("salt"),

@@ -82,6 +82,30 @@ class ScaleSpec extends SparkSpec {
     assert(got < n.toLong * (n - 1) / 2) // strictly below quadratic
   }
 
+  test("video frame-band guard bounds candidates on identical clips") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // every clip identical => per frame, one hot (frame, band, value)
+    // bucket per band; the salt guard must bound each frame's pair set
+    // exactly as the image tier's (same formula, per frame)
+    val n = 30
+    val frames = 4
+    val cap = 8
+    val rows = for { i <- 0L until n.toLong; f <- 0 until frames }
+      yield (i, f.toLong, 0x1234567890abcdefL)
+    val got = Multimodal
+      .framePairs(rows.toDF("media_id", "frame_id", "phash"), cap)
+      .count()
+    val nSalt = math.ceil(n.toDouble / cap).toLong
+    val perFrame = (0L until n.toLong).groupBy(_ % nSalt).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(got == perFrame * frames, s"got $got, expected ${perFrame * frames}")
+    assert(got < n.toLong * (n - 1) / 2 * frames) // strictly below quadratic
+    // and the vote aggregation collapses them to one pair row each
+    val votes = Multimodal.videoNearDup(spark, "/root/testdata/sf0.001")
+    votes.collect().foreach(r => assert(r.getLong(2) <= frames))
+  }
+
   test("semdedup hot-cell guard splits a degenerate single-cell corpus") {
     import graft.operators.{EmbeddingOps, Similarity}
     // identical vectors => one k-means cell; the guard must split it
