@@ -112,7 +112,10 @@ object Bench {
     val passesJson = results
       .map { case (k, _, ts) => "\"" + k + "\":[" + ts.map(r4).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries carry -1 in `queries`/`passes` for visibility, but
+    // must not SUBTRACT from the headline total (a broken query would
+    // read as a speedup); n_failed in the headline flags them.
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","order":"pass1-forward,pass2-reverse","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
     // The full line with both dicts runs ~10 KB and downstream log capture

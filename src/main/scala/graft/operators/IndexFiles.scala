@@ -77,12 +77,18 @@ private[graft] object IndexFiles {
   /** Each slice's rows tagged with the slice's numeric id (`c<N>` tags as
     * N — safe, because every tombstone that survived its compaction has
     * id > N, and every row in the compacted slice came from a slice
-    * <= N). */
+    * <= N). An unparseable slice name fails LOUDLY: the no-tombstone
+    * read path unions every directory, so silently skipping one here
+    * would make the engine's row set change the first time a delete
+    * runs. */
   private def taggedSlices(spark: SparkSession,
       slices: Seq[String]): Seq[DataFrame] =
-    slices.flatMap { d =>
-      StreamingDedup.sliceBatch(d).map(id =>
-        spark.read.parquet(d).withColumn("_slice", lit(id)))
+    slices.map { d =>
+      val id = StreamingDedup.sliceBatch(d).getOrElse(
+        throw new IllegalStateException(
+          s"slice dir $d does not follow the b<N>/c<N> naming — " +
+            "refusing a tombstone-tagged read that would silently drop it"))
+      spark.read.parquet(d).withColumn("_slice", lit(id))
     }
 
   /** Next free slice id across subdirs sharing one logical clock (data +
@@ -97,6 +103,18 @@ private[graft] object IndexFiles {
       sliceId: Long): Unit =
     ids.select(col(idCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$tombsBase/b$sliceId")
+
+  /** The DELETE verb itself, one body for every persisted index: draw the
+    * tombstone's id from the clock shared with `dataBase` (an unspecified
+    * `sliceId` kills exactly the state that exists NOW; an explicit one
+    * replays idempotently) and write the slice. Returns the slice id. */
+  def delete(ids: DataFrame, idCol: String, dataBase: String,
+      tombsBase: String, sliceId: Long = -1L): Long = {
+    val id = if (sliceId >= 0) sliceId
+      else nextSliceIdAcross(ids.sparkSession, Seq(dataBase, tombsBase))
+    writeTombstoneSlice(ids, idCol, tombsBase, id)
+    id
+  }
 
   /** `rows` (tagged with `tagCol`) minus tombstoned ones: a row is dead
     * iff some tombstone slice with a STRICTLY larger id carries its id.
@@ -164,6 +182,15 @@ private[graft] object IndexFiles {
         .drop("_slice").distinct()
       StreamingDedup.publishCompacted(spark, base, upTo, merged, posts,
         alsoDelete = if (purgeTombstones) tombs else Nil)(write)
+    } else if (purgeTombstones) {
+      // No data slice <= upTo: these tombstones provably kill nothing
+      // (any slice they could kill has a strictly smaller id, hence also
+      // <= upTo and in `posts`). Without this branch a delete-before-
+      // first-append leaves a dead tombstone slice that every future
+      // read pays the tagged anti-join for.
+      val fs = new org.apache.hadoop.fs.Path(tombsBase)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      tombs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
   }
 }

@@ -76,14 +76,9 @@ object IvfIndex {
     * exactly the postings that exist NOW — a later [[append]] of the same
     * vec_id is alive again. Passing an explicit `sliceId` replays
     * idempotently (overwrite-mode slice). Returns the slice id. */
-  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long = {
-    val spark = ids.sparkSession
-    val id = if (sliceId >= 0) sliceId
-      else IndexFiles.nextSliceIdAcross(spark,
-        Seq(postingsDir(dir), tombstonesDir(dir)))
-    IndexFiles.writeTombstoneSlice(ids, "vec_id", tombstonesDir(dir), id)
-    id
-  }
+  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long =
+    IndexFiles.delete(ids, "vec_id", postingsDir(dir), tombstonesDir(dir),
+      sliceId)
 
   private def appendSlice(emb: DataFrame, dir: String,
       cents: Seq[Array[Float]], sliceId: Long): Unit =

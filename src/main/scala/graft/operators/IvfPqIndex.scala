@@ -75,14 +75,9 @@ object IvfPqIndex {
   /** Forget vectors — the shared tombstone DELETE verb ([[IvfIndex.delete]]
     * semantics, same slice clock): [[topK]] anti-joins the tombstones,
     * [[compact]] folds them into the physical postings. */
-  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long = {
-    val spark = ids.sparkSession
-    val id = if (sliceId >= 0) sliceId
-      else IndexFiles.nextSliceIdAcross(spark,
-        Seq(postingsDir(dir), tombstonesDir(dir)))
-    IndexFiles.writeTombstoneSlice(ids, "vec_id", tombstonesDir(dir), id)
-    id
-  }
+  def delete(ids: DataFrame, dir: String, sliceId: Long = -1L): Long =
+    IndexFiles.delete(ids, "vec_id", postingsDir(dir), tombstonesDir(dir),
+      sliceId)
 
   private def appendSlice(emb: DataFrame, dir: String,
       cents: Seq[Array[Float]], cbs: Array[Array[Double]],

@@ -448,12 +448,16 @@ object Multimodal {
 
   /** Direct 64-bit aHash of one 8x8 frame: bit q set iff pixel q exceeds
     * the frame's integer mean — the [[aHash64]] rule without the
-    * downsample step (the frame already IS the 64-cell grid). */
+    * downsample step (the frame already IS the 64-cell grid). The
+    * geometry guard mirrors [[aHash64]]'s: a frame that isn't 64 pixels
+    * would silently hash over pixels that never map to bits and diverge
+    * from the oracle's 64-pixel replay. */
   private[graft] def frameHash64(px: Array[Int]): Long = {
-    val thr = px.map(_.toLong).sum / px.length
+    require(px.length == 64, s"frameHash64 expects 64 pixels, got ${px.length}")
+    val thr = px.map(_.toLong).sum / 64
     var hash = 0L
     var q = 0
-    while (q < px.length && q < 64) { if (px(q) > thr) hash |= 1L << q; q += 1 }
+    while (q < 64) { if (px(q) > thr) hash |= 1L << q; q += 1 }
     hash
   }
 
@@ -498,16 +502,23 @@ object Multimodal {
       .distinct()
   }
 
+  /** The frame-vote aggregation — ONE statement of the qualifying-pair
+    * rule (≥ [[VideoVoteMin]] aligned frames within hamming) behind both
+    * the near-dup listing and the dedup decision, so the two cannot
+    * disagree on which pairs qualify. */
+  private def votedPairs(hashes: DataFrame): DataFrame =
+    framePairs(hashes)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_match"),
+        sum(col("hamming")).as("sum_hamming"))
+      .filter(col("n_frames_match") >= VideoVoteMin)
+
   /** Video near-duplicate pairs by frame vote: a pair qualifies iff at
     * least [[VideoVoteMin]] of its aligned frames match within hamming
     * [[PhashMaxHamming]]. Emits the vote count and total hamming — the
     * similarity evidence a review queue would sort by. */
   def videoNearDup(s: SparkSession, dir: String): DataFrame =
-    framePairs(videoHashTable(s, dir))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_frames_match"),
-        sum(col("hamming")).as("sum_hamming"))
-      .filter(col("n_frames_match") >= VideoVoteMin)
+    votedPairs(videoHashTable(s, dir))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Video DEDUP decision — the shared min-lower-id survivor contract
@@ -516,10 +527,7 @@ object Multimodal {
     // persist: pair subtree and the id universe both consume the hash
     // table; regenerating means a second full GIF decode pass
     val hashes = videoHashTable(s, dir).persist()
-    val dupOf = framePairs(hashes)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_frames_match"))
-      .filter(col("n_frames_match") >= VideoVoteMin)
+    val dupOf = votedPairs(hashes)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
     hashes.select(col("media_id")).distinct()
       .join(dupOf, col("media_id") === col("id_b"), "left")

@@ -195,10 +195,8 @@ object StreamingDedup {
     * Explicit `sliceId` replays idempotently. Returns the slice id. */
   def deleteFromIndex(spark: SparkSession, stateDir: String, ids: DataFrame,
       sliceId: Long = -1L): Long = {
-    val id = if (sliceId >= 0) sliceId else nextBatchId(spark, stateDir)
-    graft.operators.IndexFiles.writeTombstoneSlice(
-      ids.toDF("rec_id"), "rec_id", s"$stateDir/tombstones", id)
-    id
+    graft.operators.IndexFiles.delete(ids.toDF("rec_id"), "rec_id",
+      s"$stateDir/bands", s"$stateDir/tombstones", sliceId)
   }
 
   /** One micro-batch: index this batch, candidate-join against the whole

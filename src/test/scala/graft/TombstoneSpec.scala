@@ -64,6 +64,18 @@ class TombstoneSpec extends SparkSpec {
     assert(keyOf(IvfIndex.topK(spark, idx, queries)) == before)
   }
 
+  test("IVF: compaction purges a tombstone that provably kills nothing") {
+    // A delete that runs before any append (tombstone b0, empty postings)
+    // covers no slice: compaction must remove it, or an index that only
+    // ever received deletes pays the tagged anti-join read forever.
+    val only = TempDirs.scoped("graft_tomb_only_delete")
+    val t0 = IvfIndex.delete(IvfIndex.deleteSet(emb), only)
+    assert(t0 == 0L)
+    IvfIndex.compact(spark, only, t0)
+    assert(StreamingDedup.listSlices(spark, s"$only/tombstones").isEmpty,
+      "tombstone with no data slice at or below it must be purged")
+  }
+
   test("IVF: replayed delete is idempotent; re-append resurrects the id") {
     val idx = TempDirs.scoped("graft_tomb_replay")
     IvfIndex.build(emb, idx)
