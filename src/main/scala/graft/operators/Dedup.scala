@@ -474,6 +474,35 @@ object Dedup {
         (col("group_size") * col("n_groups")).as("n_docs"))
       .orderBy(col("group_size"))
 
+  /** Quality-aware survivor selection — the policy refinement real
+    * curation applies on top of min-id canonicalization: within each
+    * near-dup component, keep the doc with the MOST tokens (near-dups
+    * differ by truncation/boilerplate, so longest ≈ most complete copy),
+    * tie-broken by min doc_id so the choice is total and deterministic.
+    * One row per component with the decision evidence (survivor, its
+    * token count, component size).
+    *
+    * Shape at scale: the component labels come from the shared
+    * [[dedupGroupsOf]] contraction; the ranking is a row_number window
+    * partitioned BY COMPONENT — partitions are dup groups (bounded,
+    * typically tiny), never the corpus, so the sort inside each window
+    * partition is a few rows and the shuffle key is the component id. */
+  def qualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), tokenCount(col("text")).as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("toks").desc, col("doc_id").asc)
+    dedupGroupsOf(docs)
+      .join(toks, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor"),
+        max(when(col("rn") === 1, col("toks"))).as("survivor_tokens"))
+      .orderBy(col("component"))
+  }
+
   // ---------------------------------------------------------------------
   // Composed corpus-curation pipeline (the flagship training-data flow)
   // ---------------------------------------------------------------------
@@ -700,6 +729,30 @@ object Dedup {
          |  CAST(COUNT(DISTINCT jp.doc_b) AS BIGINT) AS n_docs_dropped
          |FROM jp JOIN th ON jp.jaccard >= th.threshold
          |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin),
+    // The recursive-CTE component labels + the same longest-then-min-id
+    // window Spark runs; toks replays tokenCount as len(string_split).
+    withOracle("dedup_quality_survivor", qualitySurvivor,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v),
+         |t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |ranked AS (SELECT c.component, c.doc_id, t.toks,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component
+         |      ORDER BY t.toks DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN t USING (doc_id))
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor,
+         |  MAX(CASE WHEN rn = 1 THEN toks END) AS survivor_tokens
+         |FROM ranked GROUP BY component ORDER BY component""".stripMargin),
     withOracle("dedup_group_stats", dedupGroupStats,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,

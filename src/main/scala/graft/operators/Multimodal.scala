@@ -537,6 +537,28 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Cross-modal dedup funnel — the one-screen audit of the whole
+    * modality near-dup matrix: for each fingerprint pipeline (image
+    * aHash, audio energy fingerprint, video frame-vote) over the same
+    * asset corpus, how many assets it saw, how many it marked duplicate,
+    * and how many survive. The cross-modality comparison is the point: a
+    * modality whose dup rate diverges wildly from its siblings on the
+    * same corpus usually means its fingerprint (not the corpus) changed.
+    * Cost = the three dedup decisions it audits (the
+    * [[Dedup.curationFunnel]] contract: an audit over subplans that ARE
+    * the standalone declared queries, so the numbers cannot drift from
+    * them); each rollup is a single-row aggregate on top. */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    def roll(kind: String, decision: DataFrame): DataFrame =
+      decision.agg(count(lit(1)).as("n_assets"), sum(col("is_dup")).as("n_dups"))
+        .select(lit(kind).as("modality"), col("n_assets"), col("n_dups"),
+          (col("n_assets") - col("n_dups")).as("n_survivors"))
+    roll("audio", audioDedup(s, dir))
+      .unionByName(roll("image", phashDedup(s, dir)))
+      .unionByName(roll("video", videoDedup(s, dir)))
+      .orderBy(col("modality"))
+  }
+
   /** Shared band/salt/candidate-pair oracle suffix over a CTE named
     * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
     * oracle (image AND audio) so the band/salt replay cannot drift (the
@@ -780,6 +802,42 @@ object Multimodal {
         |  CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
         |FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id
         |ORDER BY media_id""".stripMargin),
+    // Each modality's rollup wraps ITS standalone dedup oracle in a
+    // scoped subquery-WITH (CTE names stay local), so the funnel replay
+    // is literally the three dedup replays plus a count.
+    withOracle("mm_dedup_funnel", dedupFunnel,
+      s"""SELECT 'audio' AS modality, n_assets, n_dups,
+         |  n_assets - n_dups AS n_survivors FROM (
+         |  $audioHashOracleCtes,
+         |  dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
+         |    WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b)
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+         |    CAST(SUM(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dups
+         |  FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id)
+         |UNION ALL
+         |SELECT 'image' AS modality, n_assets, n_dups,
+         |  n_assets - n_dups AS n_survivors FROM (
+         |  $phashOracleCtes,
+         |  dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
+         |    WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b)
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+         |    CAST(SUM(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dups
+         |  FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id)
+         |UNION ALL
+         |SELECT 'video' AS modality, n_assets, n_dups,
+         |  n_assets - n_dups AS n_survivors FROM (
+         |  $videoHashOracleCtes,
+         |  votes AS (SELECT id_a, id_b FROM fp
+         |    GROUP BY 1, 2 HAVING COUNT(*) >= $VideoVoteMin),
+         |  dup AS (SELECT id_b, MIN(id_a) AS dup_of FROM votes GROUP BY id_b),
+         |  ids AS (SELECT DISTINCT media_id FROM fh)
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+         |    CAST(SUM(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dups
+         |  FROM ids LEFT JOIN dup ON dup.id_b = ids.media_id)
+         |ORDER BY modality""".stripMargin),
     // Video: frame-vote aggregation over the per-frame qualifying pairs.
     withOracle("mm_video_neardup", videoNearDup,
       s"""$videoHashOracleCtes

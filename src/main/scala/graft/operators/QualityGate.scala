@@ -162,6 +162,37 @@ object QualityGate {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source sample cap: small enough to subset every source at every
+    * test scale (min source size is 25 docs at sf0.001). */
+  val BalancedCapPerSource = 10
+
+  /** Domain-BALANCED sampling — the mixture-flattening step a pretraining
+    * mix applies when one crawl source dwarfs the rest: keep at most
+    * [[BalancedCapPerSource]] docs per source, chosen by md5(doc_id)
+    * order (a seed-free deterministic shuffle, so the within-source pick
+    * is unbiased and engine-reproducible), tie-broken by doc_id so the
+    * selection is total even under an md5 collision. Emits the
+    * within-source rank — the evidence column a mix owner uses to widen
+    * the cap without re-sampling (rank <= newCap IS the wider sample,
+    * no fresh draw).
+    *
+    * Shape at scale: one shuffle on source, then a per-source sort. The
+    * window never sees the corpus in one partition UNLESS one source
+    * dominates — for that shape swap in the [[graft.plans.TopKPerKey]]
+    * physical operator (heap per key, no full sort), which serves the
+    * same order statistic without the skew exposure; at the declared
+    * cap the window's determinism (explicit tie-break) is worth more. */
+  def balancedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= BalancedCapPerSource)
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** The gate run IN-STREAM: each micro-batch of arriving documents is
     * scored and filtered by the same [[gopherFlags]] expressions, and
     * survivors append to batch-id-keyed overwrite dirs (idempotent
@@ -254,6 +285,16 @@ object QualityGate {
          |WHERE draw < CASE band WHEN 'high' THEN $KeepHigh
          |  WHEN 'mid' THEN $KeepMid ELSE $KeepLow END
          |ORDER BY doc_id""".stripMargin),
+    // Same md5 draw order + explicit doc_id tie-break; md5 over the
+    // decimal doc_id string is byte-identical in both engines.
+    withOracle("text_balanced_sample", balancedSample,
+      s"""WITH ranked AS (SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, rk FROM ranked
+         |WHERE rk <= $BalancedCapPerSource
+         |ORDER BY source, rk""".stripMargin),
     withOracle("stream_quality_gate", streamQualityGateQuery,
       s"""WITH t AS ($ruleInputsSql)
          |SELECT doc_id, n_tokens, mean_tok_len, ttr, n_stop
