@@ -129,10 +129,14 @@ private[graft] object IndexFiles {
 
   /** Live rows over an explicit slice list: the plain per-slice union
     * when no tombstones exist (byte-identical plan to the pre-delete
-    * engine), the tagged anti-join otherwise. */
+    * engine), the tagged anti-join otherwise. `asOf` restricts the
+    * TOMBSTONE side to slices `<= asOf` (callers restricting the data
+    * side restrict both — [[readLive]]). */
   def readLiveFrom(spark: SparkSession, slices: Seq[String],
-      tombsBase: String, idCol: String): DataFrame = {
+      tombsBase: String, idCol: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
     val tombSlices = StreamingDedup.listSlices(spark, tombsBase)
+      .filter(StreamingDedup.sliceBatch(_).exists(_ <= asOf))
     if (tombSlices.isEmpty)
       slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
     else
@@ -144,13 +148,33 @@ private[graft] object IndexFiles {
   }
 
   /** All LIVE rows across the b/c slices under `base`: [[readSlices]]
-    * minus the ids tombstoned under `tombsBase`. */
+    * minus the ids tombstoned under `tombsBase`.
+    *
+    * `asOf` (default: everything) reads the SNAPSHOT at logical time
+    * `asOf` — data slices `<= asOf` minus tombstones `<= asOf`, i.e. the
+    * exact row set a reader saw after slice `asOf` landed. This is the
+    * reproducibility verb a training run needs: the corpus snapshot a
+    * model trained on stays queryable while later appends/deletes land.
+    * Snapshots live as long as their slices: a compaction whose id
+    * exceeds `asOf` has merged history past the snapshot point, and the
+    * read fails LOUDLY rather than silently serving the coarser state
+    * (compaction is the retention knob: compact only past snapshots
+    * nobody needs). */
   def readLive(spark: SparkSession, base: String, tombsBase: String,
-      idCol: String): DataFrame = {
-    val slices = StreamingDedup.listSlices(spark, base)
+      idCol: String, asOf: Long = Long.MaxValue): DataFrame = {
+    val all = StreamingDedup.listSlices(spark, base)
+    if (asOf != Long.MaxValue) {
+      val coarse = all.filter(d => d.substring(d.lastIndexOf('/') + 1)
+        .startsWith("c") && StreamingDedup.sliceBatch(d).exists(_ > asOf))
+      require(coarse.isEmpty,
+        s"snapshot at slice $asOf is gone: compaction merged past it " +
+          s"(${coarse.mkString(", ")})")
+    }
+    val slices = all.filter(StreamingDedup.sliceBatch(_).exists(_ <= asOf))
     require(slices.nonEmpty,
-      s"no index slices under $base — build/append before querying")
-    readLiveFrom(spark, slices, tombsBase, idCol)
+      s"no index slices under $base at or below slice $asOf — " +
+        "build/append before querying")
+    readLiveFrom(spark, slices, tombsBase, idCol, asOf)
   }
 
   /** Tombstone-folding compaction: merge data slices `<= upTo` into one

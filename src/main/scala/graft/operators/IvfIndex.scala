@@ -106,9 +106,14 @@ object IvfIndex {
     IndexFiles.loadCentroids(spark, centroidsDir(dir))
 
   /** All LIVE postings across slices (tombstoned vec_ids excluded; the
-    * plain multi-slice union when no delete ever ran). */
-  def postings(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id")
+    * plain multi-slice union when no delete ever ran). `asOf` reads the
+    * snapshot at that slice id instead ([[IndexFiles.readLive]]) — the
+    * index state a past training run queried, kept addressable while
+    * later appends/deletes land. */
+  def postings(spark: SparkSession, dir: String,
+      asOf: Long = Long.MaxValue): DataFrame =
+    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id",
+      asOf)
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * rank cells per query through the shared [[Similarity.rankedCells]]
@@ -116,8 +121,11 @@ object IvfIndex {
     * prune the postings scan to the probed cells — a driver-side id list
     * bounded by [[Similarity.IvfCells]], never data — then score the
     * probed postings against the broadcast query set and keep the top
-    * [[Similarity.TopK]] per query. */
-  def topK(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    * [[Similarity.TopK]] per query. `asOf` answers from the snapshot at
+    * that slice id — centroids are frozen at build time, so a snapshot
+    * read needs no historical centroid state, only the slice filter. */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame,
+      asOf: Long = Long.MaxValue): DataFrame = {
     val cents = loadCentroids(spark, dir)
     val probes = Similarity.rankedCells(
         queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
@@ -131,7 +139,7 @@ object IvfIndex {
       .collect().map(_.getInt(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    postings(spark, dir)
+    postings(spark, dir, asOf)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -186,6 +194,23 @@ object IvfIndex {
     build(emb, idx)
     delete(deleteSet(emb), idx)
     topK(s, idx, standardQueries(s, dir))
+  }
+
+  /** Declared query — SNAPSHOT (as-of) reads, the reproducibility verb: a
+    * training run records the slice id it read at; that snapshot stays
+    * queryable bit-for-bit while the index keeps moving. Here: build
+    * (slice 0), forget the [[deleteSet]] (slice 1), then answer the
+    * standard query set AS OF slice 0 — the pre-delete state, exactly what
+    * [[topKIvfPersisted]] serves on an untouched index (pinned in
+    * TombstoneSpec, along with append-exclusion and loud failure once
+    * compaction crosses the snapshot). ROWS-ONLY: data-trained
+    * centroids. */
+  def topKIvfAsOf(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfasof")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    delete(deleteSet(emb), idx)
+    topK(s, idx, standardQueries(s, dir), asOf = 0L)
   }
 
   /** Declared query — streaming ANN serving, the serving twin of
@@ -273,6 +298,7 @@ object IvfIndex {
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
     rowsOnly("sim_topk_ivf_deleted", topKIvfDeleted),
+    rowsOnly("sim_topk_ivf_asof", topKIvfAsOf),
     rowsOnly("stream_ann_serve", streamAnnServeQuery),
     rowsOnly("stream_ivf_index_append", streamIvfAppendQuery))
 }

@@ -64,6 +64,36 @@ class TombstoneSpec extends SparkSpec {
     assert(keyOf(IvfIndex.topK(spark, idx, queries)) == before)
   }
 
+  test("IVF: as-of snapshot serves the pre-delete state") {
+    val idx = TempDirs.scoped("graft_tomb_asof")
+    IvfIndex.build(emb, idx)
+    val before = keyOf(IvfIndex.topK(spark, idx, queries))
+    // Vacuity guard: the forget-set must actually appear in the pre-delete
+    // top-k, or the snapshot comparison proves nothing.
+    assert(before.exists { case (_, _, v) => deletedIds.contains(v) })
+    IvfIndex.delete(IvfIndex.deleteSet(emb), idx)
+    assert(keyOf(IvfIndex.topK(spark, idx, queries, asOf = 0L)) == before)
+    // The declared query is exactly this lifecycle (deterministic build).
+    assert(keyOf(IvfIndex.topKIvfAsOf(spark, sf)) == before)
+  }
+
+  test("IVF: as-of excludes later appends; compaction past it fails loudly") {
+    val idx = TempDirs.scoped("graft_tomb_asof_app")
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), idx)
+    val pre = keyOf(IvfIndex.topK(spark, idx, queries))
+    assert(IvfIndex.append(emb.filter(col("vec_id") % 2 === 1), idx) == 1L)
+    // Live reads see the append; the slice-0 snapshot does not.
+    assert(keyOf(IvfIndex.topK(spark, idx, queries)) != pre)
+    assert(keyOf(IvfIndex.topK(spark, idx, queries, asOf = 0L)) == pre)
+    // Compaction past the snapshot coarsens history: the snapshot read
+    // must refuse, not silently serve the merged state.
+    IvfIndex.compact(spark, idx, 1L)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topK(spark, idx, queries, asOf = 0L)
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+
   test("IVF: compaction purges a tombstone that provably kills nothing") {
     // A delete that runs before any append (tombstone b0, empty postings)
     // covers no slice: compaction must remove it, or an index that only
