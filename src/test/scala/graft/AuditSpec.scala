@@ -80,6 +80,52 @@ class AuditSpec extends SparkSpec {
     assert(byStats == byDocs) // packing loses no tokens
   }
 
+  test("modal dedup funnel agrees with the three standalone dedup decisions") {
+    val f = Multimodal.dedupFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def rollup(dec: org.apache.spark.sql.DataFrame) = {
+      val rows = dec.collect().map(_.getLong(2))
+      (rows.length.toLong, rows.sum, rows.length - rows.sum)
+    }
+    assert(f("image") == rollup(Multimodal.phashDedup(spark, sf)))
+    assert(f("audio") == rollup(Multimodal.audioDedup(spark, sf)))
+    assert(f("video") == rollup(Multimodal.videoDedup(spark, sf)))
+    assert(f.keySet == Set("image", "audio", "video"))
+  }
+
+  test("quality survivor picks each component's longest doc, tie min id") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comps = Dedup.dedupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byComp = comps.groupBy(_._2)
+    val rows = Dedup.qualitySurvivor(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count()) // partitions corpus
+    rows.foreach { r =>
+      val members = byComp(r.getLong(0)).map(_._1)
+      assert(members.length.toLong == r.getLong(1))
+      val expected = members.minBy(d => (-toks(d), d))
+      assert(r.getLong(2) == expected && r.getLong(3) == toks(expected))
+    }
+  }
+
+  test("balanced sample caps every source with contiguous ranks") {
+    val rows = QualityGate.balancedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._2)
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(bySource.size.toLong == nSources)
+    bySource.values.foreach { g =>
+      assert(g.length <= QualityGate.BalancedCapPerSource)
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
   test("phash dedup decision agrees with the pair stream") {
     val pairs = Multimodal.phashNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
