@@ -24,7 +24,8 @@ object Explain {
         "sim_topk_int8", "mm_phash_neardup", "text_curation_funnel",
         "text_quality_sample",
         "mm_audio_neardup", "mm_video_neardup", "text_pack_tokens",
-        "sim_semantic_clusters")
+        "sim_semantic_clusters",
+        "dedup_quality_survivor", "text_balanced_sample", "mm_dedup_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
