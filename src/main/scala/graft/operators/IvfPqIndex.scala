@@ -108,17 +108,22 @@ object IvfPqIndex {
     IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
   /** All LIVE persisted (vec_id, codes, cell) postings across slices
-    * (tombstoned vec_ids excluded). */
-  def postings(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id")
+    * (tombstoned vec_ids excluded). `asOf` reads the snapshot at that
+    * slice id ([[IndexFiles.readLive]]). */
+  def postings(spark: SparkSession, dir: String,
+      asOf: Long = Long.MaxValue): DataFrame =
+    IndexFiles.readLive(spark, postingsDir(dir), tombstonesDir(dir), "vec_id",
+      asOf)
 
   /** Answer a query frame (query_id, qv): probe cells via the shared
     * [[Similarity.rankedCells]], prune the postings scan to the probed
     * cells (partition dirs), ADC-rank the surviving codes with per-query
     * driver-built LUTs, fetch the top [[Similarity.PqRerank]] candidates'
-    * vectors back from `corpus` by id, exact re-rank, top-k. */
+    * vectors back from `corpus` by id, exact re-rank, top-k. `asOf`
+    * answers from the snapshot at that slice id (frozen centroids and
+    * codebooks, so a snapshot needs only the slice filter). */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, asOf: Long = Long.MaxValue): DataFrame = {
     val cents = loadCentroids(spark, dir)
     // cell_score = cos(q, centroid) = dot(q̂, ĉ) — exactly the residual
     // ADC's per-(query, cell) offset, already computed by the probe
@@ -137,7 +142,7 @@ object IvfPqIndex {
       .orderBy(col("adc").desc, col("vec_id").asc)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    val candidates = postings(spark, dir)
+    val candidates = postings(spark, dir, asOf)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queryLuts), Seq("query_id"))

@@ -86,9 +86,12 @@ object PqIndex {
     IndexFiles.loadCodebooks(spark, codebooksDir(dir))
 
   /** All LIVE persisted codes across slices (tombstoned vec_ids
-    * excluded; the plain union when no delete ever ran). */
-  def codes(spark: SparkSession, dir: String): DataFrame =
-    IndexFiles.readLive(spark, codesDir(dir), tombstonesDir(dir), "vec_id")
+    * excluded; the plain union when no delete ever ran). `asOf` reads
+    * the snapshot at that slice id ([[IndexFiles.readLive]]). */
+  def codes(spark: SparkSession, dir: String,
+      asOf: Long = Long.MaxValue): DataFrame =
+    IndexFiles.readLive(spark, codesDir(dir), tombstonesDir(dir), "vec_id",
+      asOf)
 
   /** Answer a query frame (query_id, qv) against the persisted index:
     * per-query ADC lookup tables built on the driver (|q|·m·ks doubles,
@@ -96,16 +99,18 @@ object PqIndex {
     * top [[Similarity.PqRerank]] per query by approximate dot, and only
     * those candidates join back to `corpus` (vec_id, embedding) for the
     * exact cosine re-rank — the fetch-back is |q|·PqRerank rows against a
-    * broadcast hit list, never a corpus shuffle. */
+    * broadcast hit list, never a corpus shuffle. `asOf` answers from the
+    * snapshot at that slice id (codebooks are frozen at build time, so a
+    * snapshot needs only the slice filter). */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, asOf: Long = Long.MaxValue): DataFrame = {
     val queryLuts = Similarity.pqQueryLuts(queries, loadCodebooks(spark, dir))
     val approx = Similarity.adcScore
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    val candidates = codes(spark, dir)
+    val candidates = codes(spark, dir, asOf)
       .join(broadcast(queryLuts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), approx.as("adc"))
       .withColumn("ar", row_number().over(wAdc))

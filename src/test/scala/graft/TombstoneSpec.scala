@@ -138,8 +138,11 @@ class TombstoneSpec extends SparkSpec {
 
     val pq = TempDirs.scoped("graft_tomb_pq")
     PqIndex.build(emb, pq)
+    val preDelete = keyOf(PqIndex.topK(spark, pq, queries, emb))
     val tombId = PqIndex.delete(IvfIndex.deleteSet(emb), pq)
     val afterDelete = keyOf(PqIndex.topK(spark, pq, queries, emb))
+    // The shared as-of verb holds on the PQ layout too.
+    assert(keyOf(PqIndex.topK(spark, pq, queries, emb, asOf = 0L)) == preDelete)
     val pqRebuilt = TempDirs.scoped("graft_tomb_pq_rebuild")
     PqIndex.build(emb.filter(!deadCol), pqRebuilt,
       codebooks = Some(PqIndex.loadCodebooks(spark, pq)))
@@ -151,10 +154,13 @@ class TombstoneSpec extends SparkSpec {
 
     val ivfpq = TempDirs.scoped("graft_tomb_ivfpq")
     IvfPqIndex.build(emb, ivfpq)
+    val ivfpqPre = keyOf(IvfPqIndex.topK(spark, ivfpq, queries, emb))
     IvfPqIndex.delete(IvfIndex.deleteSet(emb), ivfpq)
     val got = keyOf(IvfPqIndex.topK(spark, ivfpq, queries, emb))
     assert(got.nonEmpty)
     assert(got.forall { case (_, _, v) => !dead.contains(v) })
+    assert(keyOf(IvfPqIndex.topK(spark, ivfpq, queries, emb, asOf = 0L))
+      == ivfpqPre)
   }
 
   test("LSH text index: deleted docs stop matching on serve and write paths") {
