@@ -127,6 +127,69 @@ object Dedup {
         countDistinct(col("doc_b")).as("n_docs_dropped"))
       .orderBy(col("threshold"))
 
+  /** A pair qualifies as doc-in-doc when the smaller shingle set is at
+    * least this contained in the larger. */
+  val ContainmentThreshold = 0.9
+
+  /** CONTAINMENT (doc-in-doc) near-dup pairs — Broder's asymmetric
+    * companion to Jaccard: containment = |A∩B| / min(|A|,|B|). The scrape
+    * pathology it catches is a document republished inside a boilerplate
+    * wrapper: the wrapper dilutes symmetric Jaccard below the dedup
+    * cutoff (union grows with the wrapper) while containment of the
+    * original stays ≈ 1. Emits both set sizes with the score — the
+    * direction (which doc is the contained one) is the smaller n.
+    *
+    * Candidate generation is the PPJoin inverted index with an ASYMMETRIC
+    * prefix: a qualifying pair shares ≥ ceil(t·n_small) shingles, so the
+    * smaller doc must hit within its own (n − ceil(t·n) + 1)-prefix in
+    * rarest-first order — the probe side is that prefix, the build side
+    * the FULL posting list restricted to n_build ≥ n_probe (the smaller
+    * side drives). Still O(docs × shingles), never n²; the full-index
+    * side concentrates rare shingles against hot ones exactly like the
+    * Jaccard prefix (rarest-first prefixes rarely contain hot shingles —
+    * a hot posting list is probed only by near-all-boilerplate docs; cap
+    * or salt it the [[LshSkew]] way if a corpus is that degenerate).
+    * Exact verification (array intersection over the full hashed sets)
+    * before emission, the PPJoin contract. */
+  def containmentPairs(docs: DataFrame,
+      threshold: Double = ContainmentThreshold): DataFrame = {
+    val tNum = math.round(threshold * 1000).toInt
+    val tDen = 1000
+    val sets = docs.select(col("doc_id"),
+        graft.functions.GraftExpressions.shingleHashes64(
+          col("text"), ShingleSize).as("hv"))
+      .withColumn("n", size(col("hv")).cast("long"))
+      .filter(col("n") > 0)
+      .persist()
+    val idx = sets.select(col("doc_id"), col("n"), explode(col("hv")).as("s"))
+    val freq = idx.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val prefix = idx.join(freq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(expr(s"rn <= n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("n"), col("s"))
+    val candidates = prefix.as("x").join(idx.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n") >= col("x.n"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+        col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        (size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** The exact Jaccard pair set (with scores) as a single reusable CTE
     * body — THE definition of the pair semantics, shared verbatim by the
     * pair oracle, the MinHash+LSH oracle, the connected-components oracle
@@ -649,6 +712,26 @@ object Dedup {
         |  MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
     withOracle("dedup_ngram_jaccard", ngramJaccard, jaccardOracleSql),
+    // Exact containment over the same shingle semantics: the oracle needs
+    // no candidate mechanics, only the definition — the Spark side's
+    // prefix scheme must therefore be COMPLETE, which is what this
+    // differential check proves on every run.
+    withOracle("dedup_containment", containment,
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+         |       WHERE len(toks) >= 3),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
     withOracle("dedup_minhash_lsh", minhashLsh, jaccardOracleSql),
     // String shingles stand in for the engine's 64-bit hashed shingles:
     // distinct-set counts are hash-invariant (the jaccardPairsCte

@@ -213,6 +213,31 @@ object IvfIndex {
     topK(s, idx, standardQueries(s, dir), asOf = 0L)
   }
 
+  /** Declared query — the index MANIFEST, the observability readout a
+    * serving owner checks after every maintenance run: slice counts per
+    * state dir plus live vs tombstoned posting counts, over the standard
+    * build-then-forget lifecycle. ORACLE-GREEN even though cell
+    * assignments are data-trained: the manifest deliberately reports only
+    * assignment-independent numbers (slice accounting and id counts), so
+    * DuckDB replays them from the embeddings table and the lifecycle's
+    * expected shape — if the delete verb ever writes the wrong dir or the
+    * live read stops excluding tombstoned ids, this query diverges. */
+  def indexStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfstats")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    delete(deleteSet(emb), idx)
+    val spark = s
+    val nData = StreamingDedup.listSlices(spark, postingsDir(idx)).size
+    val nTomb = StreamingDedup.listSlices(spark, tombstonesDir(idx)).size
+    postings(spark, idx).agg(count(lit(1)).as("n_live"))
+      .crossJoin(spark.read.parquet(s"${tombstonesDir(idx)}/b*")
+        .agg(count_distinct(col("vec_id")).as("n_dead")))
+      .select(lit(nData.toLong).as("n_data_slices"),
+        lit(nTomb.toLong).as("n_tombstone_slices"),
+        col("n_live"), col("n_dead"))
+  }
+
   /** Declared query — streaming ANN serving, the serving twin of
     * [[Curation.streamDecontaminateQuery]]'s pattern: the index is built
     * ONCE from the static corpus; a micro-batch query stream is answered
@@ -293,9 +318,19 @@ object IvfIndex {
     topK(spark, idx, standardQueries(spark, dir))
   }
 
-  import graft.QuerySpec.rowsOnly
+  import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    // The lifecycle is build (slice b0) + forget (tombstone b1): slice
+    // counts are its expected shape, id counts replay the deleteSet rule.
+    withOracle("sim_index_stats", indexStatsQuery,
+      s"""SELECT CAST(1 AS BIGINT) AS n_data_slices,
+         |  CAST(1 AS BIGINT) AS n_tombstone_slices,
+         |  CAST(SUM(CASE WHEN NOT (vec_id >= ${Similarity.NumQueryVectors}
+         |    AND vec_id % 7 = 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+         |  CAST(SUM(CASE WHEN vec_id >= ${Similarity.NumQueryVectors}
+         |    AND vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+         |FROM embeddings""".stripMargin),
     rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
     rowsOnly("sim_topk_ivf_deleted", topKIvfDeleted),
     rowsOnly("sim_topk_ivf_asof", topKIvfAsOf),

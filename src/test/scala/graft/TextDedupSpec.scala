@@ -80,6 +80,46 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.7)
   }
 
+  test("containment catches the boilerplate-wrapped copy that jaccard misses") {
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")      // 10 shingles
+    val wrapper = (1 to 60).map(i => s"b$i").mkString(" ")   // dilutes the union
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$wrapper $core"),                               // doc-in-doc
+      (3L, (1 to 12).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val row = cont.head
+    assert(row.getDouble(4) >= 0.9, s"containment ${row.getDouble(4)}")
+    assert(row.getLong(2) < row.getLong(3)) // n_a is the contained side
+    // the same pair is invisible to symmetric jaccard at the dedup cutoff:
+    // union ≈ 70 shingles, intersection ≈ 10 → J ≈ 0.14 < 0.6
+    assert(Dedup.ngramJaccardPairs(docs, Dedup.JaccardThreshold).collect().isEmpty)
+  }
+
+  test("containment prefix scheme is complete vs brute-force on testdata") {
+    // The declared query is oracle-checked; this pins the same completeness
+    // claim inside sbt test at a lower threshold (more pairs, harsher test).
+    val docs = Tables.documents(spark, sf)
+    val fast = Dedup.containmentPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      import graft.functions.GraftExpressions
+      val sets = docs.select(col("doc_id"),
+          GraftExpressions.shingleHashes64(col("text"), Dedup.ShingleSize).as("hv"))
+        .withColumn("n", size(col("hv")).cast("long")).filter(col("n") > 0)
+      sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          (size(array_intersect(col("a.hv"), col("b.hv"))).cast("double") /
+            least(col("a.n"), col("b.n"))).as("c"))
+        .filter(col("c") >= 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(fast == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs on testdata") {
     val exact = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
