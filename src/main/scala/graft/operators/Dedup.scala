@@ -190,6 +190,90 @@ object Dedup {
     containmentPairs(Tables.documents(s, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The containment DEDUP DECISION: drop the CONTAINED side of every
+    * qualifying pair — the smaller doc (its content survives inside the
+    * container), tie-broken to keep the min id when sizes are equal (the
+    * shared survivor contract across the text/embedding/image/audio/video
+    * dedups). Emits the dropped docs with how many containers matched and
+    * the min-id container (`kept_in`) — the audit trail a corpus owner
+    * follows to see WHERE a dropped doc's content lives on. A container
+    * may itself be dropped by a longer chain (A⊂B⊂C drops A and B): the
+    * kept corpus is the docs absent from this list, and content is
+    * preserved because every dropped doc is ≥-90%-contained in some
+    * surviving superset along its chain. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val dropped = when(col("n_a") < col("n_b"), col("doc_a"))
+      .when(col("n_b") < col("n_a"), col("doc_b"))
+      .otherwise(col("doc_b"))
+    val container = when(col("n_a") < col("n_b"), col("doc_b"))
+      .when(col("n_b") < col("n_a"), col("doc_a"))
+      .otherwise(col("doc_a"))
+    containmentPairs(Tables.documents(s, dir))
+      .select(dropped.as("doc_id"), container.as("container"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_containers"), min(col("container")).as("kept_in"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CROSS-SOURCE duplication audit — the crawl-snapshot overlap matrix a
+    * corpus owner reads before mixing sources: for every unordered source
+    * pair (diagonal included), how many exact-duplicate doc pairs and how
+    * many near-dup (Jaccard ≥ [[JaccardThreshold]]) pairs straddle the
+    * two. Exact pairs are counted WITHOUT materializing them: group to
+    * (content_hash, source, c), join hash-to-hash (≤ |sources| rows per
+    * key — never the doc-level quadratic join), cross terms c_a·c_b, and
+    * the diagonal c·(c−1)/2 from the group sizes alone. Near-dup pairs
+    * ride the PPJoin pair set and only label each pair with its two
+    * sources. Both sides shuffle on already-aggregated keys; at 100 TB the
+    * matrix costs one dedup pass, not a pairs blow-up. */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val meta = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val byHs = meta.groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("c")).persist()
+    val cross = byHs.as("a").join(byHs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (col("a.c") * col("b.c")).as("n"))
+    val diag = byHs.select(col("source").as("src_a"), col("source").as("src_b"),
+      expr("(c * (c - 1)) div 2").as("n"))
+    val exactCnt = cross.unionByName(diag).groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("n")).as("n_exact_pairs"))
+      .filter(col("n_exact_pairs") > 0)
+    val near = ngramJaccardPairs(docs, JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    exactCnt.join(near, Seq("src_a", "src_b"), "full_outer")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The exact containment pair set as a reusable CTE body (`cpairs`) —
+    * the definition shared verbatim by the pair oracle and the dedup
+    * oracle, mirroring [[jaccardPairsCte]]'s no-drift contract. */
+  val containmentPairsCte: String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |csh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+       |       WHERE len(toks) >= 3),
+       |ccnt AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+       |cinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |cpairs AS (SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
+       |    CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+       |  FROM cinter
+       |  JOIN ccnt ca ON ca.doc_id = doc_a
+       |  JOIN ccnt cb ON cb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= $ContainmentThreshold)""".stripMargin
+
   /** The exact Jaccard pair set (with scores) as a single reusable CTE
     * body — THE definition of the pair semantics, shared verbatim by the
     * pair oracle, the MinHash+LSH oracle, the connected-components oracle
@@ -717,21 +801,49 @@ object Dedup {
     // prefix scheme must therefore be COMPLETE, which is what this
     // differential check proves on every run.
     withOracle("dedup_containment", containment,
-      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         |       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
-         |       WHERE len(toks) >= 3),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
-         |  CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
-         |FROM inter
-         |JOIN cnt ca ON ca.doc_id = doc_a
-         |JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= $ContainmentThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin),
+      s"""WITH $containmentPairsCte
+         |SELECT doc_a, doc_b, n_a, n_b, containment
+         |FROM cpairs ORDER BY doc_a, doc_b""".stripMargin),
+    // The dedup decision over the SAME pair CTE (shared verbatim with the
+    // pair oracle — the two cannot drift): drop the contained side,
+    // equal-size ties keep the min id.
+    withOracle("dedup_containment_dedup", containmentDedup,
+      s"""WITH $containmentPairsCte,
+         |drops AS (SELECT
+         |    CASE WHEN n_a < n_b THEN doc_a ELSE doc_b END AS doc_id,
+         |    CASE WHEN n_a < n_b THEN doc_b ELSE doc_a END AS container
+         |  FROM cpairs)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
+         |  MIN(container) AS kept_in
+         |FROM drops GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    // Exact-pair counts replay from (hash, source) group sizes alone —
+    // the oracle never materializes doc pairs either; near-dup counts ride
+    // the shared jp CTE.
+    withOracle("dedup_cross_source_overlap", crossSourceOverlap,
+      s"""WITH $jaccardPairsCte,
+         |m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |hs AS (SELECT h, source, count(*) AS c FROM m GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, SUM(a.c * b.c) AS n
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT source, source, SUM(c * (c - 1) // 2) FROM hs GROUP BY 1, 2),
+         |exs AS (SELECT src_a, src_b, CAST(SUM(n) AS BIGINT) AS n_exact_pairs
+         |        FROM ex GROUP BY 1, 2 HAVING SUM(n) > 0),
+         |nd AS (SELECT LEAST(ma.source, mb.source) AS src_a,
+         |              GREATEST(ma.source, mb.source) AS src_b,
+         |              CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+         |       FROM jp JOIN m ma ON ma.doc_id = jp.doc_a
+         |               JOIN m mb ON mb.doc_id = jp.doc_b
+         |       GROUP BY 1, 2)
+         |SELECT COALESCE(exs.src_a, nd.src_a) AS src_a,
+         |       COALESCE(exs.src_b, nd.src_b) AS src_b,
+         |       CAST(COALESCE(n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+         |       CAST(COALESCE(n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs
+         |FROM exs FULL OUTER JOIN nd
+         |  ON exs.src_a = nd.src_a AND exs.src_b = nd.src_b
+         |ORDER BY 1, 2""".stripMargin),
     withOracle("dedup_minhash_lsh", minhashLsh, jaccardOracleSql),
     // String shingles stand in for the engine's 64-bit hashed shingles:
     // distinct-set counts are hash-invariant (the jaccardPairsCte

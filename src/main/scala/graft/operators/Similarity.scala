@@ -757,6 +757,89 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR trade-off weight λ: score = λ·relevance − (1−λ)·redundancy. The
+    * complement is a SEPARATE named constant (not computed as 1−λ) so
+    * both sides of the differential oracle parse the identical double —
+    * in IEEE, 1.0−0.7 ≠ the literal 0.3. */
+  val MmrLambda = 0.7
+  val MmrLambdaComp = 0.3
+  /** Candidate pool per query the greedy reranks over. */
+  val MmrCandidates = 50
+
+  /** MMR-diversified retrieval (Carbonell & Goldstein '98) — the serving
+    * step between raw top-k and a result list a RAG consumer can use:
+    * greedily pick k results maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c,s), so near-duplicate hits can't crowd the list. Rank 1 is
+    * pure relevance (empty S); ties break to the smaller vec_id.
+    *
+    * Scale shape: the expensive part — scoring the corpus and keeping
+    * top-[[MmrCandidates]] per query — is the same codegen scan + window
+    * as [[topKExact]] (swap in the IVF/PQ candidate path at 100 TB). The
+    * greedy itself is inherently sequential in k but LOCAL per query over
+    * a bounded pool: O(k·M·d) per query inside one task via
+    * `flatMapGroups`, no shuffle beyond the |queries|-row hit lists. The
+    * in-task cosine replays VectorFunctions.cosine's exact fold
+    * (sequential double MAC, dot/(na·nb) grouping), so the greedy's
+    * comparisons are bit-identical to the SQL oracle's recursive replay. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("rel"), col("embedding"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrCandidates)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val picked = cand.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._2)
+        val n = cs.length
+        val norms = cs.map(c => math.sqrt(dotD(c._4, c._4)))
+        val taken = new Array[Boolean](n)
+        // running max-sim-to-selected per candidate, updated on each pick
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Vector.newBuilder[(Long, Long, Long, Double, Double)]
+        var rank = 1L
+        while (rank <= TopK && rank <= n) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val score =
+                if (rank == 1L) MmrLambda * cs(i)._3
+                else MmrLambda * cs(i)._3 - MmrLambdaComp * maxSim(i)
+              if (score > bestScore) { bestScore = score; bestI = i }
+            }
+            i += 1
+          }
+          taken(bestI) = true
+          out += ((qid, rank, cs(bestI)._2, cs(bestI)._3, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val sim = dotD(cs(j)._4, cs(bestI)._4) / (norms(j) * norms(bestI))
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          rank += 1L
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "vec_id", "rel_score", "mmr_score")
+    picked.orderBy(col("query_id"), col("rank"))
+  }
+
   /** Shared mutual-kNN cluster oracle CTEs (`comp` = min-id labels over
     * every corpus vector, `sizes` = member counts): ONE SQL text behind
     * the clusters query and its diversity-sampling consumer so the two
@@ -800,6 +883,58 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < $NumQueryVectors)
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    // The greedy replayed as a recursive CTE: the working table carries
+    // one row per query (the last pick + the selected-id list); each step
+    // re-scores the remaining pool against MAX sim-to-selected and keeps
+    // the argmax. λ and its complement ship as E-notation literals so
+    // DuckDB parses the exact doubles the Scala greedy multiplies by.
+    withOracle("sim_mmr_rerank", mmrRerank, {
+      def d(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT query_id, vec_id, rel, embedding FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS rel,
+         |      c.embedding AS embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NumQueryVectors) t
+         |  WHERE rn <= $MmrCandidates),
+         |sim AS (
+         |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |mmr AS (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, rel,
+         |    ${d(MmrLambda)} * rel AS mmr_score, [vec_id] AS sel
+         |  FROM (SELECT query_id, vec_id, rel,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY rel DESC, vec_id ASC) AS rn
+         |        FROM cand) b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT query_id, rank, vec_id, rel, mmr_score,
+         |    list_append(sel, vec_id) AS sel
+         |  FROM (
+         |    SELECT query_id, rank, vec_id, rel, mmr_score, sel,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY mmr_score DESC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT m.query_id, m.rank + 1 AS rank, c.vec_id, c.rel,
+         |        ${d(MmrLambda)} * c.rel - ${d(MmrLambdaComp)} *
+         |          (SELECT MAX(p.s) FROM sim p
+         |           WHERE p.query_id = m.query_id AND p.va = c.vec_id
+         |             AND list_contains(m.sel, p.vb)) AS mmr_score,
+         |        m.sel AS sel
+         |      FROM mmr m JOIN cand c
+         |        ON c.query_id = m.query_id
+         |       AND NOT list_contains(m.sel, c.vec_id)
+         |      WHERE m.rank < $TopK) i) o
+         |  WHERE rn = 1)
+         |SELECT query_id, rank, vec_id, rel AS rel_score, mmr_score
+         |FROM mmr ORDER BY query_id, rank""".stripMargin
+    }),
     withOracle("sim_topk_filtered", topKFiltered,
       s"""SELECT query_id, rank, vec_id, source, score FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, d.source,

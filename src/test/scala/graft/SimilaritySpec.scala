@@ -19,6 +19,46 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c(2) + 1.0) < 1e-12)
   }
 
+  test("MMR demotes the redundant near-clone that plain top-k ranks second") {
+    val r = 0.70710678f
+    val emb = Seq(
+      (0L, Array(r, r, 0f, 0f)),       // the probed query
+      (1L, Array(0f, 0f, 1f, 0f)),     // filler queries, irrelevant to q0
+      (2L, Array(0f, 0f, 0f, 1f)),
+      (3L, Array(0.1f, 0f, 0.9f, 0f)),
+      (4L, Array(0f, 0.1f, 0f, 0.9f)),
+      (5L, Array(1f, 0f, 0f, 0f)),     // relevant, axis e1
+      (6L, Array(0.999f, 0.01f, 0f, 0f)), // near-clone of 5, slightly MORE relevant
+      (7L, Array(0f, 1f, 0f, 0f))      // equally relevant as 5, orthogonal to it
+    ).toDF("vec_id", "embedding")
+    val dir = TempDirs.scoped("graft_mmr")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mmr = Similarity.mmrRerank(spark, dir)
+      .filter(col("query_id") === 0L).collect()
+    val exact = Similarity.topKExact(spark, dir)
+      .filter(col("query_id") === 0L).collect()
+    // rank 1 is pure relevance: both pick the near-clone 6
+    assert(exact(0).getLong(2) == 6L && mmr(0).getLong(2) == 6L)
+    // plain top-k keeps the redundant 5 at rank 2 (tie with 7, min id);
+    // MMR's redundancy penalty flips rank 2 to the orthogonal 7
+    assert(exact(1).getLong(2) == 5L)
+    assert(mmr(1).getLong(2) == 7L)
+  }
+
+  test("MMR on testdata: rank 1 matches exact top-1, picks are distinct") {
+    val mmr = Similarity.mmrRerank(spark, sf).collect()
+    val exact = Similarity.topKExact(spark, sf).collect()
+    val byQuery = mmr.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueryVectors)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK)
+      assert(rows.map(_.getLong(2)).distinct.length == Similarity.TopK)
+      val exactTop1 = exact.filter(r => r.getLong(0) == q && r.getLong(1) == 1L)
+        .head.getLong(2)
+      assert(rows.sortBy(_.getLong(1)).head.getLong(2) == exactTop1)
+    }
+  }
+
   test("exact top-k: k rows per query, ranked by descending score") {
     val out = Similarity.topKExact(spark, sf).collect()
     val byQuery = out.groupBy(_.getLong(0))

@@ -97,6 +97,42 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, Dedup.JaccardThreshold).collect().isEmpty)
   }
 
+  test("containment dedup drops the contained side, ties keep the min id") {
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val wrapper = (1 to 60).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$wrapper $core"),   // contains 1 -> 1 dropped, lives on in 2
+      (3L, core),                // identical to 1: equal sizes -> 3 dropped
+      (4L, "totally unrelated words here")).toDF("doc_id", "text")
+    val dir = TempDirs.scoped("graft_contdedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.Dedup.containmentDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 3L))            // 2 and 4 survive
+    assert(out(1L)._2 == 2L)                     // kept_in = its container
+    assert(out(3L) == (2L, 1L))                  // contained in 1 AND 2; min id wins
+  }
+
+  test("cross-source overlap counts exact and near-dup pairs per source pair") {
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val near = (1 to 9).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = Seq(
+      (1L, "x", "srcA"), (2L, "x", "srcA"), (3L, "x", "srcB"),
+      (4L, base, "srcA"), (5L, near, "srcB")).toDF("doc_id", "text", "source")
+    val dir = TempDirs.scoped("graft_xsrc")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.Dedup.crossSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // "x" counts: 2 in srcA, 1 in srcB -> diagonal C(2,2)=1, cross 2*1=2;
+    // near-dup 4~5 (J=7/9) crosses the sources; "x" has <3 tokens so it
+    // never enters the shingle pair set
+    assert(out == Map(
+      ("srcA", "srcA") -> (1L, 0L),
+      ("srcA", "srcB") -> (2L, 1L)))
+  }
+
   test("containment prefix scheme is complete vs brute-force on testdata") {
     // The declared query is oracle-checked; this pins the same completeness
     // claim inside sbt test at a lower threshold (more pairs, harsher test).
