@@ -537,7 +537,111 @@ object RelationalExt {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------------------
+  // Event analytics: ordered funnel + cohort retention
+  // ---------------------------------------------------------------------------
+
+  /** The ordered funnel's step sequence (part of the declared semantics,
+    * replayed by the oracle). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered conversion funnel: a user reaches step i+1 only with an
+    * event of that type STRICTLY AFTER their step-i time (first-touch at
+    * each step). Emits per-step user counts and conversion vs step 1.
+    * Scale shape: one filtered groupBy per step, every shuffle co-keyed
+    * on user_id so AQE coalesces the exchanges; the per-step counts are
+    * 1-row aggregates crossed with the 1-row base — no events collect.
+    * Funnels are inherently sequential in their steps, so three co-keyed
+    * passes IS the minimal plan shape (a single-pass per-user sort would
+    * need the whole event list per user in memory). */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === FunnelSteps(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"),
+          lit(FunnelSteps((step - 1).toInt)).as("event_type"), col("n_users"))
+    val base = s1.agg(count(lit(1)).as("n0"))
+    cnt(s1, 1L).unionByName(cnt(s2, 2L)).unionByName(cnt(s3, 3L))
+      .crossJoin(base)
+      .select(col("step"), col("event_type"), col("n_users"),
+        (col("n_users").cast("double") / col("n0")).as("conv_rate"))
+      .orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's FIRST event
+    * (any type); a cohort member is active at offset k if they have any
+    * event in cohort_week + k weeks. Offsets are exact integer day
+    * arithmetic (datediff div 7 — both engines truncate Mondays the same
+    * way), retention a ratio of longs. Two co-keyed shuffles (first-seen
+    * agg, activity join) + one distinct on the already-small (cohort,
+    * offset, user) key — the standard scalable cohort plan. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cw"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cw"),
+        expr("CAST(datediff(date_trunc('week', ts), cw) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cw")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_event_funnel", eventFunnel,
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+         |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+         |       JOIN s1 USING (user_id)
+         |       WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t1
+         |       GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+         |       JOIN s2 USING (user_id)
+         |       WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t2
+         |       GROUP BY 1),
+         |c AS (
+         |  SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type,
+         |    (SELECT COUNT(*) FROM s1) AS n_users
+         |  UNION ALL SELECT 2, '${FunnelSteps(1)}', (SELECT COUNT(*) FROM s2)
+         |  UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3))
+         |SELECT CAST(step AS BIGINT) AS step, event_type,
+         |  CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_rate
+         |FROM c ORDER BY step""".stripMargin),
+    withOracle("rel_cohort_retention", cohortRetention,
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cw, COUNT(*) AS n FROM c GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, c.cw,
+        |    date_diff('day', CAST(c.cw AS DATE),
+        |              CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+        |  FROM events e JOIN c USING (user_id)),
+        |g AS (SELECT cw, week_offset, COUNT(*) AS n_active
+        |      FROM act GROUP BY 1, 2)
+        |SELECT strftime(g.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(g.week_offset AS BIGINT) AS week_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_active AS DOUBLE) / sz.n AS retention
+        |FROM g JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin),
     withOracle("rel_window_ranks", windowRanks,
       """SELECT o_orderkey, o_custkey, price_bucket,
         |  CAST(RANK() OVER w AS BIGINT) AS rnk,

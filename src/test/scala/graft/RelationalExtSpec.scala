@@ -10,6 +10,40 @@ import graft.operators.RelationalExt
 class RelationalExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnel: steps must occur in order; out-of-order purchases don't convert") {
+    val G = 1000000000L // 1 second in the raw nano encoding events.parquet uses
+    val rows = Seq(
+      (1L, "view", 1L * G), (1L, "click", 2L * G), (1L, "purchase", 3L * G),
+      (2L, "purchase", 10L * G), (2L, "view", 11L * G), (2L, "click", 12L * G),
+      (3L, "click", 20L * G)) // click with no prior view: enters no step
+      .toDF("user_id", "event_type", "ts")
+    val dir = TempDirs.scoped("graft_funnel")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.eventFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 1.0)) // users 1 and 2 viewed
+    assert(out(2L) == (2L, 1.0)) // both clicked after their first view
+    assert(out(3L) == (1L, 0.5)) // only user 1 purchased after the click
+  }
+
+  test("cohort retention: offsets are whole weeks from the first-seen week") {
+    // 2024-01-01 is a Monday; nanos since epoch, UTC session
+    val w0 = 1704067200L * 1000000000L
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, "view", w0 + day), (1L, "view", w0 + 14 * day + 2 * day),
+      (2L, "view", w0 + 2 * day))
+      .toDF("user_id", "event_type", "ts")
+    val dir = TempDirs.scoped("graft_cohort")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.cohortRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> (2L, 1.0),   // both users active in week 0
+      ("2024-01-01", 2L) -> (1L, 0.5)))  // only user 1 returns in week 2
+  }
+
   test("asof join keeps every event exactly once and never time-travels") {
     val nEvents = Tables.events(spark, sf).count()
     val out = RelationalExt.joinAsof(spark, sf).cache()
