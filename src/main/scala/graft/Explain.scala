@@ -25,7 +25,9 @@ object Explain {
         "text_quality_sample",
         "mm_audio_neardup", "mm_video_neardup", "text_pack_tokens",
         "sim_semantic_clusters",
-        "dedup_quality_survivor", "text_balanced_sample", "mm_dedup_funnel")
+        "dedup_quality_survivor", "text_balanced_sample", "mm_dedup_funnel",
+        "dedup_containment", "dedup_cross_source_overlap", "sim_mmr_rerank",
+        "rel_event_funnel", "rel_cohort_retention")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
