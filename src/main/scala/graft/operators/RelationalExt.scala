@@ -604,7 +604,78 @@ object RelationalExt {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** OHLC candle bars — the reference domain's headline aggregate (its
+    * whole pipeline exists to land BPI price points; candles are what a
+    * consumer builds from them): hourly buckets over purchase events with
+    * open/close picked by struct-min/max over (ts, event_id, value) —
+    * deterministic under ties because event_id is unique — high/low as
+    * plain extrema, volume as the exact integer-cents sum. ONE groupBy,
+    * every aggregate partial-aggregable map-side (min/max of structs
+    * included), so the bar build is a single shuffle on bar_ts at any
+    * scale. */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val trades = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+    trades.groupBy(col("bar_ts"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(cents(col("value"))).as("volume_c"))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_trades"), (col("volume_c") / 100.0).as("volume"))
+      .orderBy(col("bar_ts"))
+  }
+
+  /** GROUPING SETS — the explicit-sets sibling of rollup/cube: per-flag
+    * totals, per-status totals and the grand total in ONE pass (one
+    * Expand + one aggregate, not three scans). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c") / 100.0).as("sum_qty"), col("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_ohlc_bars", ohlcBars,
+      """WITH p AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |oc AS (SELECT bar_ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY bar_ts ORDER BY ts, event_id) AS rn_o,
+        |    ROW_NUMBER() OVER (PARTITION BY bar_ts ORDER BY ts DESC, event_id DESC) AS rn_c
+        |  FROM p),
+        |a AS (SELECT bar_ts, MAX(value) AS high, MIN(value) AS low,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS volume
+        |  FROM p GROUP BY 1)
+        |SELECT strftime(a.bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+        |  o.value AS open, a.high, a.low, c.value AS close,
+        |  a.n_trades, a.volume
+        |FROM a
+        |JOIN (SELECT bar_ts, value FROM oc WHERE rn_o = 1) o USING (bar_ts)
+        |JOIN (SELECT bar_ts, value FROM oc WHERE rn_c = 1) c USING (bar_ts)
+        |ORDER BY bar_ts""".stripMargin),
+    withOracle("rel_grouping_sets", groupingSets,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
     withOracle("rel_event_funnel", eventFunnel,
       s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
          |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),

@@ -26,6 +26,31 @@ class RelationalExtSpec extends SparkSpec {
     assert(out(3L) == (1L, 0.5)) // only user 1 purchased after the click
   }
 
+  test("ohlc: open/close pick by (ts, event_id) order, extrema and volume exact") {
+    val G = 1000000000L
+    val h = 3600L * G
+    // one hour-bucket: open is the earlier ts; the two t=10 trades
+    // tie on ts, so close goes to the larger event_id
+    val rows = Seq(
+      (1L, 5L * G, "purchase", 30.0),
+      (2L, 10L * G, "purchase", 50.0),
+      (3L, 10L * G, "purchase", 20.0),
+      (4L, 7L * G, "error", 999.0), // not a trade: excluded
+      (5L, h + G, "purchase", 40.0)) // next bar
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = TempDirs.scoped("graft_ohlc")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.ohlcBars(spark, dir).collect()
+    assert(out.length == 2)
+    val bar0 = out(0)
+    assert(bar0.getDouble(1) == 30.0) // open: earliest ts
+    assert(bar0.getDouble(2) == 50.0) // high
+    assert(bar0.getDouble(3) == 20.0) // low
+    assert(bar0.getDouble(4) == 20.0) // close: ts tie -> larger event_id (3)
+    assert(bar0.getLong(5) == 3L)
+    assert(bar0.getDouble(6) == 100.0) // exact cents volume
+  }
+
   test("cohort retention: offsets are whole weeks from the first-seen week") {
     // 2024-01-01 is a Monday; nanos since epoch, UTC session
     val w0 = 1704067200L * 1000000000L
