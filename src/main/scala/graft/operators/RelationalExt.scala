@@ -649,8 +649,11 @@ object RelationalExt {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
-  val specs: Seq[QuerySpec] = Seq(
-    withOracle("rel_ohlc_bars", ohlcBars,
+  /** The OHLC oracle — ONE SQL text shared by the batch query and its
+    * streaming twin (`stream_ohlc_bars`), so the two replays cannot
+    * drift: a drained AvailableNow run over the same bounded input must
+    * produce exactly these bars. */
+  val ohlcOracleSql: String =
       """WITH p AS (
         |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
         |  FROM events WHERE event_type = 'purchase'),
@@ -668,7 +671,10 @@ object RelationalExt {
         |FROM a
         |JOIN (SELECT bar_ts, value FROM oc WHERE rn_o = 1) o USING (bar_ts)
         |JOIN (SELECT bar_ts, value FROM oc WHERE rn_c = 1) c USING (bar_ts)
-        |ORDER BY bar_ts""".stripMargin),
+        |ORDER BY bar_ts""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
     withOracle("rel_grouping_sets", groupingSets,
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,

@@ -69,6 +69,35 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** STREAMING OHLC candles — the live form of the reference domain's
+    * headline aggregate ([[graft.operators.RelationalExt.ohlcBars]]): a
+    * price feed in, per-hour candle updates out, watermark-bounded state.
+    * Struct-min/max open/close picks and the integer-cents volume are the
+    * exact batch aggregates run inside the streaming engine, so the
+    * drained AvailableNow result equals the batch bars row-for-row — the
+    * shared oracle SQL pins that equality every round. */
+  def ohlcBarsStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    val trades = MicroBatchPipeline.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+    val agg = trades
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(round(col("value") * 100).cast("long")).as("volume_c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_trades"), (col("volume_c") / 100.0).as("volume"))
+    MicroBatchPipeline.runToResult(s, agg).orderBy(col("bar_ts"))
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined to
     * a broadcast customer dimension per micro-batch (the streaming form
     * of the reference's FX lookup, O6) and aggregated per segment. The
@@ -219,6 +248,8 @@ object StreamQueries {
          |  WHERE ps.vec_b = e.vec_id
          |    AND ps.score >= ${graft.operators.Similarity.NearDupThreshold})
          |ORDER BY e.vec_id""".stripMargin),
+    withOracle("stream_ohlc_bars", ohlcBarsStreamQuery,
+      graft.operators.RelationalExt.ohlcOracleSql),
     withOracle("stream_hourly_agg", hourlyAggQuery,
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -38,6 +38,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming OHLC bars equal the batch candles row-for-row") {
+    val streamed = StreamQueries.ohlcBarsStreamQuery(spark, sf).collect()
+    val batch = graft.operators.RelationalExt.ohlcBars(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      (1 to 4).foreach(i => assert(s.getDouble(i) == b.getDouble(i)))
+      assert(s.getLong(5) == b.getLong(5))
+      assert(s.getDouble(6) == b.getDouble(6))
+    }
+  }
+
   test("foreachBatch append is exactly-once across a restart") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
