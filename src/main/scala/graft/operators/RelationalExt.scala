@@ -634,6 +634,37 @@ object RelationalExt {
       .orderBy(col("bar_ts"))
   }
 
+  /** TWAP — time-weighted average price per hourly bar: each trade's
+    * price is weighted by its holding duration (micros until the next
+    * trade in the bar; the last trade carries to the bar end). The whole
+    * computation is integer until the final division — price in cents,
+    * durations in epoch micros, numerator Σ cents·µs in a long (≲1e17 at
+    * a trade-per-second density, far under 2^63) — so partial sums are
+    * associative and the result replays bit-exactly: one window pass for
+    * the lead, one partial-aggregable groupBy. */
+  def twapBars(s: SparkSession, dir: String): DataFrame = {
+    val trades = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), cents(col("value")).as("pc"))
+    val w = Window.partitionBy(col("bar_ts"))
+      .orderBy(col("ts"), col("event_id"))
+    trades
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("next_us",
+        coalesce(lead(col("t_us"), 1).over(w),
+          unix_micros(col("bar_ts")) + lit(3600000000L)))
+      .withColumn("dur_us", col("next_us") - col("t_us"))
+      .groupBy(col("bar_ts"))
+      .agg(sum(col("pc") * col("dur_us")).as("num"),
+        sum(col("dur_us")).as("den"),
+        count(lit(1)).as("n_trades"))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        col("n_trades"),
+        (col("num").cast("double") / col("den") / 100.0).as("twap"))
+      .orderBy(col("bar_ts"))
+  }
+
   /** GROUPING SETS — the explicit-sets sibling of rollup/cube: per-flag
     * totals, per-status totals and the grand total in ONE pass (one
     * Expand + one aggregate, not three scans). */
@@ -675,6 +706,21 @@ object RelationalExt {
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
+    withOracle("rel_twap", twapBars,
+      """WITH p AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS pc,
+        |    epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT bar_ts, pc,
+        |    COALESCE(
+        |      LEAD(t_us) OVER (PARTITION BY bar_ts ORDER BY ts, event_id),
+        |      epoch_us(bar_ts) + 3600000000) - t_us AS dur_us
+        |  FROM p)
+        |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(SUM(pc * dur_us) AS DOUBLE) / SUM(dur_us) / 100.0 AS twap
+        |FROM d GROUP BY bar_ts ORDER BY bar_ts""".stripMargin),
     withOracle("rel_grouping_sets", groupingSets,
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,

@@ -782,7 +782,6 @@ object Similarity {
     * (sequential double MAC, dot/(na·nb) grouping), so the greedy's
     * comparisons are bit-identical to the SQL oracle's recursive replay. */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -794,6 +793,41 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MmrCandidates)
       .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+    mmrGreedy(s, cand)
+  }
+
+  /** MMR over the IVF candidate path — the serving composition the exact
+    * variant's scaladoc promises: the pool comes from the probed cells
+    * (per-query cost ∝ probed population, independent of N) and the
+    * greedy diversification is the identical [[mmrGreedy]] stage.
+    * Rows-only: the pool depends on data-trained centroids; pinned in
+    * `SimilaritySpec` — rank 1 equals the IVF top-1, overlap vs the
+    * exact-pool MMR measured and floor-pinned, deterministic repeat. */
+  def mmrRerankIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val ranked = rankedCells(emb, learnCentroids(emb))
+    val assigned = ranked.filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = ranked
+      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("rel"), col("embedding"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrCandidates)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+    mmrGreedy(s, cand)
+  }
+
+  /** The MMR greedy over ANY candidate pool of (query_id, vec_id, rel,
+    * embedding) rows — the candidate stage is pluggable (exact scan,
+    * IVF probes, a persisted index), the diversification identical. */
+  private[operators] def mmrGreedy(s: SparkSession, cand: DataFrame): DataFrame = {
+    import s.implicits._
     def dotD(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -1014,6 +1048,7 @@ object Similarity {
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),
+    rowsOnly("sim_mmr_ivf", mmrRerankIvf),
     // PQ codebooks are likewise trained from the data at query-build
     // time — rows-only here; recall pinned against exact in SimilaritySpec.
     rowsOnly("sim_topk_pq", topKPq))

@@ -51,6 +51,23 @@ class RelationalExtSpec extends SparkSpec {
     assert(bar0.getDouble(6) == 100.0) // exact cents volume
   }
 
+  test("twap: durations weight to the next trade and carry to the bar end") {
+    val G = 1000000000L
+    val rows = Seq(
+      // bar 0: 10.00 held 1800s, then 20.00 held to bar end (1800s) -> 15.00
+      (1L, 0L, "purchase", 10.0),
+      (2L, 1800L * G, "purchase", 20.0),
+      // bar 1: a single trade is the whole bar -> its own price
+      (3L, 3700L * G, "purchase", 42.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = TempDirs.scoped("graft_twap")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.twapBars(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 15.0)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 42.0)
+  }
+
   test("cohort retention: offsets are whole weeks from the first-seen week") {
     // 2024-01-01 is a Monday; nanos since epoch, UTC session
     val w0 = 1704067200L * 1000000000L

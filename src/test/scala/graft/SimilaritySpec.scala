@@ -45,6 +45,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr(1).getLong(2) == 7L)
   }
 
+  test("MMR over IVF: rank 1 = IVF top-1, overlap vs exact-pool MMR, deterministic") {
+    val ivfMmr = Similarity.mmrRerankIvf(spark, sf).collect()
+    val ivfTop = Similarity.topKIvf(spark, sf).collect()
+    val exactMmr = Similarity.mmrRerank(spark, sf).collect()
+    val byQuery = ivfMmr.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueryVectors)
+    byQuery.foreach { case (q, rows) =>
+      // rank 1 is pure relevance over the probed pool = the IVF top-1
+      val top1 = ivfTop.filter(r => r.getLong(0) == q && r.getLong(1) == 1L)
+        .head.getLong(2)
+      assert(rows.sortBy(_.getLong(1)).head.getLong(2) == top1)
+      assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+    }
+    // probe-recall bounds the composition: the diversified IVF list must
+    // overlap the exact-pool diversified list well above chance
+    val overlap = ivfMmr.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(exactMmr.map(r => (r.getLong(0), r.getLong(2))).toSet).size
+    assert(overlap >= (exactMmr.length * 0.5).toInt,
+      s"overlap $overlap of ${exactMmr.length}")
+    // deterministic: trained centroids + greedy are seed- and order-free
+    val again = Similarity.mmrRerankIvf(spark, sf).collect()
+    assert(ivfMmr.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("MMR on testdata: rank 1 matches exact top-1, picks are distinct") {
     val mmr = Similarity.mmrRerank(spark, sf).collect()
     val exact = Similarity.topKExact(spark, sf).collect()
