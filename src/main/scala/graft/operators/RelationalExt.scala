@@ -704,6 +704,29 @@ object RelationalExt {
         |JOIN (SELECT bar_ts, value FROM oc WHERE rn_c = 1) c USING (bar_ts)
         |ORDER BY bar_ts""".stripMargin
 
+  /** The funnel oracle — shared verbatim with `stream_event_funnel`'s
+    * drained state machine, the no-drift contract [[ohlcOracleSql]] set. */
+  val funnelOracleSql: String =
+    s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |       JOIN s1 USING (user_id)
+       |       WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t1
+       |       GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |       JOIN s2 USING (user_id)
+       |       WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t2
+       |       GROUP BY 1),
+       |c AS (
+       |  SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type,
+       |    (SELECT COUNT(*) FROM s1) AS n_users
+       |  UNION ALL SELECT 2, '${FunnelSteps(1)}', (SELECT COUNT(*) FROM s2)
+       |  UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3))
+       |SELECT CAST(step AS BIGINT) AS step, event_type,
+       |  CAST(n_users AS BIGINT) AS n_users,
+       |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_rate
+       |FROM c ORDER BY step""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
     withOracle("rel_twap", twapBars,
@@ -728,26 +751,7 @@ object RelationalExt {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
-    withOracle("rel_event_funnel", eventFunnel,
-      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-         |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
-         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-         |       JOIN s1 USING (user_id)
-         |       WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t1
-         |       GROUP BY 1),
-         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-         |       JOIN s2 USING (user_id)
-         |       WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t2
-         |       GROUP BY 1),
-         |c AS (
-         |  SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type,
-         |    (SELECT COUNT(*) FROM s1) AS n_users
-         |  UNION ALL SELECT 2, '${FunnelSteps(1)}', (SELECT COUNT(*) FROM s2)
-         |  UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3))
-         |SELECT CAST(step AS BIGINT) AS step, event_type,
-         |  CAST(n_users AS BIGINT) AS n_users,
-         |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_rate
-         |FROM c ORDER BY step""".stripMargin),
+    withOracle("rel_event_funnel", eventFunnel, funnelOracleSql),
     withOracle("rel_cohort_retention", cohortRetention,
       """WITH c AS (
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw

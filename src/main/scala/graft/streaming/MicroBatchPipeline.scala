@@ -151,6 +151,51 @@ object MicroBatchPipeline {
     * function once; events are sorted by (ts, event_id) in-group —
     * groups are a single user's events, bounded. In streaming mode the
     * same function carries state across micro-batches with a timeout. */
+  final case class FunnelDepth(user_id: Long, depth: Long)
+
+  /** Streaming funnel state machine — the live form of
+    * [[graft.operators.RelationalExt.eventFunnel]]'s first-touch
+    * semantics: per user, keep the earliest view time, the earliest click
+    * strictly after it, the earliest purchase strictly after that. Each
+    * micro-batch is processed in (ts, event_id) order and the state is
+    * three longs per user — O(1), no event retention — so depth only ever
+    * grows and the last Update-mode emission per user is the final funnel
+    * depth. Over an in-order source (each batch's events no earlier than
+    * the last — the sessionize contract) the drained result equals the
+    * batch funnel exactly. */
+  def funnelDepths(spark: SparkSession, events: DataFrame): Dataset[FunnelDepth] = {
+    import spark.implicits._
+    val unset = Long.MinValue
+
+    def fn(userId: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, Long)]): Iterator[FunnelDepth] = {
+      val sorted = rows.toVector.sortBy(r => (r._2, r._1))
+      var st = state.getOption.getOrElse((unset, unset, unset))
+      sorted.foreach { case (_, ts, _, etype) =>
+        st = etype match {
+          case "view" if st._1 == unset => (ts, st._2, st._3)
+          case "click" if st._1 != unset && st._2 == unset && ts > st._1 =>
+            (st._1, ts, st._3)
+          case "purchase" if st._2 != unset && st._3 == unset && ts > st._2 =>
+            (st._1, st._2, ts)
+          case _ => st
+        }
+      }
+      state.update(st)
+      val depth =
+        if (st._3 != unset) 3L else if (st._2 != unset) 2L
+        else if (st._1 != unset) 1L else 0L
+      Iterator.single(FunnelDepth(userId, depth))
+    }
+
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionSummary] = {
     import spark.implicits._
     val gapMicros = SessionGapMinutes * 60L * 1000000L

@@ -98,6 +98,35 @@ object StreamQueries {
     MicroBatchPipeline.runToResult(s, agg).orderBy(col("bar_ts"))
   }
 
+  /** STREAMING conversion funnel — the live twin of
+    * [[graft.operators.RelationalExt.eventFunnel]]: the per-user state
+    * machine ([[MicroBatchPipeline.funnelDepths]], three longs per user)
+    * runs inside flatMapGroupsWithState; the drained Update-mode rows are
+    * reduced to each user's final (maximal) depth and rolled up to the
+    * same (step, n_users, conv_rate) table the batch funnel emits — the
+    * shared oracle SQL pins stream == batch every round. */
+  def eventFunnelStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = MicroBatchPipeline.eventsStream(s, dir)
+    val drained = MicroBatchPipeline.runToResult(s,
+      MicroBatchPipeline.funnelDepths(s, ev).toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // depth is monotone per user, so the final state is the max emission
+    val depths = drained.groupBy(col("user_id"))
+      .agg(max(col("depth")).as("depth"))
+    val steps = graft.operators.RelationalExt.FunnelSteps.zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }.toDF("step", "event_type")
+    val counts = steps.join(depths, col("depth") >= col("step"), "left")
+      .groupBy(col("step"), col("event_type"))
+      .agg(count(col("user_id")).as("n_users"))
+    val base = counts.filter(col("step") === 1L)
+      .select(col("n_users").as("n0"))
+    counts.crossJoin(base)
+      .select(col("step"), col("event_type"), col("n_users"),
+        (col("n_users").cast("double") / col("n0")).as("conv_rate"))
+      .orderBy(col("step"))
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined to
     * a broadcast customer dimension per micro-batch (the streaming form
     * of the reference's FX lookup, O6) and aggregated per segment. The
@@ -250,6 +279,8 @@ object StreamQueries {
          |ORDER BY e.vec_id""".stripMargin),
     withOracle("stream_ohlc_bars", ohlcBarsStreamQuery,
       graft.operators.RelationalExt.ohlcOracleSql),
+    withOracle("stream_event_funnel", eventFunnelStreamQuery,
+      graft.operators.RelationalExt.funnelOracleSql),
     withOracle("stream_hourly_agg", hourlyAggQuery,
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

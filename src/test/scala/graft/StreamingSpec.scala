@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("streaming funnel carries step state ACROSS micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_funnel_landing")
+    val base = 1700000000L * 1000000000L
+    def ev(id: Long, tsMin: Long, user: Long, typ: String) =
+      (id, base + tsMin * 60L * 1000000000L, user, typ, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1 ends the user at depth 1; the click and purchase arrive in
+    // batch 2 and must chain onto batch-1 state to reach depth 3
+    landFile(landing, "a.parquet", Seq(ev(1, 0, 7, "view")).toDF(cols: _*))
+    Thread.sleep(20)
+    landFile(landing, "b.parquet",
+      Seq(ev(2, 5, 7, "click"), ev(3, 9, 7, "purchase")).toDF(cols: _*))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(MicroBatchPipeline.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val drained = MicroBatchPipeline.runToResult(spark,
+      MicroBatchPipeline.funnelDepths(spark, stream).toDF(), OutputMode.Update())
+    val finalDepth = drained.groupBy(col("user_id"))
+      .agg(max(col("depth")).as("depth")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalDepth == Map(7L -> 3L))
+    // the intermediate emission recorded depth 1 — state really crossed
+    assert(drained.filter(col("depth") === 1L).count() == 1L)
+  }
+
   test("stream-stream join matches click state across micro-batches") {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
