@@ -665,6 +665,31 @@ object RelationalExt {
       .orderBy(col("bar_ts"))
   }
 
+  /** Per-bar price volatility — sample variance computed EXACTLY: the
+    * aggregate state is (n, Σcents, Σcents²) in longs (Σc² ≲ 1e11 per
+    * thousand-trade bar, n·Σc² ≲ 1e14 — far under 2^63), and the variance
+    * (n·Σc² − (Σc)²) / (n·(n−1)) materializes as one division at the end,
+    * so partial aggregation is associative across any partitioning and
+    * the replay is bit-exact — the integer-cents discipline extended to a
+    * second moment. Single-trade bars emit null (sample variance needs
+    * n ≥ 2), matching the SQL NULLIF. */
+  def priceVolatility(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bar_ts"),
+        cents(col("value")).as("pc"))
+      .groupBy(col("bar_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pc")).as("s1"),
+        sum(col("pc") * col("pc")).as("s2"))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        col("n").as("n_trades"),
+        when(col("n") > 1,
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") / 10000.0)
+          .as("variance"))
+      .orderBy(col("bar_ts"))
+
   /** GROUPING SETS — the explicit-sets sibling of rollup/cube: per-flag
     * totals, per-status totals and the grand total in ONE pass (one
     * Expand + one aggregate, not three scans). */
@@ -729,6 +754,21 @@ object RelationalExt {
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
+    withOracle("rel_price_volatility", priceVolatility,
+      """WITH p AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT bar_ts, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(pc) AS s1, SUM(pc * pc) AS s2
+        |  FROM p GROUP BY 1)
+        |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+        |  n AS n_trades,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+        |      / 10000.0
+        |  END AS variance
+        |FROM a ORDER BY bar_ts""".stripMargin),
     withOracle("rel_twap", twapBars,
       """WITH p AS (
         |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id,

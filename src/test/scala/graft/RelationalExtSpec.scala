@@ -68,6 +68,20 @@ class RelationalExtSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 42.0)
   }
 
+  test("price volatility: exact sample variance; single-trade bars are null") {
+    val G = 1000000000L
+    val rows = Seq(
+      (1L, 0L, "purchase", 10.0), (2L, 60L * G, "purchase", 20.0),
+      (3L, 3700L * G, "purchase", 42.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = TempDirs.scoped("graft_vol")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.priceVolatility(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 50.0) // var(10,20) exactly
+    assert(out(1).isNullAt(2))          // n=1: sample variance undefined
+  }
+
   test("cohort retention: offsets are whole weeks from the first-seen week") {
     // 2024-01-01 is a Monday; nanos since epoch, UTC session
     val w0 = 1704067200L * 1000000000L
