@@ -371,6 +371,47 @@ object Similarity {
     scored.withColumn("pr", row_number().over(wCell))
   }
 
+  /** IVF PROBE SWEEP — the tuning table an index operator reads before
+    * fixing the probe budget (the ANN twin of `dedup_threshold_sweep`):
+    * recall@[[TopK]] vs the exact ranking for EVERY probe budget
+    * 1..2·[[IvfProbes]], from ONE cell-assignment pass. The probe-budget
+    * dimension is a tiny literal table crossed against the per-(query,
+    * cell-rank) candidates, so Spark plans a single scan + one window per
+    * budget level — never a per-budget rescan of the corpus; recall is a
+    * ratio of integer hit counts. Rows-only (data-trained centroids);
+    * `SimilaritySpec` pins monotone non-decreasing recall and agreement
+    * with [[topKIvf]] at the deployed budget. */
+  def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val ranked = rankedCells(emb, learnCentroids(emb))
+    val assigned = ranked.filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val maxProbes = 2 * IvfProbes
+    val probes = ranked
+      .filter(col("vec_id") < NumQueryVectors && col("pr") <= maxProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"), col("pr").as("cell_rank"))
+    val budgets = (1 to maxProbes).map(_.toLong).toDF("probes")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell_rank"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .join(broadcast(budgets), col("cell_rank") <= col("probes"))
+    val w = Window.partitionBy(col("query_id"), col("probes"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val ivfTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probes"), col("query_id"), col("vec_id"))
+    val exactTop = topKExact(s, dir).select(col("query_id"), col("vec_id"))
+    ivfTop.join(exactTop, Seq("query_id", "vec_id"))
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
+      .select(col("probes"), col("n_hits"),
+        (col("n_hits").cast("double") / (NumQueryVectors * TopK))
+          .as("recall_at_k"))
+      .orderBy(col("probes"))
+  }
+
   /** Approximate top-k via IVF: corpus vectors are assigned to their
     * nearest centroid cell in one codegen'd pass; each query probes its
     * IvfProbes nearest cells, so per-query cost is the probed cells'
@@ -1049,6 +1090,7 @@ object Similarity {
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),
     rowsOnly("sim_mmr_ivf", mmrRerankIvf),
+    rowsOnly("sim_probe_sweep", probeSweep),
     // PQ codebooks are likewise trained from the data at query-build
     // time — rows-only here; recall pinned against exact in SimilaritySpec.
     rowsOnly("sim_topk_pq", topKPq))

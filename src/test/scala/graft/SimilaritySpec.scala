@@ -69,6 +69,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfMmr.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("probe sweep: recall monotone in budget, agrees with topKIvf at deploy") {
+    val sweep = Similarity.probeSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sweep.keySet == (1L to 2L * Similarity.IvfProbes).toSet)
+    (2L to 2L * Similarity.IvfProbes).foreach { p =>
+      assert(sweep(p) >= sweep(p - 1), s"recall dropped at probes=$p")
+    }
+    // the sweep's row at the deployed budget IS topKIvf's recall
+    val ivf = Similarity.topKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.topKExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val deployed = ivf.intersect(exact).size.toDouble /
+      (Similarity.NumQueryVectors * Similarity.TopK)
+    assert(sweep(Similarity.IvfProbes.toLong) == deployed)
+  }
+
   test("MMR on testdata: rank 1 matches exact top-1, picks are distinct") {
     val mmr = Similarity.mmrRerank(spark, sf).collect()
     val exact = Similarity.topKExact(spark, sf).collect()
