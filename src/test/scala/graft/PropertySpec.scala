@@ -134,6 +134,38 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.audioHash64(Array.fill[Short](256)(1234)) == 0L)
   }
 
+  test("containmentPairs: complete and exact vs brute force on random corpora") {
+    import graft.operators.Dedup
+    import graft.functions.GraftExpressions
+    // Tiny vocab + doc-in-doc planting: wrapper docs embed an earlier
+    // doc's text so asymmetric containment pairs actually occur.
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" ")
+    val bases = samples(genDoc).take(25)
+    val corpus = bases.zipWithIndex.map { case (t, i) =>
+      // every third doc wraps its predecessor in boilerplate
+      if (i % 3 == 2) (i.toLong, s"pre pre pre ${bases(i - 1)} post post post")
+      else (i.toLong, t)
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val sets = docs.select(col("doc_id"),
+        GraftExpressions.shingleHashes64(col("text"), Dedup.ShingleSize).as("hv"))
+      .withColumn("n", size(col("hv")).cast("long")).filter(col("n") > 0)
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.hv"), col("b.hv"))).cast("double") /
+          least(col("a.n"), col("b.n"))).as("c"))
+      .filter(col("c") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast == brute)
+    assert(brute.nonEmpty, "planting failed to produce containment pairs")
+  }
+
   test("packTokens: random corpora conserve tokens at exact capacity") {
     import graft.operators.Curation
     val genDoc = for {
