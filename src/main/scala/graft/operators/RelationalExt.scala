@@ -665,6 +665,36 @@ object RelationalExt {
       .orderBy(col("bar_ts"))
   }
 
+  /** Gap-filled candle series — the chart-ready form of [[ohlcBars]]:
+    * every hour between the first and last trade gets a row, tradeless
+    * hours carry the last known close forward (the market convention) and
+    * flag `is_gap`. The hour spine is CALENDAR-sized (8760 rows/year —
+    * driver-trivial at any data scale), so the one unpartitioned
+    * forward-fill window runs over the spine, never the trades; the trade
+    * scan itself is the same single groupBy as the bars. */
+  def ohlcGapfill(s: SparkSession, dir: String): DataFrame = {
+    val trades = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+    val bars = trades.groupBy(col("bar_ts"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n_trades"))
+    val spine = bars.agg(min(col("bar_ts")).as("lo"), max(col("bar_ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("bar_ts"))
+    val w = Window.orderBy(col("bar_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bars, Seq("bar_ts"), "left")
+      .withColumn("close_ff", last(col("close"), ignoreNulls = true).over(w))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+        col("close_ff").as("close"),
+        col("close").isNull.as("is_gap"))
+      .orderBy(col("bar_ts"))
+  }
+
   /** Per-bar price volatility — sample variance computed EXACTLY: the
     * aggregate state is (n, Σcents, Σcents²) in longs (Σc² ≲ 1e11 per
     * thousand-trade bar, n·Σc² ≲ 1e14 — far under 2^63), and the variance
@@ -754,6 +784,26 @@ object RelationalExt {
 
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
+    withOracle("rel_ohlc_gapfill", ohlcGapfill,
+      """WITH p AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |oc AS (SELECT bar_ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY bar_ts
+        |      ORDER BY ts DESC, event_id DESC) AS rn_c
+        |  FROM p),
+        |b AS (SELECT bar_ts, CAST(COUNT(*) AS BIGINT) AS n_trades FROM p GROUP BY 1),
+        |c AS (SELECT bar_ts, value AS close FROM oc WHERE rn_c = 1),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bar_ts
+        |  FROM (SELECT MIN(bar_ts) AS lo, MAX(bar_ts) AS hi FROM b)),
+        |f AS (SELECT s.bar_ts, COALESCE(b.n_trades, 0) AS n_trades, c.close,
+        |    LAST_VALUE(c.close IGNORE NULLS) OVER (ORDER BY s.bar_ts
+        |      ROWS UNBOUNDED PRECEDING) AS close_ff
+        |  FROM spine s LEFT JOIN b USING (bar_ts) LEFT JOIN c USING (bar_ts))
+        |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+        |  CAST(n_trades AS BIGINT) AS n_trades,
+        |  close_ff AS close, close IS NULL AS is_gap
+        |FROM f ORDER BY bar_ts""".stripMargin),
     withOracle("rel_price_volatility", priceVolatility,
       """WITH p AS (
         |  SELECT date_trunc('hour', ts) AS bar_ts,

@@ -68,6 +68,22 @@ class RelationalExtSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 42.0)
   }
 
+  test("ohlc gapfill: tradeless hours appear, flagged, carrying the close") {
+    val G = 1000000000L
+    val rows = Seq(
+      (1L, 0L, "purchase", 10.0), (2L, 60L * G, "purchase", 20.0),
+      (3L, 7500L * G, "purchase", 42.0)) // hour 2; hour 1 is empty
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = TempDirs.scoped("graft_gapfill")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.ohlcGapfill(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (2L, 20.0, false),  // hour 0: real bar, close = last trade
+      (0L, 20.0, true),   // hour 1: gap row carries the close forward
+      (1L, 42.0, false))) // hour 2: real bar again
+  }
+
   test("price volatility: exact sample variance; single-trade bars are null") {
     val G = 1000000000L
     val rows = Seq(
