@@ -24,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     predicates narrow the generated id range BEFORE planning, so
   *     partitions outside the range are never created (the DSv2 analogue
   *     of partition pruning); other predicates stay in Spark.
+  *   - AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): global
+  *     COUNT(*) / MIN(event_id) / MAX(event_id) answer from the
+  *     filter-narrowed range alone — COMPLETE pushdown, one emitted row,
+  *     no aggregate exchange in the plan (the metadata-only-query
+  *     analogue of parquet footer counts); grouped or non-id aggregates
+  *     refuse and fall back to the row scan.
   *
   * Usage: `spark.read.format("graft.sources.SyntheticEvents")
   *   .option("rows", 10000).option("numPartitions", 8).load()`
@@ -72,12 +78,50 @@ final class SyntheticEventsTable(rows: Long, numPartitions: Int)
 
 final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var requiredSchema: StructType = SyntheticEvents.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  // -------------------------------------------------------------------
+  // AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): global COUNT(*) /
+  // MIN(event_id) / MAX(event_id) are answerable from the (already
+  // filter-narrowed) id range ALONE — the scan returns one row and reads
+  // nothing, the DSv2 analogue of metadata-only queries over parquet
+  // footers. Complete pushdown (not partial): the single emitted row IS
+  // the final answer, so Spark plans a project over the scan, no
+  // aggregate exchange at all. Grouped or non-id aggregates are refused
+  // and fall back to the normal row scan.
+  // -------------------------------------------------------------------
+
+  private def isEventId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("event_id"))
+      case _ => false
+    }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => isEventId(m.column)
+        case m: Max => isEventId(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -108,8 +152,62 @@ final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SyntheticEventsScan(
-    requiredSchema, lo, math.max(lo, hi), numPartitions)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new SyntheticEventsAggScan(lo, math.max(lo, hi), agg)
+    case None =>
+      new SyntheticEventsScan(requiredSchema, lo, math.max(lo, hi), numPartitions)
+  }
+}
+
+/** Metadata-only scan for a completely-pushed global aggregation: one
+  * partition, one row, values derived from the [lo, hi) range — COUNT(*)
+  * = hi−lo, MIN/MAX(event_id) = the range endpoints (null on an empty
+  * range, the SQL semantics for min/max over zero rows). */
+final class SyntheticEventsAggScan(lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private val n = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions().zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticEvents[agg=${agg.aggregateExpressions().map(_.describe()).mkString(",")}, range=[$lo,$hi)]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IdRangePartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions().map {
+      case _: CountStar => n: java.lang.Long
+      case _: Min => if (n == 0) null else (lo: java.lang.Long)
+      case _: Max => if (n == 0) null else (hi - 1): java.lang.Long
+      case other => throw new IllegalStateException(other.describe())
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+/** Emits exactly one row holding precomputed values (serializable —
+  * shipped to the executor that runs the single partition). */
+final class SingleRowReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 final case class IdRangePartition(start: Long, end: Long) extends InputPartition

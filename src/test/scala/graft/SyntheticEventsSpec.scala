@@ -41,6 +41,38 @@ class SyntheticEventsSpec extends SparkSpec {
     assert(df.collect().forall(r => SyntheticEventsSpecHelper.types.contains(r.getString(0))))
   }
 
+  test("global count/min/max push down completely: no aggregate in the plan") {
+    val df = read(100000, 8)
+      .filter(col("event_id") >= 100 && col("event_id") < 200)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=COUNT(*),MIN(event_id),MAX(event_id)"), plan)
+    assert(plan.contains("range=[100,200)"), plan) // composes with filter pushdown
+    assert(!plan.contains("HashAggregate"), plan)  // complete, not partial
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 100L, 199L)))
+  }
+
+  test("pushed aggregation over an empty range: count 0, null extrema") {
+    val r = read(1000, 4).filter(col("event_id") >= 5000L)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id")))
+      .collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("grouped and non-id aggregates refuse pushdown and stay correct") {
+    val grouped = read(1000, 4).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("agg=COUNT"), plan)
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    val byValue = read(1000, 4).agg(min(col("value")))
+    assert(!byValue.queryExecution.executedPlan.toString.contains("agg="),
+      "min(value) must not push")
+    assert(byValue.collect().head.getDouble(0) >= 0.0)
+  }
+
   test("content is deterministic across reads and layouts") {
     val a = read(500, 2).orderBy("event_id").collect().toSeq
     val b = read(500, 7).orderBy("event_id").collect().toSeq
