@@ -70,13 +70,15 @@ final class SyntheticEventsTable(rows: Long, numPartitions: Int)
   override def name(): String = s"synthetic_events($rows)"
   override def schema(): StructType = SyntheticEvents.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticEventsScanBuilder(rows, numPartitions)
+    new SyntheticEventsScanBuilder(rows, numPartitions,
+      options.getLong("maxRowsPerBatch", 0L))
 }
 
-final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
+final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int,
+    maxRowsPerBatch: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -156,7 +158,8 @@ final class SyntheticEventsScanBuilder(rows: Long, numPartitions: Int)
     case Some(agg) =>
       new SyntheticEventsAggScan(lo, math.max(lo, hi), agg)
     case None =>
-      new SyntheticEventsScan(requiredSchema, lo, math.max(lo, hi), numPartitions)
+      new SyntheticEventsScan(requiredSchema, lo, math.max(lo, hi), numPartitions,
+        maxRowsPerBatch)
   }
 }
 
@@ -195,6 +198,66 @@ final class SyntheticEventsAggScan(lo: Long, hi: Long,
   }
 }
 
+/** STREAMING read path (`MicroBatchStream` + `SupportsAdmissionControl`):
+  * the id sequence doubles as the offset log — an offset IS the next
+  * unread id, so offsets serialize as plain longs, restart resumes from
+  * the checkpointed id with no source-side state, and replanning a batch
+  * regenerates identical rows (deterministic content ⇒ exactly-once with
+  * any idempotent sink). `maxRowsPerBatch` bounds each micro-batch via
+  * admission control — under AvailableNow the drain takes ceil(n/max)
+  * batches, the reference's poll-loop cadence made declarative. */
+final case class IdOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+final class SyntheticEventsMicroBatchStream(requiredSchema: StructType,
+    lo: Long, hi: Long, numPartitions: Int, maxRowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  // The available horizon is static (an id range), so preparing for
+  // AvailableNow needs no snapshot — the drain target is always `hi`.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): SOffset = IdOffset(lo)
+  override def latestOffset(): SOffset = IdOffset(hi)
+  override def deserializeOffset(json: String): SOffset = IdOffset(json.toLong)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: SOffset, limit: ReadLimit): SOffset = {
+    val start = startOffset.asInstanceOf[IdOffset].id
+    limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        IdOffset(math.min(start + m.maxRows(), hi))
+      case _ => IdOffset(hi)
+    }
+  }
+
+  override def reportLatestOffset(): SOffset = IdOffset(hi)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IdOffset].id
+    val e = end.asInstanceOf[IdOffset].id
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val parts = math.min(numPartitions.toLong, n).toInt
+    (0 until parts).map { i =>
+      IdRangePartition(s + i * n / parts, s + (i + 1) * n / parts): InputPartition
+    }.filter { case IdRangePartition(a, b) => b > a }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticEventsReaderFactory(requiredSchema)
+}
+
 /** Emits exactly one row holding precomputed values (serializable —
   * shipped to the executor that runs the single partition). */
 final class SingleRowReaderFactory(values: Array[Any])
@@ -213,9 +276,13 @@ final class SingleRowReaderFactory(values: Array[Any])
 final case class IdRangePartition(start: Long, end: Long) extends InputPartition
 
 final class SyntheticEventsScan(requiredSchema: StructType, lo: Long, hi: Long,
-    numPartitions: Int) extends Scan with Batch {
+    numPartitions: Int, maxRowsPerBatch: Long = 0L) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SyntheticEventsMicroBatchStream(requiredSchema, lo, hi, numPartitions,
+      maxRowsPerBatch)
   override def description(): String =
     s"SyntheticEvents[range=[$lo,$hi), cols=${requiredSchema.fieldNames.mkString(",")}]"
 

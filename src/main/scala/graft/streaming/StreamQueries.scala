@@ -127,6 +127,26 @@ object StreamQueries {
       .orderBy(col("step"))
   }
 
+  /** The CUSTOM DSv2 STREAMING SOURCE as a declared query: the synthetic
+    * event feed read through its own MicroBatchStream (id-offset log,
+    * admission-controlled 25k-row batches — four real micro-batches per
+    * drain), aggregated per event type with the exact integer-cents sum.
+    * Rows-only: DuckDB cannot replay the splitmix generator's 64-bit
+    * wrap-around multiplies; `StreamingSpec` pins the drain equal to the
+    * same source read as a BATCH (one scan contract, two read paths). */
+  def syntheticSourceStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    val st = s.readStream.format("graft.sources.SyntheticEvents")
+      .option("rows", 100000).option("numPartitions", 8)
+      .option("maxRowsPerBatch", 25000).load()
+    val agg = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+    MicroBatchPipeline.runToResult(s, agg)
+      .select(col("event_type"), col("n_events"),
+        (col("value_c") / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined to
     * a broadcast customer dimension per micro-batch (the streaming form
     * of the reference's FX lookup, O6) and aggregated per segment. The
@@ -207,9 +227,10 @@ object StreamQueries {
     }
   }
 
-  import graft.QuerySpec.withOracle
+  import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    rowsOnly("stream_synthetic_source", syntheticSourceStreamQuery),
     // Streaming near-dup dedup (StreamingDedup): survivors = docs that are
     // not the larger side of any exact-Jaccard near-dup pair. The exact
     // pair set equals the LSH candidate set on this corpus (pinned by the

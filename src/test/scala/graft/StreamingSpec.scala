@@ -94,6 +94,20 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("custom DSv2 streaming source: drain equals the batch read") {
+    val streamed = StreamQueries.syntheticSourceStreamQuery(spark, sf).collect()
+    val batch = spark.read.format("graft.sources.SyntheticEvents")
+      .option("rows", 100000).option("numPartitions", 8).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("event_type"), col("n_events"),
+        (col("value_c") / 100.0).as("sum_value"))
+      .orderBy(col("event_type")).collect()
+    assert(streamed.length == 5)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("streaming funnel carries step state ACROSS micro-batches") {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
