@@ -695,6 +695,35 @@ object RelationalExt {
       .orderBy(col("bar_ts"))
   }
 
+  /** Per-bar simple returns + running-peak drawdown — the risk readout
+    * over the candle closes: ret = close/prev_close − 1 (null on the
+    * first bar), peak = running max close, drawdown = (peak−close)/peak.
+    * Every value is a ratio or max of already-oracle-pinned doubles —
+    * division and max are order-independent, so the replay is bit-exact.
+    * Both windows run over the CALENDAR-sized bar series, never the
+    * trades (same adjudication as [[ohlcGapfill]]). */
+  def barReturns(s: SparkSession, dir: String): DataFrame = {
+    val trades = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+    val bars = trades.groupBy(col("bar_ts"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("close"))
+    val wLag = Window.orderBy(col("bar_ts"))
+    val wPeak = Window.orderBy(col("bar_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("prev_close", lag(col("close"), 1).over(wLag))
+      .withColumn("peak", max(col("close")).over(wPeak))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        col("close"),
+        (col("close") / col("prev_close") - 1.0).as("ret"),
+        col("peak"),
+        ((col("peak") - col("close")) / col("peak")).as("drawdown"))
+      .orderBy(col("bar_ts"))
+  }
+
   /** Per-bar price volatility — sample variance computed EXACTLY: the
     * aggregate state is (n, Σcents, Σcents²) in longs (Σc² ≲ 1e11 per
     * thousand-trade bar, n·Σc² ≲ 1e14 — far under 2^63), and the variance
@@ -804,6 +833,21 @@ object RelationalExt {
         |  CAST(n_trades AS BIGINT) AS n_trades,
         |  close_ff AS close, close IS NULL AS is_gap
         |FROM f ORDER BY bar_ts""".stripMargin),
+    withOracle("rel_bar_returns", barReturns,
+      """WITH p AS (
+        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |oc AS (SELECT bar_ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY bar_ts
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM p),
+        |b AS (SELECT bar_ts, value AS close FROM oc WHERE rn = 1)
+        |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts, close,
+        |  close / LAG(close) OVER (ORDER BY bar_ts) - 1.0 AS ret,
+        |  MAX(close) OVER (ORDER BY bar_ts ROWS UNBOUNDED PRECEDING) AS peak,
+        |  (MAX(close) OVER (ORDER BY bar_ts ROWS UNBOUNDED PRECEDING) - close)
+        |    / MAX(close) OVER (ORDER BY bar_ts ROWS UNBOUNDED PRECEDING) AS drawdown
+        |FROM b ORDER BY bar_ts""".stripMargin),
     withOracle("rel_price_volatility", priceVolatility,
       """WITH p AS (
         |  SELECT date_trunc('hour', ts) AS bar_ts,

@@ -84,6 +84,24 @@ class RelationalExtSpec extends SparkSpec {
       (1L, 42.0, false))) // hour 2: real bar again
   }
 
+  test("bar returns: first-bar null, exact ratios, drawdown from the peak") {
+    val G = 1000000000L
+    val rows = Seq(
+      (1L, 0L, "purchase", 10.0),
+      (2L, 3700L * G, "purchase", 20.0),
+      (3L, 7300L * G, "purchase", 15.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = TempDirs.scoped("graft_ret")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.barReturns(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(2))                  // no previous bar
+    assert(out(1).getDouble(2) == 1.0)          // 10 -> 20
+    assert(out(2).getDouble(2) == -0.25)        // 20 -> 15
+    assert(out(2).getDouble(3) == 20.0)         // peak holds
+    assert(out(2).getDouble(4) == 0.25)         // (20-15)/20
+  }
+
   test("price volatility: exact sample variance; single-trade bars are null") {
     val G = 1000000000L
     val rows = Seq(
