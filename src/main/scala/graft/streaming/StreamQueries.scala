@@ -266,6 +266,18 @@ object StreamQueries {
     // were tombstoned before serving — the oracle drops exactly the pairs
     // whose match side was forgotten. A full differential check that the
     // tombstone anti-join removes those matches and ONLY those.
+    // The lifecycle is one append slice + one tombstone slice; doc counts
+    // replay the md5 train split and the %5 forget rule. Docs are indexed
+    // regardless of shingle count (the signature kernel totals them), so
+    // no indexability clause is needed.
+    withOracle("dedup_index_stats", StreamingDedup.textIndexStatsQuery,
+      """SELECT CAST(1 AS BIGINT) AS n_data_slices,
+        |  CAST(1 AS BIGINT) AS n_tombstone_slices,
+        |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |    AND NOT doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_live_docs,
+        |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |    AND doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_ids
+        |FROM documents""".stripMargin),
     withOracle("dedup_serve_deleted", StreamingDedup.serveDeletedQuery,
       s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
          |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp

@@ -512,6 +512,39 @@ object StreamingDedup {
       .orderBy(col("query_doc"), col("match_doc"))
   }
 
+  /** Declared query — the TEXT index manifest, [[graft.operators.IvfIndex
+    * .indexStatsQuery]]'s twin on the LSH dedup index: slice counts per
+    * state dir plus live vs tombstoned DOC counts over the same
+    * build-then-forget lifecycle the serve queries run. ORACLE-GREEN for
+    * the same reason as the IVF manifest: it reports only
+    * signature-independent numbers — slice accounting, the md5 split and
+    * the %5 delete rule — which DuckDB replays from the documents table.
+    * If the delete verb wrote the wrong dir, or the live read stopped
+    * anti-joining tombstones, this query diverges on the next run. */
+  def textIndexStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_txtidxstats_state")
+    val sink = graft.TempDirs.scoped("graft_txtidxstats_sink")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(!isEval), state, sink).count()
+      deleteFromIndex(spark, state,
+        docs.filter(!isEval && col("doc_id") % 5 === 2).select(col("doc_id")))
+    }
+    val bands = s"$state/bands"
+    val tombs = s"$state/tombstones"
+    val nData = listSlices(spark, bands).size
+    val nTomb = listSlices(spark, tombs).size
+    graft.operators.IndexFiles
+      .readLiveFrom(spark, listSlices(spark, bands), tombs, "rec_id")
+      .agg(count_distinct(col("rec_id")).as("n_live_docs"))
+      .crossJoin(spark.read.parquet(s"$tombs/b*")
+        .agg(count_distinct(col("rec_id")).as("n_dead_ids")))
+      .select(lit(nData.toLong).as("n_data_slices"),
+        lit(nTomb.toLong).as("n_tombstone_slices"),
+        col("n_live_docs"), col("n_dead_ids"))
+  }
+
   /** The declared-query form: stream the documents table through the
     * dedup (one AvailableNow drain into session-scoped temp dirs) and
     * return surviving doc ids. Oracle: a doc survives iff it is not the
