@@ -788,6 +788,57 @@ object RelationalExt {
         |JOIN (SELECT bar_ts, value FROM oc WHERE rn_c = 1) c USING (bar_ts)
         |ORDER BY bar_ts""".stripMargin
 
+  /** Declarative sessionization — the gaps-and-islands window form of
+    * the stateful `stream_sessionize` (flatMapGroupsWithState): is_new =
+    * gap > 30 min over a (ts, event_id) window, session id = running sum
+    * of is_new, then two co-keyed aggregations to the per-user summary.
+    * Same semantics, two execution strategies — the shared oracle SQL
+    * ([[sessionizeOracleSql]]) and a row-for-row spec pin keep the twins
+    * locked together. All micros arithmetic is exact integers. */
+  def sessionizeWindow(s: SparkSession, dir: String): DataFrame = {
+    val gapUs =
+      graft.streaming.MicroBatchPipeline.SessionGapMinutes * 60L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val prev = lag(col("tu"), 1).over(w)
+    val sid = ev
+      .withColumn("is_new",
+        when(prev.isNull || col("tu") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sid.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("len")).as("n_events"),
+        max(col("len")).as("longest_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The sessionization oracle — ONE SQL text behind the stateful
+    * `stream_sessionize` and the declarative `rel_sessionize`. */
+  val sessionizeOracleSql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sid AS (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM d),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS len
+      |  FROM sid GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(len) AS BIGINT) AS n_events,
+      |  CAST(MAX(len) AS BIGINT) AS longest_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** The funnel oracle — shared verbatim with `stream_event_funnel`'s
     * drained state machine, the no-drift contract [[ohlcOracleSql]] set. */
   val funnelOracleSql: String =
@@ -833,6 +884,7 @@ object RelationalExt {
         |  CAST(n_trades AS BIGINT) AS n_trades,
         |  close_ff AS close, close IS NULL AS is_gap
         |FROM f ORDER BY bar_ts""".stripMargin),
+    withOracle("rel_sessionize", sessionizeWindow, sessionizeOracleSql),
     withOracle("rel_bar_returns", barReturns,
       """WITH p AS (
         |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value

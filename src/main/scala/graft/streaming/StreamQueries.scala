@@ -319,27 +319,8 @@ object StreamQueries {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    withOracle("stream_sessionize",
-      sessionizeQuery,
-      """WITH d AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |sid AS (
-        |  SELECT user_id,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM d),
-        |per_session AS (
-        |  SELECT user_id, session_id, COUNT(*) AS len
-        |  FROM sid GROUP BY 1, 2)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-        |  CAST(SUM(len) AS BIGINT) AS n_events,
-        |  CAST(MAX(len) AS BIGINT) AS longest_session_events
-        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin),
+    withOracle("stream_sessionize", sessionizeQuery,
+      graft.operators.RelationalExt.sessionizeOracleSql),
     withOracle("stream_sliding_agg", slidingAggQuery,
       """WITH x AS (
         |  SELECT date_trunc('hour', ts) - to_hours(o) AS ws, value

@@ -405,6 +405,14 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("declarative sessionization equals the stateful form row-for-row") {
+    val declarative = graft.operators.RelationalExt.sessionizeWindow(spark, sf)
+      .collect()
+    val stateful = StreamQueries.sessionizeQuery(spark, sf).collect()
+    assert(declarative.nonEmpty)
+    assert(declarative.map(_.toString).toSeq == stateful.map(_.toString).toSeq)
+  }
+
   test("sessionize: gap splits sessions, totals add up") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
