@@ -160,6 +160,11 @@ object Dedup {
           col("text"), ShingleSize).as("hv"))
       .withColumn("n", size(col("hv")).cast("long"))
       .filter(col("n") > 0)
+      // Deliberately retained for the session (same policy as
+      // ngramJaccardPairs' sets): the returned plan is lazy and reads this
+      // frame on the probe side, the build side, AND the verification, so
+      // an eager unpersist here would defeat the cache before it is used;
+      // sweep runs reuse the entry via plan-cache matching.
       .persist()
     val idx = sets.select(col("doc_id"), col("n"), explode(col("hv")).as("s"))
     val freq = idx.groupBy(col("s")).agg(count(lit(1)).as("f"))
@@ -229,6 +234,9 @@ object Dedup {
   def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val meta = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    // Deliberately retained (ngramJaccardPairs policy): byHs feeds the
+    // cross join, the diagonal, and nothing materializes inside this
+    // builder, so the cache can only be released by the caller's session.
     val byHs = meta.groupBy(col("h"), col("source"))
       .agg(count(lit(1)).as("c")).persist()
     val cross = byHs.as("a").join(byHs.as("b"),

@@ -163,6 +163,14 @@ private[graft] object IndexFiles {
   def readLive(spark: SparkSession, base: String, tombsBase: String,
       idCol: String, asOf: Long = Long.MaxValue): DataFrame = {
     val all = StreamingDedup.listSlices(spark, base)
+    // Same strictness as taggedSlices: an unparseable slice dir must fail
+    // LOUDLY here too, not be silently dropped by the asOf filter below —
+    // otherwise the two read paths disagree on the same stray directory.
+    val unparseable = all.filter(StreamingDedup.sliceBatch(_).isEmpty)
+    require(unparseable.isEmpty,
+      s"slice dirs not following the b<N>/c<N> naming under $base: " +
+        s"${unparseable.mkString(", ")} — refusing a read that would " +
+        "silently drop them")
     if (asOf != Long.MaxValue) {
       val coarse = all.filter(d => d.substring(d.lastIndexOf('/') + 1)
         .startsWith("c") && StreamingDedup.sliceBatch(d).exists(_ > asOf))

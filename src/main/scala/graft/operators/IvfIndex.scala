@@ -230,8 +230,10 @@ object IvfIndex {
     val spark = s
     val nData = StreamingDedup.listSlices(spark, postingsDir(idx)).size
     val nTomb = StreamingDedup.listSlices(spark, tombstonesDir(idx)).size
+    // tombstones enumerate through the shared slice parser (readSlices),
+    // not a raw b* glob — compacted c<N> tombstone forms stay counted
     postings(spark, idx).agg(count(lit(1)).as("n_live"))
-      .crossJoin(spark.read.parquet(s"${tombstonesDir(idx)}/b*")
+      .crossJoin(IndexFiles.readSlices(spark, tombstonesDir(idx))
         .agg(count_distinct(col("vec_id")).as("n_dead")))
       .select(lit(nData.toLong).as("n_data_slices"),
         lit(nTomb.toLong).as("n_tombstone_slices"),

@@ -196,6 +196,11 @@ object Similarity {
         Seq("vec_id", "nbr"), "left_semi")
     val labeled = Dedup.componentsOver(
       Tables.embeddings(s, dir).select(col("vec_id")), mutual)
+    // componentsOver materialized the contraction eagerly (its own
+    // persist+count consumed both reads of the graph), so the edge cache
+    // is dead weight from here — release it rather than let repeated
+    // cluster queries accumulate session caches.
+    edges.unpersist()
     val sizes = labeled.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "component")
@@ -902,7 +907,11 @@ object Similarity {
           var j = 0
           while (j < n) {
             if (!taken(j)) {
-              val sim = dotD(cs(j)._4, cs(bestI)._4) / (norms(j) * norms(bestI))
+              // zero-norm vectors get sim 0, matching the SQL cosine
+              // kernel's convention — a NaN here would silently never
+              // update maxSim and drift from the oracle
+              val d = norms(j) * norms(bestI)
+              val sim = if (d == 0.0) 0.0 else dotD(cs(j)._4, cs(bestI)._4) / d
               if (sim > maxSim(j)) maxSim(j) = sim
             }
             j += 1

@@ -171,12 +171,16 @@ object MicroBatchPipeline {
         state: GroupState[(Long, Long, Long)]): Iterator[FunnelDepth] = {
       val sorted = rows.toVector.sortBy(r => (r._2, r._1))
       var st = state.getOption.getOrElse((unset, unset, unset))
+      // step names come from the ONE declared sequence
+      // (RelationalExt.FunnelSteps) so the streaming twin can never
+      // silently desynchronize from the batch funnel's steps
+      val Seq(step1, step2, step3) = graft.operators.RelationalExt.FunnelSteps
       sorted.foreach { case (_, ts, _, etype) =>
         st = etype match {
-          case "view" if st._1 == unset => (ts, st._2, st._3)
-          case "click" if st._1 != unset && st._2 == unset && ts > st._1 =>
+          case `step1` if st._1 == unset => (ts, st._2, st._3)
+          case `step2` if st._1 != unset && st._2 == unset && ts > st._1 =>
             (st._1, ts, st._3)
-          case "purchase" if st._2 != unset && st._3 == unset && ts > st._2 =>
+          case `step3` if st._2 != unset && st._3 == unset && ts > st._2 =>
             (st._1, st._2, ts)
           case _ => st
         }

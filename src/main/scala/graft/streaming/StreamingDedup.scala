@@ -538,7 +538,7 @@ object StreamingDedup {
     graft.operators.IndexFiles
       .readLiveFrom(spark, listSlices(spark, bands), tombs, "rec_id")
       .agg(count_distinct(col("rec_id")).as("n_live_docs"))
-      .crossJoin(spark.read.parquet(s"$tombs/b*")
+      .crossJoin(graft.operators.IndexFiles.readSlices(spark, tombs)
         .agg(count_distinct(col("rec_id")).as("n_dead_ids")))
       .select(lit(nData.toLong).as("n_data_slices"),
         lit(nTomb.toLong).as("n_tombstone_slices"),
