@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -24,16 +25,37 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = load(s, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microsecond precision) refuses outright. Read it as raw long nanos
-    * (legacy conf, runtime-settable) and truncate to micros with exact
-    * integer arithmetic — the same floor-to-micros DuckDB and pandas apply,
-    * so oracle comparisons line up. `ts div 1000` stays in Long; a double
-    * division would lose precision above 2^53 ns (~1970+104 days). */
+  /** events.ts has shipped under two physical encodings across testdata
+    * refreshes: parquet TIMESTAMP(NANOS) (reads as raw Long nanos under the
+    * legacy conf) and plain timestamp[us] (reads as TIMESTAMP_NTZ). Setting
+    * the legacy conf is required to even LOAD a nanos file and is a no-op
+    * for micros files, so it stays unconditional; the rewrite branches on
+    * the schema Spark actually resolved. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(s, dir, "events"))
+  }
+
+  /** The ONE ts-normalization shared by the batch loader and the streaming
+    * reader (MicroBatchPipeline.eventsStream) — the two paths diverging is
+    * exactly how round 10 shipped a silent 1000x event-time compression.
+    *
+    *  - LongType: raw nanos (old TIMESTAMP(NANOS) encoding under the legacy
+    *    conf, and test fixtures that land Long columns). `ts div 1000` stays
+    *    in Long — integer floor-to-micros matches DuckDB/pandas, and a
+    *    double division would lose precision above 2^53 ns.
+    *  - TIMESTAMP_NTZ (current timestamp[us] testdata): cast to the session
+    *    TimestampType. All entry points pin spark.sql.session.timeZone=UTC,
+    *    so the cast is micros-exact and downstream windows/date_format keep
+    *    the same types and values as before.
+    *  - TimestampType: already normalized, pass through.
+    * Anything else fails loudly here instead of 30 queries deep. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType             => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case _: TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _: TimestampType     => df
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical type $other — expected Long nanos or a timestamp")
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

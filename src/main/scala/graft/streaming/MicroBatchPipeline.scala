@@ -20,28 +20,36 @@ import org.apache.spark.sql.types._
   */
 object MicroBatchPipeline {
 
-  /** events schema as the stream sees it: ts is raw long nanos (parquet
-    * TIMESTAMP(NANOS) — see Tables.events) converted to a micros
-    * timestamp in the first select. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-based streaming source over the events table. FileStreamSource
     * insists on a directory, so stream the sf directory with a glob filter
     * selecting the events file — at production scale this is a landing
     * directory receiving new files per micro-batch. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(spark, dir, pathGlobFilter = Some("events.parquet"))
+
+  /** Streaming events reader whose schema is RESOLVED FROM THE FILES by a
+    * batch read, then ts-normalized by the same `Tables.normalizeEventTs`
+    * the batch loader uses. FileStreamSource requires a user schema; a
+    * hardcoded one silently mis-reads when the physical encoding changes
+    * (round 10: timestamp[us] micros read as Long then treated as nanos —
+    * a 1000x event-time compression that still type-checked). Deriving it
+    * from the batch reader makes the two paths share one source of truth.
+    * The one-time footer read is driver-side and O(files-at-start) — at
+    * landing-directory scale the resolved schema would be supplied by the
+    * table catalog instead. */
+  def eventsStreamFrom(spark: SparkSession, dir: String,
+      pathGlobFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // required to even load the old TIMESTAMP(NANOS) encoding; no-op for micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
+    val batch = pathGlobFilter
+      .foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val reader0 = spark.readStream.schema(batch.schema)
+    val reader = (pathGlobFilter.map(g => ("pathGlobFilter", g)) ++
+        maxFilesPerTrigger.map(n => ("maxFilesPerTrigger", n.toString)))
+      .foldLeft(reader0)((r, kv) => r.option(kv._1, kv._2))
+    graft.Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Event-time tumbling-window aggregation (the engine's replacement for

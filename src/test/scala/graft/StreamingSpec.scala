@@ -83,12 +83,8 @@ class StreamingSpec extends SparkSpec {
     val src = java.nio.file.Paths.get(s"$sf/events.parquet")
     java.nio.file.Files.copy(src, landing.resolve("a.parquet"))
     java.nio.file.Files.copy(src, landing.resolve("b.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(MicroBatchPipeline.eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = MicroBatchPipeline.eventsStreamFrom(
+      spark, landing.toString, maxFilesPerTrigger = Some(1))
     val deduped = MicroBatchPipeline.runToResult(spark,
       MicroBatchPipeline.dedupWithinWatermark(stream), OutputMode.Append())
     assert(deduped.count() == Tables.events(spark, sf).count())
@@ -122,12 +118,8 @@ class StreamingSpec extends SparkSpec {
     Thread.sleep(20)
     landFile(landing, "b.parquet",
       Seq(ev(2, 5, 7, "click"), ev(3, 9, 7, "purchase")).toDF(cols: _*))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(MicroBatchPipeline.eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = MicroBatchPipeline.eventsStreamFrom(
+      spark, landing.toString, maxFilesPerTrigger = Some(1))
     val drained = MicroBatchPipeline.runToResult(spark,
       MicroBatchPipeline.funnelDepths(spark, stream).toDF(), OutputMode.Update())
     val finalDepth = drained.groupBy(col("user_id"))
@@ -154,11 +146,8 @@ class StreamingSpec extends SparkSpec {
     Thread.sleep(20) // distinct mtimes keep file-batch order deterministic
     landFile(landing, "b.parquet",
       Seq(ev(2, 10, 7, "purchase"), ev(3, 40, 7, "purchase")).toDF(cols: _*))
-    def side() = spark.readStream
-      .schema(MicroBatchPipeline.eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side() = MicroBatchPipeline.eventsStreamFrom(
+      spark, landing.toString, maxFilesPerTrigger = Some(1))
     val out = MicroBatchPipeline.runToResult(spark,
         StreamQueries.attributionJoin(side(), side()), OutputMode.Append())
       .select("purchase_id", "click_id", "user_id", "gap_sec")
