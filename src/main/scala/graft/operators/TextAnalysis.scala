@@ -160,6 +160,93 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** md5 first-hex prefixes selecting the count-LM's CLEAN TRAIN SPLIT
+    * (~4/16 of the corpus). Deliberately DISJOINT from the '0' eval split
+    * every other query uses: the reference LM a quality gate scores
+    * against must come from neither the data being scored exclusively nor
+    * the held-out benchmark. */
+  val LmTrainHexPrefixes: Seq[String] = Seq("1", "2", "3", "4")
+
+  /** Count-LM quality score — the CCNet/Gopher/DCLM-style "does this text
+    * look like the reference corpus" signal, as EXACT integer-count
+    * rationals instead of libm log-perplexity (log differs across libm
+    * implementations by ulps; ratios of long sums replay bit-exactly in
+    * any engine — the [[rareBigramRatio]] discipline):
+    *
+    *   - train a bigram/trigram COUNT LM on a deterministic md5-selected
+    *     clean split ([[LmTrainHexPrefixes]]);
+    *   - per document, over its bigram OCCURRENCES (w1,w2):
+    *     `hit_rate`  = fraction whose bigram appears in the LM at all
+    *     (coverage), and
+    *     `lm_score`  = Σ c₂(w1,w2) / Σ c₁(w1) — the pooled maximum-
+    *     likelihood conditional P(w2|w1) mass: text made of common
+    *     continuations scores high, gibberish and word-salad score ≈ 0.
+    *     One division of two long sums — order-independent, bit-exact;
+    *   - `tri_hit_rate` — trigram-LM coverage, the sharper (sparser)
+    *     signal of the same family.
+    *
+    * Shape at scale: the ngram-index family's plan — per-row shingle
+    * kernels (no shuffle), one explode per order, map-side-combined
+    * groupBys on the gram keys, count tables joined back on the
+    * already-shuffled gram key, one per-doc aggregate. The LM count
+    * tables scale with the n-gram vocabulary, so no broadcast hint (AQE
+    * still broadcasts at bench scale). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin(LmTrainHexPrefixes: _*)
+    val base = docs.select(col("doc_id"), col("text"), isTrain.as("is_train"))
+    // Bigram occurrences with their unigram context (tokens carry no
+    // spaces, so the gram's first space-separated field IS w1).
+    val bi = base.select(col("doc_id"), col("is_train"),
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+          .as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val tri = base.select(col("doc_id"), col("is_train"),
+      explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 3))
+        .as("g3"))
+    val c2 = bi.filter(col("is_train"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c1 = base.filter(col("is_train"))
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c3 = tri.filter(col("is_train"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val perBi = bi
+      .join(c2, Seq("gram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2").isNotNull.cast("long")).as("n_known"),
+        sum(coalesce(col("c2"), lit(0L))).as("hit_mass"),
+        sum(coalesce(col("c1"), lit(0L))).as("ctx_mass"))
+    val perTri = tri
+      .join(c3, Seq("g3"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("c3").isNotNull.cast("long")).as("n_tri_known"))
+    docs.select(col("doc_id"))
+      .join(perBi, Seq("doc_id"), "left")
+      .join(perTri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("n_known").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("hit_rate"),
+        coalesce(col("hit_mass"), lit(0L)).as("hit_mass"),
+        coalesce(col("ctx_mass"), lit(0L)).as("ctx_mass"),
+        when(coalesce(col("ctx_mass"), lit(0L)) > 0,
+          col("hit_mass").cast("double") / col("ctx_mass"))
+          .otherwise(lit(0.0)).as("lm_score"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_known"), lit(0L)).as("n_tri_known"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          col("n_tri_known").cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("tri_hit_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RAG chunk geometry: 64-token windows at stride 32 (50% overlap —
     * the standard retrieval-ingest shape, so a fact straddling a chunk
     * boundary still appears whole in the neighboring chunk). */
@@ -528,6 +615,61 @@ object TextAnalysis {
         |       ELSE 0.0 END AS novelty
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // Count-LM replay: same md5 train split, same gram definitions (w/g
+    // mirror the rare-bigram CTEs but keep OCCURRENCES, not DISTINCT), and
+    // every score is a single division of two BIGINT sums.
+    withOracle("text_lm_score", lmScore,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tr AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |g AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS gram
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |      WHERE len(toks) >= 2),
+         |g3 AS (SELECT doc_id,
+         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |      WHERE len(toks) >= 3),
+         |c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |       FROM (SELECT doc_id, UNNEST(toks) AS w1 FROM w)
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c3 FROM g3
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |pb AS (SELECT g.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_known,
+         |    CAST(SUM(COALESCE(c2.c2, 0)) AS BIGINT) AS hit_mass,
+         |    CAST(SUM(COALESCE(c1.c1, 0)) AS BIGINT) AS ctx_mass
+         |  FROM g LEFT JOIN c2 USING (gram) LEFT JOIN c1 ON c1.w1 = g.w1
+         |  GROUP BY 1),
+         |pt AS (SELECT g3.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tri_known
+         |  FROM g3 LEFT JOIN c3 USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pb.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(pb.n_known, 0) AS n_known,
+         |  CASE WHEN COALESCE(pb.n_bigrams, 0) > 0
+         |       THEN CAST(pb.n_known AS DOUBLE) / pb.n_bigrams
+         |       ELSE 0.0 END AS hit_rate,
+         |  COALESCE(pb.hit_mass, 0) AS hit_mass,
+         |  COALESCE(pb.ctx_mass, 0) AS ctx_mass,
+         |  CASE WHEN COALESCE(pb.ctx_mass, 0) > 0
+         |       THEN CAST(pb.hit_mass AS DOUBLE) / pb.ctx_mass
+         |       ELSE 0.0 END AS lm_score,
+         |  COALESCE(pt.n_trigrams, 0) AS n_trigrams,
+         |  COALESCE(pt.n_tri_known, 0) AS n_tri_known,
+         |  CASE WHEN COALESCE(pt.n_trigrams, 0) > 0
+         |       THEN CAST(pt.n_tri_known AS DOUBLE) / pt.n_trigrams
+         |       ELSE 0.0 END AS tri_hit_rate
+         |FROM documents d
+         |LEFT JOIN pb ON pb.doc_id = d.doc_id
+         |LEFT JOIN pt ON pt.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     withOracle("text_tfidf_top_term", tfidfTopTerm,
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
