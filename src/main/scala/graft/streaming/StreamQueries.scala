@@ -278,6 +278,36 @@ object StreamQueries {
         |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
         |    AND doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_ids
         |FROM documents""".stripMargin),
+    // AS-OF snapshot serving: only slice-0 docs (train ids <= max/2) can
+    // match, and the LATER delete of %5==2 docs is invisible — the
+    // differential against dedup_serve_deleted that pins time-travel
+    // semantics (there the %5==2 matches vanish; here they must persist).
+    withOracle("dedup_serve_asof", StreamingDedup.serveAsOfQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
+         |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp
+         |        UNION ALL SELECT doc_b AS q, doc_a AS m, jaccard FROM jp)
+         |SELECT q AS query_doc, m AS match_doc, jaccard
+         |FROM sym
+         |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
+         |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
+         |  AND m <= (SELECT MAX(doc_id) // 2 FROM documents)
+         |ORDER BY query_doc, match_doc""".stripMargin),
+    // Compaction-policy readout: after append+append+delete+fold, exactly
+    // one compacted slice per subdir, zero tombstones, and physical row
+    // counts equal to live docs (Bands band rows + one signature row
+    // each) — slice accounting DuckDB replays from the %5 delete rule.
+    withOracle("dedup_compaction_stats", StreamingDedup.compactionStatsQuery,
+      s"""SELECT CAST(1 AS BIGINT) AS n_band_slices,
+         |  CAST(1 AS BIGINT) AS n_set_slices,
+         |  CAST(0 AS BIGINT) AS n_tombstone_slices,
+         |  CAST(${graft.operators.Dedup.Bands}
+         |    * SUM(CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_band_rows,
+         |  CAST(SUM(CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_set_rows,
+         |  CAST(SUM(CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_live_docs
+         |FROM documents""".stripMargin),
     withOracle("dedup_serve_deleted", StreamingDedup.serveDeletedQuery,
       s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
          |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp

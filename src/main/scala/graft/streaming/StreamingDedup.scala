@@ -394,10 +394,17 @@ object StreamingDedup {
     * first (per-batch cost ∝ collisions, never accumulated history);
     * exact Jaccard verifies. Output is batch-id-keyed overwrite parquet
     * (idempotent replay), and because the index is FIXED during serving,
-    * batch boundaries cannot change the result. */
+    * batch boundaries cannot change the result.
+    *
+    * `asOf` (default: everything) serves the SNAPSHOT at logical slice
+    * `asOf` — the [[graft.operators.IndexFiles.readLive]] verb on both
+    * the band and signature sides, so data slices AND tombstones past the
+    * snapshot are invisible (a delete issued after the snapshot does not
+    * retro-hide matches), and a compaction that merged history past the
+    * snapshot refuses loudly instead of serving the coarser state. */
   private[graft] def serveTextBatch(batch: DataFrame, stateDir: String,
       outDir: String, batchId: Long, threshold: Double,
-      bucketCap: Int): Unit = {
+      bucketCap: Int, asOf: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     val withSigs = batch.select(col("doc_id").as("q_id"),
         Dedup.shingleSet(col("text")).as("sig_q"))
@@ -405,13 +412,11 @@ object StreamingDedup {
     val qBands = withSigs.select(col("q_id"),
         posexplode(Dedup.bandBuckets(col("sig_q"))).as(Seq("band", "bucket")))
       .persist()
-    val bandSlices = listSlices(spark, s"$stateDir/bands")
-    require(bandSlices.nonEmpty,
-      s"serve: no index slices under $stateDir/bands — build the index first")
     // Tombstone-aware: a deleted record must not come back as a match
     // ([[deleteFromIndex]] — the serving side of the forget verb).
     val allBands = graft.operators.IndexFiles
-      .readLiveFrom(spark, bandSlices, s"$stateDir/tombstones", "rec_id")
+      .readLive(spark, s"$stateDir/bands", s"$stateDir/tombstones",
+        "rec_id", asOf)
     val touched = qBands.select(col("band"), col("bucket")).distinct()
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
@@ -427,8 +432,8 @@ object StreamingDedup {
     // id (same defense as the exemplar input above) so the sig join
     // cannot double matched output rows
     val allSigs = graft.operators.IndexFiles
-      .readLiveFrom(spark, listSlices(spark, s"$stateDir/sets"),
-        s"$stateDir/tombstones", "rec_id")
+      .readLive(spark, s"$stateDir/sets", s"$stateDir/tombstones",
+        "rec_id", asOf)
       .dropDuplicates("rec_id")
     val candidates = qBands
       .join(exemplars.select(col("band"), col("bucket"),
@@ -510,6 +515,77 @@ object StreamingDedup {
     }
     spark.read.parquet(s"$out/b0")
       .orderBy(col("query_doc"), col("match_doc"))
+  }
+
+  /** Declared query — AS-OF snapshot serving on the text index, the LSH
+    * twin of `sim_topk_ivf_asof` completing the index lifecycle matrix:
+    * the train split lands as TWO id-ordered slices (b0 = ids ≤ max/2,
+    * b1 = the rest), a delete tombstones every train doc with
+    * `doc_id % 5 == 2` (slice 2), and the eval split is then served
+    * against the SNAPSHOT at slice 0 — the exact row set a reader saw
+    * after b0 landed. Both the later append AND the later delete must be
+    * invisible: matches come only from b0 docs, and b0 docs the delete
+    * tombstoned afterwards STILL match (the tombstone's slice id
+    * postdates the snapshot) — the differential against
+    * [[serveDeletedQuery]] that proves as-of reads are time-travel, not
+    * merely filtering. Oracle: cross-split exact-Jaccard pairs whose
+    * match side is a train doc with id ≤ max/2 (LSH candidates equal the
+    * exact pair set on this corpus — the batch tier's pinned property). */
+  def serveAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_serveasof_state")
+    val sink = graft.TempDirs.scoped("graft_serveasof_sink")
+    val out = graft.TempDirs.scoped("graft_serveasof_out")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val train = docs.filter(!isEval)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(train.filter(col("doc_id") <= cut), state, sink).count()
+      appendBatch(train.filter(col("doc_id") > cut), state, sink).count()
+      deleteFromIndex(spark, state,
+        train.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+      serveTextBatch(docs.filter(isEval), state, out, batchId = 0L,
+        Dedup.JaccardThreshold, DefaultBucketCap, asOf = 0L)
+    }
+    spark.read.parquet(s"$out/b0")
+      .orderBy(col("query_doc"), col("match_doc"))
+  }
+
+  /** Declared query — the COMPACTION-POLICY readout over the slice
+    * manifest ([[textIndexStatsQuery]]'s lifecycle completed through
+    * [[compactState]]): two id-ordered appends, a delete, then a fold of
+    * everything. The row reports what the fold must leave behind — ONE
+    * compacted slice per subdir, ZERO tombstone slices (all folded and
+    * purged), and physical row counts that equal live docs exactly
+    * ([[Dedup.Bands]] band rows and one signature row per surviving doc).
+    * ORACLE-GREEN because every number is signature-independent slice
+    * accounting: if compaction stopped folding tombstones, left input
+    * slices behind, or duplicated rows through a crashed rename, this
+    * query diverges on the next run. */
+  def compactionStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_cstats_state")
+    val sink = graft.TempDirs.scoped("graft_cstats_sink")
+    val docs = graft.Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(col("doc_id") <= cut), state, sink).count()
+      appendBatch(docs.filter(col("doc_id") > cut), state, sink).count()
+      deleteFromIndex(spark, state,
+        docs.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+      compactState(spark, state, 2L)
+    }
+    val nBandSlices = listSlices(spark, s"$state/bands").size
+    val nSetSlices = listSlices(spark, s"$state/sets").size
+    val nTombSlices = listSlices(spark, s"$state/tombstones").size
+    graft.operators.IndexFiles.readSlices(spark, s"$state/bands")
+      .agg(count(lit(1)).as("n_band_rows"),
+        count_distinct(col("rec_id")).as("n_live_docs"))
+      .crossJoin(graft.operators.IndexFiles.readSlices(spark, s"$state/sets")
+        .agg(count(lit(1)).as("n_set_rows")))
+      .select(lit(nBandSlices.toLong).as("n_band_slices"),
+        lit(nSetSlices.toLong).as("n_set_slices"),
+        lit(nTombSlices.toLong).as("n_tombstone_slices"),
+        col("n_band_rows"), col("n_set_rows"), col("n_live_docs"))
   }
 
   /** Declared query — the TEXT index manifest, [[graft.operators.IvfIndex

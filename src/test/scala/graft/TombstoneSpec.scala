@@ -163,6 +163,57 @@ class TombstoneSpec extends SparkSpec {
       == ivfpqPre)
   }
 
+  test("LSH text index: as-of serves the slice-0 snapshot; compaction past it refuses") {
+    val docs = Tables.documents(spark, sf)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val train = docs.filter(!isEval)
+    val eval = docs.filter(isEval)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+
+    def serve(state: String, asOf: Long): Seq[(Long, Long)] = {
+      val out = TempDirs.scoped("graft_tomb_asoftxt_out")
+      StreamingDedup.serveTextBatch(eval, state, out, batchId = 0L,
+        Dedup.JaccardThreshold, StreamingDedup.DefaultBucketCap, asOf)
+      spark.read.parquet(s"$out/b0").select("query_doc", "match_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+
+    // Index only the first half, snapshot-reference serve.
+    val refState = TempDirs.scoped("graft_tomb_asoftxt_ref")
+    val refSink = TempDirs.scoped("graft_tomb_asoftxt_ref_sink")
+    StreamingDedup.appendBatch(train.filter(col("doc_id") <= cut),
+      refState, refSink).count()
+    val snapshot = serve(refState, Long.MaxValue)
+
+    assert(snapshot.nonEmpty, "no slice-0 matches at this SF; pin vacuous")
+
+    // Full lifecycle: append half, append rest, then delete EVERY doc the
+    // snapshot matched (non-vacuous by construction) — the slice-0 read
+    // must equal the reference (later append AND later delete invisible:
+    // tombstoned slice-0 docs still match at the snapshot), while the
+    // live read drops them all — the time-travel differential.
+    val dead = snapshot.map(_._2).toSet
+    val state = TempDirs.scoped("graft_tomb_asoftxt")
+    val sink = TempDirs.scoped("graft_tomb_asoftxt_sink")
+    StreamingDedup.appendBatch(train.filter(col("doc_id") <= cut),
+      state, sink).count()
+    StreamingDedup.appendBatch(train.filter(col("doc_id") > cut),
+      state, sink).count()
+    StreamingDedup.deleteFromIndex(spark, state,
+      train.filter(col("doc_id").isin(dead.toSeq.map(Long.box): _*))
+        .select(col("doc_id")))
+    assert(serve(state, 0L) == snapshot)
+    val live = serve(state, Long.MaxValue)
+    assert(live.forall { case (_, m) => !dead.contains(m) })
+    assert(live != snapshot,
+      "live serve must see the later delete or the pin is vacuous")
+
+    // Compaction past the snapshot coarsens history: refuse loudly.
+    StreamingDedup.compactState(spark, state, 2L)
+    val e = intercept[IllegalArgumentException] { serve(state, 0L) }
+    assert(e.getMessage.contains("snapshot"))
+  }
+
   test("LSH text index: deleted docs stop matching on serve and write paths") {
     val docs = Tables.documents(spark, sf)
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
