@@ -559,6 +559,60 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
+  /** Joint image+text PAIR dedup — the survivor decision for an
+    * image-text pair corpus (the dominant multimodal training input),
+    * where each pair id carries a caption (the document text) and an
+    * image (the encoded pixels): a pair survives ONLY when BOTH tiers
+    * keep it. The per-modality decisions are the standalone declared
+    * ones — the image tier's banded-phash min-lower-id dedup
+    * ([[phashDedup]]) and the text tier's exact-Jaccard min-lower-id
+    * contract ([[Dedup.ngramJaccardPairs]], the stream_neardup_dedup
+    * rule) — joined on the pair id, so this decision can never drift from
+    * the single-modality queries. A caption duplicated under a fresh
+    * image, or an image reposted under a fresh caption, both still drop:
+    * the standard both-modality strictness for paired corpora.
+    *
+    * Shape at scale: two bucketed pair scans (never n²) + one equi-join
+    * on the pair id; the decision columns are the same aggregates the
+    * standalone dedups emit. */
+  def pairDedup(s: SparkSession, dir: String): DataFrame = {
+    val img = phashDedup(s, dir)
+      .select(col("media_id").as("pair_id"),
+        col("keeper").as("image_keeper"), col("is_dup").as("image_is_dup"))
+    val txtDup = Dedup.ngramJaccardPairs(graft.Tables.documents(s, dir))
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("text_dup_of"))
+    val txt = graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("pair_id"))
+      .join(txtDup, col("pair_id") === col("doc_b"), "left")
+      .select(col("pair_id"),
+        coalesce(col("text_dup_of"), col("pair_id")).as("text_keeper"),
+        col("text_dup_of").isNotNull.cast("long").as("text_is_dup"))
+    img.join(txt, "pair_id")
+      .select(col("pair_id"), col("image_keeper"), col("image_is_dup"),
+        col("text_keeper"), col("text_is_dup"),
+        ((col("image_is_dup") === 0) && (col("text_is_dup") === 0))
+          .cast("long").as("keep_pair"))
+      .orderBy(col("pair_id"))
+  }
+
+  /** Cross-modality A/V near-dup — the last cell of the modality matrix:
+    * clip pairs whose AUDIO fingerprints sit within the hamming radius
+    * AND whose VIDEO timelines agree on ≥ [[VideoVoteMin]] aligned
+    * frames. Re-encoded copies match on both tracks; a re-dubbed video or
+    * a re-scored audio track matches on one only and drops out — the
+    * joint evidence an AV dedup queue reviews. Both pair streams are the
+    * standalone banded joins (bucketed, never n²); the combination is one
+    * equi-join on the (lower, higher) id pair. */
+  def videoAudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val audio = phashPairsOn(audioHashTable(s, dir))
+      .select(col("id_a"), col("id_b"), col("hamming").as("audio_hamming"))
+    val video = votedPairs(videoHashTable(s, dir))
+      .select(col("id_a"), col("id_b"), col("n_frames_match"),
+        col("sum_hamming").as("video_sum_hamming"))
+    audio.join(video, Seq("id_a", "id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Shared band/salt/candidate-pair oracle suffix over a CTE named
     * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
     * oracle (image AND audio) so the band/salt replay cannot drift (the
@@ -838,6 +892,46 @@ object Multimodal {
          |      AS n_dups
          |  FROM ids LEFT JOIN dup ON dup.id_b = ids.media_id)
          |ORDER BY modality""".stripMargin),
+    // Joint pair decision: the image dedup's replayed hash+band CTEs next
+    // to the text tier's shared exact-Jaccard CTE (disjoint CTE names),
+    // keep_pair = neither modality marked it duplicate.
+    withOracle("mm_pair_dedup", pairDedup,
+      s"""$phashOracleCtes,
+         |${Dedup.jaccardPairsCte},
+         |imgdup AS (SELECT id_b, MIN(id_a) AS dup_of FROM cand
+         |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b),
+         |txtdup AS (SELECT doc_b, MIN(doc_a) AS dup_of FROM jp GROUP BY doc_b)
+         |SELECT d.doc_id AS pair_id,
+         |  COALESCE(i.dup_of, d.doc_id) AS image_keeper,
+         |  CAST(CASE WHEN i.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS image_is_dup,
+         |  COALESCE(t.dup_of, d.doc_id) AS text_keeper,
+         |  CAST(CASE WHEN t.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS text_is_dup,
+         |  CAST(CASE WHEN i.dup_of IS NULL AND t.dup_of IS NULL
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep_pair
+         |FROM documents d
+         |LEFT JOIN imgdup i ON i.id_b = d.doc_id
+         |LEFT JOIN txtdup t ON t.doc_b = d.doc_id
+         |ORDER BY pair_id""".stripMargin),
+    // Cross-modality AV join: each side's standalone oracle scoped in a
+    // subquery-WITH (the mm_dedup_funnel convention — CTE names collide
+    // across the two prefixes), joined on the id pair.
+    withOracle("mm_video_audio_neardup", videoAudioNearDup,
+      s"""SELECT a.id_a, a.id_b, a.audio_hamming, v.n_frames_match,
+         |  v.video_sum_hamming
+         |FROM (
+         |  $audioHashOracleCtes
+         |  SELECT id_a, id_b,
+         |    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS audio_hamming
+         |  FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming) a
+         |JOIN (
+         |  $videoHashOracleCtes
+         |  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames_match,
+         |    CAST(SUM(hamming) AS BIGINT) AS video_sum_hamming
+         |  FROM fp GROUP BY 1, 2 HAVING COUNT(*) >= $VideoVoteMin) v
+         |ON a.id_a = v.id_a AND a.id_b = v.id_b
+         |ORDER BY a.id_a, a.id_b""".stripMargin),
     // Video: frame-vote aggregation over the per-frame qualifying pairs.
     withOracle("mm_video_neardup", videoNearDup,
       s"""$videoHashOracleCtes

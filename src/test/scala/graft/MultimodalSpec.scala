@@ -230,4 +230,35 @@ class MultimodalSpec extends SparkSpec {
     // non-dups keep themselves
     dedup.filter(_.getLong(2) == 0L).foreach(r => assert(r.getLong(1) == r.getLong(0)))
   }
+
+  test("pair dedup: keep iff BOTH modalities keep; tiers match standalone dedups") {
+    val rows = Multimodal.pairDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // keep_pair is exactly the conjunction of the two tier decisions
+    rows.foreach { r =>
+      val (imgDup, txtDup, keep) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(keep == (if (imgDup == 0L && txtDup == 0L) 1L else 0L))
+    }
+    // the image tier column IS the standalone image dedup
+    val img = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      assert(img(r.getLong(0)) == (r.getLong(1), r.getLong(2)))
+    }
+    // planted dups exist in both tiers at this SF, so the joint decision
+    // actually drops something (non-vacuous)
+    assert(rows.exists(_.getLong(5) == 0L))
+    assert(rows.exists(_.getLong(5) == 1L))
+  }
+
+  test("video+audio near-dup: exactly the pairs qualifying on BOTH tracks") {
+    val av = Multimodal.videoAudioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audio = Multimodal.audioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val video = Multimodal.videoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(av == audio.intersect(video))
+    assert(av.nonEmpty) // planted text dups match on every track
+  }
 }
