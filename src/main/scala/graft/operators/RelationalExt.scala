@@ -862,28 +862,33 @@ object RelationalExt {
        |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_rate
        |FROM c ORDER BY step""".stripMargin
 
+  /** The gap-filled candle oracle — shared VERBATIM with the streaming
+    * twin (`stream_ohlc_gapfill`), the ohlcOracleSql convention: one SQL
+    * text pinning batch == stream every round. */
+  val ohlcGapfillOracleSql: String =
+    """WITH p AS (
+      |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |oc AS (SELECT bar_ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY bar_ts
+      |      ORDER BY ts DESC, event_id DESC) AS rn_c
+      |  FROM p),
+      |b AS (SELECT bar_ts, CAST(COUNT(*) AS BIGINT) AS n_trades FROM p GROUP BY 1),
+      |c AS (SELECT bar_ts, value AS close FROM oc WHERE rn_c = 1),
+      |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bar_ts
+      |  FROM (SELECT MIN(bar_ts) AS lo, MAX(bar_ts) AS hi FROM b)),
+      |f AS (SELECT s.bar_ts, COALESCE(b.n_trades, 0) AS n_trades, c.close,
+      |    LAST_VALUE(c.close IGNORE NULLS) OVER (ORDER BY s.bar_ts
+      |      ROWS UNBOUNDED PRECEDING) AS close_ff
+      |  FROM spine s LEFT JOIN b USING (bar_ts) LEFT JOIN c USING (bar_ts))
+      |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+      |  CAST(n_trades AS BIGINT) AS n_trades,
+      |  close_ff AS close, close IS NULL AS is_gap
+      |FROM f ORDER BY bar_ts""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
-    withOracle("rel_ohlc_gapfill", ohlcGapfill,
-      """WITH p AS (
-        |  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |oc AS (SELECT bar_ts, value,
-        |    ROW_NUMBER() OVER (PARTITION BY bar_ts
-        |      ORDER BY ts DESC, event_id DESC) AS rn_c
-        |  FROM p),
-        |b AS (SELECT bar_ts, CAST(COUNT(*) AS BIGINT) AS n_trades FROM p GROUP BY 1),
-        |c AS (SELECT bar_ts, value AS close FROM oc WHERE rn_c = 1),
-        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bar_ts
-        |  FROM (SELECT MIN(bar_ts) AS lo, MAX(bar_ts) AS hi FROM b)),
-        |f AS (SELECT s.bar_ts, COALESCE(b.n_trades, 0) AS n_trades, c.close,
-        |    LAST_VALUE(c.close IGNORE NULLS) OVER (ORDER BY s.bar_ts
-        |      ROWS UNBOUNDED PRECEDING) AS close_ff
-        |  FROM spine s LEFT JOIN b USING (bar_ts) LEFT JOIN c USING (bar_ts))
-        |SELECT strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
-        |  CAST(n_trades AS BIGINT) AS n_trades,
-        |  close_ff AS close, close IS NULL AS is_gap
-        |FROM f ORDER BY bar_ts""".stripMargin),
+    withOracle("rel_ohlc_gapfill", ohlcGapfill, ohlcGapfillOracleSql),
     withOracle("rel_sessionize", sessionizeWindow, sessionizeOracleSql),
     withOracle("rel_bar_returns", barReturns,
       """WITH p AS (

@@ -98,6 +98,43 @@ object StreamQueries {
     MicroBatchPipeline.runToResult(s, agg).orderBy(col("bar_ts"))
   }
 
+  /** STREAMING gap-filled candles — the live twin of
+    * [[graft.operators.RelationalExt.ohlcGapfill]]: the per-hour
+    * close/count aggregate runs INSIDE the streaming engine
+    * (watermark-bounded state, the [[ohlcBarsStreamQuery]] aggregates),
+    * and the calendar-spine forward-fill runs over the DRAINED bars — the
+    * right split, because gap rows are a presentation over the closed
+    * bars (a tradeless hour has no event to trigger on; emitting it is
+    * the chart layer's job, here a batch window over the calendar-sized
+    * bar series, the same adjudication as the batch query). The shared
+    * oracle SQL pins stream == batch row-for-row every round. */
+  def ohlcGapfillStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    val trades = MicroBatchPipeline.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+    val agg = trades
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n_trades"))
+      .select(col("window.start").as("bar_ts"), col("close"), col("n_trades"))
+    val bars = MicroBatchPipeline.runToResult(s, agg)
+    val spine = bars.agg(min(col("bar_ts")).as("lo"), max(col("bar_ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("bar_ts"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bar_ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(bars, Seq("bar_ts"), "left")
+      .withColumn("close_ff", last(col("close"), ignoreNulls = true).over(w))
+      .select(date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+        col("close_ff").as("close"),
+        col("close").isNull.as("is_gap"))
+      .orderBy(col("bar_ts"))
+  }
+
   /** STREAMING conversion funnel — the live twin of
     * [[graft.operators.RelationalExt.eventFunnel]]: the per-user state
     * machine ([[MicroBatchPipeline.funnelDepths]], three longs per user)
@@ -342,6 +379,8 @@ object StreamQueries {
          |ORDER BY e.vec_id""".stripMargin),
     withOracle("stream_ohlc_bars", ohlcBarsStreamQuery,
       graft.operators.RelationalExt.ohlcOracleSql),
+    withOracle("stream_ohlc_gapfill", ohlcGapfillStreamQuery,
+      graft.operators.RelationalExt.ohlcGapfillOracleSql),
     withOracle("stream_event_funnel", eventFunnelStreamQuery,
       graft.operators.RelationalExt.funnelOracleSql),
     withOracle("stream_hourly_agg", hourlyAggQuery,
