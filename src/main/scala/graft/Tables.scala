@@ -52,7 +52,15 @@ object Tables {
     * Anything else fails loudly here instead of 30 queries deep. */
   def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType             => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    case _: TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _: TimestampNTZType  =>
+      // The NTZ->TimestampType cast is only value-exact under a UTC session;
+      // a non-UTC consumer would get silently shifted event times. Fail loudly
+      // instead of relying on the entry points' convention.
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz; " +
+          "the NTZ->timestamp cast is only exact under UTC — set the session timezone to UTC")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     case _: TimestampType     => df
     case other => throw new IllegalStateException(
       s"events.ts: unsupported physical type $other — expected Long nanos or a timestamp")

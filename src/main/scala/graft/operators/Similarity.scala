@@ -929,6 +929,16 @@ object Similarity {
     * the clusters query and its diversity-sampling consumer so the two
     * replays cannot drift. The kNN ranking CTEs are the sim_knn_graph
     * oracle's, the recursive component CTE the dedup_groups pattern. */
+  /** The complete sim_semantic_clusters oracle text, shared VERBATIM with
+    * the incremental maintenance query (ClusterIndex): append-then-cluster
+    * == rebuild-then-cluster by construction, so one SQL text replays
+    * both and the two declared queries cannot drift. */
+  private[operators] def semanticClustersOracleSql: String =
+    s"""$clusterOracleCtes
+       |SELECT c.vec_id, c.cluster_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
+
   private def clusterOracleCtes: String =
     s"""${lshPairScoresCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |sym AS (

@@ -34,18 +34,25 @@ object MicroBatchPipeline {
     * (round 10: timestamp[us] micros read as Long then treated as nanos —
     * a 1000x event-time compression that still type-checked). Deriving it
     * from the batch reader makes the two paths share one source of truth.
-    * The one-time footer read is driver-side and O(files-at-start) — at
-    * landing-directory scale the resolved schema would be supplied by the
-    * table catalog instead. */
+    * The one-time footer read is driver-side and O(files-at-start), and
+    * REQUIRES at least one matching file to exist when the stream is
+    * constructed (an empty landing directory fails with Spark's
+    * "Unable to infer schema"). Production landing zones should pass
+    * `schema` explicitly (from the table catalog) — that skips the footer
+    * read entirely, works on an empty directory, and scales to
+    * million-file landing dirs; inference stays as the test/dev fallback. */
   def eventsStreamFrom(spark: SparkSession, dir: String,
       pathGlobFilter: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      schema: Option[StructType] = None): DataFrame = {
     // required to even load the old TIMESTAMP(NANOS) encoding; no-op for micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = pathGlobFilter
-      .foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
-      .parquet(dir)
-    val reader0 = spark.readStream.schema(batch.schema)
+    val resolved = schema.getOrElse {
+      pathGlobFilter
+        .foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
+        .parquet(dir).schema
+    }
+    val reader0 = spark.readStream.schema(resolved)
     val reader = (pathGlobFilter.map(g => ("pathGlobFilter", g)) ++
         maxFilesPerTrigger.map(n => ("maxFilesPerTrigger", n.toString)))
       .foldLeft(reader0)((r, kv) => r.option(kv._1, kv._2))

@@ -61,9 +61,13 @@ class SchemaCanarySpec extends SparkSpec {
 
   test("every table loads with the FIXTURES.md logical schema") {
     for ((table, cols) <- contract) {
-      val df = Tables.load(spark, sf, table)
+      // events must go through Tables.events only: a raw load resolves the
+      // parquet footer eagerly and, under a TIMESTAMP(NANOS) refresh, throws
+      // Spark's opaque 'Illegal Parquet type' before the canary's readable
+      // drift message (unless the legacy nanos conf leaked from another suite).
       val loaded =
-        if (table == "events") Tables.events(spark, sf) else df
+        if (table == "events") Tables.events(spark, sf)
+        else Tables.load(spark, sf, table)
       val got = loaded.schema.map(f => f.name -> normalize(f.dataType))
       assert(got == cols,
         s"$table schema drift:\n  expected ${cols.mkString(", ")}\n  got      ${got.mkString(", ")}\n" +
@@ -117,5 +121,18 @@ class SchemaCanarySpec extends SparkSpec {
     // anything else: loud failure, not a silent mis-read
     val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
     intercept[IllegalStateException](Tables.normalizeEventTs(bad))
+  }
+
+  test("NTZ normalization refuses a non-UTC session instead of shifting times") {
+    import spark.implicits._
+    val ntz = Seq((1L, 1700000000L * 1000000L)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.normalizeEventTs(ntz))
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 }

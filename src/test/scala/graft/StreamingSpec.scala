@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("explicit schema lets the stream start on an EMPTY landing directory") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // inference needs a footer to read, so an empty dir throws...
+    val empty = Files.createTempDirectory("graft_empty_landing")
+    intercept[org.apache.spark.sql.AnalysisException](
+      MicroBatchPipeline.eventsStreamFrom(spark, empty.toString))
+    // ...but a catalog-supplied schema skips the footer read entirely:
+    // construct on the empty dir, land a file, drain, see the rows.
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = MicroBatchPipeline.eventsStreamFrom(
+      spark, empty.toString, schema = Some(schema))
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, empty.resolve("events.parquet"))
+    val drained = MicroBatchPipeline.runToResult(spark, stream, OutputMode.Append())
+    assert(drained.count() == Tables.events(spark, sf).count())
+    assert(drained.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("custom DSv2 streaming source: drain equals the batch read") {
     val streamed = StreamQueries.syntheticSourceStreamQuery(spark, sf).collect()
     val batch = spark.read.format("graft.sources.SyntheticEvents")
