@@ -18,7 +18,8 @@ object SparkEntry {
       operators.TextAnalysis.specs ++ operators.QualityGate.specs ++
       operators.Curation.specs ++
       operators.Dedup.specs ++
-      operators.Similarity.specs ++ operators.EmbeddingOps.specs ++
+      operators.Similarity.specs ++ operators.ClusterIndex.specs ++
+      operators.EmbeddingOps.specs ++
       operators.IvfIndex.specs ++
       operators.PqIndex.specs ++ operators.IvfPqIndex.specs ++
       streaming.StreamQueries.specs ++

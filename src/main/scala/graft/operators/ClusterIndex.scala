@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{MicroBatchPipeline, StreamingDedup}
+
+/** INCREMENTAL maintenance for the mutual-kNN semantic clusters
+  * (Similarity.semanticClusters) — the missing `appendBatch` verb of the
+  * persisted-index family: without it, one new vector re-clusters the
+  * world, which contradicts the build-once/append-forever shape every
+  * other index in the repo follows (IvfIndex postings, StreamingDedup
+  * band slices).
+  *
+  * State is four append-only slice dirs under one root (the b<N> naming
+  * and slice clock shared with StreamingDedup/IndexFiles):
+  *
+  *   - `emb/b<N>`    — the batch's (vec_id, embedding) rows, append-only.
+  *   - `pairs/b<N>`  — NEW scored LSH candidate pairs introduced by batch
+  *                     N (>=1 endpoint in the batch), append-only: the
+  *                     union over slices is exactly the rebuild's pair
+  *                     set, because whichever endpoint arrives later sees
+  *                     the other in the index.
+  *   - `knn/b<N>`    — top-K rows for the vectors whose neighbor lists
+  *                     CHANGED at append N (latest-wins per vec_id).
+  *   - `labels/b<N>` — (vec_id, component) for the vertices RELABELED at
+  *                     append N (latest-wins per vec_id).
+  *
+  * Append cost is bounded by the batch's bucket collisions plus the
+  * touched components — history is scanned (one read per append) but
+  * never re-shuffled on the bucket key, and only components reachable
+  * from a changed mutual edge are re-labeled. Untouched components keep
+  * their labels from earlier slices.
+  *
+  * Equality with the rebuild (the contract ClusterIndexSpec pins, and
+  * why the declared query shares sim_semantic_clusters' oracle text
+  * VERBATIM):
+  *   1. pairs: accumulated slices = all bucket-collision pairs over the
+  *      full corpus (per-bucket population audited under the rebuild's
+  *      salt cap, so salted and plain joins produce the same pair set).
+  *   2. knn: a vector's candidate edge set only grows when a new pair
+  *      touches it; untouched vectors keep identical top-K, touched ones
+  *      re-rank over their FULL (old + new) pair set — the rebuild's
+  *      ranking exactly (deterministic score-desc/nbr-asc order).
+  *   3. mutual: pointwise in the two endpoints' top-K lists, so it can
+  *      only change at an endpoint whose top-K changed.
+  *   4. labels: mutual components are edge-closed, so a component with no
+  *      changed edge has an identical vertex+edge set and keeps its
+  *      min-id label; changed components are re-solved by the shared
+  *      Dedup.componentsOver machinery on exactly their vertex set.
+  */
+object ClusterIndex {
+
+  private def embBase(state: String) = s"$state/emb"
+  private def pairsBase(state: String) = s"$state/pairs"
+  private def knnBase(state: String) = s"$state/knn"
+  private def labelsBase(state: String) = s"$state/labels"
+
+  /** Plain append-only union read (emb/pairs: rows are never superseded). */
+  private def readAll(spark: SparkSession, base: String): DataFrame = {
+    val slices = StreamingDedup.listSlices(spark, base)
+    require(slices.nonEmpty, s"no slices under $base — append before reading")
+    slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Delta-fold read for knn/labels: every row tagged with its slice id,
+    * and per key only the rows of the NEWEST slice holding that key
+    * survive — a touched vector's rewritten top-K (or relabel) fully
+    * supersedes its older rows. One window over the slice union; slices
+    * that fail the b<N> naming fail loudly (the IndexFiles contract). */
+  private def latestWins(spark: SparkSession, base: String,
+      key: String): DataFrame = {
+    val slices = StreamingDedup.listSlices(spark, base)
+    require(slices.nonEmpty, s"no slices under $base — append before reading")
+    val tagged = slices.map { d =>
+      val id = StreamingDedup.sliceBatch(d).getOrElse(
+        throw new IllegalStateException(
+          s"slice dir $d does not follow the b<N> naming — refusing a " +
+            "latest-wins read that would silently mis-order it"))
+      spark.read.parquet(d).withColumn("_slice", lit(id))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(key))
+    tagged.withColumn("_newest", max(col("_slice")).over(w))
+      .filter(col("_slice") === col("_newest"))
+      .drop("_slice", "_newest")
+  }
+
+  /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
+    * so an appended vector lands in exactly the bucket the rebuild puts
+    * it in. */
+  private def bucketsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(Similarity.planeBuckets(col("embedding")))
+        .as(Seq("table_id", "bucket")))
+
+  /** Exact cosine over candidate id pairs, embeddings re-attached by
+    * equi-join (ids-only through the pair machinery — the batch tier's
+    * shuffle-width discipline). */
+  private def scorePairs(ids: DataFrame, emb: DataFrame): DataFrame =
+    ids
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cos(col("emb_a"), col("emb_b")).as("score"))
+
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("score"))
+      .unionAll(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("score")))
+
+  /** Top-K per vector with the rebuild's deterministic tie-break. */
+  private def topKOf(sym: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nbr").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Similarity.KnnK)
+  }
+
+  /** Mutual-kNN edges (u < v) among edges with >=1 endpoint in `verts` —
+    * the OTHER endpoint's membership is checked against the full edge
+    * list, so an untouched neighbor's unchanged top-K participates
+    * without being recomputed. */
+  private def mutualTouching(knn: DataFrame, verts: DataFrame): DataFrame = {
+    val e = knn.select(col("vec_id"), col("nbr"))
+    val et = e.join(verts, Seq("vec_id"), "left_semi")
+      .unionByName(
+        e.join(verts.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("vec_id"), col("nbr")))
+      .distinct()
+    et.filter(col("vec_id") < col("nbr"))
+      .join(e.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")),
+        Seq("vec_id", "nbr"), "left_semi")
+  }
+
+  /** Append one batch of NEW vectors to the cluster state. Re-appending
+    * an existing vec_id is refused loudly — the pair-accumulation
+    * invariant (slice union == rebuild pair set) assumes ids arrive
+    * once; updates are delete-then-append territory, not silent merge. */
+  def appendBatch(batch0: DataFrame, state: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("vec_id"), col("embedding")).persist()
+    val sliceId = StreamingDedup.nextSliceId(spark, embBase(state))
+
+    if (sliceId == 0L) {
+      // first slice: the batch IS the corpus — one rebuild-shaped pass
+      // eager localCheckpoint instead of persist: each of these frames is
+      // re-referenced by several consumers, and Catalyst plans are TREES —
+      // without truncation the nested references blow the analyzed plan up
+      // exponentially (the largeSmallStarComponents precedent, Dedup.scala).
+      val pairs =
+        scorePairs(Similarity.lshCandidatePairs(batch), batch)
+          .localCheckpoint(true)
+      val knn = topKOf(symmetrize(pairs)).localCheckpoint(true)
+      val labels = Dedup.componentsOver(
+        batch.select(col("vec_id")),
+        mutualTouching(knn, batch.select(col("vec_id"))))
+      batch.write.parquet(s"${embBase(state)}/b0")
+      pairs.write.parquet(s"${pairsBase(state)}/b0")
+      knn.write.parquet(s"${knnBase(state)}/b0")
+      labels.write.parquet(s"${labelsBase(state)}/b0")
+      batch.unpersist()
+      return
+    }
+
+    val histEmb = readAll(spark, embBase(state)).persist()
+    require(batch.join(histEmb, Seq("vec_id"), "left_semi").isEmpty,
+      "appendBatch received a vec_id already in the cluster index — " +
+        "re-appends would double-count pairs; delete first, then append")
+
+    // --- candidate pairs introduced by this batch --------------------
+    val histBuckets = bucketsOf(histEmb)
+    val batchBuckets = bucketsOf(batch)
+    // Hot-bucket audit: the rebuild's salted join equals this plain join
+    // only while every (table, bucket) stays under the salt cap. Above
+    // it, fail loudly — the production path is LshSkew salting with a
+    // cap-consistent incremental bucketing, not a silently different
+    // candidate set.
+    val maxBucket = histBuckets.unionByName(batchBuckets)
+      .groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head().getLong(0)
+    require(maxBucket <= Similarity.MaxBucketSize,
+      s"bucket population $maxBucket exceeds the salt cap " +
+        s"${Similarity.MaxBucketSize}: incremental append would diverge " +
+        "from the salted rebuild — re-bucket with a wider geometry")
+    val crossIds = histBuckets
+      .select(col("table_id"), col("bucket"), col("vec_id").as("hist_id"))
+      .join(batchBuckets
+          .select(col("table_id"), col("bucket"), col("vec_id").as("batch_id")),
+        Seq("table_id", "bucket"))
+      .select(least(col("hist_id"), col("batch_id")).as("vec_a"),
+        greatest(col("hist_id"), col("batch_id")).as("vec_b"))
+      .distinct()
+    val newIds =
+      crossIds.unionByName(Similarity.lshCandidatePairs(batch)).distinct()
+    val allEmb = histEmb.unionByName(batch)
+    val newPairs = scorePairs(newIds, allEmb).localCheckpoint(true)
+
+    // --- re-rank exactly the vectors whose top-K can actually change --
+    // Admission filter: a vector that merely GAINED candidates keeps its
+    // top-K untouched unless some new score reaches its current K-th best
+    // (>= — an equal score can still displace through the nbr-asc
+    // tie-break; a strictly smaller one cannot). Without this filter,
+    // bucket collisions alone would mark nearly the whole corpus touched
+    // on every append (128 bucket keys), making "incremental" vacuous;
+    // with it, the touched set tracks genuine neighborhood change — on a
+    // clustered corpus an append only re-ranks the clusters it lands in
+    // (pinned in ClusterIndexSpec).
+    val oldKnn = latestWins(spark, knnBase(state), "vec_id")
+      .localCheckpoint(true)
+    val newBest = symmetrize(newPairs).groupBy(col("vec_id"))
+      .agg(max(col("score")).as("best_new"))
+    val kth = oldKnn.filter(col("rank") === Similarity.KnnK)
+      .select(col("vec_id"), col("score").as("kth_score"))
+    val touched = newBest.join(kth, Seq("vec_id"), "left")
+      .filter(col("kth_score").isNull || col("best_new") >= col("kth_score"))
+      .select(col("vec_id"))
+      .unionByName(batch.select(col("vec_id")))
+      .distinct().localCheckpoint(true)
+    val allPairs = readAll(spark, pairsBase(state)).unionByName(newPairs)
+    val touchedKnn = topKOf(
+      symmetrize(allPairs).join(touched, Seq("vec_id"), "left_semi"))
+      .localCheckpoint(true)
+    val newKnn = oldKnn.join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(touchedKnn).localCheckpoint(true)
+
+    // --- changed mutual edges -> affected components ------------------
+    // Mutuality is pointwise in the endpoints' top-K lists, so only edges
+    // with a touched endpoint can appear or disappear.
+    val mutNew = mutualTouching(newKnn, touched).localCheckpoint(true)
+    val mutOld = mutualTouching(oldKnn, touched).localCheckpoint(true)
+    val changed = mutNew.except(mutOld).unionByName(mutOld.except(mutNew))
+    val frontier = touched
+      .unionByName(changed.select(col("vec_id")))
+      .unionByName(changed.select(col("nbr").as("vec_id")))
+      .distinct()
+    val oldLabels = latestWins(spark, labelsBase(state), "vec_id")
+      .localCheckpoint(true)
+    val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = oldLabels
+      .join(affComponents, Seq("component"), "left_semi")
+      .select(col("vec_id"))
+      .unionByName(batch.select(col("vec_id")))
+      .distinct().localCheckpoint(true)
+
+    // --- relabel ONLY the affected components -------------------------
+    // Mutual components are edge-closed: an unchanged edge keeps both
+    // endpoints in one old component, a changed edge has both endpoints
+    // in the frontier — so no mutual edge crosses the affVerts boundary
+    // and the sub-solve composes exactly with the untouched labels.
+    val subMutual = newKnn.select(col("vec_id"), col("nbr"))
+      .join(affVerts, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") < col("nbr"))
+      .join(newKnn.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")),
+        Seq("vec_id", "nbr"), "left_semi")
+    val newLabels = Dedup.componentsOver(affVerts, subMutual)
+
+    batch.write.parquet(s"${embBase(state)}/b$sliceId")
+    newPairs.write.parquet(s"${pairsBase(state)}/b$sliceId")
+    touchedKnn.write.parquet(s"${knnBase(state)}/b$sliceId")
+    newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
+    batch.unpersist(); histEmb.unpersist()
+  }
+
+  /** The serving read: fold the label deltas, attach cluster sizes —
+    * the same (vec_id, cluster_id, cluster_size) contract as the
+    * rebuild query. */
+  def clusters(spark: SparkSession, state: String): DataFrame = {
+    val labels = latestWins(spark, labelsBase(state), "vec_id")
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("vec_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Declared-query form: the embeddings table arrives as THREE
+    * vec_id-ordered slices appended to one persisted cluster state (the
+    * incrementalEmbeddingDedupQuery convention). Because append-then-
+    * cluster == rebuild-then-cluster, the output is row-identical to
+    * sim_semantic_clusters and shares its oracle SQL verbatim. */
+  def incrementalClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_incclusters_state")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb.filter(col("vec_id") <= cut1), state)
+      appendBatch(emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+        state)
+      appendBatch(emb.filter(col("vec_id") > cut2), state)
+    }
+    clusters(spark, state)
+  }
+
+  import graft.QuerySpec.withOracle
+
+  val specs: Seq[graft.QuerySpec] = Seq(
+    withOracle("sim_clusters_incremental", incrementalClustersQuery,
+      Similarity.semanticClustersOracleSql))
+}
