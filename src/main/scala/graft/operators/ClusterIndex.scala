@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.streaming.{MicroBatchPipeline, StreamingDedup}
 
 /** INCREMENTAL maintenance for the mutual-kNN semantic clusters
-  * (Similarity.semanticClusters) — the missing `appendBatch` verb of the
-  * persisted-index family: without it, one new vector re-clusters the
-  * world, which contradicts the build-once/append-forever shape every
-  * other index in the repo follows (IvfIndex postings, StreamingDedup
-  * band slices).
+  * (Similarity.semanticClusters) — the `appendBatch` and `deleteIds`
+  * verbs of the persisted-index family: without them, one new or
+  * removed vector re-clusters the world, which contradicts the
+  * build-once/maintain-forever shape every other index in the repo
+  * follows (IvfIndex postings, StreamingDedup band slices, IndexFiles
+  * tombstones).
   *
-  * State is four append-only slice dirs under one root (the b<N> naming
-  * and slice clock shared with StreamingDedup/IndexFiles):
+  * State is five slice dirs under one root (the b<N> naming shared with
+  * StreamingDedup/IndexFiles, plus `tombstones/b<N>` for the delete
+  * verb; appends and deletes draw from ONE op clock so latest-wins
+  * folds order the verbs correctly):
   *
   *   - `emb/b<N>`    — the batch's (vec_id, embedding) rows, append-only.
   *   - `pairs/b<N>`  — NEW scored LSH candidate pairs introduced by batch
@@ -56,6 +59,29 @@ object ClusterIndex {
   private def pairsBase(state: String) = s"$state/pairs"
   private def knnBase(state: String) = s"$state/knn"
   private def labelsBase(state: String) = s"$state/labels"
+  private def tombsBase(state: String) = s"$state/tombstones"
+
+  /** One logical clock across BOTH verbs: appends bump `emb`, deletes
+    * bump `tombstones`, and each operation writes its knn/labels deltas
+    * under that id — so latest-wins folds order operations correctly
+    * regardless of how appends and deletes interleave. */
+  private def nextOpId(spark: SparkSession, state: String): Long =
+    Seq(embBase(state), tombsBase(state))
+      .map(StreamingDedup.nextSliceId(spark, _)).max
+
+  /** Every id ever deleted (union of tombstone slices; empty frame if no
+    * delete has run). Deletes here are PERMANENT: appendBatch refuses
+    * re-appends outright, so there is no resurrection path to order
+    * against — which is why a plain union suffices where the serving
+    * indexes need the slice-clock-ordered `IndexFiles.readLive`. */
+  private def deadAll(spark: SparkSession, state: String): DataFrame = {
+    val slices = StreamingDedup.listSlices(spark, tombsBase(state))
+    if (slices.isEmpty) {
+      import spark.implicits._
+      Seq.empty[Long].toDF("vec_id")
+    } else slices.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .select(col("vec_id")).distinct()
+  }
 
   /** Plain append-only union read (emb/pairs: rows are never superseded). */
   private def readAll(spark: SparkSession, base: String): DataFrame = {
@@ -85,6 +111,22 @@ object ClusterIndex {
       .filter(col("_slice") === col("_newest"))
       .drop("_slice", "_newest")
   }
+
+  /** Live top-K state: the latest-wins fold minus dead vectors and minus
+    * the rank-0 SENTINEL rows a delete writes for vectors whose last
+    * candidate died (without the sentinel, latest-wins would resurrect
+    * their stale pre-delete top-K from an older slice). */
+  private def liveKnn(spark: SparkSession, state: String,
+      dead: DataFrame): DataFrame =
+    latestWins(spark, knnBase(state), "vec_id")
+      .filter(col("rank") >= 1L)
+      .join(dead, Seq("vec_id"), "left_anti")
+
+  /** Live labels: latest-wins fold minus dead vectors. */
+  private def liveLabels(spark: SparkSession, state: String,
+      dead: DataFrame): DataFrame =
+    latestWins(spark, labelsBase(state), "vec_id")
+      .join(dead, Seq("vec_id"), "left_anti")
 
   /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
     * so an appended vector lands in exactly the bucket the rebuild puts
@@ -142,7 +184,7 @@ object ClusterIndex {
   def appendBatch(batch0: DataFrame, state: String): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.select(col("vec_id"), col("embedding")).persist()
-    val sliceId = StreamingDedup.nextSliceId(spark, embBase(state))
+    val sliceId = nextOpId(spark, state)
 
     if (sliceId == 0L) {
       // first slice: the batch IS the corpus — one rebuild-shaped pass
@@ -165,10 +207,17 @@ object ClusterIndex {
       return
     }
 
-    val histEmb = readAll(spark, embBase(state)).persist()
-    require(batch.join(histEmb, Seq("vec_id"), "left_semi").isEmpty,
+    val dead = deadAll(spark, state).localCheckpoint(true)
+    // dead vectors are out of the live index: they must not pair with the
+    // batch, rank in anyone's top-K, or re-enter through a re-append
+    // (deletes are permanent here — re-appends are refused outright, so
+    // a tombstoned id stays dead)
+    val histEmb = readAll(spark, embBase(state))
+      .join(dead, Seq("vec_id"), "left_anti").persist()
+    require(batch.join(readAll(spark, embBase(state)),
+        Seq("vec_id"), "left_semi").isEmpty,
       "appendBatch received a vec_id already in the cluster index — " +
-        "re-appends would double-count pairs; delete first, then append")
+        "re-appends would double-count pairs; deletes are permanent")
 
     // --- candidate pairs introduced by this batch --------------------
     val histBuckets = bucketsOf(histEmb)
@@ -208,8 +257,7 @@ object ClusterIndex {
     // with it, the touched set tracks genuine neighborhood change — on a
     // clustered corpus an append only re-ranks the clusters it lands in
     // (pinned in ClusterIndexSpec).
-    val oldKnn = latestWins(spark, knnBase(state), "vec_id")
-      .localCheckpoint(true)
+    val oldKnn = liveKnn(spark, state, dead).localCheckpoint(true)
     val newBest = symmetrize(newPairs).groupBy(col("vec_id"))
       .agg(max(col("score")).as("best_new"))
     val kth = oldKnn.filter(col("rank") === Similarity.KnnK)
@@ -219,7 +267,10 @@ object ClusterIndex {
       .select(col("vec_id"))
       .unionByName(batch.select(col("vec_id")))
       .distinct().localCheckpoint(true)
-    val allPairs = readAll(spark, pairsBase(state)).unionByName(newPairs)
+    val allPairs = readAll(spark, pairsBase(state))
+      .join(dead.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(dead.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+      .unionByName(newPairs)
     val touchedKnn = topKOf(
       symmetrize(allPairs).join(touched, Seq("vec_id"), "left_semi"))
       .localCheckpoint(true)
@@ -236,8 +287,7 @@ object ClusterIndex {
       .unionByName(changed.select(col("vec_id")))
       .unionByName(changed.select(col("nbr").as("vec_id")))
       .distinct()
-    val oldLabels = latestWins(spark, labelsBase(state), "vec_id")
-      .localCheckpoint(true)
+    val oldLabels = liveLabels(spark, state, dead).localCheckpoint(true)
     val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
       .select(col("component")).distinct()
     val affVerts = oldLabels
@@ -265,11 +315,93 @@ object ClusterIndex {
     batch.unpersist(); histEmb.unpersist()
   }
 
+  /** DELETE vectors from the cluster state — the lifecycle verb every
+    * other persisted index already has (IndexFiles tombstones): writes a
+    * tombstone slice on the shared op clock, re-ranks exactly the
+    * vectors that LOSE a top-K neighbor (the delete-side mirror of the
+    * append's admission filter — losing a candidate below one's K-th
+    * best changes nothing), and relabels only the components reachable
+    * from a changed mutual edge. Deleting can SPLIT a component; the
+    * sub-solve handles that because it re-runs connected components on
+    * the affected vertex set, not a merge-only union.
+    *
+    * Contract (pinned in ClusterIndexSpec): delete-then-cluster ==
+    * cluster state built from only the remaining vectors. Deletes are
+    * permanent — appendBatch refuses re-appends, so there is no
+    * resurrection ordering to maintain. */
+  def deleteIds(ids0: DataFrame, state: String): Unit = {
+    val spark = ids0.sparkSession
+    val prevDead = deadAll(spark, state).localCheckpoint(true)
+    val dead = ids0.select(col("vec_id")).distinct()
+      .join(prevDead, Seq("vec_id"), "left_anti")   // replayed delete: no-op ids
+      .localCheckpoint(true)
+    val sliceId = nextOpId(spark, state)
+    dead.coalesce(1).write.mode("overwrite")
+      .parquet(s"${tombsBase(state)}/b$sliceId")
+
+    val oldKnn = liveKnn(spark, state, prevDead).localCheckpoint(true)
+    // the delete-side admission filter: only vectors whose CURRENT top-K
+    // contains a dying neighbor re-rank; everyone else's ranking is
+    // untouched by losing candidates they never ranked
+    val touched = oldKnn
+      .join(dead.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("vec_id")).distinct()
+      .join(dead, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val allDead = prevDead.unionByName(dead).localCheckpoint(true)
+    val livePairs = readAll(spark, pairsBase(state))
+      .join(allDead.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(allDead.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+    val touchedKnn = topKOf(
+      symmetrize(livePairs).join(touched, Seq("vec_id"), "left_semi"))
+      .localCheckpoint(true)
+    // sentinel rows (rank 0) for touched vectors whose LAST candidate
+    // died: without them, latest-wins would resurrect the stale top-K
+    // from an older slice. liveKnn filters them out on read.
+    val sentinels = touched
+      .join(touchedKnn.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1L).as("nbr"),
+        lit(0.0).as("score"), lit(0L).as("rank"))
+    val newKnn = oldKnn
+      .join(dead, Seq("vec_id"), "left_anti")
+      .join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(touchedKnn).localCheckpoint(true)
+
+    // changed mutual edges: every edge at a dead endpoint is lost, and
+    // touched endpoints may gain/lose through their re-ranked lists
+    val frontier0 = touched.unionByName(dead).distinct().localCheckpoint(true)
+    val mutNew = mutualTouching(newKnn, frontier0).localCheckpoint(true)
+    val mutOld = mutualTouching(oldKnn, frontier0).localCheckpoint(true)
+    val changed = mutNew.except(mutOld).unionByName(mutOld.except(mutNew))
+    val frontier = frontier0
+      .unionByName(changed.select(col("vec_id")))
+      .unionByName(changed.select(col("nbr").as("vec_id")))
+      .distinct()
+    val oldLabels = liveLabels(spark, state, prevDead).localCheckpoint(true)
+    val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
+      .select(col("component")).distinct()
+    val affVerts = oldLabels
+      .join(affComponents, Seq("component"), "left_semi")
+      .select(col("vec_id"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val subMutual = newKnn.select(col("vec_id"), col("nbr"))
+      .join(affVerts, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") < col("nbr"))
+      .join(newKnn.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")),
+        Seq("vec_id", "nbr"), "left_semi")
+    val newLabels = Dedup.componentsOver(affVerts, subMutual)
+
+    touchedKnn.unionByName(sentinels)
+      .write.parquet(s"${knnBase(state)}/b$sliceId")
+    newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
+  }
+
   /** The serving read: fold the label deltas, attach cluster sizes —
     * the same (vec_id, cluster_id, cluster_size) contract as the
     * rebuild query. */
   def clusters(spark: SparkSession, state: String): DataFrame = {
-    val labels = latestWins(spark, labelsBase(state), "vec_id")
+    val labels = liveLabels(spark, state, deadAll(spark, state))
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
@@ -298,9 +430,41 @@ object ClusterIndex {
     clusters(spark, state)
   }
 
+  /** Declared-query form of the DELETE verb: two id-ordered appends,
+    * then every vec_id ≡ 3 (mod 7) deleted. Delete-then-cluster equals
+    * a rebuild over only the survivors, so the oracle is the rebuild
+    * oracle with the corpus CTE filtered to the survivors — deletion as
+    * real state maintenance, replayed by a plain SQL predicate. */
+  def deletedClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_delclusters_state")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb.filter(col("vec_id") <= cut), state)
+      appendBatch(emb.filter(col("vec_id") > cut), state)
+      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        state)
+    }
+    clusters(spark, state)
+  }
+
+  /** The rebuild oracle over the post-delete corpus: every `embeddings`
+    * reference (always the table — the column is singular) swapped for a
+    * `live_emb` CTE filtered by the delete predicate. */
+  private def deletedOracleSql: String =
+    Similarity.semanticClustersOracleSql
+      .replace("embeddings", "live_emb")
+      .replaceFirst("WITH RECURSIVE ",
+        "WITH RECURSIVE live_emb AS " +
+          "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3),\n")
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[graft.QuerySpec] = Seq(
     withOracle("sim_clusters_incremental", incrementalClustersQuery,
-      Similarity.semanticClustersOracleSql))
+      Similarity.semanticClustersOracleSql),
+    withOracle("sim_clusters_deleted", deletedClustersQuery,
+      deletedOracleSql))
 }

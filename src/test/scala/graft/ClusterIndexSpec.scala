@@ -72,6 +72,80 @@ class ClusterIndexSpec extends SparkSpec {
       .agg(max(col("cluster_size"))).head().getLong(0) == 12L)
   }
 
+  test("delete-then-cluster equals a build from only the survivors") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    // deleted path: append in two slices, then tombstone the subset
+    val delState = TempDirs.scoped("graft_delclusters_spec")
+    // survivor-only path: one append of exactly the remaining vectors
+    // (== the rebuild, by the append-equality pin above)
+    val refState = TempDirs.scoped("graft_refclusters_spec")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= top / 2), delState)
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") > top / 2), delState)
+      ClusterIndex.deleteIds(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), delState)
+      ClusterIndex.appendBatch(survivors, refState)
+    }
+    val deleted = ClusterIndex.clusters(spark, delState)
+      .collect().map(_.toString).toSeq
+    val rebuilt = ClusterIndex.clusters(spark, refState)
+      .collect().map(_.toString).toSeq
+    assert(deleted == rebuilt)
+  }
+
+  test("deleting members of one cluster relabels only that cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(operators.Similarity.Dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def member(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val bases = Array.fill(10)(unit())
+    val corpus = (0 until 80).map(i => (i.toLong, member(bases(i / 8))))
+      .toDF("vec_id", "embedding")
+    val state = TempDirs.scoped("graft_delclusters_local")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(corpus, state)
+      // two members of cluster 0 (ids 0 and 1) die
+      ClusterIndex.deleteIds(Seq(0L, 1L).toDF("vec_id"), state)
+    }
+    // the delete's relabel delta stays inside cluster 0
+    val relabeled = spark.read.parquet(s"$state/labels/b1")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(relabeled.forall(_ < 8),
+      s"delete relabeled vectors outside cluster 0: $relabeled")
+    val folded = ClusterIndex.clusters(spark, state)
+    assert(folded.filter(col("vec_id") < 2L).count() == 0)
+    assert(folded.count() == 78)
+    assert(folded.filter(col("vec_id") === 2L)
+      .head().getLong(2) == 6L)   // cluster 0 shrank 8 -> 6
+  }
+
+  test("a vector whose every candidate died becomes a live singleton") {
+    import spark.implicits._
+    // two near-identical vectors: the pair set is exactly {(0,1)}
+    val v = Array.fill(operators.Similarity.Dim)(0.1f)
+    val corpus = Seq((0L, v), (1L, v.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    val state = TempDirs.scoped("graft_delclusters_sentinel")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(corpus, state)
+      ClusterIndex.deleteIds(Seq(1L).toDF("vec_id"), state)
+    }
+    // survivor 0 lost its only neighbor: the sentinel row must stop
+    // latest-wins from resurrecting the stale (0 -> 1) edge, and the
+    // folded clusters must show 0 as a singleton
+    val out = ClusterIndex.clusters(spark, state).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.head.getLong(2) == 1L)
+  }
+
   test("re-appending an existing vec_id is refused loudly") {
     val state = TempDirs.scoped("graft_incclusters_reappend")
     val emb = Tables.embeddings(spark, sf)
