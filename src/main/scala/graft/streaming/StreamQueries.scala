@@ -370,7 +370,7 @@ object StreamQueries {
     // slices into one index with a compaction between — monotone split =>
     // min-lower-id, so the stream_embedding_dedup oracle applies.
     withOracle("embedding_incremental_dedup",
-      StreamingDedup.incrementalEmbeddingDedupQuery,
+      (s, d) => StreamingDedup.incrementalEmbeddingDedupQuery(s, d),
       s"""${graft.operators.Similarity.lshPairScoresCtes}
          |SELECT e.vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps

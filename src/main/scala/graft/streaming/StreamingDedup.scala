@@ -672,7 +672,8 @@ object StreamingDedup {
     * slice split makes first-seen-wins coincide with the batch tier's
     * min-lower-id contract, so dedup_embedding's exact-cosine SQL oracle
     * applies unchanged. */
-  def incrementalEmbeddingDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalEmbeddingDedupQuery(spark: SparkSession, dir: String,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val state = graft.TempDirs.scoped("graft_incededup_state")
     val out = graft.TempDirs.scoped("graft_incededup_out")
     val emb = graft.Tables.embeddings(spark, dir)
@@ -680,11 +681,14 @@ object StreamingDedup {
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val (cut1, cut2) = (top / 3, 2 * top / 3)
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendEmbeddingBatch(emb.filter(col("vec_id") <= cut1), state, out)
+      appendEmbeddingBatch(emb.filter(col("vec_id") <= cut1), state, out,
+        bucketCap = bucketCap)
       appendEmbeddingBatch(
-        emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), state, out)
+        emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), state, out,
+        bucketCap = bucketCap)
       compactState(spark, state, 1)
-      appendEmbeddingBatch(emb.filter(col("vec_id") > cut2), state, out)
+      appendEmbeddingBatch(emb.filter(col("vec_id") > cut2), state, out,
+        bucketCap = bucketCap)
     }
     survivors(spark, out).select(col("vec_id")).orderBy(col("vec_id"))
   }
