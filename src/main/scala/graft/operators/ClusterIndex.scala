@@ -74,8 +74,14 @@ object ClusterIndex {
     * re-appends outright, so there is no resurrection path to order
     * against — which is why a plain union suffices where the serving
     * indexes need the slice-clock-ordered `IndexFiles.readLive`. */
-  private def deadAll(spark: SparkSession, state: String): DataFrame = {
-    val slices = StreamingDedup.listSlices(spark, tombsBase(state))
+  private def deadAll(spark: SparkSession, state: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val slices0 = StreamingDedup.listSlices(spark, tombsBase(state))
+    val slices = asOf match {
+      case None => slices0
+      case Some(snap) =>
+        slices0.filter(d => StreamingDedup.sliceBatch(d).exists(_ <= snap))
+    }
     if (slices.isEmpty) {
       import spark.implicits._
       Seq.empty[Long].toDF("vec_id")
@@ -94,10 +100,17 @@ object ClusterIndex {
     * and per key only the rows of the NEWEST slice holding that key
     * survive — a touched vector's rewritten top-K (or relabel) fully
     * supersedes its older rows. One window over the slice union; slices
-    * that fail the b<N> naming fail loudly (the IndexFiles contract). */
+    * that fail the b<N> naming fail loudly (the IndexFiles contract).
+    * `asOf` restricts the fold to ops <= the snapshot — time travel by
+    * ignoring newer deltas, the `IndexFiles.readLive(asOf)` convention. */
   private def latestWins(spark: SparkSession, base: String,
-      key: String): DataFrame = {
-    val slices = StreamingDedup.listSlices(spark, base)
+      key: String, asOf: Option[Long] = None): DataFrame = {
+    val slices0 = StreamingDedup.listSlices(spark, base)
+    val slices = asOf match {
+      case None => slices0
+      case Some(snap) =>
+        slices0.filter(d => StreamingDedup.sliceBatch(d).exists(_ <= snap))
+    }
     require(slices.nonEmpty, s"no slices under $base — append before reading")
     val tagged = slices.map { d =>
       val id = StreamingDedup.sliceBatch(d).getOrElse(
@@ -124,8 +137,8 @@ object ClusterIndex {
 
   /** Live labels: latest-wins fold minus dead vectors. */
   private def liveLabels(spark: SparkSession, state: String,
-      dead: DataFrame): DataFrame =
-    latestWins(spark, labelsBase(state), "vec_id")
+      dead: DataFrame, asOf: Option[Long] = None): DataFrame =
+    latestWins(spark, labelsBase(state), "vec_id", asOf)
       .join(dead, Seq("vec_id"), "left_anti")
 
   /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
@@ -400,8 +413,9 @@ object ClusterIndex {
   /** The serving read: fold the label deltas, attach cluster sizes —
     * the same (vec_id, cluster_id, cluster_size) contract as the
     * rebuild query. */
-  def clusters(spark: SparkSession, state: String): DataFrame = {
-    val labels = liveLabels(spark, state, deadAll(spark, state))
+  def clusters(spark: SparkSession, state: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val labels = liveLabels(spark, state, deadAll(spark, state, asOf), asOf)
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
@@ -450,15 +464,37 @@ object ClusterIndex {
     clusters(spark, state)
   }
 
-  /** The rebuild oracle over the post-delete corpus: every `embeddings`
+  /** The rebuild oracle over a restricted corpus: every `embeddings`
     * reference (always the table — the column is singular) swapped for a
-    * `live_emb` CTE filtered by the delete predicate. */
-  private def deletedOracleSql: String =
+    * `live_emb` CTE carrying the restriction predicate. */
+  private def restrictedOracleSql(predicate: String): String =
     Similarity.semanticClustersOracleSql
       .replace("embeddings", "live_emb")
       .replaceFirst("WITH RECURSIVE ",
         "WITH RECURSIVE live_emb AS " +
-          "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3),\n")
+          s"(SELECT * FROM embeddings WHERE $predicate),\n")
+
+  /** AS-OF snapshot serving — the time-travel verb of the index family
+    * (`sim_topk_ivf_asof` / `dedup_serve_asof` precedent): two appends
+    * and a delete run against the state, then the clusters are read AT
+    * op 0 — the later append AND the later delete must both be
+    * invisible. A snapshot at op 0 is definitionally the cluster state
+    * of the first batch alone, so the oracle is the rebuild SQL over
+    * exactly that batch (the id cut replayed as a scalar subquery). */
+  def asofClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_asofclusters_state")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb.filter(col("vec_id") <= cut), state)          // op 0
+      appendBatch(emb.filter(col("vec_id") > cut), state)           // op 1
+      deleteIds(emb.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id")), state)                              // op 2
+    }
+    clusters(spark, state, asOf = Some(0L))
+  }
 
   import graft.QuerySpec.withOracle
 
@@ -466,5 +502,8 @@ object ClusterIndex {
     withOracle("sim_clusters_incremental", incrementalClustersQuery,
       Similarity.semanticClustersOracleSql),
     withOracle("sim_clusters_deleted", deletedClustersQuery,
-      deletedOracleSql))
+      restrictedOracleSql("vec_id % 7 <> 3")),
+    withOracle("sim_clusters_asof", asofClustersQuery,
+      restrictedOracleSql(
+        "vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)")))
 }

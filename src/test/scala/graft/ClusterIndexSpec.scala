@@ -146,6 +146,33 @@ class ClusterIndexSpec extends SparkSpec {
     assert(out.head.getLong(2) == 1L)
   }
 
+  test("as-of snapshot ignores the later append AND the later delete") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    val state = TempDirs.scoped("graft_asofclusters_spec")
+    val refState = TempDirs.scoped("graft_asofref_spec")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= cut), state)
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") > cut), state)
+      ClusterIndex.deleteIds(
+        emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), state)
+      // reference: an index that never saw the later operations
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= cut), refState)
+    }
+    val snap = ClusterIndex.clusters(spark, state, asOf = Some(0L))
+      .collect().map(_.toString).toSeq
+    val ref = ClusterIndex.clusters(spark, refState)
+      .collect().map(_.toString).toSeq
+    assert(snap == ref)
+    // non-vacuous: the live read differs from the snapshot (vectors were
+    // appended and deleted after it)
+    val live = ClusterIndex.clusters(spark, state)
+      .collect().map(_.toString).toSeq
+    assert(live != snap)
+  }
+
   test("re-appending an existing vec_id is refused loudly") {
     val state = TempDirs.scoped("graft_incclusters_reappend")
     val emb = Tables.embeddings(spark, sf)
