@@ -208,7 +208,7 @@ object ClusterIndex {
       val pairs =
         scorePairs(Similarity.lshCandidatePairs(batch), batch)
           .localCheckpoint(true)
-      val knn = topKOf(symmetrize(pairs)).localCheckpoint(true)
+      val knn = topKOf(symmetrize(pairs))
       val labels = Dedup.componentsOver(
         batch.select(col("vec_id")),
         mutualTouching(knn, batch.select(col("vec_id"))))
@@ -255,8 +255,11 @@ object ClusterIndex {
       .select(least(col("hist_id"), col("batch_id")).as("vec_a"),
         greatest(col("hist_id"), col("batch_id")).as("vec_b"))
       .distinct()
+    // no outer distinct: crossIds (>=1 endpoint in history) and the
+    // batch-internal pairs are DISJOINT sets, each already distinct —
+    // a redundant distinct here would be the widest shuffle of the append
     val newIds =
-      crossIds.unionByName(Similarity.lshCandidatePairs(batch)).distinct()
+      crossIds.unionByName(Similarity.lshCandidatePairs(batch))
     val allEmb = histEmb.unionByName(batch)
     val newPairs = scorePairs(newIds, allEmb).localCheckpoint(true)
 
@@ -270,7 +273,11 @@ object ClusterIndex {
     // with it, the touched set tracks genuine neighborhood change — on a
     // clustered corpus an append only re-ranks the clusters it lands in
     // (pinned in ClusterIndexSpec).
-    val oldKnn = liveKnn(spark, state, dead).localCheckpoint(true)
+    // oldKnn/oldLabels stay un-checkpointed: their trees are shallow
+    // (parquet scan + one window), so the handful of re-references cost
+    // nothing, and every elided eager checkpoint is one less Spark job —
+    // the general append path is job-count-bound at small batch sizes.
+    val oldKnn = liveKnn(spark, state, dead)
     val newBest = symmetrize(newPairs).groupBy(col("vec_id"))
       .agg(max(col("score")).as("best_new"))
     val kth = oldKnn.filter(col("rank") === Similarity.KnnK)
@@ -288,19 +295,22 @@ object ClusterIndex {
       symmetrize(allPairs).join(touched, Seq("vec_id"), "left_semi"))
       .localCheckpoint(true)
     val newKnn = oldKnn.join(touched, Seq("vec_id"), "left_anti")
-      .unionByName(touchedKnn).localCheckpoint(true)
+      .unionByName(touchedKnn)
 
     // --- changed mutual edges -> affected components ------------------
     // Mutuality is pointwise in the endpoints' top-K lists, so only edges
-    // with a touched endpoint can appear or disappear.
-    val mutNew = mutualTouching(newKnn, touched).localCheckpoint(true)
-    val mutOld = mutualTouching(oldKnn, touched).localCheckpoint(true)
-    val changed = mutNew.except(mutOld).unionByName(mutOld.except(mutNew))
+    // with a touched endpoint can appear or disappear. The frontier needs
+    // NO old-graph diff: a REMOVED mutual edge was mutual before, so its
+    // endpoints share an old component with the touched endpoint that
+    // broke it — already reachable through affComponents — while an ADDED
+    // edge can pull in an untouched endpoint's component, so only the NEW
+    // mutual edges incident to touched vertices extend the frontier.
+    val mutNew = mutualTouching(newKnn, touched)
     val frontier = touched
-      .unionByName(changed.select(col("vec_id")))
-      .unionByName(changed.select(col("nbr").as("vec_id")))
+      .unionByName(mutNew.select(col("vec_id")))
+      .unionByName(mutNew.select(col("nbr").as("vec_id")))
       .distinct()
-    val oldLabels = liveLabels(spark, state, dead).localCheckpoint(true)
+    val oldLabels = liveLabels(spark, state, dead)
     val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
       .select(col("component")).distinct()
     val affVerts = oldLabels
@@ -344,7 +354,7 @@ object ClusterIndex {
     * resurrection ordering to maintain. */
   def deleteIds(ids0: DataFrame, state: String): Unit = {
     val spark = ids0.sparkSession
-    val prevDead = deadAll(spark, state).localCheckpoint(true)
+    val prevDead = deadAll(spark, state)
     val dead = ids0.select(col("vec_id")).distinct()
       .join(prevDead, Seq("vec_id"), "left_anti")   // replayed delete: no-op ids
       .localCheckpoint(true)
@@ -352,7 +362,7 @@ object ClusterIndex {
     dead.coalesce(1).write.mode("overwrite")
       .parquet(s"${tombsBase(state)}/b$sliceId")
 
-    val oldKnn = liveKnn(spark, state, prevDead).localCheckpoint(true)
+    val oldKnn = liveKnn(spark, state, prevDead)
     // the delete-side admission filter: only vectors whose CURRENT top-K
     // contains a dying neighbor re-rank; everyone else's ranking is
     // untouched by losing candidates they never ranked
@@ -361,7 +371,7 @@ object ClusterIndex {
       .select(col("vec_id")).distinct()
       .join(dead, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    val allDead = prevDead.unionByName(dead).localCheckpoint(true)
+    val allDead = prevDead.unionByName(dead)
     val livePairs = readAll(spark, pairsBase(state))
       .join(allDead.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
       .join(allDead.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
@@ -378,19 +388,21 @@ object ClusterIndex {
     val newKnn = oldKnn
       .join(dead, Seq("vec_id"), "left_anti")
       .join(touched, Seq("vec_id"), "left_anti")
-      .unionByName(touchedKnn).localCheckpoint(true)
+      .unionByName(touchedKnn)
 
     // changed mutual edges: every edge at a dead endpoint is lost, and
-    // touched endpoints may gain/lose through their re-ranked lists
-    val frontier0 = touched.unionByName(dead).distinct().localCheckpoint(true)
-    val mutNew = mutualTouching(newKnn, frontier0).localCheckpoint(true)
-    val mutOld = mutualTouching(oldKnn, frontier0).localCheckpoint(true)
-    val changed = mutNew.except(mutOld).unionByName(mutOld.except(mutNew))
+    // touched endpoints may gain/lose through their re-ranked lists. As
+    // in the append path, the frontier needs no old-graph diff — every
+    // LOST edge's endpoints share an old component with the dead or
+    // touched vertex that broke it, so only NEW mutual edges incident to
+    // the re-ranked vertices can extend the frontier.
+    val frontier0 = touched.unionByName(dead).distinct()
+    val mutNew = mutualTouching(newKnn, frontier0)
     val frontier = frontier0
-      .unionByName(changed.select(col("vec_id")))
-      .unionByName(changed.select(col("nbr").as("vec_id")))
+      .unionByName(mutNew.select(col("vec_id")))
+      .unionByName(mutNew.select(col("nbr").as("vec_id")))
       .distinct()
-    val oldLabels = liveLabels(spark, state, prevDead).localCheckpoint(true)
+    val oldLabels = liveLabels(spark, state, prevDead)
     val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
       .select(col("component")).distinct()
     val affVerts = oldLabels
