@@ -141,6 +141,21 @@ object ClusterIndex {
     latestWins(spark, labelsBase(state), "vec_id", asOf)
       .join(dead, Seq("vec_id"), "left_anti")
 
+
+  /** Free a localCheckpoint's executor-storage blocks NOW. Checkpointed
+    * frames otherwise hold their blocks until the RDD is GC'd — in a
+    * long session (the bench suite, a resident service) that residue
+    * taxes every later query's memory headroom. Called at verb end on
+    * every frame the verb checkpointed; safe on anything (non-LogicalRDD
+    * plans are left alone). */
+  private def freeCheckpoints(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
     * so an appended vector lands in exactly the bucket the rebuild puts
     * it in. */
@@ -217,6 +232,7 @@ object ClusterIndex {
       knn.write.parquet(s"${knnBase(state)}/b0")
       labels.write.parquet(s"${labelsBase(state)}/b0")
       batch.unpersist()
+      freeCheckpoints(pairs)
       return
     }
 
@@ -336,6 +352,7 @@ object ClusterIndex {
     touchedKnn.write.parquet(s"${knnBase(state)}/b$sliceId")
     newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
     batch.unpersist(); histEmb.unpersist()
+    freeCheckpoints(dead, newPairs, touched, touchedKnn, affVerts)
   }
 
   /** DELETE vectors from the cluster state — the lifecycle verb every
@@ -420,6 +437,7 @@ object ClusterIndex {
     touchedKnn.unionByName(sentinels)
       .write.parquet(s"${knnBase(state)}/b$sliceId")
     newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
+    freeCheckpoints(dead, touched, touchedKnn, affVerts)
   }
 
   /** The serving read: fold the label deltas, attach cluster sizes —
@@ -508,9 +526,55 @@ object ClusterIndex {
     clusters(spark, state, asOf = Some(0L))
   }
 
+  /** One-row lifecycle readout of the cluster state (the
+    * `sim_index_stats`/`dedup_compaction_stats` convention): run the
+    * standard two-append + delete lifecycle, then report slice
+    * accounting plus live-state row counts — the dashboard row an
+    * operator alerts on. Slice counts are facts of the lifecycle run
+    * (2 appends, 1 tombstone); live counts are replayable from the
+    * corpus, so the whole row oracles as literals + filtered counts. */
+  def clusterStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_clstats_state")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb.filter(col("vec_id") <= cut), state)
+      appendBatch(emb.filter(col("vec_id") > cut), state)
+      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        state)
+    }
+    val nAppend = StreamingDedup.listSlices(spark, embBase(state)).size
+    val nTomb = StreamingDedup.listSlices(spark, tombsBase(state)).size
+    val dead = deadAll(spark, state)
+    clusters(spark, state)
+      .agg(count(lit(1)).as("n_live_vectors"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(dead.agg(count(lit(1)).as("n_dead_ids")))
+      .select(lit(nAppend.toLong).as("n_append_slices"),
+        lit(nTomb.toLong).as("n_tombstone_slices"),
+        col("n_live_vectors"), col("n_dead_ids"), col("n_clusters"))
+  }
+
+  /** Stats oracle: slice counts are lifecycle literals; live/dead counts
+    * replay from the corpus; the cluster count replays the full
+    * rebuild-on-survivors component CTEs. */
+  private def statsOracleSql: String =
+    restrictedOracleSql("vec_id % 7 <> 3")
+      .replace("""SELECT c.vec_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster_id)
+ORDER BY vec_id""",
+        """SELECT CAST(2 AS BIGINT) AS n_append_slices,
+  CAST(1 AS BIGINT) AS n_tombstone_slices,
+  (SELECT COUNT(*) FROM live_emb) AS n_live_vectors,
+  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_dead_ids,
+  (SELECT COUNT(DISTINCT cluster_id) FROM comp) AS n_clusters""")
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[graft.QuerySpec] = Seq(
+    withOracle("sim_clusters_stats", clusterStatsQuery, statsOracleSql),
     withOracle("sim_clusters_incremental", incrementalClustersQuery,
       Similarity.semanticClustersOracleSql),
     withOracle("sim_clusters_deleted", deletedClustersQuery,
