@@ -142,20 +142,6 @@ object ClusterIndex {
       .join(dead, Seq("vec_id"), "left_anti")
 
 
-  /** Free a localCheckpoint's executor-storage blocks NOW. Checkpointed
-    * frames otherwise hold their blocks until the RDD is GC'd — in a
-    * long session (the bench suite, a resident service) that residue
-    * taxes every later query's memory headroom. Called at verb end on
-    * every frame the verb checkpointed; safe on anything (non-LogicalRDD
-    * plans are left alone). */
-  private def freeCheckpoints(dfs: DataFrame*): Unit = dfs.foreach { df =>
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-  }
-
   /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
     * so an appended vector lands in exactly the bucket the rebuild puts
     * it in. */
@@ -232,7 +218,7 @@ object ClusterIndex {
       knn.write.parquet(s"${knnBase(state)}/b0")
       labels.write.parquet(s"${labelsBase(state)}/b0")
       batch.unpersist()
-      freeCheckpoints(pairs)
+      PlanUtils.freeLocalCheckpoint(pairs)
       return
     }
 
@@ -352,7 +338,7 @@ object ClusterIndex {
     touchedKnn.write.parquet(s"${knnBase(state)}/b$sliceId")
     newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
     batch.unpersist(); histEmb.unpersist()
-    freeCheckpoints(dead, newPairs, touched, touchedKnn, affVerts)
+    PlanUtils.freeLocalCheckpoint(dead, newPairs, touched, touchedKnn, affVerts)
   }
 
   /** DELETE vectors from the cluster state — the lifecycle verb every
@@ -437,7 +423,7 @@ object ClusterIndex {
     touchedKnn.unionByName(sentinels)
       .write.parquet(s"${knnBase(state)}/b$sliceId")
     newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
-    freeCheckpoints(dead, touched, touchedKnn, affVerts)
+    PlanUtils.freeLocalCheckpoint(dead, touched, touchedKnn, affVerts)
   }
 
   /** The serving read: fold the label deltas, attach cluster sizes —

@@ -529,7 +529,11 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = checksum(next)
+      // unpersist alone leaves the retired round's checkpoint blocks to
+      // GC; free them deterministically (the final round's blocks stay —
+      // the returned frame still reads them)
       edges.unpersist()
+      PlanUtils.freeLocalCheckpoint(edges)
       edges = next
       converged = nextSig == sig
       sig = nextSig
