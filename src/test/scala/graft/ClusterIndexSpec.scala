@@ -173,6 +173,33 @@ class ClusterIndexSpec extends SparkSpec {
     assert(live != snap)
   }
 
+  test("append AFTER delete composes: dead ids pair with nothing") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    val survivorsPlusNew = emb.filter(col("vec_id") % 7 =!= 3)
+    val state = TempDirs.scoped("graft_appendafterdel_spec")
+    val refState = TempDirs.scoped("graft_appendafterdel_ref")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      // op 0: first half; op 1: delete some of it; op 2: append the rest
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= cut), state)
+      ClusterIndex.deleteIds(
+        emb.filter(col("vec_id") <= cut && col("vec_id") % 7 === 3)
+          .select(col("vec_id")), state)
+      ClusterIndex.appendBatch(
+        emb.filter(col("vec_id") > cut && col("vec_id") % 7 =!= 3), state)
+      // reference: one append of exactly the final live set
+      ClusterIndex.appendBatch(survivorsPlusNew.filter(col("vec_id") <= cut)
+        .unionByName(survivorsPlusNew.filter(col("vec_id") > cut)), refState)
+    }
+    val composed = ClusterIndex.clusters(spark, state)
+      .collect().map(_.toString).toSeq
+    val ref = ClusterIndex.clusters(spark, refState)
+      .collect().map(_.toString).toSeq
+    assert(composed == ref)
+  }
+
   test("re-appending an existing vec_id is refused loudly") {
     val state = TempDirs.scoped("graft_incclusters_reappend")
     val emb = Tables.embeddings(spark, sf)
