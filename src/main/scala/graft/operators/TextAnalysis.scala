@@ -193,25 +193,46 @@ object TextAnalysis {
     * still broadcasts at bench scale). */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val (c1, c2, c3) = lmCounts(docs)
+    lmScoreOver(docs, c1, c2, c3)
+  }
+
+  /** The LM's count tables, trained on the md5-selected clean split of
+    * `allDocs` — factored out so the in-stream gate trains ONCE from the
+    * static table and scores each arriving micro-batch against frozen
+    * counts (the stream_decontaminate static-sketch convention). */
+  private[graft] def lmCounts(allDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1)
       .isin(LmTrainHexPrefixes: _*)
-    val base = docs.select(col("doc_id"), col("text"), isTrain.as("is_train"))
+    val train = allDocs.filter(isTrain)
+    val c1 = train.select(explode(tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = train.select(
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+          .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c3 = train.select(
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 3))
+          .as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    (c1, c2, c3)
+  }
+
+  /** Score `scored` docs against frozen count tables — per-doc only, so
+    * ANY partitioning of the corpus into batches yields the same rows
+    * (the batch-boundary invariance the streaming twin relies on). */
+  private[graft] def lmScoreOver(scored: DataFrame, c1: DataFrame,
+      c2: DataFrame, c3: DataFrame): DataFrame = {
     // Bigram occurrences with their unigram context (tokens carry no
     // spaces, so the gram's first space-separated field IS w1).
-    val bi = base.select(col("doc_id"), col("is_train"),
+    val bi = scored.select(col("doc_id"),
         explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
           .as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
-    val tri = base.select(col("doc_id"), col("is_train"),
+    val tri = scored.select(col("doc_id"),
       explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 3))
         .as("g3"))
-    val c2 = bi.filter(col("is_train"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-    val c1 = base.filter(col("is_train"))
-      .select(explode(tokens(col("text"))).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c3 = tri.filter(col("is_train"))
-      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
     val perBi = bi
       .join(c2, Seq("gram"), "left")
       .join(c1, Seq("w1"), "left")
@@ -225,7 +246,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(col("c3").isNotNull.cast("long")).as("n_tri_known"))
-    docs.select(col("doc_id"))
+    scored.select(col("doc_id"))
       .join(perBi, Seq("doc_id"), "left")
       .join(perTri, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -514,7 +535,42 @@ object TextAnalysis {
     s"CASE $whens ELSE 'und' END"
   }
 
-  val specs: Seq[QuerySpec] = Seq(
+  /** The count-LM scorer run IN-STREAM (the streamQualityGateQuery
+    * convention): count tables trained ONCE from the static table's
+    * clean split and persisted; each arriving micro-batch is scored
+    * against the frozen counts and appended to batch-id-keyed overwrite
+    * dirs (idempotent replay). Per-doc scoring against frozen state is
+    * batch-boundary invariant, so the drained output equals the batch
+    * [[lmScore]] row-for-row and shares its oracle text verbatim
+    * (two-micro-batch split pinned in StreamingSpec). */
+  def streamLmScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_slm_out")
+    val ckpt = graft.TempDirs.scoped("graft_slm_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val (c1, c2, c3) = lmCounts(staticDocs)
+    val frozen = Seq(c1, c2, c3).map(_.persist())
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          lmScoreOver(batch.toDF(), frozen(0), frozen(1), frozen(2))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    frozen.foreach(_.unpersist())
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
+  private val baseSpecs: Seq[QuerySpec] = Seq(
     // HUGEINT: DuckDB widens windowed BIGINT sums — cast back for schema
     // parity. The md5 sample order replays bit-for-bat in both engines.
     withOracle("text_domain_mix", domainMix,
@@ -724,4 +780,10 @@ object TextAnalysis {
          |  CAST(SUM(alpha) AS DOUBLE) / SUM(chars) AS alpha_ratio,
          |  CAST(SUM(stops) AS DOUBLE) / SUM(toks) AS stop_ratio
          |FROM b GROUP BY source ORDER BY source""".stripMargin))
+
+  /** The streaming twin carries text_lm_score's oracle text VERBATIM —
+    * fetched from the registered spec, so the two replays cannot drift. */
+  val specs: Seq[QuerySpec] = baseSpecs :+ QuerySpec(
+    "stream_lm_score", streamLmScoreQuery,
+    baseSpecs.find(_.name == "text_lm_score").get.oracle)
 }

@@ -90,6 +90,21 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == Tables.events(spark, sf).count())
   }
 
+  test("LM scoring is batch-boundary invariant (stream_lm_score's contract)") {
+    val docs = Tables.documents(spark, sf)
+    val (c1, c2, c3) = operators.TextAnalysis.lmCounts(docs)
+    // any split of the corpus into micro-batches must reproduce the
+    // whole-corpus scores: per-doc scoring against frozen count tables
+    val split = operators.TextAnalysis
+      .lmScoreOver(docs.filter(col("doc_id") % 2 === 0), c1, c2, c3)
+      .unionByName(operators.TextAnalysis
+        .lmScoreOver(docs.filter(col("doc_id") % 2 === 1), c1, c2, c3))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val whole = operators.TextAnalysis.lmScore(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("explicit schema lets the stream start on an EMPTY landing directory") {
     import org.apache.spark.sql.streaming.OutputMode
     // inference needs a footer to read, so an empty dir throws...
