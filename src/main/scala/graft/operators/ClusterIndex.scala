@@ -111,12 +111,26 @@ object ClusterIndex {
       case Some(snap) =>
         slices0.filter(d => StreamingDedup.sliceBatch(d).exists(_ <= snap))
     }
+    if (slices.isEmpty && slices0.nonEmpty)
+      // every slice <= the snapshot was folded into a later c<N> merge:
+      // the snapshot state no longer exists — refuse loudly (the
+      // dedup_serve_asof compaction-refusal convention)
+      throw new IllegalStateException(
+        s"as-of snapshot ${asOf.get} predates the oldest slice under " +
+          s"$base — compaction folded history past the snapshot; refusing")
     require(slices.nonEmpty, s"no slices under $base — append before reading")
+    latestWinsOver(spark, slices, key)
+  }
+
+  /** The latest-wins fold over an EXPLICIT slice list (shared by the
+    * as-of reads and compaction's materialization). */
+  private def latestWinsOver(spark: SparkSession, slices: Seq[String],
+      key: String): DataFrame = {
     val tagged = slices.map { d =>
       val id = StreamingDedup.sliceBatch(d).getOrElse(
         throw new IllegalStateException(
-          s"slice dir $d does not follow the b<N> naming — refusing a " +
-            "latest-wins read that would silently mis-order it"))
+          s"slice dir $d does not follow the b<N>/c<N> naming — refusing " +
+            "a latest-wins read that would silently mis-order it"))
       spark.read.parquet(d).withColumn("_slice", lit(id))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col(key))
@@ -229,8 +243,10 @@ object ClusterIndex {
     // a tombstoned id stays dead)
     val histEmb = readAll(spark, embBase(state))
       .join(dead, Seq("vec_id"), "left_anti").persist()
-    require(batch.join(readAll(spark, embBase(state)),
-        Seq("vec_id"), "left_semi").isEmpty,
+    // the guard consults emb UNION tombstones: compaction folds dead
+    // rows out of the data slices, but the tombstone record is permanent
+    require(batch.join(readAll(spark, embBase(state)).select(col("vec_id"))
+          .unionByName(dead), Seq("vec_id"), "left_semi").isEmpty,
       "appendBatch received a vec_id already in the cluster index — " +
         "re-appends would double-count pairs; deletes are permanent")
 
@@ -512,7 +528,64 @@ object ClusterIndex {
     clusters(spark, state, asOf = Some(0L))
   }
 
-  /** One-row lifecycle readout of the cluster state (the
+  /** COMPACT the cluster state: fold every slice with op id <=
+    * `upToOp` into one `c<upToOp>` slice per subdir — emb/pairs as
+    * dead-free unions, knn/labels as MATERIALIZED latest-wins folds (so
+    * the superseded rows and the delete sentinels physically disappear),
+    * tombstone slices kept untouched as the permanent delete record the
+    * re-append guard consults. Results are bit-identical before and
+    * after (pinned in ClusterIndexSpec); an as-of read whose snapshot
+    * predates the fold refuses loudly. Crash safety is the shared
+    * [[StreamingDedup.publishCompacted]] dot-dir/rename/cleanup
+    * protocol. */
+  def compactOps(spark: SparkSession, state: String, upToOp: Long): Unit = {
+    val dead = deadAll(spark, state).persist()
+    def mergeInputs(base: String): Seq[String] =
+      StreamingDedup.listSlices(spark, base)
+        .filter(d => StreamingDedup.sliceBatch(d).exists(_ <= upToOp))
+    def publish(base: String, merged: DataFrame, inputs: Seq[String]): Unit =
+      StreamingDedup.publishCompacted(spark, base, upToOp, merged, inputs)(
+        (df, path) => df.write.parquet(path))
+    val embIn = mergeInputs(embBase(state))
+    if (embIn.nonEmpty) publish(embBase(state),
+      embIn.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .join(dead, Seq("vec_id"), "left_anti"), embIn)
+    val pairsIn = mergeInputs(pairsBase(state))
+    if (pairsIn.nonEmpty) publish(pairsBase(state),
+      pairsIn.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .join(dead.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+        .join(dead.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti"),
+      pairsIn)
+    val knnIn = mergeInputs(knnBase(state))
+    if (knnIn.nonEmpty) publish(knnBase(state),
+      latestWinsOver(spark, knnIn, "vec_id")
+        .filter(col("rank") >= 1L)
+        .join(dead, Seq("vec_id"), "left_anti"), knnIn)
+    val labelsIn = mergeInputs(labelsBase(state))
+    if (labelsIn.nonEmpty) publish(labelsBase(state),
+      latestWinsOver(spark, labelsIn, "vec_id")
+        .join(dead, Seq("vec_id"), "left_anti"), labelsIn)
+    dead.unpersist()
+  }
+
+  /** Declared-query form of the COMPACTION verb: append, delete, fold
+    * everything into one c-slice per subdir, serve. Compaction is
+    * result-invariant, so the output equals [[deletedClustersQuery]]
+    * exactly and the oracle is the same rebuild-on-survivors SQL. */
+  def compactedClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_cptclusters_state")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb, state)                                         // op 0
+      deleteIds(emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")), state)                                // op 1
+      compactOps(spark, state, 1L)
+    }
+    clusters(spark, state)
+  }
+
+/** One-row lifecycle readout of the cluster state (the
     * `sim_index_stats`/`dedup_compaction_stats` convention): run the
     * standard two-append + delete lifecycle, then report slice
     * accounting plus live-state row counts — the dashboard row an
@@ -564,6 +637,8 @@ ORDER BY vec_id""",
     withOracle("sim_clusters_incremental", incrementalClustersQuery,
       Similarity.semanticClustersOracleSql),
     withOracle("sim_clusters_deleted", deletedClustersQuery,
+      restrictedOracleSql("vec_id % 7 <> 3")),
+    withOracle("sim_clusters_compacted", compactedClustersQuery,
       restrictedOracleSql("vec_id % 7 <> 3")),
     withOracle("sim_clusters_asof", asofClustersQuery,
       restrictedOracleSql(

@@ -200,6 +200,51 @@ class ClusterIndexSpec extends SparkSpec {
     assert(composed == ref)
   }
 
+  test("compaction is result-invariant, composes with later appends, " +
+      "and guards the as-of and re-append contracts") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    val state = TempDirs.scoped("graft_compact_spec")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= cut), state)
+      ClusterIndex.deleteIds(
+        emb.filter(col("vec_id") <= cut && col("vec_id") % 7 === 3)
+          .select(col("vec_id")), state)
+      val before = ClusterIndex.clusters(spark, state)
+        .collect().map(_.toString).toSeq
+      ClusterIndex.compactOps(spark, state, 1L)
+      // bit-identical results; physically one c-slice per data subdir
+      val after = ClusterIndex.clusters(spark, state)
+        .collect().map(_.toString).toSeq
+      assert(after == before)
+      for (sub <- Seq("emb", "pairs", "knn", "labels")) {
+        val slices = streaming.StreamingDedup.listSlices(spark, s"$state/$sub")
+        assert(slices.map(_.split('/').last) == Seq("c1"), s"$sub: $slices")
+      }
+      // an as-of read whose snapshot predates the fold refuses loudly
+      val e = intercept[IllegalStateException](
+        ClusterIndex.clusters(spark, state, asOf = Some(0L)).collect())
+      assert(e.getMessage.contains("compaction"))
+      // a deleted id stays dead across compaction (tombstone guard)
+      val e2 = intercept[IllegalArgumentException](
+        ClusterIndex.appendBatch(
+          emb.filter(col("vec_id") <= cut && col("vec_id") % 7 === 3)
+            .limit(1), state))
+      assert(e2.getMessage.contains("already in the cluster index"))
+      // appending on top of the compacted state equals the uncompacted path
+      ClusterIndex.appendBatch(
+        emb.filter(col("vec_id") > cut && col("vec_id") % 7 =!= 3), state)
+      val ref = TempDirs.scoped("graft_compact_ref")
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") % 7 =!= 3), ref)
+      assert(ClusterIndex.clusters(spark, state)
+        .collect().map(_.toString).toSeq ==
+        ClusterIndex.clusters(spark, ref)
+          .collect().map(_.toString).toSeq)
+    }
+  }
+
   test("re-appending an existing vec_id is refused loudly") {
     val state = TempDirs.scoped("graft_incclusters_reappend")
     val emb = Tables.embeddings(spark, sf)
