@@ -223,7 +223,10 @@ object ClusterIndex {
       val pairs =
         scorePairs(Similarity.lshCandidatePairs(batch), batch)
           .localCheckpoint(true)
-      val knn = topKOf(symmetrize(pairs))
+      // knn is re-evaluated three times downstream (the write plus both
+      // sides of mutualTouching) — checkpoint once so the rank window
+      // over the scored pairs runs once, not three times.
+      val knn = topKOf(symmetrize(pairs)).localCheckpoint(true)
       val labels = Dedup.componentsOver(
         batch.select(col("vec_id")),
         mutualTouching(knn, batch.select(col("vec_id"))))
@@ -232,7 +235,7 @@ object ClusterIndex {
       knn.write.parquet(s"${knnBase(state)}/b0")
       labels.write.parquet(s"${labelsBase(state)}/b0")
       batch.unpersist()
-      PlanUtils.freeLocalCheckpoint(pairs)
+      PlanUtils.freeLocalCheckpoint(pairs, knn)
       return
     }
 
@@ -243,26 +246,34 @@ object ClusterIndex {
     // a tombstoned id stays dead)
     val histEmb = readAll(spark, embBase(state))
       .join(dead, Seq("vec_id"), "left_anti").persist()
-    // the guard consults emb UNION tombstones: compaction folds dead
-    // rows out of the data slices, but the tombstone record is permanent
-    require(batch.join(readAll(spark, embBase(state)).select(col("vec_id"))
-          .unionByName(dead), Seq("vec_id"), "left_semi").isEmpty,
-      "appendBatch received a vec_id already in the cluster index — " +
-        "re-appends would double-count pairs; deletes are permanent")
-
     // --- candidate pairs introduced by this batch --------------------
     val histBuckets = bucketsOf(histEmb)
     val batchBuckets = bucketsOf(batch)
-    // Hot-bucket audit: the rebuild's salted join equals this plain join
-    // only while every (table, bucket) stays under the salt cap. Above
-    // it, fail loudly — the production path is LshSkew salting with a
-    // cap-consistent incremental bucketing, not a silently different
-    // candidate set.
-    val maxBucket = histBuckets.unionByName(batchBuckets)
-      .groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("m")).head().getLong(0)
-    require(maxBucket <= Similarity.MaxBucketSize,
-      s"bucket population $maxBucket exceeds the salt cap " +
+    // ONE driver action for both guards (they were two separate jobs —
+    // at batch-append job counts the scheduling latency is the cost):
+    //  - re-append guard: emb UNION tombstones must not contain a batch
+    //    id (histEmb is emb minus dead, so histEmb ∪ dead ≡ emb ∪ dead —
+    //    no second slice-union read needed). Compaction folds dead rows
+    //    out of the data slices, but the tombstone record is permanent.
+    //  - hot-bucket audit: the rebuild's salted join equals this plain
+    //    join only while every (table, bucket) stays under the salt cap.
+    //    Above it, fail loudly — the production path is LshSkew salting
+    //    with a cap-consistent incremental bucketing, not a silently
+    //    different candidate set.
+    val audit = (
+      histBuckets.unionByName(batchBuckets)
+        .groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+        .crossJoin(batch.join(
+            histEmb.select(col("vec_id")).unionByName(dead),
+            Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_reappends")))
+        .head())
+    require(audit.getLong(1) == 0L,
+      "appendBatch received a vec_id already in the cluster index — " +
+        "re-appends would double-count pairs; deletes are permanent")
+    require(audit.getLong(0) <= Similarity.MaxBucketSize,
+      s"bucket population ${audit.getLong(0)} exceeds the salt cap " +
         s"${Similarity.MaxBucketSize}: incremental append would diverge " +
         "from the salted rebuild — re-bucket with a wider geometry")
     val crossIds = histBuckets
@@ -291,20 +302,24 @@ object ClusterIndex {
     // with it, the touched set tracks genuine neighborhood change — on a
     // clustered corpus an append only re-ranks the clusters it lands in
     // (pinned in ClusterIndexSpec).
-    // oldKnn/oldLabels stay un-checkpointed: their trees are shallow
-    // (parquet scan + one window), so the handful of re-references cost
-    // nothing, and every elided eager checkpoint is one less Spark job —
-    // the general append path is job-count-bound at small batch sizes.
-    val oldKnn = liveKnn(spark, state, dead)
+    // oldKnn is re-evaluated by kth and newKnn, and newKnn's tree is
+    // re-evaluated ~5x (both sides of mutualTouching, both sides of
+    // subMutual) — each evaluation re-runs the latest-wins window over
+    // the knn slice union. Checkpointing each once costs one job and
+    // removes ~6 redundant window folds; profiled at sf0.1 this cuts the
+    // general append's frontier/relabel phases roughly in half.
+    // oldLabels stays un-checkpointed: two shallow re-references only.
+    val oldKnn = liveKnn(spark, state, dead).localCheckpoint(true)
     val newBest = symmetrize(newPairs).groupBy(col("vec_id"))
       .agg(max(col("score")).as("best_new"))
     val kth = oldKnn.filter(col("rank") === Similarity.KnnK)
       .select(col("vec_id"), col("score").as("kth_score"))
-    val touched = newBest.join(kth, Seq("vec_id"), "left")
+    val touched0 = newBest.join(kth, Seq("vec_id"), "left")
       .filter(col("kth_score").isNull || col("best_new") >= col("kth_score"))
       .select(col("vec_id"))
       .unionByName(batch.select(col("vec_id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    val touched = touched0.localCheckpoint(true)
     val allPairs = readAll(spark, pairsBase(state))
       .join(dead.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
       .join(dead.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
@@ -313,7 +328,7 @@ object ClusterIndex {
       symmetrize(allPairs).join(touched, Seq("vec_id"), "left_semi"))
       .localCheckpoint(true)
     val newKnn = oldKnn.join(touched, Seq("vec_id"), "left_anti")
-      .unionByName(touchedKnn)
+      .unionByName(touchedKnn).localCheckpoint(true)
 
     // --- changed mutual edges -> affected components ------------------
     // Mutuality is pointwise in the endpoints' top-K lists, so only edges
@@ -331,11 +346,12 @@ object ClusterIndex {
     val oldLabels = liveLabels(spark, state, dead)
     val affComponents = oldLabels.join(frontier, Seq("vec_id"), "left_semi")
       .select(col("component")).distinct()
-    val affVerts = oldLabels
+    val affVerts0 = oldLabels
       .join(affComponents, Seq("component"), "left_semi")
       .select(col("vec_id"))
       .unionByName(batch.select(col("vec_id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    val affVerts = affVerts0.localCheckpoint(true)
 
     // --- relabel ONLY the affected components -------------------------
     // Mutual components are edge-closed: an unchanged edge keeps both
@@ -354,7 +370,8 @@ object ClusterIndex {
     touchedKnn.write.parquet(s"${knnBase(state)}/b$sliceId")
     newLabels.write.parquet(s"${labelsBase(state)}/b$sliceId")
     batch.unpersist(); histEmb.unpersist()
-    PlanUtils.freeLocalCheckpoint(dead, newPairs, touched, touchedKnn, affVerts)
+    PlanUtils.freeLocalCheckpoint(dead, newPairs, touched, touchedKnn, affVerts,
+      oldKnn, newKnn)
   }
 
   /** DELETE vectors from the cluster state — the lifecycle verb every
