@@ -602,6 +602,61 @@ object ClusterIndex {
     clusters(spark, state)
   }
 
+  /** Declared query — STREAMING cluster maintenance, completing the
+    * streaming column of the index-family matrix (text LSH:
+    * `stream_text_serve`; IVF: `stream_ivf_index_append`; clusters:
+    * this). The corpus lands as two parquet files in a landing
+    * directory; a checkpointed file stream drains them one file per
+    * micro-batch (`maxFilesPerTrigger=1`), each batch appended to the
+    * persisted cluster state via [[appendBatch]] — so the second batch
+    * exercises the full incremental path (admission filter, frontier,
+    * sub-relabel) under real streaming machinery, not a hand-rolled
+    * loop. Append-then-cluster == rebuild-then-cluster for ANY corpus
+    * partition, so the served clusters share the rebuild oracle
+    * VERBATIM regardless of file arrival order. Exactly-once: the
+    * checkpoint guarantees a committed batch never re-fires, and a
+    * replayed UNCOMMITTED batch trips the re-append guard loudly
+    * instead of double-counting pairs (fail-loud, not fail-wrong; the
+    * overwrite-slice replay pattern of StreamingDedup.appendBatch does
+    * not compose with delta slices that later ops build on). */
+  def streamClusterAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val state = graft.TempDirs.scoped("graft_sclappend_state")
+    val landing = graft.TempDirs.scoped("graft_sclappend_landing")
+    val ckpt = graft.TempDirs.scoped("graft_sclappend_ckpt")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    // two appends into ONE landing dir = two data files (coalesce(1)
+    // each); FileStreamSource ignores the _SUCCESS markers
+    emb.filter(col("vec_id") <= cut)
+      .coalesce(1).write.mode("append").parquet(landing)
+    emb.filter(col("vec_id") > cut)
+      .coalesce(1).write.mode("append").parquet(landing)
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          appendBatch(b.toDF(), state); ()
+        }
+        .start().awaitTermination()
+    }
+    // the claim is streaming MAINTENANCE: if the source ever coalesced
+    // the files into one batch, this would silently degrade to a single
+    // rebuild-shaped op0 — refuse instead of serving a hollow result
+    require(StreamingDedup.listSlices(spark, embBase(state)).size >= 2,
+      "stream_cluster_append drained as a single micro-batch — " +
+        "maxFilesPerTrigger was not honored; the general append path " +
+        "was never exercised")
+    clusters(spark, state)
+  }
+
 /** One-row lifecycle readout of the cluster state (the
     * `sim_index_stats`/`dedup_compaction_stats` convention): run the
     * standard two-append + delete lifecycle, then report slice
@@ -652,6 +707,8 @@ ORDER BY vec_id""",
   val specs: Seq[graft.QuerySpec] = Seq(
     withOracle("sim_clusters_stats", clusterStatsQuery, statsOracleSql),
     withOracle("sim_clusters_incremental", incrementalClustersQuery,
+      Similarity.semanticClustersOracleSql),
+    withOracle("stream_cluster_append", streamClusterAppendQuery,
       Similarity.semanticClustersOracleSql),
     withOracle("sim_clusters_deleted", deletedClustersQuery,
       restrictedOracleSql("vec_id % 7 <> 3")),

@@ -72,6 +72,19 @@ class ClusterIndexSpec extends SparkSpec {
       .agg(max(col("cluster_size"))).head().getLong(0) == 12L)
   }
 
+  test("streaming drain equals the rebuild row for row") {
+    // the declared stream_cluster_append query IS the contract: a real
+    // checkpointed file stream, one file per micro-batch, the second
+    // batch through the general append path — and the served clusters
+    // must equal the batch rebuild exactly (why it shares the rebuild
+    // oracle verbatim)
+    val streamed = ClusterIndex.streamClusterAppendQuery(spark, sf)
+      .collect().map(_.toString).toSeq
+    val rebuild = Similarity.semanticClusters(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == rebuild)
+  }
+
   test("delete-then-cluster equals a build from only the survivors") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
