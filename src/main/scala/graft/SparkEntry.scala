@@ -15,7 +15,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     operators.Relational.specs ++ operators.RelationalExt.specs ++
       pipeline.BpiQueries.specs ++
-      operators.TextAnalysis.specs ++ operators.QualityGate.specs ++
+      operators.TextAnalysis.specs ++ operators.Bpe.specs ++
+      operators.QualityGate.specs ++
       operators.Curation.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++ operators.ClusterIndex.specs ++

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions.tokens
+
+/** Byte-pair-encoding tokenizer TRAINING over the documents table — the
+  * "train the tokenizer on your corpus" step every pretraining pipeline
+  * runs before budget accounting, plus the per-document token accounting
+  * under the learned merges.
+  *
+  * Shape at scale (the production BPE-trainer shape — count first, loop
+  * on the counts, never on the corpus):
+  *   1. ONE corpus-scale aggregation: word -> occurrence count
+  *      (map-side-combinable groupBy; the only shuffle that sees the
+  *      corpus). The trainer keeps the top [[MaxTrainWords]] words by
+  *      (count desc, word asc) — the standard frequency cutoff, bounding
+  *      driver memory at a few hundred KB regardless of corpus size.
+  *   2. The merge loop runs on that bounded word-frequency table on the
+  *      driver: O(words x merges) string work on <= 4096 rows — the
+  *      IVF-centroid / wordpiece-vocab bounded-training precedent. At
+  *      100 TB the corpus never participates in an iteration; only the
+  *      count table does.
+  *   3. Encoding for accounting joins a DISTINCT-WORDS table (Heaps-law:
+  *      grows ~ corpus^0.5, not linearly) mapped through the learned
+  *      merges, then a broadcast-free equi-join back onto the exploded
+  *      corpus — per-occurrence work is a join probe, not a re-encode.
+  *
+  * Semantics: classic Sennrich-style BPE. A word starts as its character
+  * symbols plus a terminal [[EndMark]] symbol; each iteration merges the
+  * adjacent pair with the highest occurrence-weighted count, ties broken
+  * (left asc, right asc) so training is deterministic. Encoding replays
+  * the merges in rank order (single left-to-right pass per merge).
+  *
+  * ROWS-ONLY queries: the merge table is trained from the data at
+  * query-build time, so no static SQL replays it; `BpeSpec` pins the
+  * trainer against an independent naive reimplementation on a fixture
+  * and the encoder against its concatenation/monotonicity invariants.
+  */
+object Bpe {
+
+  /** Frequency cutoff for the trainer: top words by (count desc, word
+    * asc). Bounds the driver-side loop; tail words still get encoded
+    * (the merge table generalizes to unseen words — that is BPE's
+    * point). */
+  val MaxTrainWords = 4096
+
+  /** Number of merges to learn. Production vocabs run 30-100k; 64 keeps
+    * the declared query cheap while exercising the full trainer path. */
+  val NumMerges = 64
+
+  /** Terminal symbol marking a word boundary, so "est" inside a word and
+    * "est" ending a word learn separate units (the Sennrich convention). */
+  val EndMark = "</w>"
+
+  /** One learned merge: rank = iteration, the adjacent pair merged, and
+    * the occurrence-weighted pair count that won the iteration. */
+  final case class Merge(rank: Int, left: String, right: String,
+      pairCount: Long)
+
+  /** The ONE corpus-scale aggregation: (word, count), top
+    * [[MaxTrainWords]] by (count desc, word asc). */
+  def wordCounts(docs: DataFrame): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(MaxTrainWords)
+      .as[(String, Long)].collect().toSeq
+  }
+
+  private def symbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndMark
+
+  /** Train `numMerges` merges on a word-frequency table. Pair counts are
+    * recomputed from the current symbol sequences each iteration —
+    * O(total symbols) on <= [[MaxTrainWords]] words, simpler and easier
+    * to audit than delta maintenance, and trivially cheap at this table
+    * size. Stops early when no adjacent pair remains. */
+  def trainMerges(wc: Seq[(String, Long)],
+      numMerges: Int = NumMerges): Seq[Merge] = {
+    var words: Seq[(Vector[String], Long)] =
+      wc.map { case (w, c) => (symbols(w), c) }
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    while (rank < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return out.result()
+      val ((l, r), c) = counts.toSeq
+        .minBy { case ((l, r), c) => (-c, l, r) }
+      out += Merge(rank, l, r, c)
+      words = words.map { case (syms, wc) => (mergeOnce(syms, l, r), wc) }
+      rank += 1
+    }
+    out.result()
+  }
+
+  /** One left-to-right merge pass: adjacent (l, r) becomes l+r. A just-
+    * merged symbol can immediately pair with the next one (standard BPE:
+    * "aaa" under merge (a,a) -> ["aa", "a"], not ["aa", "aa"]). */
+  private def mergeOnce(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Encode one word with the learned merges, replayed in rank order.
+    * Works for words the trainer never saw — the merge table generalizes
+    * by construction. */
+  def encode(word: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(symbols(word)) { (syms, m) =>
+      if (syms.length < 2) syms else mergeOnce(syms, m.left, m.right)
+    }
+
+  /** Declared query — the learned merge table itself, the artifact a
+    * tokenizer trainer ships: (rank, left, right, merged, pair_count). */
+  def bpeMergesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(wordCounts(Tables.documents(s, dir)))
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.pairCount))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** Declared query — per-document token accounting under the learned
+    * tokenizer: the budget number a trainer plans against. Encodes the
+    * DISTINCT words once (Heaps-law table, merges in the task closure),
+    * then joins the counts back onto the exploded corpus — at scale the
+    * per-word encode cost amortizes over every occurrence. */
+  def bpeTokenStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = trainMerges(wordCounts(docs))
+    val words = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordTokens = words.select(col("w")).distinct()
+      .as[String]
+      .map(w => (w, encode(w, merges).length.toLong))
+      .toDF("w", "n_word_tokens")
+    words.join(wordTokens, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_word_tokens")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  import QuerySpec.rowsOnly
+
+  val specs: Seq[QuerySpec] = Seq(
+    rowsOnly("text_bpe_merges", bpeMergesQuery),
+    rowsOnly("text_bpe_token_stats", bpeTokenStatsQuery))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** Pins for the BPE tokenizer trainer (rows-only declared queries
+  * text_bpe_merges / text_bpe_token_stats): the trainer against an
+  * independent naive reimplementation on the classic fixture, the
+  * encoder against its structural invariants, and the declared queries
+  * against hand-replayable accounting. */
+class BpeSpec extends SparkSpec {
+
+  /** Independent reference trainer, written the dumb way: symbol
+    * sequences as Lists, pair counts via groupBy on a flat pair list,
+    * merges applied by recursive rewrite — no code shared with
+    * [[Bpe.trainMerges]] beyond the Merge shape. */
+  private def refTrain(wc: Seq[(String, Long)],
+      n: Int): Seq[(String, String, Long)] = {
+    def merge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest, l, r)
+        case a :: rest => a :: merge(rest, l, r)
+        case Nil => Nil
+      }
+    var words = wc.map { case (w, c) =>
+      (w.map(_.toString).toList :+ Bpe.EndMark, c)
+    }
+    (0 until n).flatMap { _ =>
+      val pairs = words.flatMap { case (syms, c) =>
+        syms.zip(syms.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        words = words.map { case (syms, wc) => (merge(syms, l, r), wc) }
+        Some((l, r, c))
+      }
+    }
+  }
+
+  // the Sennrich paper's fixture family: est</w> dominates, then lo
+  private val fixture = Seq[(String, Long)](
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+
+  test("trainer equals the independent naive reference on the fixture") {
+    val got = Bpe.trainMerges(fixture, 8)
+      .map(m => (m.left, m.right, m.pairCount))
+    val ref = refTrain(fixture, 8)
+    assert(got == ref)
+    // first merges are the textbook ones: (e,s) at 9, then (es,t) at 9,
+    // then (est,</w>) at 9
+    assert(got.take(3) == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("est", Bpe.EndMark, 9L)))
+  }
+
+  test("one merge pass is left-to-right: aaa under (a,a) -> [aa, a]") {
+    val m = Seq(Bpe.Merge(0, "a", "a", 1L))
+    assert(Bpe.encode("aaa", m) == Vector("aa", "a", Bpe.EndMark))
+  }
+
+  test("encoding invariants: concatenation, bounds, monotone in merges") {
+    val merges = Bpe.trainMerges(fixture, 8)
+    for (w <- Seq("low", "newest", "unseen", "wide", "x", "estest")) {
+      val enc = Bpe.encode(w, merges)
+      // concatenation invariant: the symbols spell the word + EndMark
+      assert(enc.mkString == w + Bpe.EndMark)
+      assert(enc.nonEmpty && enc.length <= w.length + 1)
+      // applying MORE merges never increases the token count
+      (0 to merges.length).foreach { k =>
+        assert(Bpe.encode(w, merges.take(k)).length >= enc.length)
+      }
+    }
+  }
+
+  test("declared merge table: ranks dense from 0, merged = left+right") {
+    val rows = Bpe.bpeMergesQuery(spark, sf).collect()
+    assert(rows.length == Bpe.NumMerges)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i)
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+  }
+
+  test("token stats replay: n_bpe_tokens = sum of per-word encode lengths") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs))
+    val expected = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.split(" ", -1).filter(_.nonEmpty)
+        (id, ws.length.toLong,
+          ws.map(w => Bpe.encode(w, merges).length.toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = Bpe.bpeTokenStatsQuery(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}
