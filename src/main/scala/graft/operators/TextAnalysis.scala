@@ -332,6 +332,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based mixture weights — the corpus-composition policy
+    * that DECIDES the per-source budgets [[domainMix]] then enforces:
+    * sample p_i proportional to mass_i^alpha (alpha = 0.5, the
+    * multilingual-sampling standard) so small sources are upsampled
+    * relative to proportional mixing — the DoReMi-style static mix.
+    *
+    * Numerics: cross-row double sums are order-dependent across engines,
+    * so the damped mass is quantized to an exact integer per source
+    * (round(sqrt(tokens) * 1e6); sqrt is IEEE-exact) BEFORE the
+    * normalizing sum — integer sums are associative, and the weight is
+    * then one double division per row. `epochs_at_budget` = how many
+    * times the source's own data is replayed if the mixed corpus keeps
+    * the original total token budget.
+    *
+    * Shape at scale: one map-side-combinable groupBy on the (tiny)
+    * source key; the window-total runs over a handful of source rows —
+    * a single-partition afterthought, not a corpus shuffle. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("damped",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("mix_weight",
+        col("damped").cast("double") / sum(col("damped")).over(w))
+      .withColumn("epochs_at_budget",
+        col("mix_weight") * sum(col("n_tokens")).over(w) / col("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("damped"), col("mix_weight"), col("epochs_at_budget"))
+      .orderBy(col("source"))
+  }
+
   /** Repetition ratio — the boilerplate/spam signal: the fraction of a
     * doc's 3-gram occurrences that are repeats (1 − distinct/total).
     * Template spam repeats whole paragraphs, driving the ratio toward 1;
@@ -583,6 +617,17 @@ object TextAnalysis {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
          |FROM c WHERE cum <= $MixTokenBudget ORDER BY doc_id""".stripMargin),
+    withOracle("text_mix_temperature", mixTemperature,
+      """WITH m AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT *, CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS damped FROM m)
+        |SELECT source, n_docs, n_tokens, damped,
+        |  CAST(damped AS DOUBLE) / SUM(damped) OVER () AS mix_weight,
+        |  (CAST(damped AS DOUBLE) / SUM(damped) OVER ())
+        |    * SUM(n_tokens) OVER () / n_tokens AS epochs_at_budget
+        |FROM d ORDER BY source""".stripMargin),
     withOracle("text_repetition", repetition,
       """WITH sh AS (
         |  SELECT doc_id,
