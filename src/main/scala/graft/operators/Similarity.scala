@@ -61,6 +61,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: per query
+    * vector, the top-k CLOSEST corpus vectors that are NOT near-dups
+    * (score < [[NearDupThreshold]]) — the highest-similarity candidates
+    * that are still genuine negatives, which is exactly the set a
+    * contrastive trainer wants (random negatives are too easy; near-dups
+    * are false negatives that poison the loss). Same broadcast-queries /
+    * corpus-scans-once shape as [[topKExact]]: the near-dup exclusion is
+    * a predicate BEFORE the rank window, so the per-query state stays
+    * k rows and the corpus never shuffles. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .filter(col("score") < NearDupThreshold)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed candidate pairs: both sides get their L-table bucket
     * signatures, candidates are the id pairs sharing a (table, bucket)
     * key — a plain shuffle equi-join, never an n² nested loop — then the
@@ -968,6 +993,16 @@ object Similarity {
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_hard_negatives", hardNegatives,
+      s"""SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors
+         |    AND ${cosSql("q.embedding", "c.embedding")} < $NearDupThreshold)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_topk_cosine", topKExact,
       s"""SELECT query_id, rank, vec_id, score FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
