@@ -27,7 +27,9 @@ object Explain {
         "sim_semantic_clusters",
         "dedup_quality_survivor", "text_balanced_sample", "mm_dedup_funnel",
         "dedup_containment", "dedup_cross_source_overlap", "sim_mmr_rerank",
-        "rel_event_funnel", "rel_cohort_retention")
+        "rel_event_funnel", "rel_cohort_retention",
+        "text_lm_score", "text_bpe_token_stats", "text_mix_temperature",
+        "sim_hard_negatives")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -146,9 +146,19 @@ object Bpe {
     * then joins the counts back onto the exploded corpus — at scale the
     * per-word encode cost amortizes over every occurrence. */
   def bpeTokenStatsQuery(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
     val merges = trainMerges(wordCounts(docs))
+    tokenStatsOver(docs, merges).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc accounting for one document frame against FROZEN merges —
+    * the unit both the batch query and the streaming twin score with.
+    * Per-doc work is independent of every other doc, so the result is
+    * batch-boundary invariant by construction. */
+  private[graft] def tokenStatsOver(docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
@@ -160,12 +170,45 @@ object Bpe {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_word_tokens")).as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Declared query — the token accounting run IN-STREAM (the
+    * stream_lm_score convention): merges trained ONCE from the static
+    * corpus, each arriving micro-batch scored against the frozen merge
+    * table and appended to a batch-id-keyed overwrite dir (idempotent
+    * replay). Scoring is per-doc against frozen state, so the drained
+    * output equals [[bpeTokenStatsQuery]] row-for-row — the tokenizer
+    * is trained offline, the budget accounting keeps up with arrival
+    * (pinned, including a forced two-batch split, in BpeSpec). */
+  def streamBpeTokenStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sbpe_out")
+    val ckpt = graft.TempDirs.scoped("graft_sbpe_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val merges = trainMerges(wordCounts(staticDocs))
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          tokenStatsOver(batch.toDF(), merges)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
   import QuerySpec.rowsOnly
 
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("text_bpe_merges", bpeMergesQuery),
-    rowsOnly("text_bpe_token_stats", bpeTokenStatsQuery))
+    rowsOnly("text_bpe_token_stats", bpeTokenStatsQuery),
+    rowsOnly("stream_bpe_token_stats", streamBpeTokenStatsQuery))
 }

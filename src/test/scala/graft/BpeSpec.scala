@@ -83,6 +83,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("streaming token accounting equals the batch query row for row") {
+    import spark.implicits._
+    val streamed = Bpe.streamBpeTokenStatsQuery(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = Bpe.bpeTokenStatsQuery(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("token accounting is batch-boundary invariant: forced two-way split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs))
+    val whole = graft.operators.Bpe
+      .tokenStatsOver(docs, merges).orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val split = graft.operators.Bpe
+      .tokenStatsOver(docs.filter(col("doc_id") <= cut), merges)
+      .unionByName(graft.operators.Bpe
+        .tokenStatsOver(docs.filter(col("doc_id") > cut), merges))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(split == whole)
+  }
+
   test("token stats replay: n_bpe_tokens = sum of per-word encode lengths") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
