@@ -613,6 +613,41 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental image dedup — the multimodal cell of the incremental
+    * matrix (text and embedding twins:
+    * [[graft.streaming.StreamingDedup.incrementalDedupQuery]] and its
+    * embedding sibling). The corpus's phashes (REAL PNG decode path)
+    * arrive as THREE media_id-ordered slices appended to one persisted
+    * LSH index, with a compaction (b0+b1 → c1) before the third append.
+    * The index stores 8-byte signatures, never pixels — at 100 TB the
+    * decode pass is the scan-side map and the persisted state stays tiny.
+    * The monotone slice split makes first-seen-wins coincide with the
+    * batch tier's min-lower-id contract, and the 4×16-bit banding is
+    * pigeonhole-exact at hamming ≤ 3, so mm_phash_dedup's replayed
+    * hash+band oracle (survivor filter) applies unchanged; no bucket on
+    * this corpus approaches the exemplar cap or the salt threshold
+    * (`MultimodalSpec` pins incremental == batch decision). */
+  def mmIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_incmm_state")
+    val out = graft.TempDirs.scoped("graft_incmm_out")
+    val hashes = phashTable(s, dir).persist()
+    val top = hashes.agg(max(col("media_id"))).head().getLong(0)
+    val (cut1, cut2) = (top / 3, 2 * top / 3)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+      graft.streaming.StreamingDedup.appendMediaBatch(
+        hashes.filter(col("media_id") <= cut1), state, out)
+      graft.streaming.StreamingDedup.appendMediaBatch(
+        hashes.filter(col("media_id") > cut1 && col("media_id") <= cut2),
+        state, out)
+      graft.streaming.StreamingDedup.compactState(s, state, 1)
+      graft.streaming.StreamingDedup.appendMediaBatch(
+        hashes.filter(col("media_id") > cut2), state, out)
+    }
+    hashes.unpersist()
+    graft.streaming.StreamingDedup.survivors(s, out)
+      .select(col("media_id")).orderBy(col("media_id"))
+  }
+
   /** Shared band/salt/candidate-pair oracle suffix over a CTE named
     * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
     * oracle (image AND audio) so the band/salt replay cannot drift (the
@@ -914,6 +949,15 @@ object Multimodal {
          |LEFT JOIN imgdup i ON i.id_b = d.doc_id
          |LEFT JOIN txtdup t ON t.doc_b = d.doc_id
          |ORDER BY pair_id""".stripMargin),
+    // The incremental lifecycle lands on the batch tier's survivor set
+    // (monotone slices ⇒ first-seen-wins == min-lower-id), so its oracle
+    // is mm_phash_dedup's replay filtered to the keepers.
+    withOracle("mm_incremental_dedup", mmIncrementalDedup,
+      s"""$phashOracleCtes,
+         |dup AS (SELECT id_b FROM cand
+         |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming GROUP BY id_b)
+         |SELECT ph.media_id FROM ph LEFT JOIN dup ON dup.id_b = ph.media_id
+         |WHERE dup.id_b IS NULL ORDER BY media_id""".stripMargin),
     // Cross-modality AV join: each side's standalone oracle scoped in a
     // subquery-WITH (the mm_dedup_funnel convention — CTE names collide
     // across the two prefixes), joined on the id pair.

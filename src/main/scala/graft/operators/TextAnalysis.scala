@@ -268,6 +268,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** md5 first-hex prefixes of the quality classifier's NEGATIVE train
+    * split (~4/16) — disjoint from both the positive/clean split
+    * ([[LmTrainHexPrefixes]]) and the '0' eval split. */
+  val ClfNegHexPrefixes: Seq[String] = Seq("5", "6", "7", "8")
+
+  /** Contrastive quality classifier — the DCLM/fastText-family "does this
+    * look like reference text or like noise" score, trained with NO
+    * labeled data: positives are the md5-selected clean split, negatives
+    * are a DISJOINT split with token order REVERSED (reversal preserves
+    * every unigram marginal but destroys natural word adjacency — the
+    * classic fluency negative, so the classifier must learn word ORDER,
+    * not vocabulary). Features are bigram occurrence counts; the score is
+    * pooled Bernoulli-NB evidence `pos_mass / (pos_mass + neg_mass)` —
+    * two BIGINT sums and ONE division, bit-exact in any engine (the
+    * [[lmScore]] discipline; no libm log-odds). Docs with no evidence in
+    * either class score the 0.5 neutral prior.
+    *
+    * Shape at scale: identical to the lm_score plan — per-row shingle
+    * kernels, map-side-combined groupBys on the gram key, count tables
+    * joined back on the already-shuffled key, one per-doc aggregate. */
+  def classifierScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (cPos, cNeg) = classifierCounts(docs)
+    classifierScoreOver(docs, cPos, cNeg)
+  }
+
+  /** The classifier's count tables. The negative split's reversed-order
+    * bigrams are the FORWARD shingles flipped in place (`w2 w1`): the
+    * bigram occurrences of a reversed token sequence are exactly the
+    * reversed pairs of the forward sequence, so no second shingle pass
+    * and no array reversal is needed (tokens are space-split, so the
+    * gram's two space-separated fields are the tokens). */
+  private[graft] def classifierCounts(allDocs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val md5c = substring(md5(col("doc_id").cast("string")), 1, 1)
+    def bigrams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+        .as("gram"))
+    val cPos = bigrams(allDocs.filter(md5c.isin(LmTrainHexPrefixes: _*)))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_pos"))
+    val cNeg = bigrams(allDocs.filter(md5c.isin(ClfNegHexPrefixes: _*)))
+      .select(col("doc_id"), concat_ws(" ",
+        substring_index(col("gram"), " ", -1),
+        substring_index(col("gram"), " ", 1)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_neg"))
+    (cPos, cNeg)
+  }
+
+  /** Score `scored` docs against frozen classifier counts — per-doc only
+    * (batch-boundary invariant, the [[lmScoreOver]] contract). */
+  private[graft] def classifierScoreOver(scored: DataFrame, cPos: DataFrame,
+      cNeg: DataFrame): DataFrame = {
+    val per = scored.select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+          .as("gram"))
+      .join(cPos, Seq("gram"), "left")
+      .join(cNeg, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("c_pos"), lit(0L))).as("pos_mass"),
+        sum(coalesce(col("c_neg"), lit(0L))).as("neg_mass"))
+    scored.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("pos_mass"), lit(0L)).as("pos_mass"),
+        coalesce(col("neg_mass"), lit(0L)).as("neg_mass"),
+        when(coalesce(col("pos_mass"), lit(0L)) +
+            coalesce(col("neg_mass"), lit(0L)) > 0,
+          col("pos_mass").cast("double") /
+            (col("pos_mass") + col("neg_mass")))
+          .otherwise(lit(0.5)).as("clf_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RAG chunk geometry: 64-token windows at stride 32 (50% overlap —
     * the standard retrieval-ingest shape, so a fact straddling a chunk
     * boundary still appears whole in the neighboring chunk). */
@@ -716,6 +790,43 @@ object TextAnalysis {
         |       ELSE 0.0 END AS novelty
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // Classifier replay: forward bigrams for the positive split, the SAME
+    // UNNEST with the pair flipped (toks[i+1] || ' ' || toks[i]) for the
+    // reversed-order negative split — the bigram occurrences of a reversed
+    // sequence ARE the flipped forward pairs, so both engines derive the
+    // negative corpus without materializing reversed text.
+    withOracle("text_classifier_score", classifierScore,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |neg AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${ClfNegHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram,
+         |        toks[i+1] || ' ' || toks[i] AS rgram
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |      WHERE len(toks) >= 2),
+         |cp AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_pos FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM pos) GROUP BY 1),
+         |cn AS (SELECT rgram AS gram, CAST(COUNT(*) AS BIGINT) AS c_neg FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM neg) GROUP BY 1),
+         |per AS (SELECT g.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(COALESCE(cp.c_pos, 0)) AS BIGINT) AS pos_mass,
+         |    CAST(SUM(COALESCE(cn.c_neg, 0)) AS BIGINT) AS neg_mass
+         |  FROM g LEFT JOIN cp USING (gram) LEFT JOIN cn USING (gram)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(per.pos_mass, 0) AS pos_mass,
+         |  COALESCE(per.neg_mass, 0) AS neg_mass,
+         |  CASE WHEN COALESCE(per.pos_mass, 0) + COALESCE(per.neg_mass, 0) > 0
+         |       THEN CAST(per.pos_mass AS DOUBLE)
+         |            / (per.pos_mass + per.neg_mass)
+         |       ELSE 0.5 END AS clf_score
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     // Count-LM replay: same md5 train split, same gram definitions (w/g
     // mirror the rare-bigram CTEs but keep OCCURRENCES, not DISTINCT), and
     // every score is a single division of two BIGINT sums.

@@ -156,6 +156,31 @@ object StreamingDedup {
     spark.read.parquet(s"$outDir/b$id")
   }
 
+  /** Media twin of [[appendBatch]] — the third cell of the incremental
+    * matrix (text, embedding, multimodal). Expects the fingerprint frame
+    * the phash tier produces (`media_id`, `phash`): the decode + aHash
+    * pass stays in [[graft.operators.Multimodal]]; this tier only needs
+    * the 64-bit signature, so the index stores 16 bytes per asset, never
+    * pixels. Banding is the phash near-dup join's scheme (4 × 16-bit
+    * bands — pigeonhole-EXACT at hamming ≤ bands − 1), verification is
+    * the exact hamming predicate on the stored signatures. */
+  def appendMediaBatch(slice: DataFrame, stateDir: String, outDir: String,
+      maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming,
+      bucketCap: Int = DefaultBucketCap, batchId: Long = -1L): DataFrame = {
+    val spark = slice.sparkSession
+    val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
+    processBatch(slice, id, phashSpec(maxHamming), stateDir, outDir, bucketCap)
+    spark.read.parquet(s"$outDir/b$id")
+  }
+
+  private[streaming] def phashSpec(
+      maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming): LshDedupSpec =
+    LshDedupSpec("media_id",
+      col("phash"),
+      h => array((0 until graft.operators.Multimodal.PhashBands).map(b =>
+        shiftright(h, b * 16).bitwiseAND(lit(65535L))): _*),
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
+
   /** Batch id encoded in a slice directory name (`b<id>` for raw slices,
     * `c<id>` for compactions — a compaction's id is the highest batch it
     * contains). Single parser shared by [[nextBatchId]] and

@@ -251,6 +251,17 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getLong(5) == 1L))
   }
 
+  test("incremental image dedup: three appends + compaction equal the batch decision") {
+    val inc = Multimodal.mmIncrementalDedup(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val batch = Multimodal.phashDedup(spark, sf).collect()
+      .filter(_.getLong(2) == 0L).map(_.getLong(0)).toSeq.sorted
+    assert(inc == batch)
+    // non-vacuous: the planted dup groups cross the slice cuts, so some
+    // asset is deduped against an EARLIER slice's index state
+    assert(inc.size < Multimodal.mediaTable(spark, sf).count())
+  }
+
   test("video+audio near-dup: exactly the pairs qualifying on BOTH tracks") {
     val av = Multimodal.videoAudioNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

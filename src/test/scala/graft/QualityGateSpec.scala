@@ -69,4 +69,48 @@ class QualityGateSpec extends SparkSpec {
     val out = QualityGate.contaminationOn(docs, col("doc_id") === 1L).collect()
     assert(out.isEmpty) // doc 2 has no 3-grams; doc 1 is the eval split
   }
+
+  test("contrastive classifier: planted word order separates natural from reversed") {
+    import graft.operators.TextAnalysis
+    // ids landing in each md5 split, found the same way the operator
+    // selects them (first hex of md5 of the decimal id string)
+    def hex1(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).substring(0, 1)
+    }
+    def idsIn(hexes: Seq[String], n: Int): Seq[Long] =
+      Iterator.iterate(0L)(_ + 1).filter(i => hexes.contains(hex1(i)))
+        .take(n).toSeq
+    val posIds = idsIn(TextAnalysis.LmTrainHexPrefixes, 3)
+    val negIds = idsIn(TextAnalysis.ClfNegHexPrefixes, 3)
+    val evalId = Iterator.iterate(0L)(_ + 1).find(i => hex1(i) == "0").get
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = ((posIds ++ negIds).map((_, phrase)) :+ (evalId, phrase))
+      .toDF("doc_id", "text")
+    val (cPos, cNeg) = TextAnalysis.classifierCounts(docs)
+    def scoreOf(text: String): Double = TextAnalysis.classifierScoreOver(
+      Seq((evalId, text)).toDF("doc_id", "text"), cPos, cNeg)
+      .head().getDouble(4)
+    // natural order: every bigram hits the positive table, none the
+    // (flipped) negative table — and vice versa for reversed text
+    assert(scoreOf(phrase) == 1.0)
+    assert(scoreOf(phrase.split(" ").reverse.mkString(" ")) == 0.0)
+    // no evidence in either class => the neutral prior
+    assert(scoreOf("") == 0.5)
+    assert(scoreOf("omega psi") == 0.5)
+  }
+
+  test("classifier score: declared query runs with sane ranges on the corpus") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.classifierScore(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val score = r.getDouble(4)
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+    }
+    // the corpus's bigrams overlap both splits, so evidence is non-trivial
+    assert(rows.exists(r => r.getLong(2) > 0L && r.getLong(3) > 0L))
+  }
 }
