@@ -678,6 +678,41 @@ object TextAnalysis {
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
+  /** The contrastive classifier run IN-STREAM (the [[streamLmScoreQuery]]
+    * convention): count tables trained ONCE from the static table's two
+    * md5 splits and persisted; each arriving micro-batch is scored
+    * against the frozen counts into batch-id-keyed overwrite dirs.
+    * Per-doc scoring against frozen state is batch-boundary invariant,
+    * so the drained output equals the batch [[classifierScore]]
+    * row-for-row and shares its oracle text verbatim (two-micro-batch
+    * split pinned in StreamingSpec). */
+  def streamClassifierScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sclf_out")
+    val ckpt = graft.TempDirs.scoped("graft_sclf_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val (cPos, cNeg) = classifierCounts(staticDocs)
+    val frozen = Seq(cPos, cNeg).map(_.persist())
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          classifierScoreOver(batch.toDF(), frozen(0), frozen(1))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    frozen.foreach(_.unpersist())
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
   private val baseSpecs: Seq[QuerySpec] = Seq(
     // HUGEINT: DuckDB widens windowed BIGINT sums — cast back for schema
     // parity. The md5 sample order replays bit-for-bat in both engines.
@@ -939,7 +974,12 @@ object TextAnalysis {
 
   /** The streaming twin carries text_lm_score's oracle text VERBATIM —
     * fetched from the registered spec, so the two replays cannot drift. */
-  val specs: Seq[QuerySpec] = baseSpecs :+ QuerySpec(
-    "stream_lm_score", streamLmScoreQuery,
-    baseSpecs.find(_.name == "text_lm_score").get.oracle)
+  // Both streaming twins carry their batch query's oracle text VERBATIM:
+  // frozen-state scoring is batch-boundary invariant, so drained output
+  // equals the batch rows and one SQL text cannot drift across the pair.
+  val specs: Seq[QuerySpec] = baseSpecs ++ Seq(
+    QuerySpec("stream_lm_score", streamLmScoreQuery,
+      baseSpecs.find(_.name == "text_lm_score").get.oracle),
+    QuerySpec("stream_classifier_score", streamClassifierScoreQuery,
+      baseSpecs.find(_.name == "text_classifier_score").get.oracle))
 }

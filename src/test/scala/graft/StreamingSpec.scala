@@ -105,6 +105,19 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("classifier scoring is batch-boundary invariant (stream_classifier_score's contract)") {
+    val docs = Tables.documents(spark, sf)
+    val (cPos, cNeg) = operators.TextAnalysis.classifierCounts(docs)
+    val split = operators.TextAnalysis
+      .classifierScoreOver(docs.filter(col("doc_id") % 2 === 0), cPos, cNeg)
+      .unionByName(operators.TextAnalysis
+        .classifierScoreOver(docs.filter(col("doc_id") % 2 === 1), cPos, cNeg))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val whole = operators.TextAnalysis.classifierScore(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("explicit schema lets the stream start on an EMPTY landing directory") {
     import org.apache.spark.sql.streaming.OutputMode
     // inference needs a footer to read, so an empty dir throws...
