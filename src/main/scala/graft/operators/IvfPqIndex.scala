@@ -176,8 +176,42 @@ object IvfPqIndex {
     topK(s, idx, queries, emb)
   }
 
+  /** Declared query — the DELETE lifecycle on the compressed index:
+    * build, forget the shared [[IvfIndex.deleteSet]], serve. Tombstoned
+    * vectors can neither be ADC candidates (postings read is
+    * tombstone-aware) nor survive the exact re-rank; everything else
+    * ranks exactly as in an index rebuilt on the survivors with the SAME
+    * frozen centroids+codebooks (pinned in IvfPqIndexSpec). ROWS-ONLY:
+    * data-trained geometry, like every persisted-index query. */
+  def topKIvfPqDeleted(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfpqdel")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    delete(IvfIndex.deleteSet(emb), idx)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topK(s, idx, queries, emb)
+  }
+
+  /** Declared query — SNAPSHOT reads on the compressed index: build
+    * (slice 0), forget the delete-set (slice 1), answer AS OF slice 0 —
+    * the pre-delete state, exactly what [[topKIvfPqPersisted]] serves on
+    * an untouched index (pinned in IvfPqIndexSpec). Frozen geometry means
+    * a snapshot needs only the slice filter. ROWS-ONLY. */
+  def topKIvfPqAsOf(s: SparkSession, dir: String): DataFrame = {
+    val idx = TempDirs.scoped("graft_ivfpqasof")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    build(emb, idx)
+    delete(IvfIndex.deleteSet(emb), idx)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topK(s, idx, queries, emb, asOf = 0L)
+  }
+
   import graft.QuerySpec.rowsOnly
 
   val specs: Seq[QuerySpec] = Seq(
-    rowsOnly("sim_topk_ivfpq_persisted", topKIvfPqPersisted))
+    rowsOnly("sim_topk_ivfpq_persisted", topKIvfPqPersisted),
+    rowsOnly("sim_topk_ivfpq_deleted", topKIvfPqDeleted),
+    rowsOnly("sim_topk_ivfpq_asof", topKIvfPqAsOf))
 }

@@ -69,6 +69,43 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete-then-serve equals rebuild-on-survivors with frozen geometry") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val forget = IvfIndex.deleteSet(emb)
+
+    val del = TempDirs.scoped("graft_ivfpq_del")
+    IvfPqIndex.build(emb, del)
+    IvfPqIndex.delete(forget, del)
+
+    // survivors-only index under the SAME centroids+codebooks: the delete
+    // verb must be indistinguishable from never having indexed those ids
+    val surv = TempDirs.scoped("graft_ivfpq_surv")
+    IvfPqIndex.build(emb.join(forget, Seq("vec_id"), "left_anti"), surv,
+      centroids = Some(IvfPqIndex.loadCentroids(spark, del)),
+      codebooks = Some(IvfPqIndex.loadCodebooks(spark, del)))
+
+    val q = queriesOf(sf)
+    val served = IvfPqIndex.topK(spark, del, q, emb)
+    assert(keyOf(served) == keyOf(IvfPqIndex.topK(spark, surv, q, emb)))
+    // no tombstoned id is ever returned
+    val forgotten = forget.collect().map(_.getLong(0)).toSet
+    served.collect().foreach(r => assert(!forgotten.contains(r.getLong(2))))
+  }
+
+  test("as-of slice 0 serves the exact pre-delete state") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idx = TempDirs.scoped("graft_ivfpq_asof")
+    IvfPqIndex.build(emb, idx)
+    val before = keyOf(IvfPqIndex.topK(spark, idx, queriesOf(sf), emb))
+    IvfPqIndex.delete(IvfIndex.deleteSet(emb), idx)
+    val snap = keyOf(IvfPqIndex.topK(spark, idx, queriesOf(sf), emb, asOf = 0L))
+    assert(snap == before)
+    // and the live read has actually moved on
+    assert(keyOf(IvfPqIndex.topK(spark, idx, queriesOf(sf), emb)) != before)
+  }
+
   test("recall@k vs exact top-k is measured and above the floor") {
     // Residual encoding plus the composed index's own probe/rerank budget
     // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the
