@@ -678,6 +678,58 @@ object TextAnalysis {
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
+  /** Fixed clf_score cuts bounding the curriculum's quality bands (band =
+    * number of cuts at or below the score, 0 = noisiest .. 3 = cleanest).
+    * FIXED thresholds, not data quantiles: scale-safe (no global sort or
+    * sketch to band 100 TB — banding is a per-row comparison) and
+    * replayable (a double literal parses identically in any engine). */
+  val CurriculumCuts: Seq[Double] = Seq(0.48, 0.50, 0.52)
+
+  /** md5-bucketed sub-shards per band — keeps shard files bounded and the
+    * within-band order deterministic (the trainShards key convention). */
+  val CurriculumSubShards = 4
+
+  /** Curriculum schedule for a training run — the shard-manifest answer
+    * to "in what order do we feed the corpus": docs land in (quality
+    * band, md5 sub-shard) shards, and the manifest orders shards
+    * noisy-first / cleanest-last (the quality-annealing curriculum:
+    * the model sees easy web-scale mass early and anneals on the best
+    * band) with the cumulative token budget at each step, so a trainer
+    * can cut the schedule at any token count.
+    *
+    * Shape at scale: banding is a per-row comparison against the fixed
+    * [[CurriculumCuts]] (no quantile pass), the manifest is one
+    * map-side-combined groupBy on ≤ 4×[[CurriculumSubShards]] keys, and
+    * the only windows run over the aggregated manifest rows — nothing
+    * global touches per-doc data, unlike a naive ntile/global-row_number
+    * curriculum (a single-partition sort of the corpus). */
+  def curriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = classifierScore(s, dir).select(col("doc_id"), col("clf_score"))
+    val band = CurriculumCuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + (col("clf_score") >= c).cast("long") }
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % CurriculumSubShards
+    val manifest = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("band", band).withColumn("bucket", bucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band"), col("bucket"))
+    manifest
+      .withColumn("curriculum_pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("sum_tokens")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(
+        (col("band") * CurriculumSubShards + col("bucket")).as("shard_id"),
+        col("band"), col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("curriculum_pos"), col("cum_tokens"))
+      .orderBy(col("curriculum_pos"))
+  }
+
   /** The contrastive classifier run IN-STREAM (the [[streamLmScoreQuery]]
     * convention): count tables trained ONCE from the static table's two
     * md5 splits and persisted; each arriving micro-batch is scored
@@ -712,6 +764,47 @@ object TextAnalysis {
     frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
+
+  /** The classifier oracle's full SQL text, factored so the curriculum
+    * scheduler's oracle can scope it as a subquery (the mm_dedup_funnel
+    * wrapping convention — definitional equality with the query it
+    * consumes). Forward bigrams for the positive split, the SAME UNNEST
+    * with the pair flipped (toks[i+1] || ' ' || toks[i]) for the
+    * reversed-order negative split — the bigram occurrences of a reversed
+    * sequence ARE the flipped forward pairs, so both engines derive the
+    * negative corpus without materializing reversed text. */
+  private val classifierOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |pos AS (SELECT doc_id FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+       |neg AS (SELECT doc_id FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       |         IN (${ClfNegHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+       |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram,
+       |        toks[i+1] || ' ' || toks[i] AS rgram
+       |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+       |      WHERE len(toks) >= 2),
+       |cp AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_pos FROM g
+       |       WHERE doc_id IN (SELECT doc_id FROM pos) GROUP BY 1),
+       |cn AS (SELECT rgram AS gram, CAST(COUNT(*) AS BIGINT) AS c_neg FROM g
+       |       WHERE doc_id IN (SELECT doc_id FROM neg) GROUP BY 1),
+       |per AS (SELECT g.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(COALESCE(cp.c_pos, 0)) AS BIGINT) AS pos_mass,
+       |    CAST(SUM(COALESCE(cn.c_neg, 0)) AS BIGINT) AS neg_mass
+       |  FROM g LEFT JOIN cp USING (gram) LEFT JOIN cn USING (gram)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(per.pos_mass, 0) AS pos_mass,
+       |  COALESCE(per.neg_mass, 0) AS neg_mass,
+       |  CASE WHEN COALESCE(per.pos_mass, 0) + COALESCE(per.neg_mass, 0) > 0
+       |       THEN CAST(per.pos_mass AS DOUBLE)
+       |            / (per.pos_mass + per.neg_mass)
+       |       ELSE 0.5 END AS clf_score
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val baseSpecs: Seq[QuerySpec] = Seq(
     // HUGEINT: DuckDB widens windowed BIGINT sums — cast back for schema
@@ -825,43 +918,30 @@ object TextAnalysis {
         |       ELSE 0.0 END AS novelty
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
-    // Classifier replay: forward bigrams for the positive split, the SAME
-    // UNNEST with the pair flipped (toks[i+1] || ' ' || toks[i]) for the
-    // reversed-order negative split — the bigram occurrences of a reversed
-    // sequence ARE the flipped forward pairs, so both engines derive the
-    // negative corpus without materializing reversed text.
-    withOracle("text_classifier_score", classifierScore,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |pos AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
-         |neg AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-         |         IN (${ClfNegHexPrefixes.map(h => s"'$h'").mkString(", ")})),
-         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram,
-         |        toks[i+1] || ' ' || toks[i] AS rgram
-         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-         |      WHERE len(toks) >= 2),
-         |cp AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_pos FROM g
-         |       WHERE doc_id IN (SELECT doc_id FROM pos) GROUP BY 1),
-         |cn AS (SELECT rgram AS gram, CAST(COUNT(*) AS BIGINT) AS c_neg FROM g
-         |       WHERE doc_id IN (SELECT doc_id FROM neg) GROUP BY 1),
-         |per AS (SELECT g.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |    CAST(SUM(COALESCE(cp.c_pos, 0)) AS BIGINT) AS pos_mass,
-         |    CAST(SUM(COALESCE(cn.c_neg, 0)) AS BIGINT) AS neg_mass
-         |  FROM g LEFT JOIN cp USING (gram) LEFT JOIN cn USING (gram)
-         |  GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(per.pos_mass, 0) AS pos_mass,
-         |  COALESCE(per.neg_mass, 0) AS neg_mass,
-         |  CASE WHEN COALESCE(per.pos_mass, 0) + COALESCE(per.neg_mass, 0) > 0
-         |       THEN CAST(per.pos_mass AS DOUBLE)
-         |            / (per.pos_mass + per.neg_mass)
-         |       ELSE 0.5 END AS clf_score
-         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin),
+    withOracle("text_classifier_score", classifierScore, classifierOracleSql),
+    // Curriculum replay: the classifier oracle scoped as a subquery, the
+    // fixed band cuts and md5-conv sub-shard key re-derived, then the
+    // manifest window over the handful of (band, bucket) rows.
+    withOracle("text_curriculum_shards", curriculumShards,
+      s"""WITH clf AS (SELECT doc_id, clf_score FROM ($classifierOracleSql)),
+         |t AS (SELECT d.doc_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(${CurriculumCuts.map(c =>
+               s"(CASE WHEN c.clf_score >= $c THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS band,
+         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+         |      AS BIGINT) % $CurriculumSubShards AS bucket
+         |  FROM documents d JOIN clf c ON c.doc_id = d.doc_id),
+         |m AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM t GROUP BY band, bucket)
+         |SELECT band * $CurriculumSubShards + bucket AS shard_id, band, bucket,
+         |  n_docs, sum_tokens,
+         |  CAST(row_number() OVER (ORDER BY band, bucket) AS BIGINT)
+         |    AS curriculum_pos,
+         |  CAST(SUM(sum_tokens) OVER (ORDER BY band, bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM m ORDER BY curriculum_pos""".stripMargin),
     // Count-LM replay: same md5 train split, same gram definitions (w/g
     // mirror the rare-bigram CTEs but keep OCCURRENCES, not DISTINCT), and
     // every score is a single division of two BIGINT sums.

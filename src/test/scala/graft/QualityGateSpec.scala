@@ -101,6 +101,21 @@ class QualityGateSpec extends SparkSpec {
     assert(scoreOf("omega psi") == 0.5)
   }
 
+  test("curriculum shards: positions follow bands, budgets prefix-sum exactly") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.curriculumShards(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // schedule is band-major and dense
+    assert(rows.map(_.getLong(5)).toSeq == (1L to rows.length).toSeq)
+    assert(rows.map(_.getLong(1)).toSeq.sorted == rows.map(_.getLong(1)).toSeq)
+    // cumulative budget is exactly the prefix sum of shard token counts
+    val cums = rows.map(_.getLong(4)).scanLeft(0L)(_ + _).drop(1).toSeq
+    assert(rows.map(_.getLong(6)).toSeq == cums)
+    // every doc lands in exactly one shard
+    assert(rows.map(_.getLong(3)).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("classifier score: declared query runs with sane ranges on the corpus") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.classifierScore(spark, sf).collect()
