@@ -226,11 +226,22 @@ object Multimodal {
     * pair scan. Near-identical images (the corpus's planted text dups)
     * land at hamming 0; the oracle replays hash + join from the pixel
     * rule without touching PNG bytes. */
-  private def phashTable(s: SparkSession, dir: String): DataFrame = {
+  private def phashTable(s: SparkSession, dir: String): DataFrame =
+    phashTableOf(Tables.documents(s, dir))
+
+  /** The phash pass over ANY documents-shaped frame (encode to a real
+    * PNG, decode it back, aHash the recovered pixels — one
+    * partition-local map, no shuffle), factored so the serving path can
+    * fingerprint a streaming micro-batch with the exact production
+    * kernel. */
+  private[graft] def phashTableOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    imageTable(s, dir)
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("src"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, png) =>
+        rows.map { case (id, src) =>
+          val png = ImageCodec.encodeGrayPng(pixelsOf(src), ImgW, ImgH)
           val (w, h, px) = ImageCodec.decodeGray(png)
           (id, aHash64(px, w, h))
         }
@@ -648,6 +659,47 @@ object Multimodal {
       .select(col("media_id")).orderBy(col("media_id"))
   }
 
+  /** Declared query — READ-side near-dup serving on the phash index, the
+    * media twin of stream_text_serve: the train split (md5 ≠ '0') is
+    * indexed once through [[graft.streaming.StreamingDedup.appendMediaBatch]],
+    * then the eval split arrives as a QUERY STREAM; each micro-batch is
+    * fingerprinted with the production codec kernel and served read-only
+    * ([[graft.streaming.StreamingDedup.serveMediaBatch]]). Oracle: the
+    * 4×16-bit banding is pigeonhole-exact at hamming ≤ 3, so the output
+    * is exactly the cross-split hamming pairs — replayed in SQL from the
+    * pixel-rule hash. */
+  def streamMmServeQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val state = graft.TempDirs.scoped("graft_mmserve_state")
+    val sink = graft.TempDirs.scoped("graft_mmserve_sink")
+    val out = graft.TempDirs.scoped("graft_mmserve_out")
+    val ckpt = graft.TempDirs.scoped("graft_mmserve_ckpt")
+    val docs = Tables.documents(s, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+      graft.streaming.StreamingDedup
+        .appendMediaBatch(phashTableOf(docs.filter(!isEval)), state, sink)
+        .count()
+      val queries = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(isEval)
+      queries.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          graft.streaming.StreamingDedup
+            .serveMediaBatch(phashTableOf(b.toDF()), state, out, id)
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    s.read.parquet(s"$out/b*")
+      .orderBy(col("query_media"), col("match_media"))
+  }
+
   /** Shared band/salt/candidate-pair oracle suffix over a CTE named
     * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
     * oracle (image AND audio) so the band/salt replay cannot drift (the
@@ -949,6 +1001,20 @@ object Multimodal {
          |LEFT JOIN imgdup i ON i.id_b = d.doc_id
          |LEFT JOIN txtdup t ON t.doc_b = d.doc_id
          |ORDER BY pair_id""".stripMargin),
+    // Serving replay: the same pixel-rule hash CTEs; the banded candidate
+    // scheme is pigeonhole-exact at this radius, so the oracle verifies
+    // the direct cross-split hamming join (the unused band CTEs inline
+    // away).
+    withOracle("stream_mm_serve", streamMmServeQuery,
+      s"""$phashOracleCtes,
+         |q AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) <> '0')
+         |SELECT q.media_id AS query_media, tr.media_id AS match_media,
+         |  CAST(bit_count(xor(q.phash, tr.phash)) AS BIGINT) AS hamming
+         |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
+         |ORDER BY query_media, match_media""".stripMargin),
     // The incremental lifecycle lands on the batch tier's survivor set
     // (monotone slices ⇒ first-seen-wins == min-lower-id), so its oracle
     // is mm_phash_dedup's replay filtered to the keepers.

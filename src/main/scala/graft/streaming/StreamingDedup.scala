@@ -429,13 +429,40 @@ object StreamingDedup {
     * snapshot refuses loudly instead of serving the coarser state. */
   private[graft] def serveTextBatch(batch: DataFrame, stateDir: String,
       outDir: String, batchId: Long, threshold: Double,
-      bucketCap: Int, asOf: Long = Long.MaxValue): Unit = {
+      bucketCap: Int, asOf: Long = Long.MaxValue): Unit =
+    serveBatchWith(batch, jaccardSpec(threshold), Dedup.jaccardOf,
+      "jaccard", "query_doc", "match_doc", stateDir, outDir, batchId,
+      bucketCap, asOf)
+
+  /** Media twin of [[serveTextBatch]]: a batch of query fingerprints
+    * (`media_id`, `phash`) served read-only against the persisted phash
+    * index — "which already-indexed assets does this new asset
+    * near-duplicate". Emits the hamming distance as the match strength. */
+  def serveMediaBatch(batch: DataFrame, stateDir: String, outDir: String,
+      batchId: Long,
+      maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming,
+      bucketCap: Int = DefaultBucketCap, asOf: Long = Long.MaxValue): Unit =
+    serveBatchWith(batch, phashSpec(maxHamming),
+      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"),
+      "hamming", "query_media", "match_media", stateDir, outDir, batchId,
+      bucketCap, asOf)
+
+  /** The generic READ-side serve behind [[serveTextBatch]] and the media
+    * twin: signatures, banding, and the verify predicate come from the
+    * same [[LshDedupSpec]] the write path indexes with, so serve and
+    * index cannot disagree on the candidate scheme; `score` renders the
+    * emitted match strength (jaccard, hamming, cosine) from the two
+    * signatures. */
+  private[graft] def serveBatchWith(batch: DataFrame, spec: LshDedupSpec,
+      score: (Column, Column) => Column, scoreName: String,
+      qName: String, mName: String, stateDir: String, outDir: String,
+      batchId: Long, bucketCap: Int, asOf: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
-    val withSigs = batch.select(col("doc_id").as("q_id"),
-        Dedup.shingleSet(col("text")).as("sig_q"))
+    val withSigs = batch.select(col(spec.idCol).as("q_id"),
+        spec.sig.as("sig_q"))
       .persist()
     val qBands = withSigs.select(col("q_id"),
-        posexplode(Dedup.bandBuckets(col("sig_q"))).as(Seq("band", "bucket")))
+        posexplode(spec.buckets(col("sig_q"))).as(Seq("band", "bucket")))
       .persist()
     // Tombstone-aware: a deleted record must not come back as a match
     // ([[deleteFromIndex]] — the serving side of the forget verb).
@@ -470,11 +497,9 @@ object StreamingDedup {
       .join(withSigs, Seq("q_id"))
       .join(allSigs.select(col("rec_id").as("m_id"), col("sig").as("sig_m")),
         Seq("m_id"))
-      .select(col("q_id"), col("m_id"),
-        Dedup.jaccardOf(col("sig_q"), col("sig_m")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("q_id").as("query_doc"), col("m_id").as("match_doc"),
-        col("jaccard"))
+      .filter(spec.isDup(col("sig_q"), col("sig_m")))
+      .select(col("q_id").as(qName), col("m_id").as(mName),
+        score(col("sig_q"), col("sig_m")).as(scoreName))
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
     withSigs.unpersist()
     qBands.unpersist()

@@ -262,6 +262,27 @@ class MultimodalSpec extends SparkSpec {
     assert(inc.size < Multimodal.mediaTable(spark, sf).count())
   }
 
+  test("mm serve: streamed queries match exactly the cross-split hamming pairs") {
+    val served = Multimodal.streamMmServeQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def hex1(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).substring(0, 1)
+    }
+    val hashes = Multimodal.phashTableOf(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (eval, train) = hashes.partition { case (id, _) => hex1(id) == "0" }
+    val expect = (for {
+      (q, hq) <- eval
+      (t, ht) <- train
+      d = java.lang.Long.bitCount(hq ^ ht)
+      if d <= Multimodal.PhashMaxHamming
+    } yield (q, t, d.toLong)).toSet
+    assert(served == expect)
+    assert(served.nonEmpty) // planted dups cross the md5 split
+  }
+
   test("video+audio near-dup: exactly the pairs qualifying on BOTH tracks") {
     val av = Multimodal.videoAudioNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
