@@ -41,7 +41,8 @@ object BenchScale {
     "embedding_incremental_dedup",
     "dedup_groups",
     "dedup_serve_deleted",
-    "dedup_containment")
+    "dedup_containment",
+    "mm_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -700,6 +700,67 @@ object Multimodal {
       .orderBy(col("query_media"), col("match_media"))
   }
 
+  /** Declared query — the DELETE lifecycle on the media index
+    * ([[graft.streaming.StreamingDedup.serveDeletedQuery]]'s media twin):
+    * index the train split's phashes, FORGET every train asset with
+    * `media_id % 5 == 2` (the shared tombstone verb), then serve the eval
+    * split. A forgotten asset must stop matching; everything else serves
+    * exactly as before. Oracle: the cross-split hamming pairs minus the
+    * forgotten match side — one SQL predicate replays the tombstone. */
+  def mmServeDeletedQuery(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_mmsdel_state")
+    val sink = graft.TempDirs.scoped("graft_mmsdel_sink")
+    val out = graft.TempDirs.scoped("graft_mmsdel_out")
+    val isEval = substring(md5(col("media_id").cast("string")), 1, 1) === "0"
+    val hashes = phashTableOf(Tables.documents(s, dir)).persist()
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+      graft.streaming.StreamingDedup
+        .appendMediaBatch(hashes.filter(!isEval), state, sink).count()
+      graft.streaming.StreamingDedup.deleteFromIndex(s, state,
+        hashes.filter(!isEval && col("media_id") % 5 === 2)
+          .select(col("media_id")))
+      graft.streaming.StreamingDedup
+        .serveMediaBatch(hashes.filter(isEval), state, out, 0L)
+    }
+    hashes.unpersist()
+    s.read.parquet(s"$out/b0")
+      .orderBy(col("query_media"), col("match_media"))
+  }
+
+  /** Declared query — AS-OF snapshot serving on the media index
+    * ([[graft.streaming.StreamingDedup.serveAsOfQuery]]'s media twin):
+    * the train split lands as TWO id-ordered slices, a delete tombstones
+    * every train asset with `media_id % 5 == 2`, and the eval split is
+    * served against the SNAPSHOT at slice 0. Both the later append AND
+    * the later delete are invisible — matches come only from slice-0
+    * assets, including ones the delete tombstoned afterwards (time
+    * travel, not filtering). Oracle: cross-split pairs whose match side
+    * has id ≤ max/2, the cut replayed as a scalar subquery. */
+  def mmServeAsOfQuery(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_mmsasof_state")
+    val sink = graft.TempDirs.scoped("graft_mmsasof_sink")
+    val out = graft.TempDirs.scoped("graft_mmsasof_out")
+    val isEval = substring(md5(col("media_id").cast("string")), 1, 1) === "0"
+    val hashes = phashTableOf(Tables.documents(s, dir)).persist()
+    val train = hashes.filter(!isEval)
+    val cut = hashes.agg(max(col("media_id"))).head().getLong(0) / 2
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+      graft.streaming.StreamingDedup
+        .appendMediaBatch(train.filter(col("media_id") <= cut), state, sink)
+        .count()
+      graft.streaming.StreamingDedup
+        .appendMediaBatch(train.filter(col("media_id") > cut), state, sink)
+        .count()
+      graft.streaming.StreamingDedup.deleteFromIndex(s, state,
+        train.filter(col("media_id") % 5 === 2).select(col("media_id")))
+      graft.streaming.StreamingDedup
+        .serveMediaBatch(hashes.filter(isEval), state, out, 0L, asOf = 0L)
+    }
+    hashes.unpersist()
+    s.read.parquet(s"$out/b0")
+      .orderBy(col("query_media"), col("match_media"))
+  }
+
   /** Shared band/salt/candidate-pair oracle suffix over a CTE named
     * `ph(media_id, phash)`: ONE SQL text behind every banded-hamming
     * oracle (image AND audio) so the band/salt replay cannot drift (the
@@ -1014,6 +1075,32 @@ object Multimodal {
          |SELECT q.media_id AS query_media, tr.media_id AS match_media,
          |  CAST(bit_count(xor(q.phash, tr.phash)) AS BIGINT) AS hamming
          |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
+         |ORDER BY query_media, match_media""".stripMargin),
+    // The forget verb replayed as one predicate on the match side.
+    withOracle("mm_serve_deleted", mmServeDeletedQuery,
+      s"""$phashOracleCtes,
+         |q AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) <> '0')
+         |SELECT q.media_id AS query_media, tr.media_id AS match_media,
+         |  CAST(bit_count(xor(q.phash, tr.phash)) AS BIGINT) AS hamming
+         |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
+         |WHERE tr.media_id % 5 <> 2
+         |ORDER BY query_media, match_media""".stripMargin),
+    // The snapshot replayed as the slice-0 id cut on the match side —
+    // note NO tombstone predicate: slice-0 assets deleted later still
+    // match (time travel, not filtering).
+    withOracle("mm_serve_asof", mmServeAsOfQuery,
+      s"""$phashOracleCtes,
+         |q AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) <> '0')
+         |SELECT q.media_id AS query_media, tr.media_id AS match_media,
+         |  CAST(bit_count(xor(q.phash, tr.phash)) AS BIGINT) AS hamming
+         |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
+         |WHERE tr.media_id <= (SELECT MAX(doc_id) // 2 FROM documents)
          |ORDER BY query_media, match_media""".stripMargin),
     // The incremental lifecycle lands on the batch tier's survivor set
     // (monotone slices ⇒ first-seen-wins == min-lower-id), so its oracle
