@@ -662,6 +662,71 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** Leakage-safe train/eval split — the GROUP-AWARE assignment every
+    * careful evaluation setup needs: a naive per-document hash split
+    * puts near-duplicate documents on BOTH sides of the train/eval
+    * boundary, so the eval set silently contains paraphrases of training
+    * data and the measured loss is contaminated. The fix is standard
+    * (The Pile, C4, DCLM all do a variant): split at the NEAR-DUP
+    * COMPONENT level — every doc in a component goes to the split its
+    * component representative hashes to, so no near-dup pair can ever
+    * cross the boundary. Assignment is md5 of the component label
+    * (first hex '0' → eval, ~1/16 — the corpus's eval-split convention,
+    * lifted from doc granularity to component granularity), seed-free
+    * and engine-reproducible.
+    *
+    * Shape at scale: the component labels come from the shared
+    * [[dedupGroupsOf]] contraction (bucketed candidate generation,
+    * O(log n) CC rounds); the split column is one per-row md5 on top of
+    * the label — no extra shuffle beyond the labeling itself. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    dedupGroupsOf(Tables.documents(s, dir))
+      .select(col("doc_id"), col("component"),
+        when(substring(md5(col("component").cast("string")), 1, 1) === "0",
+          "eval").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Split-leakage AUDIT — the one-row readout a curation owner checks
+    * before trusting an eval number: over the exact near-dup pair set,
+    * how many pairs a NAIVE per-doc md5 split places across the
+    * train/eval boundary (each one a contaminated eval doc) versus the
+    * group-aware [[leakageSplit]] (provably zero — the audit MEASURES
+    * the invariant rather than assuming it, so a regression in the
+    * component labeling shows up here as a nonzero count), plus how many
+    * docs the group-aware split reassigns relative to their naive
+    * per-doc side (the cost of coherence).
+    *
+    * Shape at scale: the pair set is the PPJoin output (bucketed, never
+    * n²) and is tiny relative to the corpus, so the two label joins
+    * stream the corpus-sized label frame past it (AQE broadcasts the
+    * pair side when it fits — no hint, same reasoning as the shingle
+    * vocabulary join); the doc-level aggregate is one map-side-combined
+    * pass over the labels. */
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def isEval(c: Column): Column =
+      substring(md5(c.cast("string")), 1, 1) === "0"
+    val lab = dedupGroupsOf(docs).select(col("doc_id"),
+      isEval(col("doc_id")).as("doc_eval"),
+      isEval(col("component")).as("comp_eval"))
+    val pairLab = ngramJaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .join(lab.select(col("doc_id").as("doc_a"), col("doc_eval").as("ea"),
+        col("comp_eval").as("ca")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("doc_eval").as("eb"),
+        col("comp_eval").as("cb")), "doc_b")
+    val pairAgg = pairLab.agg(
+      count(lit(1)).as("n_neardup_pairs"),
+      coalesce(sum((col("ea") =!= col("eb")).cast("long")), lit(0L))
+        .as("naive_cross_pairs"),
+      coalesce(sum((col("ca") =!= col("cb")).cast("long")), lit(0L))
+        .as("grouped_cross_pairs"))
+    val docAgg = lab.agg(
+      coalesce(sum((col("doc_eval") =!= col("comp_eval")).cast("long")),
+        lit(0L)).as("n_docs_reassigned"))
+    pairAgg.crossJoin(docAgg)
+  }
+
   // ---------------------------------------------------------------------
   // Composed corpus-curation pipeline (the flagship training-data flow)
   // ---------------------------------------------------------------------
@@ -928,6 +993,54 @@ object Dedup {
          |JOIN gate g USING (doc_id)
          |LEFT JOIN shared s USING (doc_id)
          |JOIN comp c USING (doc_id)""".stripMargin),
+    // The recursive-CTE component labels + the component-md5 split rule;
+    // md5 over the decimal component string is byte-identical in both
+    // engines (the text_quality_sample convention at component grain).
+    withOracle("text_leakage_split", leakageSplit,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v)
+         |SELECT doc_id, component,
+         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
+         |    THEN 'eval' ELSE 'train' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin),
+    // Pair aggregate over jp joined to the doc/component split labels,
+    // doc aggregate over the labels alone; grouped_cross_pairs MEASURES
+    // the zero the component-grain split guarantees.
+    withOracle("text_split_leakage_audit", splitLeakageAudit,
+      s"""WITH RECURSIVE
+         |$jaccardPairsCte,
+         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
+         |                UNION ALL SELECT doc_b, doc_a FROM jp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v),
+         |lab AS (SELECT doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS doc_eval,
+         |    substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0' AS comp_eval
+         |  FROM comp),
+         |pa AS (SELECT
+         |    CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN la.doc_eval <> lb.doc_eval
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_cross_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN la.comp_eval <> lb.comp_eval
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS grouped_cross_pairs
+         |  FROM jp JOIN lab la ON jp.doc_a = la.doc_id
+         |          JOIN lab lb ON jp.doc_b = lb.doc_id),
+         |da AS (SELECT CAST(COALESCE(SUM(CASE WHEN doc_eval <> comp_eval
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_reassigned
+         |  FROM lab)
+         |SELECT pa.*, da.* FROM pa, da""".stripMargin),
     withOracle("dedup_threshold_sweep", dedupThresholdSweep,
       s"""WITH ${jaccardPairsCteAt(SweepThresholds.min)},
          |th AS (SELECT UNNEST([${SweepThresholds.map(t => s"$t::DOUBLE").mkString(", ")}])

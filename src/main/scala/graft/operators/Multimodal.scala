@@ -1102,6 +1102,19 @@ object Multimodal {
          |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
          |WHERE tr.media_id <= (SELECT MAX(doc_id) // 2 FROM documents)
          |ORDER BY query_media, match_media""".stripMargin),
+    // Media index manifest: slice accounting plus the md5 train split
+    // and the %5 forget rule — the dedup_index_stats oracle at asset
+    // grain (one fingerprint per doc, so the counts replay without
+    // touching pixel bytes).
+    withOracle("mm_index_stats",
+      graft.streaming.StreamingDedup.mediaIndexStatsQuery,
+      """SELECT CAST(1 AS BIGINT) AS n_data_slices,
+        |  CAST(1 AS BIGINT) AS n_tombstone_slices,
+        |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |    AND NOT doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_live_assets,
+        |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |    AND doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_ids
+        |FROM documents""".stripMargin),
     // The incremental lifecycle lands on the batch tier's survivor set
     // (monotone slices ⇒ first-seen-wins == min-lower-id), so its oracle
     // is mm_phash_dedup's replay filtered to the keepers.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
@@ -339,6 +339,95 @@ object TextAnalysis {
           col("pos_mass").cast("double") /
             (col("pos_mass") + col("neg_mass")))
           .otherwise(lit(0.5)).as("clf_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR hashed-feature bucket count — CONSTANT and corpus-independent,
+    * which is the method's whole point at scale: the count tables are
+    * bounded at [[DsirBuckets]] rows no matter how large the corpus
+    * vocabulary grows, so they always broadcast. */
+  val DsirBuckets = 4096
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much its HASHED n-gram profile looks like a target
+    * domain versus the raw crawl, then resample proportionally to that
+    * weight. Differs from [[classifierScore]] on both axes that define
+    * DSIR: (1) the feature space is a FIXED-SIZE hash bucketing of
+    * bigrams (md5-derived, engine-reproducible), not the unbounded gram
+    * vocabulary — at 100 TB the count tables stay [[DsirBuckets]] rows
+    * and ship as broadcasts, where the vocabulary-keyed lm/classifier
+    * tables must shuffle-join; (2) the contrast is target-domain vs RAW
+    * CRAWL (domain match), not forward-vs-reversed text (fluency).
+    * Weights follow the engine's bit-exact discipline — two BIGINT
+    * masses and ONE division (the pooled-evidence form of the
+    * importance ratio; no libm log) — and the resampling draw is a
+    * SEPARATE md5 substring (chars 5–8) from the split prefix (char 1),
+    * so the keep decision is independent of split membership.
+    *
+    * Shape at scale: per-row shingle + hash kernels (no shuffle), two
+    * map-side-combined groupBys onto [[DsirBuckets]] keys, two
+    * BROADCAST joins back (explicit hint — the bucket tables are
+    * bounded by construction, unlike the gram vocabulary), one per-doc
+    * aggregate. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (cTgt, cRaw) = dsirCounts(docs)
+    dsirWeightsOver(docs, cTgt, cRaw)
+  }
+
+  /** Bigram → hashed feature bucket (md5 hex, replayable in SQL). */
+  private def dsirBucket(gram: Column): Column =
+    conv(substring(md5(gram), 1, 6), 16, 10).cast("long") % DsirBuckets
+
+  /** The DSIR count tables: hashed-bigram occurrence counts for the
+    * TARGET split ([[LmTrainHexPrefixes]] — the clean reference slice)
+    * and the RAW split (everything outside the target and the '0' eval
+    * split — the crawl distribution importance weights correct for).
+    * Factored so a streaming twin can score micro-batches against
+    * frozen tables (the [[lmCounts]] convention). */
+  private[graft] def dsirCounts(allDocs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val md5c = substring(md5(col("doc_id").cast("string")), 1, 1)
+    def buckets(df: DataFrame): DataFrame = df.select(
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+          .as("gram"))
+      .select(dsirBucket(col("gram")).as("bucket"))
+    val cTgt = buckets(allDocs.filter(md5c.isin(LmTrainHexPrefixes: _*)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+    val cRaw = buckets(allDocs.filter(!md5c.isin("0" +: LmTrainHexPrefixes: _*)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+    (cTgt, cRaw)
+  }
+
+  /** Score `scored` docs against frozen DSIR count tables — per-doc
+    * only (batch-boundary invariant, the [[lmScoreOver]] contract). */
+  private[graft] def dsirWeightsOver(scored: DataFrame, cTgt: DataFrame,
+      cRaw: DataFrame): DataFrame = {
+    val per = scored.select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingleStrings(col("text"), 2))
+          .as("gram"))
+      .select(col("doc_id"), dsirBucket(col("gram")).as("bucket"))
+      .join(broadcast(cTgt), Seq("bucket"), "left")
+      .join(broadcast(cRaw), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("c_tgt"), lit(0L))).as("tgt_mass"),
+        sum(coalesce(col("c_raw"), lit(0L))).as("raw_mass"))
+    val weight = when(
+      coalesce(col("tgt_mass"), lit(0L)) +
+        coalesce(col("raw_mass"), lit(0L)) > 0,
+      col("tgt_mass").cast("double") / (col("tgt_mass") + col("raw_mass")))
+      .otherwise(lit(0.5))
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+      .cast("long")
+    scored.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("tgt_mass"), lit(0L)).as("tgt_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        weight.as("dsir_weight"),
+        (draw.cast("double") < weight * 65536.0).as("sampled"))
       .orderBy(col("doc_id"))
   }
 
@@ -765,6 +854,41 @@ object TextAnalysis {
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
+  /** DSIR weights in-stream against FROZEN hashed-bucket count tables —
+    * the [[streamClassifierScoreQuery]] convention: tables trained once
+    * from the static corpus, each arriving micro-batch scored per-doc
+    * (batch-boundary invariant by the [[dsirWeightsOver]] contract), so
+    * the drained output equals the batch query's rows and the twin
+    * carries text_dsir_weights' oracle text VERBATIM. At scale this is
+    * the shape an ingest pipeline wants anyway: the [[DsirBuckets]]-row
+    * tables broadcast to every micro-batch for free. */
+  def streamDsirScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sdsir_out")
+    val ckpt = graft.TempDirs.scoped("graft_sdsir_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val (cTgt, cRaw) = dsirCounts(staticDocs)
+    val frozen = Seq(cTgt, cRaw).map(_.persist())
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          dsirWeightsOver(batch.toDF(), frozen(0), frozen(1))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    frozen.foreach(_.unpersist())
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
   /** The classifier oracle's full SQL text, factored so the curriculum
     * scheduler's oracle can scope it as a subquery (the mm_dedup_funnel
     * wrapping convention — definitional equality with the query it
@@ -997,6 +1121,47 @@ object TextAnalysis {
          |LEFT JOIN pb ON pb.doc_id = d.doc_id
          |LEFT JOIN pt ON pt.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+    // DSIR replay: same md5 splits, the hashed-bucket key re-derived via
+    // the concat('0x', md5-hex) cast (the curriculum sub-shard
+    // convention), masses as BIGINT sums, weight as one division, and
+    // the resampling draw from md5 chars 5-8 (independent of the split
+    // prefix at char 1).
+    withOracle("text_dsir_weights", dsirWeights,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tgt AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |rw AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         NOT IN ('0', ${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |g AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 6))
+         |          AS BIGINT) % $DsirBuckets AS bucket
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |      WHERE len(toks) >= 2),
+         |ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+         |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM rw) GROUP BY 1),
+         |per AS (SELECT g.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(COALESCE(ct.c_tgt, 0)) AS BIGINT) AS tgt_mass,
+         |    CAST(SUM(COALESCE(cr.c_raw, 0)) AS BIGINT) AS raw_mass
+         |  FROM g LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+         |  GROUP BY 1),
+         |base AS (SELECT d.doc_id,
+         |    COALESCE(per.n_feats, 0) AS n_feats,
+         |    COALESCE(per.tgt_mass, 0) AS tgt_mass,
+         |    COALESCE(per.raw_mass, 0) AS raw_mass,
+         |    CASE WHEN COALESCE(per.tgt_mass, 0) + COALESCE(per.raw_mass, 0) > 0
+         |         THEN CAST(per.tgt_mass AS DOUBLE)
+         |              / (per.tgt_mass + per.raw_mass)
+         |         ELSE 0.5 END AS dsir_weight
+         |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
+         |SELECT doc_id, n_feats, tgt_mass, raw_mass, dsir_weight,
+         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+         |    AS BIGINT) AS DOUBLE) < dsir_weight * 65536.0 AS sampled
+         |FROM base ORDER BY doc_id""".stripMargin),
     withOracle("text_tfidf_top_term", tfidfTopTerm,
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
@@ -1061,5 +1226,7 @@ object TextAnalysis {
     QuerySpec("stream_lm_score", streamLmScoreQuery,
       baseSpecs.find(_.name == "text_lm_score").get.oracle),
     QuerySpec("stream_classifier_score", streamClassifierScoreQuery,
-      baseSpecs.find(_.name == "text_classifier_score").get.oracle))
+      baseSpecs.find(_.name == "text_classifier_score").get.oracle),
+    QuerySpec("stream_dsir_score", streamDsirScoreQuery,
+      baseSpecs.find(_.name == "text_dsir_weights").get.oracle))
 }

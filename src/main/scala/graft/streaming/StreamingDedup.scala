@@ -671,6 +671,43 @@ object StreamingDedup {
         col("n_live_docs"), col("n_dead_ids"))
   }
 
+  /** Declared query — the MEDIA index manifest, [[textIndexStatsQuery]]'s
+    * twin on the phash near-dup index (completing the stats column of
+    * the index-lifecycle matrix: IVF has `sim_index_stats`, text-LSH has
+    * `dedup_index_stats`, the cluster index has `sim_clusters_stats`):
+    * slice counts per state dir plus live vs tombstoned ASSET counts
+    * over the same build-then-forget lifecycle the media serve queries
+    * run. ORACLE-GREEN for the same reason as the text manifest: every
+    * number is signature-independent slice accounting — the md5 train
+    * split and the %5 forget rule — which DuckDB replays from the
+    * documents table (the phash pass emits exactly one fingerprint per
+    * asset, so counts never depend on pixel bytes). */
+  def mediaIndexStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_mmidxstats_state")
+    val sink = graft.TempDirs.scoped("graft_mmidxstats_sink")
+    val hashes = graft.operators.Multimodal
+      .phashTableOf(graft.Tables.documents(spark, dir))
+    val isEval = substring(md5(col("media_id").cast("string")), 1, 1) === "0"
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendMediaBatch(hashes.filter(!isEval), state, sink).count()
+      deleteFromIndex(spark, state,
+        hashes.filter(!isEval && col("media_id") % 5 === 2)
+          .select(col("media_id")))
+    }
+    val bands = s"$state/bands"
+    val tombs = s"$state/tombstones"
+    val nData = listSlices(spark, bands).size
+    val nTomb = listSlices(spark, tombs).size
+    graft.operators.IndexFiles
+      .readLiveFrom(spark, listSlices(spark, bands), tombs, "rec_id")
+      .agg(count_distinct(col("rec_id")).as("n_live_assets"))
+      .crossJoin(graft.operators.IndexFiles.readSlices(spark, tombs)
+        .agg(count_distinct(col("rec_id")).as("n_dead_ids")))
+      .select(lit(nData.toLong).as("n_data_slices"),
+        lit(nTomb.toLong).as("n_tombstone_slices"),
+        col("n_live_assets"), col("n_dead_ids"))
+  }
+
   /** The declared-query form: stream the documents table through the
     * dedup (one AvailableNow drain into session-scoped temp dirs) and
     * return surviving doc ids. Oracle: a doc survives iff it is not the

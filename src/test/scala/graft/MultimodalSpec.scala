@@ -283,6 +283,24 @@ class MultimodalSpec extends SparkSpec {
     assert(served.nonEmpty) // planted dups cross the md5 split
   }
 
+  test("media index stats: manifest replays the split and forget rules") {
+    def hex1(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).substring(0, 1)
+    }
+    val ids = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val train = ids.filter(hex1(_) != "0")
+    val row = graft.streaming.StreamingDedup
+      .mediaIndexStatsQuery(spark, sf).head()
+    assert(row.getAs[Long]("n_data_slices") == 1L)
+    assert(row.getAs[Long]("n_tombstone_slices") == 1L)
+    assert(row.getAs[Long]("n_live_assets") == train.count(_ % 5 != 2).toLong)
+    assert(row.getAs[Long]("n_dead_ids") == train.count(_ % 5 == 2).toLong)
+  }
+
   test("video+audio near-dup: exactly the pairs qualifying on BOTH tracks") {
     val av = Multimodal.videoAudioNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -116,6 +116,55 @@ class QualityGateSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("dsir weights: planted domain match separates target-like from raw-like") {
+    import graft.operators.TextAnalysis
+    def hex1(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).substring(0, 1)
+    }
+    def idsWhere(p: String => Boolean, n: Int): Seq[Long] =
+      Iterator.iterate(0L)(_ + 1).filter(i => p(hex1(i))).take(n).toSeq
+    val tgtIds = idsWhere(TextAnalysis.LmTrainHexPrefixes.contains, 3)
+    val rawIds = idsWhere(h =>
+      h != "0" && !TextAnalysis.LmTrainHexPrefixes.contains(h), 3)
+    val evalId = Iterator.iterate(0L)(_ + 1).find(i => hex1(i) == "0").get
+    val tgtPhrase = "alpha beta gamma delta epsilon zeta"
+    val rawPhrase = "noise spam junk boiler plate chaff"
+    val docs = (tgtIds.map((_, tgtPhrase)) ++ rawIds.map((_, rawPhrase)) :+
+      (evalId, tgtPhrase)).toDF("doc_id", "text")
+    val (cTgt, cRaw) = TextAnalysis.dsirCounts(docs)
+    def weightOf(text: String): Double = TextAnalysis.dsirWeightsOver(
+      Seq((evalId, text)).toDF("doc_id", "text"), cTgt, cRaw)
+      .head().getDouble(4)
+    // all-target bigrams -> full weight; all-raw -> zero; unseen -> prior
+    assert(weightOf(tgtPhrase) == 1.0)
+    assert(weightOf(rawPhrase) == 0.0)
+    assert(weightOf("omega psi") == 0.5)
+    assert(weightOf("") == 0.5)
+  }
+
+  test("dsir weights: declared query samples by weight on the corpus") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.dsirWeights(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val w = r.getDouble(4)
+      assert(w >= 0.0 && w <= 1.0)
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+    }
+    // the draw is md5 chars 5-8; replay it for one row and check the
+    // keep decision is exactly draw < w * 2^16
+    val r0 = rows.head
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(r0.getLong(0).toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val draw = java.lang.Long.parseLong(md5hex.substring(4, 8), 16)
+    assert(r0.getBoolean(5) == (draw.toDouble < r0.getDouble(4) * 65536.0))
+    // sampling is weight-tilted, not degenerate, on the real corpus
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("classifier score: declared query runs with sane ranges on the corpus") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.classifierScore(spark, sf).collect()

@@ -118,6 +118,19 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("dsir scoring is batch-boundary invariant (stream_dsir_score's contract)") {
+    val docs = Tables.documents(spark, sf)
+    val (cTgt, cRaw) = operators.TextAnalysis.dsirCounts(docs)
+    val split = operators.TextAnalysis
+      .dsirWeightsOver(docs.filter(col("doc_id") % 2 === 0), cTgt, cRaw)
+      .unionByName(operators.TextAnalysis
+        .dsirWeightsOver(docs.filter(col("doc_id") % 2 === 1), cTgt, cRaw))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val whole = operators.TextAnalysis.dsirWeights(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("explicit schema lets the stream start on an EMPTY landing directory") {
     import org.apache.spark.sql.streaming.OutputMode
     // inference needs a footer to read, so an empty dir throws...

@@ -239,4 +239,57 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
     assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) == 0L))
   }
+
+  test("leakage split: every component is split-coherent and follows its md5") {
+    val split = Dedup.leakageSplit(spark, sf)
+    // one split value per component — the invariant that makes the split
+    // leakage-free by construction
+    val incoherent = split.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(incoherent == 0L)
+    // the assignment is exactly the component-md5 rule, and both sides
+    // are non-empty at this corpus size
+    val wrong = split.filter(
+      (substring(md5(col("component").cast("string")), 1, 1) === "0") =!=
+        (col("split") === "eval")).count()
+    assert(wrong == 0L)
+    val sides = split.select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "eval"))
+    assert(split.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("leakage audit: grouped split crosses zero pairs, naive split leaks") {
+    // A planted corpus where a near-dup pair is GUARANTEED to straddle
+    // the naive per-doc split: one doc in the '0' eval split, its
+    // near-identical twin outside it.
+    def hex1(i: Long): String = "%02x".format(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))(0)).substring(0, 1)
+    val evalId = Iterator.iterate(0L)(_ + 1).find(i => hex1(i) == "0").get
+    val trainId = Iterator.iterate(0L)(_ + 1).find(i => hex1(i) != "0").get
+    val text = "the quick brown fox jumps over the lazy dog by the river today"
+    val docs = Seq((evalId, text), (trainId, text),
+      (999983L, "completely unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val lab = Dedup.dedupGroupsOf(docs).select(col("doc_id"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("de"),
+      (substring(md5(col("component").cast("string")), 1, 1) === "0").as("ce"))
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .join(lab.select(col("doc_id").as("doc_a"), col("de").as("ea"),
+        col("ce").as("ca")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("de").as("eb"),
+        col("ce").as("cb")), "doc_b").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Boolean]("ea") != pairs.head.getAs[Boolean]("eb"))
+    assert(pairs.head.getAs[Boolean]("ca") == pairs.head.getAs[Boolean]("cb"))
+    // and on the real corpus the declared audit reports zero grouped
+    // crossings with a consistent pair total
+    val audit = Dedup.splitLeakageAudit(spark, sf).head()
+    assert(audit.getAs[Long]("grouped_cross_pairs") == 0L)
+    assert(audit.getAs[Long]("naive_cross_pairs") >= 0L)
+    assert(audit.getAs[Long]("n_neardup_pairs") >=
+      audit.getAs[Long]("naive_cross_pairs"))
+  }
 }
