@@ -285,6 +285,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Radius for [[rangeSearch]] — ~2.4σ on this corpus's pair-cosine
+    * distribution (std exactly 1/√64), so per-query result sets stay
+    * small while planted near-dups always qualify. */
+  val RangeThreshold = 0.3
+
+  /** Range search — the RADIUS verb of the vector-serving API (FAISS
+    * `range_search`): every corpus vector within cosine >=
+    * [[RangeThreshold]] of each query vector, self excluded. Unlike
+    * top-k, the result cardinality is data-driven — the verb a
+    * near-dup REVIEW tool wants ("show me everything this close"),
+    * where top-k would truncate dense neighborhoods and pad sparse
+    * ones. Same broadcast-queries / corpus-scans-once shape as
+    * [[topKExact]], minus the rank window — the predicate filters
+    * inside the scan, so no per-query state at all. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .filter(col("score") >= RangeThreshold)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  /** Embedding-tier leakage-safe split — [[Dedup.leakageSplit]]'s twin
+    * over the COSINE near-dup graph: every vector goes to the split its
+    * near-dup component representative md5-hashes to, so no pair of
+    * near-duplicate embeddings can straddle the train/eval boundary
+    * (the text twin's rationale at vector grain — paraphrase-level
+    * leakage shows up in embedding space even when the n-gram tier
+    * misses it). Components ride the shared [[Dedup.componentsOver]]
+    * contraction over the bucketed LSH pair stream — the identical
+    * machinery and scale shape as the text split. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshCandidatePairScores(s, dir)
+      .filter(col("score") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    Dedup.componentsOver(
+        Tables.embeddings(s, dir).select(col("vec_id")), pairs)
+      .select(col("vec_id"), col("component"),
+        when(substring(md5(col("component").cast("string")), 1, 1) === "0",
+          "eval").otherwise("train").as("split"))
+      .orderBy(col("vec_id"))
+  }
+
   // -------------------------------------------------------------------
   // ANN: random-hyperplane LSH, L tables x B bits
   // -------------------------------------------------------------------
@@ -1128,6 +1174,33 @@ object Similarity {
          |  CAST(CASE WHEN sample_rank <= $DiversityCap THEN 1 ELSE 0 END
          |    AS BIGINT) AS keep
          |FROM sampled ORDER BY vec_id""".stripMargin),
+    // Radius verb: the exact brute-force replay, no window needed.
+    withOracle("sim_range_search", rangeSearch,
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |  ${cosSql("q.embedding", "c.embedding")} AS score
+         |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |WHERE q.vec_id < $NumQueryVectors
+         |  AND ${cosSql("q.embedding", "c.embedding")} >= $RangeThreshold
+         |ORDER BY query_id, vec_id""".stripMargin),
+    // The near-dup pair stream (seeded planes as literals) feeding the
+    // recursive-CTE components, split by component md5 — the
+    // text_leakage_split oracle at vector grain.
+    withOracle("sim_leakage_split", leakageSplit,
+      s"""${lshPairScoresCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |np AS (SELECT vec_a, vec_b FROM pair_scores
+         |       WHERE score >= $NearDupThreshold),
+         |edges(a, b) AS (SELECT vec_a, vec_b FROM np
+         |                UNION ALL SELECT vec_b, vec_a FROM np),
+         |r(v, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v)
+         |SELECT vec_id, component,
+         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
+         |    THEN 'eval' ELSE 'train' END AS split
+         |FROM comp ORDER BY vec_id""".stripMargin),
     withOracle("dedup_embedding", embeddingDedup,
       s"""$lshPairScoresCtes,
          |p AS (

@@ -298,4 +298,49 @@ class SimilaritySpec extends SparkSpec {
     if (byCluster.values.exists(_.length > Similarity.DiversityCap))
       assert(out.count(_._5 == 1L) < out.length)
   }
+
+  test("range search: exactly the pairs at or above the radius, per query") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val out = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (q, v, s) =>
+      assert(s >= Similarity.RangeThreshold && q != v)
+    }
+    // completeness against the same kernel unfiltered: every scored pair
+    // not in the result sits strictly below the radius
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val all = emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftExpressions
+          .cosineFast(col("qv"), col("embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inRange = out.map(t => (t._1, t._2)).toSet
+    all.foreach { case (q, v, s) =>
+      assert(inRange.contains((q, v)) == (s >= Similarity.RangeThreshold))
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("embedding leakage split: component-coherent and pair-safe") {
+    import org.apache.spark.sql.functions.col
+    val split = Similarity.leakageSplit(spark, sf)
+    val bySide = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bySide.size == Tables.embeddings(spark, sf).count())
+    // no near-dup pair straddles the boundary — the production pair
+    // stream checked directly against the assignment
+    Similarity.nearDupPairs(spark, sf).collect().foreach { r =>
+      assert(bySide(r.getLong(0)) == bySide(r.getLong(1)))
+    }
+    // coherence within components
+    val incoherent = split.groupBy(col("component"))
+      .agg(org.apache.spark.sql.functions
+        .countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(incoherent == 0L)
+    assert(bySide.values.toSet == Set("train", "eval"))
+  }
 }
