@@ -29,7 +29,9 @@ object Explain {
         "dedup_containment", "dedup_cross_source_overlap", "sim_mmr_rerank",
         "rel_event_funnel", "rel_cohort_retention",
         "text_lm_score", "text_bpe_token_stats", "text_mix_temperature",
-        "sim_hard_negatives")
+        "sim_hard_negatives",
+        "text_dsir_weights", "text_leakage_split", "text_split_leakage_audit",
+        "text_classifier_calibration", "sim_range_search", "sim_leakage_split")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -854,6 +854,36 @@ object TextAnalysis {
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
+  /** Calibration audit of the contrastive classifier against the Gopher
+    * rules gate — the table a curation owner reads before swapping the
+    * multi-column rules scan for the cheap classifier at serving time:
+    * per classifier-score DECILE band, how many docs land there and what
+    * fraction the rules gate keeps. A well-calibrated classifier shows
+    * keep-rate rising monotonically with the band; a flat curve means
+    * the score carries no signal about the gate and the swap would be
+    * unsafe. Bands are fixed-cut per-row arithmetic (floor of
+    * score × 10, clamped) — no quantile pass, no global sort, the
+    * curriculum-shards discipline — and the aggregate has ≤ 10 keys.
+    * Both inputs are existing single-scan plans joined on doc_id. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (cPos, cNeg) = classifierCounts(docs)
+    val scores = classifierScoreOver(docs, cPos, cNeg)
+      .select(col("doc_id"), col("clf_score"))
+    val keep = QualityGate.gopherFlags(docs)
+      .select(col("doc_id"), col("keep"))
+    val band = least(floor(col("clf_score") * 10).cast("long"), lit(9L))
+    scores.join(keep, "doc_id")
+      .select(band.as("band"), col("keep"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_rule_keep"))
+      .select(col("band"), col("n_docs"), col("n_rule_keep"),
+        (col("n_rule_keep").cast("double") / col("n_docs"))
+          .as("rule_keep_rate"))
+      .orderBy(col("band"))
+  }
+
   /** DSIR weights in-stream against FROZEN hashed-bucket count tables —
     * the [[streamClassifierScoreQuery]] convention: tables trained once
     * from the static corpus, each arriving micro-batch scored per-doc
@@ -1043,6 +1073,21 @@ object TextAnalysis {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
     withOracle("text_classifier_score", classifierScore, classifierOracleSql),
+    // Calibration: the classifier oracle scoped as a subquery (the
+    // curriculum convention), the gate CTE spliced verbatim (the
+    // curation-funnel convention), banded by the same fixed decile cut.
+    withOracle("text_classifier_calibration", classifierCalibration,
+      s"""WITH clf AS (SELECT doc_id, clf_score FROM ($classifierOracleSql)),
+         |${QualityGate.gateCteSql},
+         |b AS (SELECT LEAST(CAST(FLOOR(c.clf_score * 10) AS BIGINT), 9)
+         |    AS band, g.keep
+         |  FROM clf c JOIN gate g USING (doc_id))
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rule_keep,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |    AS rule_keep_rate
+         |FROM b GROUP BY band ORDER BY band""".stripMargin),
     // Curriculum replay: the classifier oracle scoped as a subquery, the
     // fixed band cuts and md5-conv sub-shard key re-derived, then the
     // manifest window over the handful of (band, bucket) rows.

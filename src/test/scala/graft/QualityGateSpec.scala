@@ -165,6 +165,29 @@ class QualityGateSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("classifier calibration: bands partition the corpus and replay the joint") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.classifierCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (band, n, k, rate) =>
+      assert(band >= 0L && band <= 9L)
+      assert(k >= 0L && k <= n)
+      assert(rate == k.toDouble / n)
+    }
+    // the banded joint equals a direct recombination of the two queries
+    val scoreOf = TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val keepOf = QualityGate.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val direct = scoreOf.toSeq.map { case (id, s) =>
+      (math.min(math.floor(s * 10).toLong, 9L), keepOf(id)) }
+      .groupBy(_._1)
+      .map { case (b, xs) => (b, xs.length.toLong, xs.count(_._2).toLong) }
+      .toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == direct)
+  }
+
   test("classifier score: declared query runs with sane ranges on the corpus") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.classifierScore(spark, sf).collect()
