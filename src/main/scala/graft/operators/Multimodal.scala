@@ -276,6 +276,27 @@ object Multimodal {
   def phashDedup(s: SparkSession, dir: String): DataFrame =
     hashDedupOn(phashTable(s, dir))
 
+  /** Media-tier leakage-safe split — the third cell of the leakage-split
+    * matrix (text/embedding twins: `text_leakage_split` /
+    * `sim_leakage_split`): every asset goes to the split its phash
+    * near-dup component representative md5-hashes to, so no pair of
+    * near-duplicate images straddles a train/eval boundary (an eval
+    * image whose crop/re-encode sits in train is leakage the text tier
+    * cannot see). Components ride the shared [[Dedup.componentsOver]]
+    * contraction over the banded-hamming pair stream; the phash pass is
+    * the production codec kernel, the split one per-row md5. */
+  def mmLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    // persist: pair subtree and universe both consume the hash table —
+    // the hashDedupOn precedent (decode pass is the dominant cost)
+    val hashes = phashTable(s, dir).persist()
+    val pairs = phashPairsOn(hashes).select(col("id_a"), col("id_b"))
+    Dedup.componentsOver(hashes.select(col("media_id")), pairs)
+      .select(col("media_id"), col("component"),
+        when(substring(md5(col("component").cast("string")), 1, 1) === "0",
+          "eval").otherwise("train").as("split"))
+      .orderBy(col("media_id"))
+  }
+
   // -------------------------------------------------------------------
   // Audio tier: real WAV/RIFF codec (javax.sound.sampled)
 
@@ -1102,6 +1123,25 @@ object Multimodal {
          |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
          |WHERE tr.media_id <= (SELECT MAX(doc_id) // 2 FROM documents)
          |ORDER BY query_media, match_media""".stripMargin),
+    // Media leakage split: the phash pair stream feeding the
+    // recursive-CTE components, split by component md5 — the
+    // text/sim_leakage_split oracle at asset grain.
+    withOracle("mm_leakage_split", mmLeakageSplit,
+      s"""${phashOracleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |np AS (SELECT id_a, id_b FROM cand
+         |       WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming),
+         |edges(a, b) AS (SELECT id_a, id_b FROM np
+         |                UNION ALL SELECT id_b, id_a FROM np),
+         |r(v, lbl) AS (
+         |  SELECT media_id, media_id FROM ph
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS media_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v)
+         |SELECT media_id, component,
+         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
+         |    THEN 'eval' ELSE 'train' END AS split
+         |FROM comp ORDER BY media_id""".stripMargin),
     // Media index manifest: slice accounting plus the md5 train split
     // and the %5 forget rule — the dedup_index_stats oracle at asset
     // grain (one fingerprint per doc, so the counts replay without

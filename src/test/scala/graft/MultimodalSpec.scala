@@ -301,6 +301,23 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("n_dead_ids") == train.count(_ % 5 == 2).toLong)
   }
 
+  test("media leakage split: component-coherent and pair-safe") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val split = Multimodal.mmLeakageSplit(spark, sf)
+    val bySide = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bySide.size == Tables.documents(spark, sf).count())
+    // no phash near-dup pair straddles the boundary
+    Multimodal.phashNearDup(spark, sf).collect().foreach { r =>
+      assert(bySide(r.getLong(0)) == bySide(r.getLong(1)))
+    }
+    val incoherent = split.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(incoherent == 0L)
+    assert(bySide.values.toSet == Set("train", "eval"))
+  }
+
   test("video+audio near-dup: exactly the pairs qualifying on BOTH tracks") {
     val av = Multimodal.videoAudioNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
