@@ -512,6 +512,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Range search through the IVF cells — the radius verb's SCALE path:
+    * [[rangeSearch]] scans the corpus per query (fine as an exactness
+    * oracle, wrong at 100 TB); this variant scores only vectors in the
+    * query's [[IvfProbes]] nearest cells, so per-query cost is
+    * O(probed-cell population) at the usual IVF recall trade (vectors
+    * inside the radius but outside the probed cells are missed —
+    * recall-pinned against the exact twin in `SimilaritySpec`). Same
+    * trained-centroid assignment as [[topKIvf]] (rows-only for the same
+    * reason); the radius predicate replaces the rank window, so the
+    * probe join needs no per-query state at all. */
+  def rangeSearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val ranked = rankedCells(emb, learnCentroids(emb))
+    val assigned = ranked.filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = ranked
+      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .filter(col("score") >= RangeThreshold)
+      // no distinct needed: each vector lives in exactly ONE assigned
+      // cell (pr == 1) and probe cells are distinct per query, so a
+      // (query, vec) pair can only arise once
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   // -------------------------------------------------------------------
 
   /** DuckDB double-precision cosine, bit-identical to VectorFunctions
@@ -1216,6 +1246,7 @@ object Similarity {
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),
+    rowsOnly("sim_range_ivf", rangeSearchIvf),
     rowsOnly("sim_mmr_ivf", mmrRerankIvf),
     rowsOnly("sim_probe_sweep", probeSweep),
     // PQ codebooks are likewise trained from the data at query-build

@@ -324,6 +324,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("range over IVF: subset of exact range with identical scores, recall floor") {
+    val exact = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.rangeSearchIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every IVF hit is an exact hit with the same double score (same
+    // kernel, so probing only changes WHICH pairs are scored)
+    ivf.foreach { case (q, v, s) =>
+      assert(exact.get((q, v)).contains(s), s"($q,$v) not in exact range")
+    }
+    // recall floor of the probe trade on this corpus
+    assert(exact.nonEmpty)
+    val recall = ivf.length.toDouble / exact.size
+    assert(recall >= 0.3, s"range recall $recall")
+    // deterministic across runs (k-means seeding is fixed)
+    val again = Similarity.rangeSearchIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq == again.toSeq)
+  }
+
   test("embedding leakage split: component-coherent and pair-safe") {
     import org.apache.spark.sql.functions.col
     val split = Similarity.leakageSplit(spark, sf)
