@@ -662,6 +662,32 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** JOINT text+embedding dedup groups — the STACKED decision real
+    * curation pipelines run: MinHash/Jaccard catches lexical near-dups,
+    * embedding cosine catches semantic ones (paraphrases, translations)
+    * the n-gram tier cannot see, and the production decision unions the
+    * two evidence streams before canonicalizing. The corpora share one
+    * id space (embeddings.vec_id == documents.doc_id), so components
+    * run over the UNION of both pair sets on the documents universe —
+    * a doc with no embedding still participates through its text edges.
+    *
+    * Shape at scale: both pair generators are the existing bucketed
+    * plans (PPJoin prefix filter; hyperplane-LSH buckets) — the union
+    * adds no new shuffle class, and the shared [[componentsOver]]
+    * contraction is the same O(log n) machinery every other component
+    * query rides. */
+  def jointDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val textPairs = ngramJaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+    val embPairs = Similarity.lshCandidatePairScores(s, dir)
+      .filter(col("score") >= Similarity.NearDupThreshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    componentsOver(docs.select(col("doc_id")),
+        textPairs.unionByName(embPairs))
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe train/eval split — the GROUP-AWARE assignment every
     * careful evaluation setup needs: a naive per-document hash split
     * puts near-duplicate documents on BOTH sides of the train/eval
@@ -993,6 +1019,26 @@ object Dedup {
          |JOIN gate g USING (doc_id)
          |LEFT JOIN shared s USING (doc_id)
          |JOIN comp c USING (doc_id)""".stripMargin),
+    // Joint components: both pair streams' oracle CTEs side by side (no
+    // name collision — w/sh/cnt/inter/jp vs planes/dots/buckets/salted/
+    // cand/pair_scores), edges unioned before the same recursive CC.
+    withOracle("dedup_joint_groups", jointDedupGroups,
+      s"""${Similarity.lshPairScoresCtes.replaceFirst("^WITH ",
+             "WITH RECURSIVE ")},
+         |$jaccardPairsCte,
+         |np AS (SELECT vec_a AS a, vec_b AS b FROM pair_scores
+         |       WHERE score >= ${Similarity.NearDupThreshold}),
+         |allp AS (SELECT a, b FROM np
+         |         UNION SELECT doc_a, doc_b FROM jp),
+         |edges(a, b) AS (SELECT a, b FROM allp
+         |                UNION ALL SELECT b, a FROM allp),
+         |r(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+         |         FROM r GROUP BY v)
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
     // The recursive-CTE component labels + the component-md5 split rule;
     // md5 over the decimal component string is byte-identical in both
     // engines (the text_quality_sample convention at component grain).

@@ -135,7 +135,7 @@ object Similarity {
       .distinct()
   }
 
-  private def lshCandidatePairScores(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def lshCandidatePairScores(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     lshCandidatePairs(emb)
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))

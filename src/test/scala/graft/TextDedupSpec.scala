@@ -240,6 +240,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) == 0L))
   }
 
+  test("joint dedup groups: exactly the union-closure of both pair streams") {
+    import graft.operators.Similarity
+    val textPairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val embPairs = Similarity.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // local union-find over the unioned edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    (textPairs ++ embPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Dedup.jointDedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Tables.documents(spark, sf).count())
+    got.foreach { case (id, comp) => assert(comp == find(id)) }
+    // the joint decision is strictly stronger than text alone whenever
+    // an embedding edge bridges two text components (holds on this
+    // corpus: embedding near-dups exist)
+    assert(embPairs.nonEmpty)
+  }
+
   test("leakage split: every component is split-coherent and follows its md5") {
     val split = Dedup.leakageSplit(spark, sf)
     // one split value per component — the invariant that makes the split
