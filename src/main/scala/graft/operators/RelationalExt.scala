@@ -222,6 +222,48 @@ object RelationalExt {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Bit-reproducible second-moment statistics — correlation, sample
+    * covariance and sample standard deviations between quantity and
+    * price per return flag, from EXACT integer moments. The built-in
+    * `corr`/`covar_samp` accumulate doubles whose merge order varies
+    * with partitioning (different cluster layout → different last-ulp
+    * result → a broken differential gate and non-reproducible feature
+    * pipelines); here the six moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * summed as DECIMAL(38,0) over integer units/cents (per-row products
+    * stay far under 2^63; DuckDB's BIGINT sums widen to HUGEINT the
+    * same way), and the float math is a FIXED final formula over six
+    * exact numbers — identical on any partitioning, any engine. The
+    * aggregation itself is one map-side-combinable groupBy on a
+    * three-value key. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    aggCorrOf(Tables.lineitem(s, dir))
+
+  /** The moment pipeline over any lineitem-shaped frame — factored so
+    * the partitioning-invariance test feeds a reshuffled input through
+    * the EXACT production plan. */
+  private[graft] def aggCorrOf(lineitem: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = round(col("l_quantity")).cast("long")
+    val y = cents(col("l_extendedprice"))
+    val m = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d38)).as("sx"), sum(y.cast(d38)).as("sy"),
+        sum((x * y).cast(d38)).as("sxy"),
+        sum((x * x).cast(d38)).as("sxx"),
+        sum((y * y).cast(d38)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val nn1 = (col("n") * (col("n") - 1)).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+        (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        (num / nn1).as("covar_qty_price"),
+        sqrt(varx / nn1).as("std_qty"),
+        sqrt(vary / nn1).as("std_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------------------
   // Exact percentiles / distinct aggregation / histogram / full outer join
   // ---------------------------------------------------------------------------
@@ -1091,6 +1133,32 @@ object RelationalExt {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY o_orderkey""".stripMargin),
+    // Exact-moment statistics: BIGINT sums widen to HUGEINT in DuckDB,
+    // DECIMAL(38,0) in Spark — both exact, both cast to double once,
+    // then the identical fixed formula.
+    withOracle("rel_agg_corr", aggCorr,
+      s"""WITH m AS (SELECT l_returnflag,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+         |    SUM(${centsSql("l_extendedprice")}) AS sy,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
+         |        * ${centsSql("l_extendedprice")}) AS sxy,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
+         |        * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
+         |    SUM(${centsSql("l_extendedprice")}
+         |        * ${centsSql("l_extendedprice")}) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+         |    AS covar_qty_price,
+         |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+         |    AS std_qty,
+         |  sqrt(CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+         |    AS std_price
+         |FROM m ORDER BY l_returnflag""".stripMargin),
     withOracle("rel_percentile", percentiles,
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

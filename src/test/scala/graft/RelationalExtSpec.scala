@@ -239,6 +239,28 @@ class RelationalExtSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("exact-moment corr matches built-in corr and is partitioning-invariant") {
+    val rows = RelationalExt.aggCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // agreement with Spark's float-accumulating built-ins (they differ
+    // only by accumulation error, so a tight tolerance holds)
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - builtin(r.getString(0))) < 1e-9)
+      assert(r.getDouble(4) > 0 && r.getDouble(5) > 0)
+    }
+    // the whole point: bit-identical under a different partitioning
+    val rows2 = RelationalExt
+      .aggCorrOf(Tables.lineitem(spark, sf).repartition(7))
+      .collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+  }
+
   test("full outer join loses no keys from either side") {
     val out = RelationalExt.joinFullOuter(spark, sf).cache()
     val nCust = Tables.customer(spark, sf).count()
