@@ -904,6 +904,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RRF smoothing constant (Cormack et al. 2009's k=60 — the standard
+    * that makes rank 1 worth 1/61 and flattens tail ranks). */
+  val RrfK = 60
+
+  /** HYBRID retrieval — the lexical+vector fusion modern RAG serving
+    * runs (BM25-family arm + embedding arm, merged by RECIPROCAL RANK
+    * FUSION): each arm ranks top-[[TopK]] per query independently —
+    * the vector arm is [[topKExact]]'s exact cosine ranking, the
+    * lexical arm ranks by shared distinct shingles with the query
+    * document (the corpora share one id space, so query text comes
+    * from the query's own doc) — and candidates fuse by
+    * Σ 1/(k + rank), rank-based so the two arms' incomparable score
+    * scales never mix. A candidate missing from one arm contributes 0
+    * from it (its rank reported as 0 = "not retrieved by this arm").
+    * RRF on integer ranks is bit-exact: 1/(60+rank) is one double
+    * division of exact integers, identical in any engine.
+    *
+    * Shape at scale: the vector arm is the broadcast-queries corpus
+    * scan; the lexical arm explodes the query docs' shingle sets
+    * (|queries| × shingles — broadcast) against the corpus shingle
+    * index, count-aggregates on the (query, cand) key, and rank-windows
+    * per query (bounded state). The fusion join touches only
+    * 2×TopK×|queries| rows. */
+  def hybridRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vec = topKExact(s, dir).select(col("query_id"),
+      col("vec_id").as("cand_id"), col("rank").as("rank_vec"))
+    val sets = docs.select(col("doc_id"),
+      Dedup.shingleSet(col("text")).as("hv"))
+    val qGrams = sets.filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id").as("query_id"), explode(col("hv")).as("g"))
+    val cGrams = sets.select(col("doc_id").as("cand_id"),
+      explode(col("hv")).as("g"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_shared").desc, col("cand_id").asc)
+    val lex = cGrams.join(broadcast(qGrams), Seq("g"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      .filter(col("rank_lex") <= TopK)
+      .select(col("query_id"), col("cand_id"), col("rank_lex"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id").asc)
+    vec.join(lex, Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        rrf.as("rrf"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("rank_vec"), col("rank_lex"), col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** MMR trade-off weight λ: score = λ·relevance − (1−λ)·redundancy. The
     * complement is a SEPARATE named constant (not computed as 1−λ) so
     * both sides of the differential oracle parse the identical double —
@@ -1204,6 +1263,45 @@ object Similarity {
          |  CAST(CASE WHEN sample_rank <= $DiversityCap THEN 1 ELSE 0 END
          |    AS BIGINT) AS keep
          |FROM sampled ORDER BY vec_id""".stripMargin),
+    // Hybrid fusion: both arms replayed (cosine ranking + shared-shingle
+    // ranking on gram STRINGS — distinct-hash counts equal
+    // distinct-string counts, the decontaminate hash-invariance
+    // contract), fused by the rank-only RRF formula.
+    withOracle("sim_hybrid_retrieve", hybridRetrieve,
+      s"""WITH v AS (SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |          c.vec_id ASC) AS BIGINT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rank <= $TopK),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         |       FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |       WHERE len(toks) >= 3),
+         |qs AS (SELECT doc_id AS query_id, s FROM sh
+         |       WHERE doc_id < $NumQueryVectors),
+         |shared AS (SELECT q.query_id, c.doc_id AS cand_id,
+         |    COUNT(*) AS n_shared
+         |  FROM qs q JOIN sh c ON c.s = q.s AND c.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |l AS (SELECT query_id, cand_id, rank_lex FROM (
+         |    SELECT query_id, cand_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY n_shared DESC, cand_id ASC) AS BIGINT) AS rank_lex
+         |    FROM shared) t WHERE rank_lex <= $TopK),
+         |f AS (SELECT query_id, cand_id,
+         |    COALESCE(v.rank_vec, 0) AS rank_vec,
+         |    COALESCE(l.rank_lex, 0) AS rank_lex,
+         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.rank_vec), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rank_lex), 0) AS rrf
+         |  FROM v FULL JOIN l USING (query_id, cand_id))
+         |SELECT query_id, rank, cand_id, rank_vec, rank_lex, rrf FROM (
+         |  SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM f) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
     // Radius verb: the exact brute-force replay, no window needed.
     withOracle("sim_range_search", rangeSearch,
       s"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

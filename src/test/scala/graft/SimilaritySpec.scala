@@ -344,6 +344,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == again.toSeq)
   }
 
+  test("hybrid retrieve: RRF replays from the arm ranks, both arms contribute") {
+    val rows = Similarity.hybridRetrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { qr =>
+      // dense ranks, fused score non-increasing
+      assert(qr.map(_._2).sorted.toSeq == (1L to qr.length).toSeq)
+      val byRank = qr.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { case (_, _, _, rv, rl, rrf) =>
+      assert(rv > 0 || rl > 0)
+      val expect = (if (rv > 0) 1.0 / (Similarity.RrfK + rv) else 0.0) +
+        (if (rl > 0) 1.0 / (Similarity.RrfK + rl) else 0.0)
+      assert(rrf == expect)
+    }
+    // both arms surface candidates into the fused list (the corpus's
+    // lexical and vector neighborhoods need not overlap per query, so
+    // both-arm hits are not asserted — only that neither arm is dead)
+    assert(rows.exists { case (_, _, _, rv, _, _) => rv > 0 })
+    assert(rows.exists { case (_, _, _, _, rl, _) => rl > 0 })
+  }
+
   test("embedding leakage split: component-coherent and pair-safe") {
     import org.apache.spark.sql.functions.col
     val split = Similarity.leakageSplit(spark, sf)
