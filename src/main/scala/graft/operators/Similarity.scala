@@ -929,14 +929,33 @@ object Similarity {
     * 2×TopK×|queries| rows. */
   def hybridRetrieve(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val vec = topKExact(s, dir).select(col("query_id"),
-      col("vec_id").as("cand_id"), col("rank").as("rank_vec"))
-    val sets = docs.select(col("doc_id"),
-      Dedup.shingleSet(col("text")).as("hv"))
-    val qGrams = sets.filter(col("doc_id") < NumQueryVectors)
-      .select(col("doc_id").as("query_id"), explode(col("hv")).as("g"))
-    val cGrams = sets.select(col("doc_id").as("cand_id"),
-      explode(col("hv")).as("g"))
+    hybridOver(docs,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      docs.filter(col("doc_id") < NumQueryVectors)
+        .select(col("doc_id"), col("text")))
+  }
+
+  /** The hybrid pipeline over any (doc_id, text) query frame against a
+    * STATIC corpus — per-query only (batch-boundary invariant, so the
+    * streaming serve twin drains to the identical rows). Query vectors
+    * resolve from the corpus embeddings by the shared id space. */
+  private[graft] def hybridOver(docs: DataFrame, emb: DataFrame,
+      queryDocs: DataFrame): DataFrame = {
+    val qIds = queryDocs.select(col("doc_id").as("query_id"))
+    val queries = emb.join(broadcast(qIds), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("qv"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    val vec = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank_vec", row_number().over(wV).cast("long"))
+      .filter(col("rank_vec") <= TopK)
+      .select(col("query_id"), col("cand_id"), col("rank_vec"))
+    val qGrams = queryDocs.select(col("doc_id").as("query_id"),
+      explode(Dedup.shingleSet(col("text"))).as("g"))
+    val cGrams = docs.select(col("doc_id").as("cand_id"),
+      explode(Dedup.shingleSet(col("text"))).as("g"))
     val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("n_shared").desc, col("cand_id").asc)
     val lex = cGrams.join(broadcast(qGrams), Seq("g"))
@@ -961,6 +980,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("rank_vec"), col("rank_lex"), col("rrf"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval served in-stream — queries arrive as document
+    * rows, each micro-batch answered read-only against the STATIC
+    * corpus and both frozen arms ([[hybridOver]] is per-query, so the
+    * drained output equals the batch query's rows and the twin carries
+    * sim_hybrid_retrieve's oracle text VERBATIM — the stream_lm_score
+    * convention). */
+  def streamHybridServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val out = graft.TempDirs.scoped("graft_hybserve_out")
+    val ckpt = graft.TempDirs.scoped("graft_hybserve_ckpt")
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id"), col("text"))
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          hybridOver(docs, emb, batch.toDF())
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("query_id"), col("rank"))
   }
 
   /** MMR trade-off weight λ: score = λ·relevance − (1−λ)·redundancy. The
@@ -1125,6 +1178,46 @@ object Similarity {
        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
        |  FROM comp GROUP BY 1)""".stripMargin
 
+  /** The hybrid oracle's full SQL text, shared verbatim by the batch
+    * query and its streaming serve twin (the stream_lm_score convention:
+    * per-query serving against frozen state is batch-boundary invariant,
+    * so one SQL text covers both). */
+  private val hybridOracleSql: String =
+    s"""WITH v AS (SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |          c.vec_id ASC) AS BIGINT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rank <= $TopK),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         |       FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |       WHERE len(toks) >= 3),
+         |qs AS (SELECT doc_id AS query_id, s FROM sh
+         |       WHERE doc_id < $NumQueryVectors),
+         |shared AS (SELECT q.query_id, c.doc_id AS cand_id,
+         |    COUNT(*) AS n_shared
+         |  FROM qs q JOIN sh c ON c.s = q.s AND c.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |l AS (SELECT query_id, cand_id, rank_lex FROM (
+         |    SELECT query_id, cand_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY n_shared DESC, cand_id ASC) AS BIGINT) AS rank_lex
+         |    FROM shared) t WHERE rank_lex <= $TopK),
+         |f AS (SELECT query_id, cand_id,
+         |    COALESCE(v.rank_vec, 0) AS rank_vec,
+         |    COALESCE(l.rank_lex, 0) AS rank_lex,
+         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.rank_vec), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rank_lex), 0) AS rrf
+         |  FROM v FULL JOIN l USING (query_id, cand_id))
+         |SELECT query_id, rank, cand_id, rank_vec, rank_lex, rrf FROM (
+         |  SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM f) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1267,41 +1360,12 @@ object Similarity {
     // ranking on gram STRINGS — distinct-hash counts equal
     // distinct-string counts, the decontaminate hash-invariance
     // contract), fused by the rank-only RRF formula.
-    withOracle("sim_hybrid_retrieve", hybridRetrieve,
-      s"""WITH v AS (SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
-         |          c.vec_id ASC) AS BIGINT) AS rank
-         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rank <= $TopK),
-         |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         |       FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-         |       WHERE len(toks) >= 3),
-         |qs AS (SELECT doc_id AS query_id, s FROM sh
-         |       WHERE doc_id < $NumQueryVectors),
-         |shared AS (SELECT q.query_id, c.doc_id AS cand_id,
-         |    COUNT(*) AS n_shared
-         |  FROM qs q JOIN sh c ON c.s = q.s AND c.doc_id <> q.query_id
-         |  GROUP BY 1, 2),
-         |l AS (SELECT query_id, cand_id, rank_lex FROM (
-         |    SELECT query_id, cand_id,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY n_shared DESC, cand_id ASC) AS BIGINT) AS rank_lex
-         |    FROM shared) t WHERE rank_lex <= $TopK),
-         |f AS (SELECT query_id, cand_id,
-         |    COALESCE(v.rank_vec, 0) AS rank_vec,
-         |    COALESCE(l.rank_lex, 0) AS rank_lex,
-         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.rank_vec), 0)
-         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rank_lex), 0) AS rrf
-         |  FROM v FULL JOIN l USING (query_id, cand_id))
-         |SELECT query_id, rank, cand_id, rank_vec, rank_lex, rrf FROM (
-         |  SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY rrf DESC, cand_id ASC) AS BIGINT) AS rank
-         |  FROM f) t
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_hybrid_retrieve", hybridRetrieve, hybridOracleSql),
+    // The streaming serve twin carries the batch oracle text VERBATIM:
+    // hybridOver is per-query against a static corpus, so drained output
+    // equals the batch rows and one SQL text cannot drift across the pair.
+    QuerySpec("stream_hybrid_serve", streamHybridServeQuery,
+      Some(hybridOracleSql)),
     // Radius verb: the exact brute-force replay, no window needed.
     withOracle("sim_range_search", rangeSearch,
       s"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -131,6 +131,24 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("hybrid serving is batch-boundary invariant (stream_hybrid_serve's contract)") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val queries = docs
+      .filter(col("doc_id") < operators.Similarity.NumQueryVectors)
+      .select(col("doc_id"), col("text"))
+    val split = operators.Similarity
+      .hybridOver(docs, emb, queries.filter(col("doc_id") % 2 === 0))
+      .unionByName(operators.Similarity
+        .hybridOver(docs, emb, queries.filter(col("doc_id") % 2 === 1)))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toString).toSeq
+    val whole = operators.Similarity.hybridRetrieve(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("explicit schema lets the stream start on an EMPTY landing directory") {
     import org.apache.spark.sql.streaming.OutputMode
     // inference needs a footer to read, so an empty dir throws...
