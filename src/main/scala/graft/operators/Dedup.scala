@@ -662,6 +662,59 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** Winnowing window width (w consecutive k-gram hashes per window)
+    * and the document-frequency / min-shared guards. */
+  val WinnowWindow = 4
+  /** MOSS's "ignore very common" step: a fingerprint appearing in more
+    * than this many docs is boilerplate, not evidence — and it is ALSO
+    * the hot-bucket guard (the fingerprint join's bucket population is
+    * bounded by construction, the LshSkew concern solved at the
+    * algorithm layer). */
+  val WinnowMaxDf = 50L
+  val WinnowMinShared = 2L
+
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): per document, hash the ORDERED k-gram
+    * sequence, slide a [[WinnowWindow]]-wide window and keep each
+    * window's MINIMUM hash; the distinct selected values are the doc's
+    * fingerprint set. Winnowing guarantees any shared run of ≥ w+k−1
+    * tokens yields at least one shared fingerprint while storing only
+    * ~2/(w+1) of all grams — the bounded-density overlap detector that
+    * sits between exact span dedup (stores every span hash) and MinHash
+    * (no locality guarantee). Tail windows shorter than w are kept
+    * (frame clamps — both engines compute the same clamped variant).
+    * Output: doc pairs sharing ≥ [[WinnowMinShared]] fingerprints with
+    * the shared count, the MOSS-style plagiarism/overlap report.
+    *
+    * Shape at scale: per-row gram+hash kernels, a per-DOC window min
+    * (partitions are documents, never the corpus), one df aggregate on
+    * the fingerprint key, and the pair join is inverted-index-shaped
+    * with bucket population capped by [[WinnowMaxDf]] — never n². */
+  def winnowingOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftExpressions
+          .shingleStrings(col("text"), ShingleSize)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WinnowWindow - 1)
+    val fp0 = grams
+      .select(col("doc_id"), min(col("h")).over(wWin).as("fp"))
+      .distinct()
+    val df = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val fps = fp0.join(df, "fp").filter(col("df") <= WinnowMaxDf)
+      .select(col("doc_id"), col("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** JOINT text+embedding dedup groups — the STACKED decision real
     * curation pipelines run: MinHash/Jaccard catches lexical near-dups,
     * embedding cosine catches semantic ones (paraphrases, translations)
@@ -1019,6 +1072,32 @@ object Dedup {
          |JOIN gate g USING (doc_id)
          |LEFT JOIN shared s USING (doc_id)
          |JOIN comp c USING (doc_id)""".stripMargin),
+    // Winnowing replay: ordered grams with positions via generate_series
+    // (1-based vs posexplode's 0-based — positions only order the
+    // window, so the clamped window mins agree), md5-derived 32-bit
+    // hashes, the same df guard and min-shared threshold.
+    withOracle("dedup_winnowing", winnowingOverlap,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (SELECT doc_id, i AS pos,
+         |        CAST(concat('0x', substr(md5(
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
+         |          AS BIGINT) AS h
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |      WHERE len(toks) >= 3),
+         |fp0 AS (SELECT DISTINCT doc_id,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW
+         |          AND ${WinnowWindow - 1} FOLLOWING) AS fp
+         |      FROM g),
+         |df AS (SELECT fp, COUNT(*) AS df FROM fp0 GROUP BY 1),
+         |fps AS (SELECT doc_id, fp FROM fp0 JOIN df USING (fp)
+         |        WHERE df <= $WinnowMaxDf)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // Joint components: both pair streams' oracle CTEs side by side (no
     // name collision — w/sh/cnt/inter/jp vs planes/dots/buckets/salted/
     // cand/pair_scores), edges unioned before the same recursive CC.

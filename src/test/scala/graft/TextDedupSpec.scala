@@ -240,6 +240,49 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) == 0L))
   }
 
+  test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    // planted: docs 1 and 2 share a 6-token run (w+k-1 = 4+3-1); doc 3
+    // shares nothing
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $run seven eight"),
+      (2L, s"$run nine ten eleven twelve"),
+      (3L, "totally different words appear in this document here"))
+      .toDF("doc_id", "text")
+    // replicate the production pipeline over the fixture frame
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftExpressions
+          .shingleStrings(col("text"), Dedup.ShingleSize))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        Dedup.WinnowWindow - 1)
+    val fp = grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sets = fp.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(sets(1L).intersect(sets(2L)).nonEmpty) // the guarantee
+    assert(sets(1L).intersect(sets(3L)).isEmpty)
+    // density: winnowing stores far fewer fingerprints than grams
+    val nGrams1 = docs.filter(col("doc_id") === 1L)
+      .select(graft.functions.GraftExpressions
+        .shingleStrings(col("text"), Dedup.ShingleSize)).head()
+      .getSeq[String](0).length
+    assert(sets(1L).size < nGrams1)
+    // and the declared query surfaces the corpus's planted near-dups
+    val out = Dedup.winnowingOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowPairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact near-dup pair (>= 60% trigram Jaccard) shares a run
+    // long enough for the winnowing guarantee on this corpus
+    assert(exact.subsetOf(winnowPairs))
+  }
+
   test("joint dedup groups: exactly the union-closure of both pair streams") {
     import graft.operators.Similarity
     val textPairs = Dedup.ngramJaccard(spark, sf).collect()
