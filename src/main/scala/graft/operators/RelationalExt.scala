@@ -241,27 +241,74 @@ object RelationalExt {
   /** The moment pipeline over any lineitem-shaped frame — factored so
     * the partitioning-invariance test feeds a reshuffled input through
     * the EXACT production plan. */
-  private[graft] def aggCorrOf(lineitem: DataFrame): DataFrame = {
+  private[graft] def aggCorrOf(lineitem: DataFrame): DataFrame =
+    corrFinalize(corrMoments(lineitem))
+
+  /** The six exact moments per return flag — a commutative MONOID
+    * (decimal sums), so any partial aggregation (map-side combine, or
+    * per-micro-batch slices folded later by [[corrFinalize]]) lands on
+    * the identical exact numbers. */
+  private[graft] def corrMoments(lineitem: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val x = round(col("l_quantity")).cast("long")
     val y = cents(col("l_extendedprice"))
-    val m = lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(d38).as("n"),
         sum(x.cast(d38)).as("sx"), sum(y.cast(d38)).as("sy"),
         sum((x * y).cast(d38)).as("sxy"),
         sum((x * x).cast(d38)).as("sxx"),
         sum((y * y).cast(d38)).as("syy"))
+  }
+
+  /** Fold moment rows (one or many slices per flag) and apply the ONE
+    * fixed double formula at the very end. */
+  private[graft] def corrFinalize(moments: DataFrame): DataFrame = {
+    val m = moments.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     val nn1 = (col("n") * (col("n") - 1)).cast("double")
-    m.select(col("l_returnflag"), col("n"),
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
         (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
         (num / nn1).as("covar_qty_price"),
         sqrt(varx / nn1).as("std_qty"),
         sqrt(vary / nn1).as("std_price"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** The exact moments accumulated IN-STREAM — the bit-reproducibility
+    * story in streaming form: each micro-batch writes its per-flag
+    * moment slice (six decimal sums — a monoid), and the final read
+    * folds all slices before the single double formula. Because integer
+    * addition is associative and commutative, ANY batching of the input
+    * produces bit-identical statistics — which is exactly what the
+    * float-accumulating built-ins cannot promise — so the twin carries
+    * rel_agg_corr's oracle text VERBATIM. */
+  def streamAggCorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val out = graft.TempDirs.scoped("graft_scorr_out")
+    val ckpt = graft.TempDirs.scoped("graft_scorr_ckpt")
+    val li = Tables.lineitem(spark, dir)
+    val stream = spark.readStream.schema(li.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          corrMoments(batch.toDF())
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    corrFinalize(spark.read.parquet(s"$out/b*"))
   }
 
   // ---------------------------------------------------------------------------
@@ -928,6 +975,32 @@ object RelationalExt {
       |  close_ff AS close, close IS NULL AS is_gap
       |FROM f ORDER BY bar_ts""".stripMargin
 
+  /** The exact-moment statistics oracle, shared verbatim by the batch
+    * query and its streaming moment-fold twin. */
+  private val corrOracleSql: String =
+    s"""WITH m AS (SELECT l_returnflag,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+         |    SUM(${centsSql("l_extendedprice")}) AS sy,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
+         |        * ${centsSql("l_extendedprice")}) AS sxy,
+         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
+         |        * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
+         |    SUM(${centsSql("l_extendedprice")}
+         |        * ${centsSql("l_extendedprice")}) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+         |    AS covar_qty_price,
+         |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+         |    AS std_qty,
+         |  sqrt(CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+         |    AS std_price
+         |FROM m ORDER BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
     withOracle("rel_ohlc_gapfill", ohlcGapfill, ohlcGapfillOracleSql),
@@ -1136,29 +1209,12 @@ object RelationalExt {
     // Exact-moment statistics: BIGINT sums widen to HUGEINT in DuckDB,
     // DECIMAL(38,0) in Spark — both exact, both cast to double once,
     // then the identical fixed formula.
-    withOracle("rel_agg_corr", aggCorr,
-      s"""WITH m AS (SELECT l_returnflag,
-         |    CAST(COUNT(*) AS BIGINT) AS n,
-         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
-         |    SUM(${centsSql("l_extendedprice")}) AS sy,
-         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
-         |        * ${centsSql("l_extendedprice")}) AS sxy,
-         |    SUM(CAST(ROUND(l_quantity) AS BIGINT)
-         |        * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
-         |    SUM(${centsSql("l_extendedprice")}
-         |        * ${centsSql("l_extendedprice")}) AS syy
-         |  FROM lineitem GROUP BY 1)
-         |SELECT l_returnflag, n,
-         |  CAST(n*sxy - sx*sy AS DOUBLE)
-         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-         |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
-         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
-         |    AS covar_qty_price,
-         |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
-         |    AS std_qty,
-         |  sqrt(CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
-         |    AS std_price
-         |FROM m ORDER BY l_returnflag""".stripMargin),
+    withOracle("rel_agg_corr", aggCorr, corrOracleSql),
+    // The streaming twin folds per-batch moment slices — integer sums
+    // are a monoid, so any batching reproduces the exact statistics and
+    // the one oracle text covers both.
+    graft.QuerySpec("stream_agg_corr", streamAggCorrQuery,
+      Some(corrOracleSql)),
     withOracle("rel_percentile", percentiles,
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

@@ -259,6 +259,15 @@ class RelationalExtSpec extends SparkSpec {
       .aggCorrOf(Tables.lineitem(spark, sf).repartition(7))
       .collect()
     assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+    // and bit-identical when the input arrives as folded batch slices
+    // (stream_agg_corr's contract)
+    val li = Tables.lineitem(spark, sf)
+    val folded = RelationalExt.corrFinalize(
+      RelationalExt.corrMoments(li.filter(col("l_orderkey") % 2 === 0))
+        .unionByName(RelationalExt
+          .corrMoments(li.filter(col("l_orderkey") % 2 === 1))))
+      .collect()
+    assert(rows.map(_.toString).toSeq == folded.map(_.toString).toSeq)
   }
 
   test("full outer join loses no keys from either side") {
