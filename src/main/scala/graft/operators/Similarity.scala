@@ -904,6 +904,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact-arithmetic cosine top-k over the FEATURE-HASHED document
+    * embeddings ([[TextAnalysis.featureEmbedding]]) — the full
+    * text→featurize→search path with no model in the loop, and with the
+    * engine's exactness discipline carried into the similarity itself:
+    * the dot product is a BIGINT sum of signed-count products (sparse —
+    * only co-occurring dims join), the norms are exact integer squares,
+    * and the ONLY float is the final one-division cosine. Where
+    * [[topKExact]] fixes the float fold order to stay reproducible,
+    * this query needs no fold discipline at all — integer addition
+    * commutes, so ANY partitioning gives the identical ranking.
+    *
+    * Shape at scale: the query side is |queries|×dims rows (broadcast);
+    * the corpus side joins on dim — 64 buckets, each holding the docs
+    * with mass in that dim — then one (query, cand) aggregate and the
+    * usual bounded rank window. */
+  def textTopK(s: SparkSession, dir: String): DataFrame = {
+    val counts = TextAnalysis.featureCountsOf(Tables.documents(s, dir))
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
+    val q = counts.filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id").as("query_id"), col("dim"),
+        col("signed_count").as("cq"))
+    val dots = counts.select(col("doc_id").as("cand_id"), col("dim"),
+        col("signed_count").as("cc"))
+      .join(broadcast(q), Seq("dim"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("cq") * col("cc")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    dots
+      .join(norms.select(col("doc_id").as("query_id"),
+        col("sq").as("sq_q")), "query_id")
+      .join(norms.select(col("doc_id").as("cand_id"),
+        col("sq").as("sq_c")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("sq_q").cast("double")) *
+            sqrt(col("sq_c").cast("double")))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** RRF smoothing constant (Cormack et al. 2009's k=60 — the standard
     * that makes rank 1 worth 1/61 and flattens tail ranks). */
   val RrfK = 60
@@ -1360,6 +1405,25 @@ object Similarity {
     // ranking on gram STRINGS — distinct-hash counts equal
     // distinct-string counts, the decontaminate hash-invariance
     // contract), fused by the rank-only RRF formula.
+    // Exact-integer cosine over derived embeddings: the shared
+    // feature-hash CTEs (TextAnalysis.featureCountCtes — one text, no
+    // drift), sparse dot as a BIGINT sum, one final division.
+    withOracle("sim_text_topk", textTopK,
+      s"""WITH ${TextAnalysis.featureCountCtes},
+         |d AS (SELECT q.doc_id AS query_id, b.doc_id AS cand_id,
+         |    CAST(SUM(q.signed_count * b.signed_count) AS BIGINT) AS dot
+         |  FROM c q JOIN c b ON b.dim = q.dim AND b.doc_id <> q.doc_id
+         |  WHERE q.doc_id < $NumQueryVectors GROUP BY 1, 2),
+         |r AS (SELECT query_id, cand_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.sq AS DOUBLE))
+         |      * sqrt(CAST(nc.sq AS DOUBLE))) AS score
+         |  FROM d JOIN n nq ON nq.doc_id = d.query_id
+         |         JOIN n nc ON nc.doc_id = d.cand_id)
+         |SELECT query_id, rank, cand_id, score FROM (
+         |  SELECT r.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM r) t2
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_hybrid_retrieve", hybridRetrieve, hybridOracleSql),
     // The streaming serve twin carries the batch oracle text VERBATIM:
     // hybridOver is per-query against a static corpus, so drained output

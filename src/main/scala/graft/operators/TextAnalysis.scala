@@ -854,6 +854,53 @@ object TextAnalysis {
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing dimensionality (the hashing-trick bound: collisions
+    * are the price of a CONSTANT, vocabulary-independent width). */
+  val FeatureDims = 64
+
+  /** Feature-hashed document embeddings (Weinberger et al. 2009, the
+    * hashing trick): each token hashes to one of [[FeatureDims]] signed
+    * dimensions (dim from md5 chars 1–6, sign from chars 7–8 — separate
+    * slices, so sign is independent of dim), per-(doc, dim) SIGNED
+    * COUNTS accumulate exactly as BIGINTs, and the emitted weight is the
+    * L2-normalized component. This is the engine-native, deterministic
+    * baseline for the embedding column a model would produce — the
+    * text→vector featurization step, emitted SPARSE (zero dims omitted)
+    * in long format so downstream joins never materialize dense rows.
+    * Exactness discipline: the only float is one division by a sqrt of
+    * an exact integer, bit-identical in any engine.
+    *
+    * Shape at scale: one token explode, one map-side-combined groupBy on
+    * (doc, dim), one per-doc norm aggregate joined back — no vocabulary-
+    * sized state anywhere (the hashing trick's point). */
+  def featureEmbedding(s: SparkSession, dir: String): DataFrame =
+    featureEmbeddingOf(Tables.documents(s, dir))
+
+  private[graft] def featureEmbeddingOf(docs: DataFrame): DataFrame = {
+    val counts = featureCountsOf(docs)
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
+    counts.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim"), col("signed_count"),
+        (col("signed_count").cast("double") / sqrt(col("sq").cast("double")))
+          .as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** The sparse signed-count table (doc_id, dim, signed_count ≠ 0) —
+    * factored so the exact-cosine search consumes integer counts. */
+  private[graft] def featureCountsOf(docs: DataFrame): DataFrame = {
+    val dim = conv(substring(md5(col("tok")), 1, 6), 16, 10)
+      .cast("long") % FeatureDims
+    val sign = when(conv(substring(md5(col("tok")), 7, 2), 16, 10)
+      .cast("long") % 2 === 0, 1L).otherwise(-1L)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), dim.as("dim"), sign.as("s"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("s")).as("signed_count"))
+      .filter(col("signed_count") =!= 0)
+  }
+
   /** Calibration audit of the contrastive classifier against the Gopher
     * rules gate — the table a curation owner reads before swapping the
     * multi-column rules scan for the cheap classifier at serving time:
@@ -918,6 +965,24 @@ object TextAnalysis {
     frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
+
+  /** The feature-hash count CTEs (`c(doc_id, dim, signed_count)` and
+    * `n(doc_id, sq)`) — ONE SQL text behind the featurization oracle and
+    * the exact-cosine search oracle in [[Similarity]], so the hash
+    * replay cannot drift between them. */
+  private[operators] val featureCountCtes: String =
+    s"""t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |      FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT)
+       |      % $FeatureDims AS dim,
+       |    CASE WHEN CAST(concat('0x', substr(md5(tok), 7, 2)) AS BIGINT)
+       |      % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM t),
+       |c AS (SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS signed_count
+       |      FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0),
+       |n AS (SELECT doc_id, SUM(signed_count * signed_count) AS sq
+       |      FROM c GROUP BY 1)""".stripMargin
 
   /** The classifier oracle's full SQL text, factored so the curriculum
     * scheduler's oracle can scope it as a subquery (the mm_dedup_funnel
@@ -1166,6 +1231,15 @@ object TextAnalysis {
          |LEFT JOIN pb ON pb.doc_id = d.doc_id
          |LEFT JOIN pt ON pt.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+    // Feature hashing replay: dim/sign from disjoint md5 slices, counts
+    // as BIGINT sums, one division by a sqrt of an exact integer.
+    withOracle("text_feature_embedding", featureEmbedding,
+      s"""WITH $featureCountCtes
+         |SELECT c.doc_id, c.dim, c.signed_count,
+         |  CAST(c.signed_count AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE))
+         |    AS weight
+         |FROM c JOIN n USING (doc_id)
+         |ORDER BY doc_id, dim""".stripMargin),
     // DSIR replay: same md5 splits, the hashed-bucket key re-derived via
     // the concat('0x', md5-hex) cast (the curriculum sub-shard
     // convention), masses as BIGINT sums, weight as one division, and

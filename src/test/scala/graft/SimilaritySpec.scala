@@ -344,6 +344,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == again.toSeq)
   }
 
+  test("text top-k over hashed features: exact replay from collected counts") {
+    import org.apache.spark.sql.functions.col
+    val counts = graft.operators.TextAnalysis
+      .featureCountsOf(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = counts.groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(t => t._2 -> t._3).toMap }
+    val sq = byDoc.map { case (d, m) => d -> m.values.map(c => c * c).sum }
+    def cosOf(a: Long, b: Long): Double = {
+      val (ma, mb) = (byDoc(a), byDoc(b))
+      val dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
+      dot.toDouble / (math.sqrt(sq(a).toDouble) * math.sqrt(sq(b).toDouble))
+    }
+    val got = Similarity.textTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, cand, score) =>
+      assert(score == cosOf(q, cand)) // exact: integer dot, one division
+    }
+    // local ranking agrees (candidates = docs sharing >= 1 dim)
+    got.groupBy(_._1).foreach { case (q, rowsQ) =>
+      val cands = byDoc.keys.filter(c => c != q &&
+        byDoc(q).keySet.intersect(byDoc(c).keySet).nonEmpty)
+      val expect = cands.toSeq.map(c => (c, cosOf(q, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.TopK)
+      assert(rowsQ.sortBy(_._2).map(t => (t._3, t._4)).toSeq == expect)
+    }
+  }
+
   test("hybrid retrieve: RRF replays from the arm ranks, both arms contribute") {
     val rows = Similarity.hybridRetrieve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

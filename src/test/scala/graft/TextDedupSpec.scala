@@ -240,6 +240,34 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) == 0L))
   }
 
+  test("feature embedding: sparse, unit-normalized, hash-deterministic") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.featureEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dim, c, w) =>
+      assert(dim >= 0 && dim < TextAnalysis.FeatureDims)
+      assert(c != 0L)
+      assert(math.signum(w) == math.signum(c.toDouble))
+    }
+    // per-doc L2 norm of the emitted weights is 1 (up to rounding)
+    rows.groupBy(_._1).values.foreach { doc =>
+      val norm2 = doc.map(t => t._4 * t._4).sum
+      assert(math.abs(norm2 - 1.0) < 1e-9)
+    }
+    // replay one row's dim/sign from the md5 rule
+    val (docId, dim0, _, _) = rows.head
+    val tok0 = Tables.documents(spark, sf)
+      .filter(col("doc_id") === docId).head().getAs[String]("text")
+      .split(" ").head
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expDim = java.lang.Long.parseLong(md5hex.substring(0, 6), 16) %
+      TextAnalysis.FeatureDims
+    assert(rows.exists(r => r._1 == docId && r._2 == expDim))
+    assert(dim0 >= 0) // silence unused warning
+  }
+
   test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // planted: docs 1 and 2 share a 6-token run (w+k-1 = 4+3-1); doc 3
     // shares nothing
