@@ -887,6 +887,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("dim"))
   }
 
+  /** The featurizer run in-stream — embedding-at-ingest, the shape a
+    * production pipeline actually runs (each arriving micro-batch is
+    * featurized as it lands, not in a later global pass). The transform
+    * is fully per-document (counts AND the L2 norm), so any batching
+    * drains to the batch query's exact rows and the twin carries
+    * text_feature_embedding's oracle text VERBATIM. */
+  def streamFeatureEmbedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sfeat_out")
+    val ckpt = graft.TempDirs.scoped("graft_sfeat_ckpt")
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          featureEmbeddingOf(batch.toDF())
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"), col("dim"))
+  }
+
   /** The sparse signed-count table (doc_id, dim, signed_count ≠ 0) —
     * factored so the exact-cosine search consumes integer counts. */
   private[graft] def featureCountsOf(docs: DataFrame): DataFrame = {
@@ -1347,5 +1377,7 @@ object TextAnalysis {
     QuerySpec("stream_classifier_score", streamClassifierScoreQuery,
       baseSpecs.find(_.name == "text_classifier_score").get.oracle),
     QuerySpec("stream_dsir_score", streamDsirScoreQuery,
-      baseSpecs.find(_.name == "text_dsir_weights").get.oracle))
+      baseSpecs.find(_.name == "text_dsir_weights").get.oracle),
+    QuerySpec("stream_feature_embed", streamFeatureEmbedQuery,
+      baseSpecs.find(_.name == "text_feature_embedding").get.oracle))
 }

@@ -131,6 +131,19 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("featurization is batch-boundary invariant (stream_feature_embed's contract)") {
+    val docs = Tables.documents(spark, sf)
+    val split = operators.TextAnalysis
+      .featureEmbeddingOf(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(operators.TextAnalysis
+        .featureEmbeddingOf(docs.filter(col("doc_id") % 2 === 1)))
+      .orderBy(col("doc_id"), col("dim"))
+      .collect().map(_.toString).toSeq
+    val whole = operators.TextAnalysis.featureEmbedding(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("hybrid serving is batch-boundary invariant (stream_hybrid_serve's contract)") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
