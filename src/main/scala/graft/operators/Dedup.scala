@@ -306,6 +306,27 @@ object Dedup {
 
   val jaccardPairsCte: String = jaccardPairsCteAt(JaccardThreshold)
 
+  /** The winnowed fingerprint CTEs (`fps(doc_id, fp)`, df-capped) — ONE
+    * SQL text behind the overlap and decontamination oracles so the
+    * window/hash replay cannot drift. */
+  private[operators] def winnowFpCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |        CAST(concat('0x', substr(md5(
+       |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
+       |          AS BIGINT) AS h
+       |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+       |      WHERE len(toks) >= 3),
+       |fp0 AS (SELECT DISTINCT doc_id,
+       |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW
+       |          AND ${WinnowWindow - 1} FOLLOWING) AS fp
+       |      FROM g),
+       |df AS (SELECT fp, COUNT(*) AS df FROM fp0 GROUP BY 1),
+       |fps AS (SELECT doc_id, fp FROM fp0 JOIN df USING (fp)
+       |        WHERE df <= $WinnowMaxDf)""".stripMargin
+
   /** Shared DuckDB oracle for the Jaccard-pair semantics (also the oracle
     * for MinHash+LSH, whose verified candidates equal the exact pair set
     * at these thresholds). */
@@ -691,7 +712,18 @@ object Dedup {
     * the fingerprint key, and the pair join is inverted-index-shaped
     * with bucket population capped by [[WinnowMaxDf]] — never n². */
   def winnowingOverlap(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val fps = winnowFingerprints(Tables.documents(s, dir))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The winnowed, df-capped fingerprint table (doc_id, fp) — one body
+    * behind the overlap report and the decontamination variant. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions
           .shingleStrings(col("text"), ShingleSize)).as(Seq("pos", "gram")))
@@ -705,14 +737,29 @@ object Dedup {
       .select(col("doc_id"), min(col("h")).over(wWin).as("fp"))
       .distinct()
     val df = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val fps = fp0.join(df, "fp").filter(col("df") <= WinnowMaxDf)
+    fp0.join(df, "fp").filter(col("df") <= WinnowMaxDf)
       .select(col("doc_id"), col("fp"))
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Winnowing-based DECONTAMINATION — the bounded-memory variant of
+    * [[decontaminate]]: instead of indexing every eval shingle, only the
+    * eval split's WINNOWED fingerprints (~2/(w+1) density) are checked,
+    * trading the shared-run guarantee's granularity (runs ≥ w+k−1
+    * tokens are still always caught) for an index a fraction of the
+    * size — at 100 TB the difference between a benchmark-contamination
+    * sweep that broadcasts and one that shuffles. Train docs sharing ≥
+    * [[WinnowMinShared]] df-capped fingerprints with the eval split are
+    * flagged with their evidence count. */
+  def winnowDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(Tables.documents(s, dir))
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val evalFps = fps.filter(isEval).select(col("fp")).distinct()
+    fps.filter(!isEval)
+      .join(evalFps, "fp")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= WinnowMinShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_id"))
   }
 
   /** JOINT text+embedding dedup groups — the STACKED decision real
@@ -1077,27 +1124,22 @@ object Dedup {
     // window, so the clamped window mins agree), md5-derived 32-bit
     // hashes, the same df guard and min-shared threshold.
     withOracle("dedup_winnowing", winnowingOverlap,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |           FROM documents),
-         |g AS (SELECT doc_id, i AS pos,
-         |        CAST(concat('0x', substr(md5(
-         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
-         |          AS BIGINT) AS h
-         |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-         |      WHERE len(toks) >= 3),
-         |fp0 AS (SELECT DISTINCT doc_id,
-         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN CURRENT ROW
-         |          AND ${WinnowWindow - 1} FOLLOWING) AS fp
-         |      FROM g),
-         |df AS (SELECT fp, COUNT(*) AS df FROM fp0 GROUP BY 1),
-         |fps AS (SELECT doc_id, fp FROM fp0 JOIN df USING (fp)
-         |        WHERE df <= $WinnowMaxDf)
+      s"""WITH $winnowFpCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(COUNT(*) AS BIGINT) AS n_shared_fp
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // Winnowed decon: the shared fps CTE, eval union set, evidence count.
+    withOracle("text_winnow_decontaminate", winnowDecontaminate,
+      s"""WITH $winnowFpCtes,
+         |ef AS (SELECT DISTINCT fp FROM fps
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+         |FROM fps JOIN ef USING (fp)
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+         |GROUP BY 1 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_id""".stripMargin),
     // Joint components: both pair streams' oracle CTEs side by side (no
     // name collision — w/sh/cnt/inter/jp vs planes/dots/buckets/salted/
     // cand/pair_scores), edges unioned before the same recursive CC.

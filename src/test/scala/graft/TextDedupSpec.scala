@@ -311,6 +311,25 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.subsetOf(winnowPairs))
   }
 
+  test("winnow decontaminate: exactly the train docs sharing eval fingerprints") {
+    def hex1(i: Long): String = "%02x".format(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))(0)).substring(0, 1)
+    val fps = Dedup.winnowFingerprints(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .map { case (fp, d) => (d, fp) }
+    val (evalF, trainF) = fps.partition { case (d, _) => hex1(d) == "0" }
+    val evalSet = evalF.map(_._2).toSet
+    val expect = trainF.groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).count(evalSet).toLong }
+      .filter(_._2 >= Dedup.WinnowMinShared)
+    val got = Dedup.winnowDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the corpus's planted cross-split near-dups give the decon teeth
+    assert(got.nonEmpty)
+  }
+
   test("joint dedup groups: exactly the union-closure of both pair streams") {
     import graft.operators.Similarity
     val textPairs = Dedup.ngramJaccard(spark, sf).collect()
