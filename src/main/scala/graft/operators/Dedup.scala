@@ -721,9 +721,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The winnowed, df-capped fingerprint table (doc_id, fp) — one body
-    * behind the overlap report and the decontamination variant. */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+  /** The PER-DOC winnowing pass (doc_id, distinct selected fp) — no
+    * corpus-global state, so it is batch-boundary invariant and the
+    * streaming decon twin can run it per micro-batch. */
+  private[graft] def winnowFp0(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions
           .shingleStrings(col("text"), ShingleSize)).as(Seq("pos", "gram")))
@@ -733,12 +734,63 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
         WinnowWindow - 1)
-    val fp0 = grams
-      .select(col("doc_id"), min(col("h")).over(wWin).as("fp"))
+    grams.select(col("doc_id"), min(col("h")).over(wWin).as("fp"))
       .distinct()
+  }
+
+  /** The winnowed, df-capped fingerprint table (doc_id, fp) — one body
+    * behind the overlap report and the decontamination variant. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val fp0 = winnowFp0(docs)
     val df = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     fp0.join(df, "fp").filter(col("df") <= WinnowMaxDf)
       .select(col("doc_id"), col("fp"))
+  }
+
+  /** Winnow decontamination run IN-STREAM — contamination checking at
+    * ingest, the shape a training pipeline actually wants (reject a
+    * benchmark-overlapping doc when it ARRIVES, not in a later global
+    * sweep): the eval split's capped fingerprints and the boilerplate
+    * DROPLIST (fps over the df cap on the static corpus) are frozen
+    * once; each arriving micro-batch is winnowed PER-DOC (no corpus
+    * state), anti-joined against the droplist, and evidence-counted
+    * against the frozen eval set. Per-doc work against frozen state is
+    * batch-boundary invariant, so the twin carries
+    * text_winnow_decontaminate's oracle text VERBATIM. */
+  def streamWinnowDeconQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_swdecon_out")
+    val ckpt = graft.TempDirs.scoped("graft_swdecon_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val boiler = winnowFp0(staticDocs)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowMaxDf).select(col("fp")).persist()
+    val evalFps = winnowFingerprints(staticDocs)
+      .filter(isEval).select(col("fp")).distinct().persist()
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          winnowFp0(batch.toDF().filter(!isEval))
+            .join(boiler, Seq("fp"), "left_anti")
+            .join(evalFps, "fp")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared_fp"))
+            .filter(col("n_shared_fp") >= WinnowMinShared)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    Seq(boiler, evalFps).foreach(_.unpersist())
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
   /** Winnowing-based DECONTAMINATION — the bounded-memory variant of
@@ -993,6 +1045,18 @@ object Dedup {
   import graft.QuerySpec
   import graft.QuerySpec.withOracle
 
+  /** The winnow-decon oracle text, shared verbatim by the batch query
+    * and its ingest-time streaming twin. */
+  private val winnowDeconOracleSql: String =
+    s"""WITH $winnowFpCtes,
+       |ef AS (SELECT DISTINCT fp FROM fps
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+       |FROM fps JOIN ef USING (fp)
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+       |GROUP BY 1 HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("dedup_exact", exact,
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1132,14 +1196,11 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin),
     // Winnowed decon: the shared fps CTE, eval union set, evidence count.
     withOracle("text_winnow_decontaminate", winnowDecontaminate,
-      s"""WITH $winnowFpCtes,
-         |ef AS (SELECT DISTINCT fp FROM fps
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
-         |FROM fps JOIN ef USING (fp)
-         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
-         |GROUP BY 1 HAVING COUNT(*) >= $WinnowMinShared
-         |ORDER BY doc_id""".stripMargin),
+      winnowDeconOracleSql),
+    // Ingest-time twin: per-doc winnowing against the frozen droplist
+    // and eval set is batch-boundary invariant — one oracle text.
+    QuerySpec("stream_winnow_decon", streamWinnowDeconQuery,
+      Some(winnowDeconOracleSql)),
     // Joint components: both pair streams' oracle CTEs side by side (no
     // name collision — w/sh/cnt/inter/jp vs planes/dots/buckets/salted/
     // cand/pair_scores), edges unioned before the same recursive CC.

@@ -131,6 +131,30 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("winnow decon is batch-boundary invariant (stream_winnow_decon's contract)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val boiler = Dedup.winnowFp0(docs)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.WinnowMaxDf).select(col("fp"))
+    val evalFps = Dedup.winnowFingerprints(docs)
+      .filter(isEval).select(col("fp")).distinct()
+    def serve(batch: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowFp0(batch.filter(!isEval))
+        .join(boiler, Seq("fp"), "left_anti")
+        .join(evalFps, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+        .filter(col("n_shared_fp") >= Dedup.WinnowMinShared)
+    val split = serve(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(serve(docs.filter(col("doc_id") % 2 === 1)))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val whole = Dedup.winnowDecontaminate(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("featurization is batch-boundary invariant (stream_feature_embed's contract)") {
     val docs = Tables.documents(spark, sf)
     val split = operators.TextAnalysis
