@@ -172,6 +172,28 @@ object Bpe {
         sum(col("n_word_tokens")).as("n_bpe_tokens"))
   }
 
+  /** Declared query — tokenizer FERTILITY per source: BPE tokens per
+    * whitespace word, the number a multilingual/multi-domain corpus
+    * owner reads before fixing a tokenizer (a source with fertility 2×
+    * the rest pays twice the context budget per word — the standard
+    * reason to retrain or rebalance the merge table). Derived from the
+    * same frozen-merge per-doc accounting as [[bpeTokenStatsQuery]];
+    * the aggregate is one map-side-combined groupBy on the tiny source
+    * key, and fertility is one division of two exact BIGINTs. */
+  def bpeFertilityQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = trainMerges(wordCounts(docs))
+    tokenStatsOver(docs, merges)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"))
+      .orderBy(col("source"))
+  }
+
   /** Declared query — the token accounting run IN-STREAM (the
     * stream_lm_score convention): merges trained ONCE from the static
     * corpus, each arriving micro-batch scored against the frozen merge
@@ -210,5 +232,6 @@ object Bpe {
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("text_bpe_merges", bpeMergesQuery),
     rowsOnly("text_bpe_token_stats", bpeTokenStatsQuery),
+    rowsOnly("text_bpe_fertility", bpeFertilityQuery),
     rowsOnly("stream_bpe_token_stats", streamBpeTokenStatsQuery))
 }

@@ -124,4 +124,23 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == expected)
   }
+
+  test("fertility: per-source ratio replays from the per-doc accounting") {
+    val perDoc = Bpe.bpeTokenStatsQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perDoc.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s, xs) =>
+        val (w, t) = (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+        s -> (w, t, t.toDouble / w)
+      }
+    val got = Bpe.bpeFertilityQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+    // a word always encodes to >= 1 token, so fertility >= 1 everywhere
+    got.values.foreach { case (_, _, f) => assert(f >= 1.0) }
+  }
 }
