@@ -712,7 +712,8 @@ object Dedup {
     * the fingerprint key, and the pair join is inverted-index-shaped
     * with bucket population capped by [[WinnowMaxDf]] — never n². */
   def winnowingOverlap(s: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprints(Tables.documents(s, dir))
+    // persist: both sides of the self-join consume the capped table
+    val fps = winnowFingerprints(Tables.documents(s, dir)).persist()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -739,9 +740,12 @@ object Dedup {
   }
 
   /** The winnowed, df-capped fingerprint table (doc_id, fp) — one body
-    * behind the overlap report and the decontamination variant. */
+    * behind the overlap report and the decontamination variant.
+    * persist: the winnow kernel (gram explode + per-doc window min) is
+    * the dominant cost and feeds BOTH the df aggregate and the capped
+    * join — the ngramJaccardPairs `sets` precedent. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val fp0 = winnowFp0(docs)
+    val fp0 = winnowFp0(docs).persist()
     val df = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     fp0.join(df, "fp").filter(col("df") <= WinnowMaxDf)
       .select(col("doc_id"), col("fp"))
@@ -764,11 +768,16 @@ object Dedup {
     val ckpt = graft.TempDirs.scoped("graft_swdecon_ckpt")
     val staticDocs = Tables.documents(spark, dir)
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-    val boiler = winnowFp0(staticDocs)
+    // ONE winnow pass over the static corpus feeds both frozen
+    // artifacts: the boilerplate droplist (df over cap) and the eval
+    // fingerprint set (eval docs' fps minus the droplist)
+    val fp0Static = winnowFp0(staticDocs).persist()
+    val boiler = fp0Static
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowMaxDf).select(col("fp")).persist()
-    val evalFps = winnowFingerprints(staticDocs)
-      .filter(isEval).select(col("fp")).distinct().persist()
+    val evalFps = fp0Static.filter(isEval)
+      .join(boiler, Seq("fp"), "left_anti")
+      .select(col("fp")).distinct().persist()
     val stream = spark.readStream.schema(staticDocs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -789,7 +798,7 @@ object Dedup {
         .start()
         .awaitTermination()
     }
-    Seq(boiler, evalFps).foreach(_.unpersist())
+    Seq(fp0Static, boiler, evalFps).foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
@@ -803,7 +812,9 @@ object Dedup {
     * [[WinnowMinShared]] df-capped fingerprints with the eval split are
     * flagged with their evidence count. */
   def winnowDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprints(Tables.documents(s, dir))
+    // persist: the eval union set and the train evidence join both
+    // consume the capped table
+    val fps = winnowFingerprints(Tables.documents(s, dir)).persist()
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
     val evalFps = fps.filter(isEval).select(col("fp")).distinct()
     fps.filter(!isEval)
@@ -857,12 +868,24 @@ object Dedup {
     * [[dedupGroupsOf]] contraction (bucketed candidate generation,
     * O(log n) CC rounds); the split column is one per-row md5 on top of
     * the label — no extra shuffle beyond the labeling itself. */
-  def leakageSplit(s: SparkSession, dir: String): DataFrame =
-    dedupGroupsOf(Tables.documents(s, dir))
-      .select(col("doc_id"), col("component"),
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    splitByComponent(docs.select(col("doc_id")),
+        ngramJaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The component-md5 split projection over [[componentsOver]] output —
+    * ONE body behind the three leakage-split tiers (text / embedding /
+    * media), so the split rule cannot desynchronize across the matrix. */
+  private[operators] def splitByComponent(universe: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val idCol = universe.columns.head
+    componentsOver(universe, pairs)
+      .select(col(idCol), col("component"),
         when(substring(md5(col("component").cast("string")), 1, 1) === "0",
           "eval").otherwise("train").as("split"))
-      .orderBy(col("doc_id"))
+  }
 
   /** Split-leakage AUDIT — the one-row readout a curation owner checks
     * before trusting an eval number: over the exact near-dup pair set,
@@ -884,11 +907,15 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     def isEval(c: Column): Column =
       substring(md5(c.cast("string")), 1, 1) === "0"
-    val lab = dedupGroupsOf(docs).select(col("doc_id"),
-      isEval(col("doc_id")).as("doc_eval"),
-      isEval(col("component")).as("comp_eval"))
-    val pairLab = ngramJaccardPairs(docs)
-      .select(col("doc_a"), col("doc_b"))
+    // ONE pair scan feeds both the component contraction and the pair
+    // labels (the expensive PPJoin would otherwise run twice)
+    val pairs = ngramJaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val lab = componentsOver(docs.select(col("doc_id")), pairs)
+      .select(col("doc_id"),
+        isEval(col("doc_id")).as("doc_eval"),
+        isEval(col("component")).as("comp_eval"))
+    val pairLab = pairs
       .join(lab.select(col("doc_id").as("doc_a"), col("doc_eval").as("ea"),
         col("comp_eval").as("ca")), "doc_a")
       .join(lab.select(col("doc_id").as("doc_b"), col("doc_eval").as("eb"),
@@ -1044,6 +1071,29 @@ object Dedup {
 
   import graft.QuerySpec
   import graft.QuerySpec.withOracle
+
+  /** Recursive-CC oracle suffix over a pair CTE named `np(a, b)`:
+    * edges/r/comp with the given seed table and id column — ONE text
+    * behind the component-split and joint-groups oracles (the
+    * winnowFpCtes no-drift convention). */
+  private[operators] def ccCompCteSql(seedTable: String,
+      idCol: String): String =
+    s"""edges(a, b) AS (SELECT a, b FROM np
+       |                UNION ALL SELECT b, a FROM np),
+       |r(v, lbl) AS (
+       |  SELECT $idCol, $idCol FROM $seedTable
+       |  UNION
+       |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
+       |comp AS (SELECT v AS $idCol, CAST(MIN(lbl) AS BIGINT) AS component
+       |         FROM r GROUP BY v)""".stripMargin
+
+  /** The component-md5 split projection over `comp` — the SQL half of
+    * [[splitByComponent]], shared by all three leakage-split oracles. */
+  private[operators] def componentSplitSql(idCol: String): String =
+    s"""SELECT $idCol, component,
+       |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
+       |    THEN 'eval' ELSE 'train' END AS split
+       |FROM comp ORDER BY $idCol""".stripMargin
 
   /** The winnow-decon oracle text, shared verbatim by the batch query
     * and its ingest-time streaming twin. */
@@ -1208,18 +1258,11 @@ object Dedup {
       s"""${Similarity.lshPairScoresCtes.replaceFirst("^WITH ",
              "WITH RECURSIVE ")},
          |$jaccardPairsCte,
-         |np AS (SELECT vec_a AS a, vec_b AS b FROM pair_scores
-         |       WHERE score >= ${Similarity.NearDupThreshold}),
-         |allp AS (SELECT a, b FROM np
-         |         UNION SELECT doc_a, doc_b FROM jp),
-         |edges(a, b) AS (SELECT a, b FROM allp
-         |                UNION ALL SELECT b, a FROM allp),
-         |r(v, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
-         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |         FROM r GROUP BY v)
+         |np0 AS (SELECT vec_a AS a, vec_b AS b FROM pair_scores
+         |        WHERE score >= ${Similarity.NearDupThreshold}),
+         |np AS (SELECT a, b FROM np0
+         |       UNION SELECT doc_a, doc_b FROM jp),
+         |${ccCompCteSql("documents", "doc_id")}
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
     // The recursive-CTE component labels + the component-md5 split rule;
     // md5 over the decimal component string is byte-identical in both
@@ -1227,32 +1270,17 @@ object Dedup {
     withOracle("text_leakage_split", leakageSplit,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,
-         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
-         |                UNION ALL SELECT doc_b, doc_a FROM jp),
-         |r(v, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
-         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |         FROM r GROUP BY v)
-         |SELECT doc_id, component,
-         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
-         |    THEN 'eval' ELSE 'train' END AS split
-         |FROM comp ORDER BY doc_id""".stripMargin),
+         |np AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+         |${ccCompCteSql("documents", "doc_id")}
+         |${componentSplitSql("doc_id")}""".stripMargin),
     // Pair aggregate over jp joined to the doc/component split labels,
     // doc aggregate over the labels alone; grouped_cross_pairs MEASURES
     // the zero the component-grain split guarantees.
     withOracle("text_split_leakage_audit", splitLeakageAudit,
       s"""WITH RECURSIVE
          |$jaccardPairsCte,
-         |edges(a, b) AS (SELECT doc_a, doc_b FROM jp
-         |                UNION ALL SELECT doc_b, doc_a FROM jp),
-         |r(v, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
-         |comp AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |         FROM r GROUP BY v),
+         |np AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+         |${ccCompCteSql("documents", "doc_id")},
          |lab AS (SELECT doc_id,
          |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS doc_eval,
          |    substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0' AS comp_eval

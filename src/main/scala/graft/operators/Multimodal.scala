@@ -289,11 +289,8 @@ object Multimodal {
     // persist: pair subtree and universe both consume the hash table —
     // the hashDedupOn precedent (decode pass is the dominant cost)
     val hashes = phashTable(s, dir).persist()
-    val pairs = phashPairsOn(hashes).select(col("id_a"), col("id_b"))
-    Dedup.componentsOver(hashes.select(col("media_id")), pairs)
-      .select(col("media_id"), col("component"),
-        when(substring(md5(col("component").cast("string")), 1, 1) === "0",
-          "eval").otherwise("train").as("split"))
+    Dedup.splitByComponent(hashes.select(col("media_id")),
+        phashPairsOn(hashes).select(col("id_a"), col("id_b")))
       .orderBy(col("media_id"))
   }
 
@@ -1128,20 +1125,10 @@ object Multimodal {
     // text/sim_leakage_split oracle at asset grain.
     withOracle("mm_leakage_split", mmLeakageSplit,
       s"""${phashOracleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |np AS (SELECT id_a, id_b FROM cand
+         |np AS (SELECT id_a AS a, id_b AS b FROM cand
          |       WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming),
-         |edges(a, b) AS (SELECT id_a, id_b FROM np
-         |                UNION ALL SELECT id_b, id_a FROM np),
-         |r(v, lbl) AS (
-         |  SELECT media_id, media_id FROM ph
-         |  UNION
-         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
-         |comp AS (SELECT v AS media_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |         FROM r GROUP BY v)
-         |SELECT media_id, component,
-         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
-         |    THEN 'eval' ELSE 'train' END AS split
-         |FROM comp ORDER BY media_id""".stripMargin),
+         |${graft.operators.Dedup.ccCompCteSql("ph", "media_id")}
+         |${graft.operators.Dedup.componentSplitSql("media_id")}""".stripMargin),
     // Media index manifest: slice accounting plus the md5 train split
     // and the %5 forget rule — the dedup_index_stats oracle at asset
     // grain (one fingerprint per doc, so the counts replay without

@@ -234,7 +234,13 @@ object RelationalExt {
     * same way), and the float math is a FIXED final formula over six
     * exact numbers — identical on any partitioning, any engine. The
     * aggregation itself is one map-side-combinable groupBy on a
-    * three-value key. */
+    * three-value key.
+    *
+    * Headroom: the final n·Σy² product is the widest value — at
+    * trillion-row groups of 1e7-cent prices it approaches DECIMAL(38)'s
+    * ceiling, where Spark's ANSI mode fails LOUDLY rather than wrap;
+    * the remedies are unit rescaling or sharding the moment fold (the
+    * [[streamAggCorrQuery]] slice shape) so each product stays small. */
   def aggCorr(s: SparkSession, dir: String): DataFrame =
     aggCorrOf(Tables.lineitem(s, dir))
 

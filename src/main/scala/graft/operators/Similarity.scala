@@ -319,17 +319,13 @@ object Similarity {
     * misses it). Components ride the shared [[Dedup.componentsOver]]
     * contraction over the bucketed LSH pair stream — the identical
     * machinery and scale shape as the text split. */
-  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
-    val pairs = lshCandidatePairScores(s, dir)
-      .filter(col("score") >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"))
-    Dedup.componentsOver(
-        Tables.embeddings(s, dir).select(col("vec_id")), pairs)
-      .select(col("vec_id"), col("component"),
-        when(substring(md5(col("component").cast("string")), 1, 1) === "0",
-          "eval").otherwise("train").as("split"))
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.splitByComponent(
+        Tables.embeddings(s, dir).select(col("vec_id")),
+        lshCandidatePairScores(s, dir)
+          .filter(col("score") >= NearDupThreshold)
+          .select(col("vec_a"), col("vec_b")))
       .orderBy(col("vec_id"))
-  }
 
   // -------------------------------------------------------------------
   // ANN: random-hyperplane LSH, L tables x B bits
@@ -493,6 +489,20 @@ object Similarity {
     * IvfProbes nearest cells, so per-query cost is the probed cells'
     * population (~ probes/cells of the corpus), independent of N. */
   def topKIvf(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    ivfProbedScores(s, dir)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The probed (query, vec, score) stream shared by the IVF top-k and
+    * range verbs — trained-centroid assignment, per-query probe cells,
+    * broadcast probe join, exact cosine — factored so a fix to the
+    * probe/assignment rules cannot drift between the two verbs. */
+  private def ivfProbedScores(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val ranked = rankedCells(emb, learnCentroids(emb))
     val assigned = ranked.filter(col("pr") === 1)
@@ -500,16 +510,10 @@ object Similarity {
     val probes = ranked
       .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cos(col("qv"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Range search through the IVF cells — the radius verb's SCALE path:
@@ -522,25 +526,13 @@ object Similarity {
     * trained-centroid assignment as [[topKIvf]] (rows-only for the same
     * reason); the radius predicate replaces the rank window, so the
     * probe join needs no per-query state at all. */
-  def rangeSearchIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val ranked = rankedCells(emb, learnCentroids(emb))
-    val assigned = ranked.filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val probes = ranked
-      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cell"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cos(col("qv"), col("embedding")).as("score"))
+  def rangeSearchIvf(s: SparkSession, dir: String): DataFrame =
+    ivfProbedScores(s, dir)
       .filter(col("score") >= RangeThreshold)
       // no distinct needed: each vector lives in exactly ONE assigned
       // cell (pr == 1) and probe cells are distinct per query, so a
       // (query, vec) pair can only arise once
       .orderBy(col("query_id"), col("vec_id"))
-  }
 
   // -------------------------------------------------------------------
 
@@ -1443,20 +1435,10 @@ object Similarity {
     // text_leakage_split oracle at vector grain.
     withOracle("sim_leakage_split", leakageSplit,
       s"""${lshPairScoresCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |np AS (SELECT vec_a, vec_b FROM pair_scores
+         |np AS (SELECT vec_a AS a, vec_b AS b FROM pair_scores
          |       WHERE score >= $NearDupThreshold),
-         |edges(a, b) AS (SELECT vec_a, vec_b FROM np
-         |                UNION ALL SELECT vec_b, vec_a FROM np),
-         |r(v, lbl) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
-         |comp AS (SELECT v AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component
-         |         FROM r GROUP BY v)
-         |SELECT vec_id, component,
-         |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) = '0'
-         |    THEN 'eval' ELSE 'train' END AS split
-         |FROM comp ORDER BY vec_id""".stripMargin),
+         |${Dedup.ccCompCteSql("embeddings", "vec_id")}
+         |${Dedup.componentSplitSql("vec_id")}""".stripMargin),
     withOracle("dedup_embedding", embeddingDedup,
       s"""$lshPairScoresCtes,
          |p AS (
