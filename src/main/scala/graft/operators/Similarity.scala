@@ -989,19 +989,31 @@ object Similarity {
       .withColumn("rank_vec", row_number().over(wV).cast("long"))
       .filter(col("rank_vec") <= TopK)
       .select(col("query_id"), col("cand_id"), col("rank_vec"))
+    rrfFuse(vec, lexArm(docs, queryDocs))
+  }
+
+  /** The lexical arm: per-query top-[[TopK]] candidates by shared
+    * distinct shingles with the query document. */
+  private def lexArm(docs: DataFrame, queryDocs: DataFrame): DataFrame = {
     val qGrams = queryDocs.select(col("doc_id").as("query_id"),
       explode(Dedup.shingleSet(col("text"))).as("g"))
     val cGrams = docs.select(col("doc_id").as("cand_id"),
       explode(Dedup.shingleSet(col("text"))).as("g"))
     val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("n_shared").desc, col("cand_id").asc)
-    val lex = cGrams.join(broadcast(qGrams), Seq("g"))
+    cGrams.join(broadcast(qGrams), Seq("g"))
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("rank_lex", row_number().over(wLex).cast("long"))
       .filter(col("rank_lex") <= TopK)
       .select(col("query_id"), col("cand_id"), col("rank_lex"))
+  }
+
+  /** The RRF fusion tail over two ranked arms (`query_id, cand_id,
+    * rank_vec` / `rank_lex`) — one body behind the exact and IVF-armed
+    * hybrids, so the fusion rule cannot drift between them. */
+  private def rrfFuse(vec: DataFrame, lex: DataFrame): DataFrame = {
     val rrf =
       coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
@@ -1017,6 +1029,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("rank_vec"), col("rank_lex"), col("rrf"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval's PRODUCTION form — the vector arm goes through
+    * the IVF probes ([[ivfProbedScores]]) instead of the per-query
+    * corpus scan, which is the swap a serving deployment makes at
+    * scale: per-query cost drops to O(probed-cell population) while
+    * the lexical arm and the RRF fusion are IDENTICAL shared bodies
+    * ([[lexArm]]/[[rrfFuse]]), so only the candidate generator moved.
+    * Rows-only (trained centroids); `SimilaritySpec` pins the rank_lex
+    * side equal to the exact hybrid's and every rank_vec candidate as
+    * an exact-arm candidate. */
+  def hybridRetrieveIvf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val vec = ivfProbedScores(s, dir)
+      .withColumn("rank_vec", row_number().over(wV).cast("long"))
+      .filter(col("rank_vec") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("rank_vec"))
+    rrfFuse(vec, lexArm(docs,
+      docs.filter(col("doc_id") < NumQueryVectors)
+        .select(col("doc_id"), col("text"))))
   }
 
   /** Hybrid retrieval served in-stream — queries arrive as document
@@ -1455,6 +1489,7 @@ object Similarity {
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),
     rowsOnly("sim_range_ivf", rangeSearchIvf),
+    rowsOnly("sim_hybrid_ivf", hybridRetrieveIvf),
     rowsOnly("sim_mmr_ivf", mmrRerankIvf),
     rowsOnly("sim_probe_sweep", probeSweep),
     // PQ codebooks are likewise trained from the data at query-build

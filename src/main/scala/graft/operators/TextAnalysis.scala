@@ -931,6 +931,33 @@ object TextAnalysis {
       .filter(col("signed_count") =!= 0)
   }
 
+  /** The per-document QUALITY VECTOR — every scorer the engine trains,
+    * joined into the one wide row a downstream consumer actually
+    * exports: the Gopher rules verdict, count-LM coverage and score,
+    * the contrastive classifier score, and the DSIR domain weight. A
+    * mixture builder weights on these columns, an annealing schedule
+    * cuts on them, and an audit regresses them against each other —
+    * materializing them once beats re-running four scorers per use.
+    * All four inputs are the existing single-pass plans (each trained
+    * from its own frozen md5 split) joined on doc_id; one row per doc.
+    */
+  def qualitySignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (c1, c2, c3) = lmCounts(docs)
+    val (cPos, cNeg) = classifierCounts(docs)
+    val (cTgt, cRaw) = dsirCounts(docs)
+    docs.select(col("doc_id"))
+      .join(QualityGate.gopherFlags(docs)
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .join(lmScoreOver(docs, c1, c2, c3)
+        .select(col("doc_id"), col("hit_rate"), col("lm_score")), "doc_id")
+      .join(classifierScoreOver(docs, cPos, cNeg)
+        .select(col("doc_id"), col("clf_score")), "doc_id")
+      .join(dsirWeightsOver(docs, cTgt, cRaw)
+        .select(col("doc_id"), col("dsir_weight")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Calibration audit of the contrastive classifier against the Gopher
     * rules gate — the table a curation owner reads before swapping the
     * multi-column rules scan for the cheap classifier at serving time:
@@ -1013,6 +1040,100 @@ object TextAnalysis {
        |      FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0),
        |n AS (SELECT doc_id, SUM(signed_count * signed_count) AS sq
        |      FROM c GROUP BY 1)""".stripMargin
+
+  /** The count-LM oracle's full SQL text, factored so the per-doc
+    * quality-signal export can scope it as a subquery. */
+  private val lmOracleSql: String =
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tr AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |g AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS gram
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |      WHERE len(toks) >= 2),
+         |g3 AS (SELECT doc_id,
+         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |      WHERE len(toks) >= 3),
+         |c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |       FROM (SELECT doc_id, UNNEST(toks) AS w1 FROM w)
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c3 FROM g3
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |pb AS (SELECT g.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_known,
+         |    CAST(SUM(COALESCE(c2.c2, 0)) AS BIGINT) AS hit_mass,
+         |    CAST(SUM(COALESCE(c1.c1, 0)) AS BIGINT) AS ctx_mass
+         |  FROM g LEFT JOIN c2 USING (gram) LEFT JOIN c1 ON c1.w1 = g.w1
+         |  GROUP BY 1),
+         |pt AS (SELECT g3.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tri_known
+         |  FROM g3 LEFT JOIN c3 USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pb.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(pb.n_known, 0) AS n_known,
+         |  CASE WHEN COALESCE(pb.n_bigrams, 0) > 0
+         |       THEN CAST(pb.n_known AS DOUBLE) / pb.n_bigrams
+         |       ELSE 0.0 END AS hit_rate,
+         |  COALESCE(pb.hit_mass, 0) AS hit_mass,
+         |  COALESCE(pb.ctx_mass, 0) AS ctx_mass,
+         |  CASE WHEN COALESCE(pb.ctx_mass, 0) > 0
+         |       THEN CAST(pb.hit_mass AS DOUBLE) / pb.ctx_mass
+         |       ELSE 0.0 END AS lm_score,
+         |  COALESCE(pt.n_trigrams, 0) AS n_trigrams,
+         |  COALESCE(pt.n_tri_known, 0) AS n_tri_known,
+         |  CASE WHEN COALESCE(pt.n_trigrams, 0) > 0
+         |       THEN CAST(pt.n_tri_known AS DOUBLE) / pt.n_trigrams
+         |       ELSE 0.0 END AS tri_hit_rate
+         |FROM documents d
+         |LEFT JOIN pb ON pb.doc_id = d.doc_id
+         |LEFT JOIN pt ON pt.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** The DSIR oracle's full SQL text, shared by the batch query, its
+    * streaming twin, and the quality-signal export. */
+  private val dsirOracleSql: String =
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tgt AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |rw AS (SELECT doc_id FROM documents
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         NOT IN ('0', ${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
+         |g AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 6))
+         |          AS BIGINT) % $DsirBuckets AS bucket
+         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |      WHERE len(toks) >= 2),
+         |ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+         |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw FROM g
+         |       WHERE doc_id IN (SELECT doc_id FROM rw) GROUP BY 1),
+         |per AS (SELECT g.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(COALESCE(ct.c_tgt, 0)) AS BIGINT) AS tgt_mass,
+         |    CAST(SUM(COALESCE(cr.c_raw, 0)) AS BIGINT) AS raw_mass
+         |  FROM g LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+         |  GROUP BY 1),
+         |base AS (SELECT d.doc_id,
+         |    COALESCE(per.n_feats, 0) AS n_feats,
+         |    COALESCE(per.tgt_mass, 0) AS tgt_mass,
+         |    COALESCE(per.raw_mass, 0) AS raw_mass,
+         |    CASE WHEN COALESCE(per.tgt_mass, 0) + COALESCE(per.raw_mass, 0) > 0
+         |         THEN CAST(per.tgt_mass AS DOUBLE)
+         |              / (per.tgt_mass + per.raw_mass)
+         |         ELSE 0.5 END AS dsir_weight
+         |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
+         |SELECT doc_id, n_feats, tgt_mass, raw_mass, dsir_weight,
+         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+         |    AS BIGINT) AS DOUBLE) < dsir_weight * 65536.0 AS sampled
+         |FROM base ORDER BY doc_id""".stripMargin
 
   /** The classifier oracle's full SQL text, factored so the curriculum
     * scheduler's oracle can scope it as a subquery (the mm_dedup_funnel
@@ -1209,58 +1330,8 @@ object TextAnalysis {
     // Count-LM replay: same md5 train split, same gram definitions (w/g
     // mirror the rare-bigram CTEs but keep OCCURRENCES, not DISTINCT), and
     // every score is a single division of two BIGINT sums.
-    withOracle("text_lm_score", lmScore,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tr AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
-         |g AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS gram
-         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-         |      WHERE len(toks) >= 2),
-         |g3 AS (SELECT doc_id,
-         |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
-         |      FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-         |      WHERE len(toks) >= 3),
-         |c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM g
-         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
-         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-         |       FROM (SELECT doc_id, UNNEST(toks) AS w1 FROM w)
-         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
-         |c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c3 FROM g3
-         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
-         |pb AS (SELECT g.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |    CAST(SUM(CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_known,
-         |    CAST(SUM(COALESCE(c2.c2, 0)) AS BIGINT) AS hit_mass,
-         |    CAST(SUM(COALESCE(c1.c1, 0)) AS BIGINT) AS ctx_mass
-         |  FROM g LEFT JOIN c2 USING (gram) LEFT JOIN c1 ON c1.w1 = g.w1
-         |  GROUP BY 1),
-         |pt AS (SELECT g3.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-         |    CAST(SUM(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_tri_known
-         |  FROM g3 LEFT JOIN c3 USING (gram) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(pb.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(pb.n_known, 0) AS n_known,
-         |  CASE WHEN COALESCE(pb.n_bigrams, 0) > 0
-         |       THEN CAST(pb.n_known AS DOUBLE) / pb.n_bigrams
-         |       ELSE 0.0 END AS hit_rate,
-         |  COALESCE(pb.hit_mass, 0) AS hit_mass,
-         |  COALESCE(pb.ctx_mass, 0) AS ctx_mass,
-         |  CASE WHEN COALESCE(pb.ctx_mass, 0) > 0
-         |       THEN CAST(pb.hit_mass AS DOUBLE) / pb.ctx_mass
-         |       ELSE 0.0 END AS lm_score,
-         |  COALESCE(pt.n_trigrams, 0) AS n_trigrams,
-         |  COALESCE(pt.n_tri_known, 0) AS n_tri_known,
-         |  CASE WHEN COALESCE(pt.n_trigrams, 0) > 0
-         |       THEN CAST(pt.n_tri_known AS DOUBLE) / pt.n_trigrams
-         |       ELSE 0.0 END AS tri_hit_rate
-         |FROM documents d
-         |LEFT JOIN pb ON pb.doc_id = d.doc_id
-         |LEFT JOIN pt ON pt.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin),
+    withOracle("text_lm_score", lmScore, lmOracleSql),
+
     // Feature hashing replay: dim/sign from disjoint md5 slices, counts
     // as BIGINT sums, one division by a sqrt of an exact integer.
     withOracle("text_feature_embedding", featureEmbedding,
@@ -1275,42 +1346,24 @@ object TextAnalysis {
     // convention), masses as BIGINT sums, weight as one division, and
     // the resampling draw from md5 chars 5-8 (independent of the split
     // prefix at char 1).
-    withOracle("text_dsir_weights", dsirWeights,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tgt AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-         |         IN (${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
-         |rw AS (SELECT doc_id FROM documents
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-         |         NOT IN ('0', ${LmTrainHexPrefixes.map(h => s"'$h'").mkString(", ")})),
-         |g AS (SELECT doc_id,
-         |        CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 6))
-         |          AS BIGINT) % $DsirBuckets AS bucket
-         |      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-         |      WHERE len(toks) >= 2),
-         |ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM g
-         |       WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
-         |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw FROM g
-         |       WHERE doc_id IN (SELECT doc_id FROM rw) GROUP BY 1),
-         |per AS (SELECT g.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_feats,
-         |    CAST(SUM(COALESCE(ct.c_tgt, 0)) AS BIGINT) AS tgt_mass,
-         |    CAST(SUM(COALESCE(cr.c_raw, 0)) AS BIGINT) AS raw_mass
-         |  FROM g LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
-         |  GROUP BY 1),
-         |base AS (SELECT d.doc_id,
-         |    COALESCE(per.n_feats, 0) AS n_feats,
-         |    COALESCE(per.tgt_mass, 0) AS tgt_mass,
-         |    COALESCE(per.raw_mass, 0) AS raw_mass,
-         |    CASE WHEN COALESCE(per.tgt_mass, 0) + COALESCE(per.raw_mass, 0) > 0
-         |         THEN CAST(per.tgt_mass AS DOUBLE)
-         |              / (per.tgt_mass + per.raw_mass)
-         |         ELSE 0.5 END AS dsir_weight
-         |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
-         |SELECT doc_id, n_feats, tgt_mass, raw_mass, dsir_weight,
-         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
-         |    AS BIGINT) AS DOUBLE) < dsir_weight * 65536.0 AS sampled
-         |FROM base ORDER BY doc_id""".stripMargin),
+    withOracle("text_dsir_weights", dsirWeights, dsirOracleSql),
+    // The quality vector: all four factored scorer texts scoped as
+    // subqueries (the curriculum convention), one wide row per doc —
+    // none of the replays can drift from its parent query.
+    withOracle("text_quality_signals", qualitySignals,
+      s"""WITH lm AS (SELECT doc_id, hit_rate, lm_score FROM ($lmOracleSql)),
+         |clf AS (SELECT doc_id, clf_score FROM ($classifierOracleSql)),
+         |ds AS (SELECT doc_id, dsir_weight FROM ($dsirOracleSql)),
+         |${QualityGate.gateCteSql}
+         |SELECT d.doc_id, g.keep, lm.hit_rate, lm.lm_score,
+         |  clf.clf_score, ds.dsir_weight
+         |FROM documents d
+         |JOIN gate g ON g.doc_id = d.doc_id
+         |JOIN lm ON lm.doc_id = d.doc_id
+         |JOIN clf ON clf.doc_id = d.doc_id
+         |JOIN ds ON ds.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
     withOracle("text_tfidf_top_term", tfidfTopTerm,
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

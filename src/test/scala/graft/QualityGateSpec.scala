@@ -165,6 +165,27 @@ class QualityGateSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("quality signals: one wide row per doc, each column equals its parent") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.qualitySignals(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val keepOf = QualityGate.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val lmOf = TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    val clfOf = TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val dsOf = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Boolean]("keep") == keepOf(id))
+      assert(r.getAs[Double]("lm_score") == lmOf(id))
+      assert(r.getAs[Double]("clf_score") == clfOf(id))
+      assert(r.getAs[Double]("dsir_weight") == dsOf(id))
+    }
+  }
+
   test("classifier calibration: bands partition the corpus and replay the joint") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.classifierCalibration(spark, sf).collect()

@@ -397,6 +397,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists { case (_, _, _, _, rl, _) => rl > 0 })
   }
 
+  test("hybrid over IVF: lexical arm identical, vector arm within the exact arm") {
+    val exact = Similarity.hybridRetrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ivf = Similarity.hybridRetrieveIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ivf.nonEmpty)
+    // the lexical arm is a shared body — its rank for any (query, cand)
+    // must agree wherever both hybrids surface the pair
+    val exactLex = exact.collect { case (q, c, _, rl) if rl > 0 => (q, c) -> rl }.toMap
+    ivf.foreach { case (q, c, _, rl) =>
+      if (rl > 0) exactLex.get((q, c)).foreach(e => assert(e == rl))
+    }
+    // probing only REMOVES candidates, so a surviving candidate's IVF
+    // rank can only improve (be <= its exact-arm rank)
+    val exactVec = exact.collect { case (q, c, rv, _) if rv > 0 => (q, c) -> rv }.toMap
+    ivf.foreach { case (q, c, rv, _) =>
+      if (rv > 0) exactVec.get((q, c)).foreach(e => assert(rv <= e))
+    }
+  }
+
   test("embedding leakage split: component-coherent and pair-safe") {
     import org.apache.spark.sql.functions.col
     val split = Similarity.leakageSplit(spark, sf)
