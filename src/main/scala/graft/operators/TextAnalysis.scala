@@ -958,6 +958,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The quality vector computed AT INGEST — all four scorers' frozen
+    * states (LM counts, classifier counts, DSIR buckets; the rules gate
+    * is stateless) trained once from the static corpus, each arriving
+    * micro-batch scored per-doc and exported with every signal already
+    * attached. This is the operational endpoint of the scoring family:
+    * a doc lands with its keep verdict, LM coverage, classifier score
+    * and domain weight in one pass. Per-doc against frozen state ⇒
+    * batch-boundary invariant ⇒ the twin carries text_quality_signals'
+    * oracle text VERBATIM. */
+  def streamQualitySignalsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val outDir = graft.TempDirs.scoped("graft_sqsig_out")
+    val ckpt = graft.TempDirs.scoped("graft_sqsig_ckpt")
+    val staticDocs = Tables.documents(spark, dir)
+    val (c1, c2, c3) = lmCounts(staticDocs)
+    val (cPos, cNeg) = classifierCounts(staticDocs)
+    val (cTgt, cRaw) = dsirCounts(staticDocs)
+    val frozen = Seq(c1, c2, c3, cPos, cNeg, cTgt, cRaw).map(_.persist())
+    val stream = spark.readStream.schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val b = batch.toDF()
+          b.select(col("doc_id"))
+            .join(QualityGate.gopherFlags(b)
+              .select(col("doc_id"), col("keep")), "doc_id")
+            .join(lmScoreOver(b, c1, c2, c3)
+              .select(col("doc_id"), col("hit_rate"), col("lm_score")),
+              "doc_id")
+            .join(classifierScoreOver(b, cPos, cNeg)
+              .select(col("doc_id"), col("clf_score")), "doc_id")
+            .join(dsirWeightsOver(b, cTgt, cRaw)
+              .select(col("doc_id"), col("dsir_weight")), "doc_id")
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    frozen.foreach(_.unpersist())
+    spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
   /** Calibration audit of the contrastive classifier against the Gopher
     * rules gate — the table a curation owner reads before swapping the
     * multi-column rules scan for the cheap classifier at serving time:
@@ -1432,5 +1480,7 @@ object TextAnalysis {
     QuerySpec("stream_dsir_score", streamDsirScoreQuery,
       baseSpecs.find(_.name == "text_dsir_weights").get.oracle),
     QuerySpec("stream_feature_embed", streamFeatureEmbedQuery,
-      baseSpecs.find(_.name == "text_feature_embedding").get.oracle))
+      baseSpecs.find(_.name == "text_feature_embedding").get.oracle),
+    QuerySpec("stream_quality_signals", streamQualitySignalsQuery,
+      baseSpecs.find(_.name == "text_quality_signals").get.oracle))
 }

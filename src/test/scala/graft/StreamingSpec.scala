@@ -131,6 +131,30 @@ class StreamingSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("quality signals are batch-boundary invariant (stream_quality_signals)") {
+    import graft.operators.{QualityGate, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val (c1, c2, c3) = TextAnalysis.lmCounts(docs)
+    val (cPos, cNeg) = TextAnalysis.classifierCounts(docs)
+    val (cTgt, cRaw) = TextAnalysis.dsirCounts(docs)
+    def serve(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"))
+        .join(QualityGate.gopherFlags(b)
+          .select(col("doc_id"), col("keep")), "doc_id")
+        .join(TextAnalysis.lmScoreOver(b, c1, c2, c3)
+          .select(col("doc_id"), col("hit_rate"), col("lm_score")), "doc_id")
+        .join(TextAnalysis.classifierScoreOver(b, cPos, cNeg)
+          .select(col("doc_id"), col("clf_score")), "doc_id")
+        .join(TextAnalysis.dsirWeightsOver(b, cTgt, cRaw)
+          .select(col("doc_id"), col("dsir_weight")), "doc_id")
+    val split = serve(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(serve(docs.filter(col("doc_id") % 2 === 1)))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val whole = TextAnalysis.qualitySignals(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(split == whole)
+  }
+
   test("winnow decon is batch-boundary invariant (stream_winnow_decon's contract)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
