@@ -31,7 +31,10 @@ object Explain {
         "text_lm_score", "text_bpe_token_stats", "text_mix_temperature",
         "sim_hard_negatives",
         "text_dsir_weights", "text_leakage_split", "text_split_leakage_audit",
-        "text_classifier_calibration", "sim_range_search", "sim_leakage_split")
+        "text_classifier_calibration", "sim_range_search", "sim_leakage_split",
+        "dedup_winnowing", "text_winnow_decontaminate", "dedup_joint_groups",
+        "sim_hybrid_retrieve", "sim_hybrid_ivf", "sim_text_topk",
+        "text_feature_embedding", "text_quality_signals", "rel_agg_corr")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

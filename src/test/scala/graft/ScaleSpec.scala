@@ -272,6 +272,29 @@ class ScaleSpec extends SparkSpec {
       s"first-occurrence must not sort the window stream:\n$plan")
   }
 
+  test("winnowing df cap bounds the pair join on a boilerplate-dominated corpus") {
+    import graft.operators.Dedup
+    // 5000 copies of ONE text: every fingerprint appears in every doc —
+    // the unguarded join would emit C(5000,2) ≈ 12.5M pairs per shared
+    // fingerprint; the df cap (MOSS's ignore-very-common step) drops
+    // them ALL as boilerplate, so the overlap join is EMPTY.
+    val n = 5000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every single document here")
+        .as("text"))
+    val fps = Dedup.winnowFingerprints(docs)
+    assert(fps.count() == 0L) // everything over the df cap -> dropped
+    // and a doc with UNIQUE content keeps its fingerprints: the cap
+    // removes boilerplate, not signal
+    import spark.implicits._
+    val mixed = docs.unionByName(Seq((99999L,
+      "completely unique words appear only inside this one document"))
+      .toDF("doc_id", "text"))
+    val kept = Dedup.winnowFingerprints(mixed)
+      .filter(col("doc_id") === 99999L).count()
+    assert(kept > 0L)
+  }
+
   test("trainerPipeline plan: corpus side of decontamination never shuffles before the anti-join") {
     // The clean-corpus branch must be scan -> filter -> broadcast anti;
     // an Exchange under the anti-join's streamed side would mean the
