@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist shared subtrees deliberately retain them
+      // for plan-cache reuse WITHIN a query; across a 200+-query sweep
+      // each query is dumped exactly once, so retained entries are pure
+      // accumulation — drop them here. (Bench deliberately does NOT
+      // clear: its min-of-2 passes reuse the plan cache by design.)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -189,8 +189,12 @@ object Bpe {
       .agg(sum(col("n_words")).as("n_words"),
         sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
       .select(col("source"), col("n_words"), col("n_bpe_tokens"),
-        (col("n_bpe_tokens").cast("double") / col("n_words"))
-          .as("fertility"))
+        // Zero guard: a source whose documents are all empty has
+        // n_words = 0; a defined 0.0 keeps the readout total instead of
+        // a NULL fertility row.
+        when(col("n_words") > 0,
+          col("n_bpe_tokens").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)).as("fertility"))
       .orderBy(col("source"))
   }
 

@@ -712,7 +712,12 @@ object Dedup {
     * the fingerprint key, and the pair join is inverted-index-shaped
     * with bucket population capped by [[WinnowMaxDf]] — never n². */
   def winnowingOverlap(s: SparkSession, dir: String): DataFrame = {
-    // persist: both sides of the self-join consume the capped table
+    // persist: both sides of the self-join consume the capped table.
+    // Deliberately retained for the session (the ngramJaccardPairs
+    // policy): the returned plan is lazy, so an eager unpersist would
+    // defeat the cache before the consumer's action; sweep harnesses
+    // bound accumulation by clearing the cache between queries
+    // (Verify), and the ContextCleaner reclaims dropped entries.
     val fps = winnowFingerprints(Tables.documents(s, dir)).persist()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -743,7 +748,8 @@ object Dedup {
     * behind the overlap report and the decontamination variant.
     * persist: the winnow kernel (gram explode + per-doc window min) is
     * the dominant cost and feeds BOTH the df aggregate and the capped
-    * join — the ngramJaccardPairs `sets` precedent. */
+    * join — the ngramJaccardPairs `sets` precedent (retained for the
+    * session; sweep harnesses clear between queries). */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val fp0 = winnowFp0(docs).persist()
     val df = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -813,7 +819,8 @@ object Dedup {
     * flagged with their evidence count. */
   def winnowDecontaminate(s: SparkSession, dir: String): DataFrame = {
     // persist: the eval union set and the train evidence join both
-    // consume the capped table
+    // consume the capped table (retained for the session — the
+    // winnowingOverlap note).
     val fps = winnowFingerprints(Tables.documents(s, dir)).persist()
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
     val evalFps = fps.filter(isEval).select(col("fp")).distinct()
@@ -908,7 +915,8 @@ object Dedup {
     def isEval(c: Column): Column =
       substring(md5(c.cast("string")), 1, 1) === "0"
     // ONE pair scan feeds both the component contraction and the pair
-    // labels (the expensive PPJoin would otherwise run twice)
+    // labels (the expensive PPJoin would otherwise run twice; retained
+    // for the session — the winnowingOverlap note)
     val pairs = ngramJaccardPairs(docs)
       .select(col("doc_a"), col("doc_b")).persist()
     val lab = componentsOver(docs.select(col("doc_id")), pairs)

@@ -287,7 +287,8 @@ object Multimodal {
     * the production codec kernel, the split one per-row md5. */
   def mmLeakageSplit(s: SparkSession, dir: String): DataFrame = {
     // persist: pair subtree and universe both consume the hash table —
-    // the hashDedupOn precedent (decode pass is the dominant cost)
+    // the hashDedupOn precedent (decode pass is the dominant cost;
+    // retained for the session — Dedup.winnowingOverlap's note)
     val hashes = phashTable(s, dir).persist()
     Dedup.splitByComponent(hashes.select(col("media_id")),
         phashPairsOn(hashes).select(col("id_a"), col("id_b")))

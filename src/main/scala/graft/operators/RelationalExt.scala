@@ -238,8 +238,12 @@ object RelationalExt {
     *
     * Headroom: the final n·Σy² product is the widest value — at
     * trillion-row groups of 1e7-cent prices it approaches DECIMAL(38)'s
-    * ceiling, where Spark's ANSI mode fails LOUDLY rather than wrap;
-    * the remedies are unit rescaling or sharding the moment fold (the
+    * ceiling. Under ANSI mode Spark fails loudly there, but under the
+    * DEFAULT non-ANSI mode an overflowing decimal product silently
+    * becomes NULL — a null correlation column that could pass unnoticed
+    * — so [[corrFinalize]] carries an explicit `assert_true` guard that
+    * turns the overflow into an error on EITHER mode; the remedies are
+    * unit rescaling or sharding the moment fold (the
     * [[streamAggCorrQuery]] slice shape) so each product stays small. */
   def aggCorr(s: SparkSession, dir: String): DataFrame =
     aggCorrOf(Tables.lineitem(s, dir))
@@ -267,12 +271,24 @@ object RelationalExt {
   }
 
   /** Fold moment rows (one or many slices per flag) and apply the ONE
-    * fixed double formula at the very end. */
+    * fixed double formula at the very end. The assert_true filter makes
+    * DECIMAL(38) product overflow LOUD under non-ANSI mode too (where it
+    * would otherwise null the products silently — see the headroom note
+    * on [[aggCorr]]): a non-empty group whose widest products came back
+    * null can only be a wrapped moment, and the row must not ship. */
   private[graft] def corrFinalize(moments: DataFrame): DataFrame = {
     val m = moments.groupBy(col("l_returnflag"))
       .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
         sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
         sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+      .filter(assert_true(
+        col("n") === 0 ||
+          ((col("n") * col("sxx")).isNotNull &&
+            (col("n") * col("syy")).isNotNull &&
+            (col("n") * col("sxy")).isNotNull &&
+            (col("sx") * col("sy")).isNotNull),
+        lit("corrFinalize: DECIMAL(38,0) moment product overflowed — " +
+          "rescale units or shard the moment fold")).isNull)
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
