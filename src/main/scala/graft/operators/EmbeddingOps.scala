@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
 
@@ -190,6 +190,164 @@ object EmbeddingOps {
     semDedupOn(emb, Similarity.learnCentroids(emb)).orderBy(col("vec_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Binary (sign-bit) quantization tier — the 32x compression rung
+  // below int8's 4x: one bit per dimension, hamming distance as the
+  // shortlist metric, exact float rerank only on the survivors.
+  // -------------------------------------------------------------------
+
+  /** Bits per packed word. Codes pack as ceil(dims/32) 32-bit words in
+    * BIGINT columns — 32, not 64, so every packed value stays strictly
+    * positive (a bit-63 shift would wrap a 64-bit word negative) and the
+    * SQL replay needs no two's-complement care. This corpus's 64-dim
+    * vectors take exactly two words (`code_lo` dims 0–31, `code_hi` dims
+    * 32–63); a wider corpus adds words, it does not change the scheme. */
+  val BinaryWordBits = 32
+
+  /** Hamming shortlist depth for the rerank serving path: 5× the final
+    * k, the usual rerank budget (the IVF tier's probe-depth analogue). */
+  val BinaryShortlist = 50
+
+  /** Sign rule x >= 0 → 1 (ties-to-one, same convention as the SimHash
+    * kernel) packed positionally: bit i of the word is dimension
+    * word*32+i. Exact powers of two through `pow` — integral and ≤ 2³¹,
+    * so the double is exact and the cast loses nothing. */
+  private[graft] def packedSignBits(emb: DataFrame): DataFrame = {
+    def word(base: Int): Column =
+      aggregate(
+        transform(col("embedding"), (x, i) =>
+          when(i >= base && i < base + BinaryWordBits && x >= 0,
+            pow(lit(2.0), (i - lit(base)).cast("double")).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (a, b) => a + b)
+    emb.select(col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      word(0).as("code_lo"), word(BinaryWordBits).as("code_hi"))
+  }
+
+  /** Declared query: the packed sign-bit corpus with per-vector bit
+    * population — 8 bytes of code per 256-byte vector, the storage form
+    * the hamming serving path scans. n_ones is the binary tier's QA
+    * column (a corpus whose vectors are all-positive packs to all-ones
+    * codes and hamming stops discriminating — visible here at a
+    * glance). */
+  def quantizeBinary(s: SparkSession, dir: String): DataFrame =
+    packedSignBits(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("n_dims"), col("code_lo"), col("code_hi"),
+        (bit_count(col("code_lo")) + bit_count(col("code_hi")))
+          .cast("long").as("n_ones"))
+      .orderBy(col("vec_id"))
+
+  /** Top-k served through the binary tier: hamming distance over the
+    * packed codes shortlists [[BinaryShortlist]] candidates per query
+    * (two XOR+popcount ops per pair — whole-stage-codegen'd builtins,
+    * vs 64 multiply-adds for the float dot), then ONLY the shortlist
+    * re-attaches float vectors by equi-join for the exact cosine rerank.
+    * This self-contained query packs inline (it must read the float
+    * column once); the deployment shape persists the packed table once
+    * — the build-once/serve-forever lifecycle the IVF tier demonstrates
+    * — after which the corpus-wide serving scan touches (vec_id, 2
+    * longs) ≈ 24 bytes/row and the float column leaves disk only for
+    * the ~250 shortlisted rows per query batch: the int8 scan-narrowing
+    * argument, 8× smaller again. Deterministic end to end: hamming ties
+    * break on vec_id before the cut, so the shortlist — and therefore
+    * the rerank — replays bit-exactly in SQL. */
+  def topKBinary(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val codes = packedSignBits(emb)
+    val queries = codes.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    val ham = (bit_count(col("qlo").bitwiseXOR(col("code_lo"))) +
+      bit_count(col("qhi").bitwiseXOR(col("code_hi")))).cast("long")
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val shortlist = codes.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), ham.as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= BinaryShortlist)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    broadcast(shortlist)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("hamming"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The binary tier's recall-vs-exact audit — the number that decides
+    * whether 32× compression is affordable for a given corpus, through
+    * the same [[Similarity.recallVsExact]] body as the ANN audit. */
+  def binaryRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallVsExact(s, dir, topKBinary(s, dir))
+
+  // -------------------------------------------------------------------
+  // Matryoshka (prefix-dim) serving tier — MRL-trained embeddings carry
+  // their coarse geometry in the leading dimensions, so a prefix slice
+  // is itself a usable low-cost embedding: shortlist on the first
+  // [[MatryoshkaDims]] dims, exact full-dim rerank on the survivors.
+  // -------------------------------------------------------------------
+
+  /** Prefix length for the shortlist pass — 1/4 of the corpus's 64 dims,
+    * the published MRL halving ladder's second rung. */
+  val MatryoshkaDims = 16
+
+  /** Shortlist depth, same rerank budget as the binary tier. */
+  val MatryoshkaShortlist = 50
+
+  /** Top-k served through the prefix tier: cosine over the leading
+    * [[MatryoshkaDims]] dims shortlists candidates (a 4× cheaper dot on
+    * a 4× narrower scan), full-dim exact rerank on the shortlist only.
+    * Same narrow-scan-then-equi-join shape as [[topKBinary]]; the
+    * prefix score ships in the output so the audit can see how the
+    * tiers disagree. */
+  def topKMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val prefix = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, MatryoshkaDims).as("pv"))
+    val queries = prefix.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("prefix_score").desc, col("vec_id").asc)
+    val shortlist = prefix.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cos(col("qpv"), col("pv")).as("prefix_score"))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= MatryoshkaShortlist)
+      .select(col("query_id"), col("vec_id"), col("prefix_score"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    broadcast(shortlist)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("prefix_score"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("prefix_score"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The prefix tier's recall-vs-exact audit, same shared body. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallVsExact(s, dir, topKMatryoshka(s, dir))
+
   /** Shared quantization-oracle prefix (per-vector scale -> int8 codes):
     * ONE SQL text behind the quantize and int8-search oracles so the
     * rounding replay cannot drift. */
@@ -207,9 +365,110 @@ object EmbeddingOps {
       |          AS BIGINT) END) AS codes
       |  FROM q)""".stripMargin
 
+  /** Shared binary-tier oracle prefix: the packed sign-bit words —
+    * DuckDB replays the identical positional pack (bit i of a word =
+    * dimension word·32+i, sign rule x >= 0). */
+  private val binCtes: String =
+    s"""WITH bits AS (
+      |  SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dims,
+      |    CAST(SUM(CASE WHEN i < $BinaryWordBits AND e.embedding[i+1] >= 0
+      |      THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS code_lo,
+      |    CAST(SUM(CASE WHEN i >= $BinaryWordBits AND i < ${2 * BinaryWordBits}
+      |        AND e.embedding[i+1] >= 0
+      |      THEN CAST(1 AS BIGINT) << (i - $BinaryWordBits) ELSE 0 END)
+      |      AS BIGINT) AS code_hi
+      |  FROM embeddings e,
+      |    UNNEST(generate_series(0, CAST(len(e.embedding) AS INT) - 1)) AS g(i)
+      |  GROUP BY e.vec_id, len(e.embedding))""".stripMargin
+
+  /** Hamming-shortlist CTE (`sl`) — shared by the binary top-k and its
+    * recall audit so the shortlist definition is one text. */
+  private def binShortlistCte: String = {
+    val hamSql = "bit_count(xor(q.code_lo, c.code_lo))" +
+      " + bit_count(xor(q.code_hi, c.code_hi))"
+    s"""sl AS (SELECT query_id, vec_id, hamming FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      CAST($hamSql AS BIGINT) AS hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $hamSql ASC, c.vec_id ASC) AS hrank
+       |    FROM bits q JOIN bits c
+       |      ON q.vec_id < ${Similarity.NumQueryVectors}
+       |     AND c.vec_id <> q.vec_id) t
+       |  WHERE hrank <= $BinaryShortlist)""".stripMargin
+  }
+
+  /** Exact rerank over the hamming shortlist, as a full select (top-k
+    * oracle) or wrapped as a membership CTE (recall oracle). */
+  private def binRerankSql: String =
+    s"""SELECT query_id, rank, vec_id, hamming, score FROM (
+       |  SELECT s.query_id, s.vec_id, s.hamming,
+       |    ${Similarity.cosSql("q.embedding", "v.embedding")} AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${Similarity.cosSql("q.embedding", "v.embedding")} DESC,
+       |        s.vec_id ASC) AS BIGINT) AS rank
+       |  FROM sl s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings v ON v.vec_id = s.vec_id) t
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
+
+  /** Matryoshka prefix CTEs (`pfx`, `msl`) — slice, prefix-cosine
+    * shortlist; shared by the prefix top-k and its recall audit. */
+  private def mslCtes: String =
+    s"""WITH pfx AS (SELECT vec_id, embedding,
+       |    list_slice(embedding, 1, $MatryoshkaDims) AS pv
+       |  FROM embeddings),
+       |msl AS (SELECT query_id, vec_id, prefix_score FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ${Similarity.cosSql("q.pv", "c.pv")} AS prefix_score,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${Similarity.cosSql("q.pv", "c.pv")} DESC,
+       |          c.vec_id ASC) AS prank
+       |    FROM pfx q JOIN pfx c
+       |      ON q.vec_id < ${Similarity.NumQueryVectors}
+       |     AND c.vec_id <> q.vec_id) t
+       |  WHERE prank <= $MatryoshkaShortlist)""".stripMargin
+
+  /** Full-dim rerank over the prefix shortlist. */
+  private def mslRerankSql: String =
+    s"""SELECT query_id, rank, vec_id, prefix_score, score FROM (
+       |  SELECT s.query_id, s.vec_id, s.prefix_score,
+       |    ${Similarity.cosSql("q.embedding", "v.embedding")} AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${Similarity.cosSql("q.embedding", "v.embedding")} DESC,
+       |        s.vec_id ASC) AS BIGINT) AS rank
+       |  FROM msl s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings v ON v.vec_id = s.vec_id) t
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_quantize_binary", quantizeBinary,
+      s"""$binCtes
+        |SELECT vec_id, n_dims, code_lo, code_hi,
+        |  CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_ones
+        |FROM bits ORDER BY vec_id""".stripMargin),
+    withOracle("sim_topk_binary", topKBinary,
+      s"""$binCtes,
+        |$binShortlistCte
+        |$binRerankSql
+        |ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_binary_recall", binaryRecall,
+      s"""$binCtes,
+        |$binShortlistCte,
+        |bin AS (SELECT query_id, vec_id FROM ($binRerankSql) r),
+        |${Similarity.exactTopKCteSql},
+        |${Similarity.recallTailSql("bin")}""".stripMargin),
+    withOracle("sim_topk_matryoshka", topKMatryoshka,
+      s"""$mslCtes
+        |$mslRerankSql
+        |ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_matryoshka_recall", matryoshkaRecall,
+      s"""$mslCtes,
+        |mat AS (SELECT query_id, vec_id FROM ($mslRerankSql) r),
+        |${Similarity.exactTopKCteSql},
+        |${Similarity.recallTailSql("mat")}""".stripMargin),
     withOracle("sim_quantize_int8", quantizeInt8,
       s"""$quantOracleCtes
         |SELECT vec_id,

@@ -151,10 +151,18 @@ object Similarity {
     * membership; queries whose ANN candidates miss everything score 0.
     * The spec-pinned recall numbers in SimilaritySpec are this query's
     * values; here they are a monitorable table. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallVsExact(s, dir, topKAnn(s, dir))
+
+  /** The recall-audit body factored over ANY approximate top-k frame
+    * with (query_id, vec_id) columns — one membership-join shape behind
+    * the ANN, binary and matryoshka audits so the metric definition
+    * cannot drift between serving tiers. */
+  private[operators] def recallVsExact(s: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
     val exact = topKExact(s, dir).select(col("query_id"), col("vec_id"))
-    val ann = topKAnn(s, dir).select(col("query_id"), col("vec_id"))
-    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+    val hits = exact.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     // query-id spine straight from the corpus (the exact top-k's query
     // set IS this filter by definition) — deriving it from `exact` would
@@ -538,7 +546,7 @@ object Similarity {
 
   /** DuckDB double-precision cosine, bit-identical to VectorFunctions
     * (sequential fold, same grouping). */
-  private def cosSql(a: String, b: String): String = {
+  private[operators] def cosSql(a: String, b: String): String = {
     def dotSql(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -620,16 +628,29 @@ object Similarity {
        |    JOIN embeddings q ON q.vec_id = c.query_id
        |    JOIN embeddings v ON v.vec_id = c.vec_id) t
        |  WHERE rank <= $TopK),
-       |ex AS (SELECT query_id, vec_id FROM (
+       |$exactTopKCteSql,
+       |${recallTailSql("ann")}""".stripMargin
+  }
+
+  /** Exact-top-k membership CTE (`ex`) — ONE text behind every recall
+    * audit's exact side (ANN / binary / matryoshka), mirroring the
+    * sim_topk_cosine oracle body. */
+  private[operators] def exactTopKCteSql: String =
+    s"""ex AS (SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
        |          c.vec_id ASC) AS rank
        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |    WHERE q.vec_id < $NumQueryVectors) t
-       |  WHERE rank <= $TopK),
-       |hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-       |  FROM ex e JOIN ann a
+       |  WHERE rank <= $TopK)""".stripMargin
+
+  /** Recall-audit tail over an `ex` CTE and the named approximate-top-k
+    * CTE — the SQL twin of [[recallVsExact]], shared so the metric
+    * definition is one text across the serving-tier audits. */
+  private[operators] def recallTailSql(approxCte: String): String =
+    s"""hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ex e JOIN $approxCte a
        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |  GROUP BY 1)
        |SELECT q.query_id,
@@ -638,7 +659,6 @@ object Similarity {
        |FROM (SELECT DISTINCT query_id FROM ex) q
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id""".stripMargin
-  }
 
   private def annOracleSql: String = {
     s"""$lshBucketCtes,

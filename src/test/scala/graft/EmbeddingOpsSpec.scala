@@ -88,4 +88,97 @@ class EmbeddingOpsSpec extends SparkSpec {
       assert((keeper == id) == (isDup == 0L))
     }
   }
+
+  test("binary pack: planted sign patterns produce the known words") {
+    val allPos = Array.fill(64)(1.0f)
+    val allNeg = Array.fill(64)(-1.0f)
+    val zeros = Array.fill(64)(0.0f) // x >= 0 counts as 1
+    val bit0 = allNeg.clone(); bit0(0) = 1.0f
+    val bit33 = allNeg.clone(); bit33(33) = 1.0f
+    val df = Seq((1L, allPos), (2L, allNeg), (3L, zeros),
+      (4L, bit0), (5L, bit33)).toDF("vec_id", "embedding")
+    val got = EmbeddingOps.packedSignBits(df).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0xFFFFFFFFL, 0xFFFFFFFFL),
+      (2L, 0L, 0L),
+      (3L, 0xFFFFFFFFL, 0xFFFFFFFFL),
+      (4L, 1L, 0L),
+      (5L, 0L, 2L)))
+  }
+
+  test("binary serve: rows come from the hamming shortlist, ordered by exact cosine") {
+    val codes = EmbeddingOps.quantizeBinary(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // independent brute-force shortlist per query
+    val shortlists = (0L until Similarity.NumQueryVectors).map { q =>
+      q -> codes.keys.filter(_ != q).toSeq
+        .map(id => (ham(codes(q), codes(id)), id))
+        .sorted.take(EmbeddingOps.BinaryShortlist).map(_._2).toSet
+    }.toMap
+    val out = EmbeddingOps.topKBinary(spark, sf).collect()
+    assert(out.length == Similarity.NumQueryVectors * Similarity.TopK)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      byRank.foreach { r =>
+        assert(shortlists(q).contains(r.getLong(2)),
+          s"query $q served vec ${r.getLong(2)} outside the hamming shortlist")
+        assert(r.getLong(3) >= 0 && r.getLong(3) <= 64)
+      }
+      // rerank order: exact cosine desc, id asc on ties
+      val scores = byRank.map(r => (r.getDouble(4), r.getLong(2)))
+      assert(scores.zip(scores.tail).forall { case (a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) })
+    }
+  }
+
+  test("matryoshka serve: rows come from the prefix-cosine shortlist") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val shortlists = (0L until Similarity.NumQueryVectors).map { q =>
+      val qp = emb(q).take(EmbeddingOps.MatryoshkaDims)
+      q -> emb.keys.filter(_ != q).toSeq
+        .map(id => (-cosD(qp, emb(id).take(EmbeddingOps.MatryoshkaDims)), id))
+        .sorted.take(EmbeddingOps.MatryoshkaShortlist).map(_._2).toSet
+    }.toMap
+    val out = EmbeddingOps.topKMatryoshka(spark, sf).collect()
+    assert(out.length == Similarity.NumQueryVectors * Similarity.TopK)
+    out.foreach { r =>
+      assert(shortlists(r.getLong(0)).contains(r.getLong(2)),
+        s"query ${r.getLong(0)} served vec ${r.getLong(2)} outside the prefix shortlist")
+    }
+  }
+
+  test("binary and matryoshka recall audits agree with a local recount") {
+    val exact = Similarity.topKExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recount(approx: Set[(Long, Long)], audit: Array[org.apache.spark.sql.Row]): Unit =
+      audit.foreach { r =>
+        val q = r.getLong(0)
+        val hits = exact.count { case (eq, id) => eq == q && approx((q, id)) }
+        assert(r.getLong(1) == hits.toLong)
+        assert(r.getDouble(2) == hits.toDouble / Similarity.TopK)
+      }
+    recount(EmbeddingOps.topKBinary(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet,
+      EmbeddingOps.binaryRecall(spark, sf).collect())
+    recount(EmbeddingOps.topKMatryoshka(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet,
+      EmbeddingOps.matryoshkaRecall(spark, sf).collect())
+  }
 }
