@@ -512,6 +512,84 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Right-to-be-forgotten propagation across the persisted indexes
+  // -------------------------------------------------------------------
+
+  /** ONE forget request propagated to EVERY persisted index, with a
+    * per-index audit that MEASURES the outcome instead of assuming it —
+    * the data-governance verb a real curation stack must answer for: a
+    * takedown/right-to-be-forgotten list names record ids, and every
+    * derived serving structure (the text LSH index, the IVF vector
+    * postings, the media phash index) must stop returning them, not
+    * just the source table. The request here is the established forget
+    * rule (id % 5 == 2 over each index's indexed universe) so the
+    * expected counts replay in SQL; the AUDIT rows come from reading
+    * the indexes back — live ids via each index's tombstone-aware
+    * reader, dead ids from its tombstone slices — so if any index's
+    * delete verb ever writes the wrong dir, stops anti-joining
+    * tombstones, or drops part of the request, this query diverges
+    * from its oracle on the next run.
+    *
+    * Scale shape: a forget list is tiny relative to the corpus, and
+    * every index absorbs it as ONE tombstone slice (the LSM delete
+    * convention all three share via [[IndexFiles.delete]]) — no index
+    * rewrite, no corpus shuffle; serving pays one anti-join against
+    * the (broadcast-small) tombstone set until compaction folds it. */
+  def forgetAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{MicroBatchPipeline, StreamingDedup}
+    val textState = graft.TempDirs.scoped("graft_forget_text")
+    val textSink = graft.TempDirs.scoped("graft_forget_textsink")
+    val mediaState = graft.TempDirs.scoped("graft_forget_media")
+    val mediaSink = graft.TempDirs.scoped("graft_forget_mediasink")
+    val ivfIdx = graft.TempDirs.scoped("graft_forget_ivf")
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val train = docs.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+    val media = Multimodal.phashTableOf(docs).filter(
+      substring(md5(col("media_id").cast("string")), 1, 1) =!= "0")
+    MicroBatchPipeline.withBatchSizedShuffle(s) {
+      StreamingDedup.appendBatch(train, textState, textSink).count()
+      StreamingDedup.deleteFromIndex(s, textState,
+        train.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+      StreamingDedup.appendMediaBatch(media, mediaState, mediaSink).count()
+      StreamingDedup.deleteFromIndex(s, mediaState,
+        media.filter(col("media_id") % 5 === 2).select(col("media_id")))
+      IvfIndex.build(emb, ivfIdx)
+      IvfIndex.delete(
+        emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), ivfIdx)
+    }
+    def auditRow(name: String, universe: DataFrame, idCol: String,
+        live: DataFrame, liveCol: String,
+        dead: DataFrame, deadCol: String): DataFrame =
+      universe.agg(count(lit(1)).as("n_indexed"),
+          coalesce(sum((col(idCol) % 5 === 2).cast("long")), lit(0L))
+            .as("n_requested"))
+        .crossJoin(live.agg(count_distinct(col(liveCol)).as("n_live")))
+        .crossJoin(dead.agg(count_distinct(col(deadCol)).as("n_dead")))
+        .select(lit(name).as("index_name"), col("n_indexed"),
+          col("n_requested"), col("n_live"), col("n_dead"),
+          (col("n_live") + col("n_dead") === col("n_indexed") &&
+            col("n_dead") === col("n_requested"))
+            .cast("long").as("fully_forgotten"))
+    val textAudit = auditRow("text_lsh", train, "doc_id",
+      IndexFiles.readLiveFrom(s,
+        StreamingDedup.listSlices(s, s"$textState/bands"),
+        s"$textState/tombstones", "rec_id"), "rec_id",
+      IndexFiles.readSlices(s, s"$textState/tombstones"), "rec_id")
+    val mediaAudit = auditRow("media_phash", media, "media_id",
+      IndexFiles.readLiveFrom(s,
+        StreamingDedup.listSlices(s, s"$mediaState/bands"),
+        s"$mediaState/tombstones", "rec_id"), "rec_id",
+      IndexFiles.readSlices(s, s"$mediaState/tombstones"), "rec_id")
+    val ivfAudit = auditRow("ivf_embedding", emb, "vec_id",
+      IvfIndex.postings(s, ivfIdx), "vec_id",
+      IndexFiles.readSlices(s, IvfIndex.tombstonesDir(ivfIdx)), "vec_id")
+    textAudit.unionByName(mediaAudit).unionByName(ivfAudit)
+      .orderBy(col("index_name"))
+  }
+
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
@@ -703,5 +781,26 @@ object Curation {
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
          |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
-         |FROM t GROUP BY shard_id ORDER BY shard_id""".stripMargin))
+         |FROM t GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+    withOracle("dedup_forget_audit", forgetAuditQuery,
+      """WITH trc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+        |    CAST(SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_requested
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+        |emc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+        |    CAST(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_requested
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT 'ivf_embedding' AS index_name, n_indexed, n_requested,
+        |    n_indexed - n_requested AS n_live, n_requested AS n_dead,
+        |    CAST(1 AS BIGINT) AS fully_forgotten FROM emc
+        |  UNION ALL
+        |  SELECT 'media_phash', n_indexed, n_requested,
+        |    n_indexed - n_requested, n_requested, CAST(1 AS BIGINT) FROM trc
+        |  UNION ALL
+        |  SELECT 'text_lsh', n_indexed, n_requested,
+        |    n_indexed - n_requested, n_requested, CAST(1 AS BIGINT) FROM trc)
+        |ORDER BY index_name""".stripMargin))
 }

@@ -35,7 +35,7 @@ object IvfIndex {
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def centroidsDir(dir: String) = s"$dir/centroids"
-  private def tombstonesDir(dir: String) = s"$dir/tombstones"
+  private[graft] def tombstonesDir(dir: String) = s"$dir/tombstones"
 
   /** Train centroids from the bootstrap corpus (or freeze the given
     * ones) and persist them WITHOUT writing any postings — the init step

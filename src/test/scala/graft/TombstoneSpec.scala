@@ -269,4 +269,29 @@ class TombstoneSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survA == survB)
   }
+
+  test("forget audit: every index reports full propagation, counts recount") {
+    val out = graft.operators.Curation.forgetAuditQuery(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("ivf_embedding", "media_phash", "text_lsh"))
+    out.foreach { r =>
+      val (idx, n, req, live, dead, full) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(full == 1L, s"$idx not fully forgotten")
+      assert(live + dead == n, s"$idx live+dead != indexed")
+      assert(dead == req, s"$idx dead != requested")
+    }
+    // independent recount of the request sizes from the tables
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+    val expTextReq = train.filter(col("doc_id") % 5 === 2).count()
+    val expEmbReq = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 2).count()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("text_lsh").getLong(2) == expTextReq)
+    assert(byName("media_phash").getLong(2) == expTextReq)
+    assert(byName("ivf_embedding").getLong(2) == expEmbReq)
+    assert(byName("text_lsh").getLong(1) == train.count())
+  }
 }
