@@ -1023,7 +1023,127 @@ object RelationalExt {
          |    AS std_price
          |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Z-order data layout audit
+  // -------------------------------------------------------------------
+
+  /** Grid bits per dimension for the z-value interleave: each dimension
+    * is scaled onto a 2^8-cell grid, giving a 16-bit z space. */
+  val ZGridBits = 8
+
+  /** Z-range width per layout bucket: dropping the low [[ZBucketShift]]
+    * z bits leaves the interleaved HIGH 4 bits of each dimension — a
+    * 16×16 coarse grid of up to 256 buckets ("files"), the same bucket
+    * count the linear layout's custkey-major cut produces, so the two
+    * rows compare like for like. */
+  val ZBucketShift = 8
+
+  /** Bitwise interleave of two [[ZGridBits]]-bit grid coordinates — the
+    * Morton/z-value (x bits at even positions, y at odd). Fixed-shift
+    * builtins only, so the whole expression stays in codegen and the
+    * oracle replays it with `>>`/`&`/`<<`. */
+  private[graft] def zInterleave(x: Column, y: Column): Column =
+    (0 until ZGridBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ORDER LAYOUT AUDIT — the multi-dimensional-pruning readout behind
+    * a Delta-style `OPTIMIZE ZORDER BY (o_custkey, o_orderdate)`: rows
+    * are assigned to layout buckets ("files") two ways — by z-value
+    * (interleaved bits of the two grid coordinates) and by linear
+    * concatenation (custkey-major sort, the naive layout) — and the
+    * per-layout rollup reports how tightly each bucket bounds EACH
+    * dimension (avg/max min-max span). Why it matters at 100 TB: parquet
+    * skipping prunes a file iff the predicate column's min-max range
+    * excludes it, so a custkey-sorted table answers date-range scans by
+    * reading everything — the linear row shows exactly that (day span ≈
+    * the full calendar), while the z-order row bounds BOTH columns, the
+    * property that lets one layout serve both predicate families. The
+    * audit is the measurement a table owner runs before picking a
+    * layout; writing the files is then `orderBy(zv)` at insert.
+    *
+    * Grid rule: each dimension scales onto the 2^[[ZGridBits]]-cell
+    * grid as floor(x·2^g / (max+1)) — a min-is-zero range map whose
+    * double division is IEEE-identical in both engines (the range-rank
+    * a production writer would precompute, collapsed to one scalar agg
+    * because both dims here start at 0). One scan, one broadcast of the
+    * 1-row maxes, one shuffle on (layout, bucket), two aggregate rows
+    * out; the final averages are single divisions of exact longs. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val cells = 1 << ZGridBits
+    val base = Tables.orders(s, dir).select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long").as("dd"))
+    val maxes = base.agg(max(col("ck")).as("mck"), max(col("dd")).as("mdd"))
+    def cell(x: Column, mx: Column): Column =
+      floor(x.cast("double") * cells / (mx.cast("double") + 1.0)).cast("long")
+    val zx = cell(col("ck"), col("mck"))
+    val zy = cell(col("dd"), col("mdd"))
+    val tagged = base.crossJoin(broadcast(maxes))
+      .select(col("ck"), col("dd"),
+        zInterleave(zx, zy).as("zv"),
+        (shiftleft(zx, ZGridBits) + zy).as("lv"))
+      .select(col("ck"), col("dd"), explode(array(
+        struct(lit("zorder").as("layout"),
+          shiftright(col("zv"), ZBucketShift).as("bucket")),
+        struct(lit("linear").as("layout"),
+          shiftright(col("lv"), ZBucketShift).as("bucket")))).as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("ck"), col("dd"))
+    tagged.groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("ck")) - min(col("ck"))).as("ck_span"),
+        (max(col("dd")) - min(col("dd"))).as("dd_span"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        (sum(col("ck_span")).cast("double") / count(lit(1)))
+          .as("avg_custkey_span"),
+        max(col("ck_span")).as("max_custkey_span"),
+        (sum(col("dd_span")).cast("double") / count(lit(1)))
+          .as("avg_day_span"),
+        max(col("dd_span")).as("max_day_span"))
+      .orderBy(col("layout"))
+  }
+
+  private def zorderOracleSql: String = {
+    val zSum = (0 until ZGridBits).map(i =>
+      s"((((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" + ")
+    val cells = 1 << ZGridBits
+    s"""WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      AS BIGINT) AS dd
+       |  FROM orders),
+       |m AS (SELECT MAX(ck) AS mck, MAX(dd) AS mdd FROM b),
+       |g AS (SELECT ck, dd,
+       |    CAST(floor(CAST(ck AS DOUBLE) * $cells / (CAST(mck AS DOUBLE) + 1.0))
+       |      AS BIGINT) AS zx,
+       |    CAST(floor(CAST(dd AS DOUBLE) * $cells / (CAST(mdd AS DOUBLE) + 1.0))
+       |      AS BIGINT) AS zy
+       |  FROM b, m),
+       |z AS (SELECT ck, dd, ($zSum) AS zv, ((zx << $ZGridBits) + zy) AS lv
+       |  FROM g),
+       |e AS (
+       |  SELECT 'zorder' AS layout, zv >> $ZBucketShift AS bucket, ck, dd FROM z
+       |  UNION ALL
+       |  SELECT 'linear', lv >> $ZBucketShift, ck, dd FROM z),
+       |p AS (SELECT layout, bucket, COUNT(*) AS n,
+       |    MAX(ck) - MIN(ck) AS ck_span, MAX(dd) - MIN(dd) AS dd_span
+       |  FROM e GROUP BY 1, 2)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(SUM(ck_span) AS DOUBLE) / COUNT(*) AS avg_custkey_span,
+       |  CAST(MAX(ck_span) AS BIGINT) AS max_custkey_span,
+       |  CAST(SUM(dd_span) AS DOUBLE) / COUNT(*) AS avg_day_span,
+       |  CAST(MAX(dd_span) AS BIGINT) AS max_day_span
+       |FROM p GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_zorder_layout", zorderLayout, zorderOracleSql),
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
     withOracle("rel_ohlc_gapfill", ohlcGapfill, ohlcGapfillOracleSql),
     withOracle("rel_sessionize", sessionizeWindow, sessionizeOracleSql),

@@ -280,4 +280,32 @@ class RelationalExtSpec extends SparkSpec {
     assert(out.count() == nCust + nUsersNotCust)
     out.unpersist()
   }
+
+  test("zorder: planted Morton interleaves and the both-dims-bounded property") {
+    import spark.implicits._
+    // x=0b1010, y=0b0110 -> z has x bits at even, y bits at odd positions:
+    // bits: x0=0,y0=0,x1=1,y1=1,x2=0,y2=1,x3=1,y3=0 -> 0b01101100 = 108
+    val planted = Seq((10L, 6L), (0L, 0L), (255L, 255L))
+      .toDF("x", "y")
+      .select(RelationalExt.zInterleave(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(planted == Seq(108L, 0L, 65535L))
+
+    val out = RelationalExt.zorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("linear", "zorder"))
+    // both layouts partition the same rows
+    assert(out("linear").getLong(2) == out("zorder").getLong(2))
+    // the point of z-ordering: the linear layout leaves the second
+    // dimension effectively unbounded per bucket; z-order bounds it
+    val linDay = out("linear").getDouble(5)
+    val zDay = out("zorder").getDouble(5)
+    val zCust = out("zorder").getDouble(3)
+    assert(zDay < linDay / 2,
+      s"zorder avg day span $zDay not well below linear $linDay")
+    // and still bounds the first dimension to a fraction of its range
+    val custRange = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(max(col("o_custkey"))).head().getLong(0)
+    assert(zCust < custRange / 2.0)
+  }
 }
