@@ -256,15 +256,26 @@ object EmbeddingOps {
   def topKBinary(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val codes = packedSignBits(emb)
-    val queries = codes.filter(col("vec_id") < Similarity.NumQueryVectors)
-      .select(col("vec_id").as("query_id"),
-        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    binaryServe(codes, emb,
+      codes.filter(col("vec_id") < Similarity.NumQueryVectors)
+        .select(col("vec_id").as("query_id"),
+          col("code_lo").as("qlo"), col("code_hi").as("qhi")))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The serving body behind the batch query AND the streaming twin —
+    * one definition of shortlist + rerank so the two paths cannot
+    * drift. `queryCodes` is (query_id, qlo, qhi); the corpus is
+    * `codes` (packed) for the hamming pass and `emb` (float) for the
+    * rerank equi-join. */
+  private[graft] def binaryServe(codes: DataFrame, emb: DataFrame,
+      queryCodes: DataFrame): DataFrame = {
     val ham = (bit_count(col("qlo").bitwiseXOR(col("code_lo"))) +
       bit_count(col("qhi").bitwiseXOR(col("code_hi")))).cast("long")
     val wH = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("vec_id").asc)
-    val shortlist = codes.join(broadcast(queries),
+    val shortlist = codes.join(broadcast(queryCodes),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), ham.as("hamming"))
       .withColumn("hrank", row_number().over(wH))
@@ -283,7 +294,50 @@ object EmbeddingOps {
       .filter(col("rank") <= Similarity.TopK)
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("hamming"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Declared query — binary serving IN-STREAM against a PERSISTED code
+    * table: the packed corpus is written once (the build-once shape the
+    * [[topKBinary]] doc names — after this, serving scans touch the
+    * ~24-byte/row code table, never the float column except for
+    * shortlisted rows), then the query stream is answered per
+    * micro-batch, each batch packing its own arrivals and landing
+    * results in a batch-id-keyed overwrite dir (idempotent replay).
+    * The index is frozen during the drain and each query is answered
+    * independently, so batch boundaries cannot change the result — the
+    * drained output equals [[topKBinary]] row-for-row and the twin
+    * carries sim_topk_binary's oracle text VERBATIM. */
+  def streamBinaryServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val codesDir = graft.TempDirs.scoped("graft_binserve_codes")
+    val out = graft.TempDirs.scoped("graft_binserve_out")
+    val ckpt = graft.TempDirs.scoped("graft_binserve_ckpt")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    packedSignBits(emb).write.mode("overwrite").parquet(codesDir)
+    val frozen = spark.read.parquet(codesDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          binaryServe(frozen, emb,
+            packedSignBits(batch.toDF()
+                .select(col("vec_id"), col("embedding")))
+              .select(col("vec_id").as("query_id"),
+                col("code_lo").as("qlo"), col("code_hi").as("qhi")))
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("query_id"), col("rank"))
   }
 
   /** The binary tier's recall-vs-exact audit — the number that decides
@@ -441,6 +495,13 @@ object EmbeddingOps {
        |  JOIN embeddings v ON v.vec_id = s.vec_id) t
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
 
+  /** ONE text behind the batch binary top-k and its streaming twin. */
+  private def topKBinaryOracleSql: String =
+    s"""$binCtes,
+       |$binShortlistCte
+       |$binRerankSql
+       |ORDER BY query_id, rank""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
@@ -449,11 +510,11 @@ object EmbeddingOps {
         |SELECT vec_id, n_dims, code_lo, code_hi,
         |  CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_ones
         |FROM bits ORDER BY vec_id""".stripMargin),
-    withOracle("sim_topk_binary", topKBinary,
-      s"""$binCtes,
-        |$binShortlistCte
-        |$binRerankSql
-        |ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_topk_binary", topKBinary, topKBinaryOracleSql),
+    // Streaming twin: frozen index + per-query independence => batch-
+    // boundary invariant, so it carries the batch oracle text VERBATIM.
+    withOracle("stream_binary_serve", streamBinaryServeQuery,
+      topKBinaryOracleSql),
     withOracle("sim_binary_recall", binaryRecall,
       s"""$binCtes,
         |$binShortlistCte,

@@ -615,4 +615,27 @@ class StreamingSpec extends SparkSpec {
     // read-only: serving wrote nothing into the index
     assert(StreamingDedup.listSlices(spark, s"$state/bands").sorted == slicesBefore)
   }
+
+  test("binary serve: a forced query split equals the batch top-k") {
+    import graft.operators.{EmbeddingOps, Similarity}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val codes = EmbeddingOps.packedSignBits(emb)
+    def qc(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    val all = qc(codes.filter(col("vec_id") < Similarity.NumQueryVectors))
+    val mid = Similarity.NumQueryVectors / 2
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneBatch = rows(EmbeddingOps.binaryServe(codes, emb, all))
+    val split = rows(EmbeddingOps.binaryServe(codes, emb,
+        all.filter(col("query_id") < mid))) ++
+      rows(EmbeddingOps.binaryServe(codes, emb,
+        all.filter(col("query_id") >= mid)))
+    assert(oneBatch == split && oneBatch.nonEmpty)
+    // the declared streaming twin drains to exactly the batch result
+    val drained = rows(EmbeddingOps.streamBinaryServeQuery(spark, sf))
+    assert(drained == rows(EmbeddingOps.topKBinary(spark, sf)))
+  }
 }
