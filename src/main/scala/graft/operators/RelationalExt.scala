@@ -277,18 +277,7 @@ object RelationalExt {
     * on [[aggCorr]]): a non-empty group whose widest products came back
     * null can only be a wrapped moment, and the row must not ship. */
   private[graft] def corrFinalize(moments: DataFrame): DataFrame = {
-    val m = moments.groupBy(col("l_returnflag"))
-      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
-        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
-        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
-      .filter(assert_true(
-        col("n") === 0 ||
-          ((col("n") * col("sxx")).isNotNull &&
-            (col("n") * col("syy")).isNotNull &&
-            (col("n") * col("sxy")).isNotNull &&
-            (col("sx") * col("sy")).isNotNull),
-        lit("corrFinalize: DECIMAL(38,0) moment product overflowed — " +
-          "rescale units or shard the moment fold")).isNull)
+    val m = foldMoments(moments)
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -298,6 +287,50 @@ object RelationalExt {
         (num / nn1).as("covar_qty_price"),
         sqrt(varx / nn1).as("std_qty"),
         sqrt(vary / nn1).as("std_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Fold per-flag moment slices into one guarded row per flag — the
+    * shared front half of [[corrFinalize]] and [[olsFinalize]], carrying
+    * the non-ANSI overflow guard (see [[aggCorr]]'s headroom note). */
+  private def foldMoments(moments: DataFrame): DataFrame =
+    moments.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+      .filter(assert_true(
+        col("n") === 0 ||
+          ((col("n") * col("sxx")).isNotNull &&
+            (col("n") * col("syy")).isNotNull &&
+            (col("n") * col("sxy")).isNotNull &&
+            (col("sx") * col("sy")).isNotNull),
+        lit("foldMoments: DECIMAL(38,0) moment product overflowed — " +
+          "rescale units or shard the moment fold")).isNull)
+
+  /** Bit-reproducible ORDINARY LEAST SQUARES — the per-flag linear fit
+    * price = slope·quantity + intercept with its R², finalized from the
+    * SAME six exact integer moments as [[aggCorr]] (the monoid the
+    * streaming fold already ships): slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    * intercept = (Σy − slope·Σx)/n, R² = num²/(varx·vary) — each a
+    * FIXED double formula over exact decimals, so the fit is identical
+    * on any partitioning and any engine, which is what a feature
+    * pipeline needs before it ships model coefficients computed on a
+    * cluster. Cents→dollars is one final division. */
+  def aggOls(s: SparkSession, dir: String): DataFrame =
+    olsFinalize(corrMoments(Tables.lineitem(s, dir)))
+
+  private[graft] def olsFinalize(moments: DataFrame): DataFrame = {
+    val m = foldMoments(moments)
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / varx
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        (slope / 100.0).as("slope_price_per_qty"),
+        (intercept / 100.0).as("intercept_price"),
+        ((num * num) / (varx * vary)).as("r2"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -997,9 +1030,8 @@ object RelationalExt {
       |  close_ff AS close, close IS NULL AS is_gap
       |FROM f ORDER BY bar_ts""".stripMargin
 
-  /** The exact-moment statistics oracle, shared verbatim by the batch
-    * query and its streaming moment-fold twin. */
-  private val corrOracleSql: String =
+  /** The six-moment CTE — ONE text behind the corr and OLS oracles. */
+  private val momentCteSql: String =
     s"""WITH m AS (SELECT l_returnflag,
          |    CAST(COUNT(*) AS BIGINT) AS n,
          |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
@@ -1010,7 +1042,12 @@ object RelationalExt {
          |        * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
          |    SUM(${centsSql("l_extendedprice")}
          |        * ${centsSql("l_extendedprice")}) AS syy
-         |  FROM lineitem GROUP BY 1)
+         |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  /** The exact-moment statistics oracle, shared verbatim by the batch
+    * query and its streaming moment-fold twin. */
+  private val corrOracleSql: String =
+    s"""$momentCteSql
          |SELECT l_returnflag, n,
          |  CAST(n*sxy - sx*sy AS DOUBLE)
          |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
@@ -1021,6 +1058,22 @@ object RelationalExt {
          |    AS std_qty,
          |  sqrt(CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
          |    AS std_price
+         |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** The OLS fit over the same moments — operation order mirrors
+    * [[olsFinalize]]'s double tree exactly. */
+  private val olsOracleSql: String =
+    s"""$momentCteSql
+         |SELECT l_returnflag, n,
+         |  (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+         |    / 100.0 AS slope_price_per_qty,
+         |  ((CAST(sy AS DOUBLE)
+         |      - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+         |        * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE)) / 100.0 AS intercept_price,
+         |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+         |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    AS r2
          |FROM m ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1142,8 +1195,51 @@ object RelationalExt {
        |FROM p GROUP BY layout ORDER BY layout""".stripMargin
   }
 
+  /** Event TRANSITION MATRIX — the product-analytics "what happens
+    * next" readout completing the funnel/cohort/session family: for
+    * each ordered (event_type → next event_type) adjacency within a
+    * user's time-ordered stream, the transition count and its share of
+    * all transitions leaving the source type. One window pass per user
+    * (lead over (ts, event_id) — a total order, so the adjacency is
+    * deterministic), then a groupBy on the tiny k² type-pair key; the
+    * share is one double division of exact longs over a k-row window.
+    * Scale: the user partition is the natural key (same shuffle the
+    * sessionize family already pays), state per user is one row. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts.withColumn("share_from_source",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions"))
+            .over(Window.partitionBy(col("event_type"))))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  private val eventTransitionsOracleSql: String =
+    """WITH s AS (SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type, next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n_transitions,
+      |  CAST(n_transitions AS DOUBLE)
+      |    / SUM(n_transitions) OVER (PARTITION BY event_type)
+      |    AS share_from_source
+      |FROM c ORDER BY event_type, next_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     withOracle("rel_zorder_layout", zorderLayout, zorderOracleSql),
+    withOracle("rel_agg_ols", aggOls, olsOracleSql),
+    withOracle("rel_event_transitions", eventTransitions,
+      eventTransitionsOracleSql),
     withOracle("rel_ohlc_bars", ohlcBars, ohlcOracleSql),
     withOracle("rel_ohlc_gapfill", ohlcGapfill, ohlcGapfillOracleSql),
     withOracle("rel_sessionize", sessionizeWindow, sessionizeOracleSql),

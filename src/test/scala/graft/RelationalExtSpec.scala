@@ -281,6 +281,51 @@ class RelationalExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ols: planted exact fit, corr consistency, partitioning invariance") {
+    import spark.implicits._
+    // y = 2x exactly (prices in dollars; cents stay integral):
+    // slope 2 $/unit, intercept 0, r2 = 1 — all exact in the fixed formulas
+    val planted = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val fit = RelationalExt.olsFinalize(RelationalExt.corrMoments(planted))
+      .collect()
+    assert(fit.length == 1)
+    assert(fit(0).getDouble(2) == 2.0)
+    assert(fit(0).getDouble(3) == 0.0)
+    assert(fit(0).getDouble(4) == 1.0)
+    // on real data: r2 agrees with corr^2 up to fp re-association
+    val corrBy = RelationalExt.aggCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = RelationalExt.aggOls(spark, sf).collect()
+    rows.foreach { r =>
+      val c = corrBy(r.getString(0))
+      assert(math.abs(r.getDouble(4) - c * c) < 1e-12)
+    }
+    // bit-identical under a different partitioning (the family contract)
+    val rows2 = RelationalExt.olsFinalize(RelationalExt.corrMoments(
+      Tables.lineitem(spark, sf).repartition(7))).collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+  }
+
+  test("event transitions: shares sum to one and counts recount locally") {
+    val out = RelationalExt.eventTransitions(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    }
+    // local recount over the (user, ts, event_id)-ordered stream
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("zorder: planted Morton interleaves and the both-dims-bounded property") {
     import spark.implicits._
     // x=0b1010, y=0b0110 -> z has x bits at even, y bits at odd positions:
