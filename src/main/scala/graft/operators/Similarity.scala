@@ -382,6 +382,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MULTIPROBE LSH top-k — the recall/cost knob of the hyperplane tier
+    * (the LSH twin of the IVF tier's `sim_probe_sweep`): each query
+    * probes its own (table, bucket) PLUS the [[AnnBits]] buckets whose
+    * signature differs in one bit — the most-likely-misassigned
+    * neighbors under the hyperplane model (a near-neighbor that missed
+    * the bucket usually lost exactly one close-margin hyperplane vote).
+    * Candidates multiply by ≤ 1+[[AnnBits]] while recall climbs toward
+    * exact without adding tables — probing is a query-side explode, the
+    * INDEX is unchanged, which at 100 TB is the whole point: recall
+    * tuning without re-bucketing the corpus. Same bucket equi-join,
+    * exact rerank, and deterministic tie-breaks as [[topKAnn]]. */
+  def topKMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val bucketed = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(planeBuckets(col("embedding")))
+        .as(Seq("table_id", "bucket")))
+    val probeSet = array((col("bucket") +:
+      (0 until AnnBits).map(b => col("bucket").bitwiseXOR(lit(1 << b)))): _*)
+    val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("table_id"), explode(probeSet).as("bucket"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    bucketed.join(broadcast(queries), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qv"), col("embedding")).as("score"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The multiprobe tier's recall audit, same shared body as the rest. */
+  def multiprobeRecall(s: SparkSession, dir: String): DataFrame =
+    recallVsExact(s, dir, topKMultiprobe(s, dir))
+
   // -------------------------------------------------------------------
   // ANN: IVF (inverted file) — the other standard scale path
   // -------------------------------------------------------------------
@@ -660,15 +700,10 @@ object Similarity {
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id""".stripMargin
 
-  private def annOracleSql: String = {
-    s"""$lshBucketCtes,
-       |qb AS (SELECT vec_id AS query_id, table_id, bucket
-       |       FROM buckets WHERE vec_id < $NumQueryVectors),
-       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
-       |         FROM qb JOIN buckets b
-       |           ON b.table_id = qb.table_id AND b.bucket = qb.bucket
-       |         WHERE b.vec_id <> qb.query_id),
-       |scored AS (
+  /** Exact-rerank tail over a `cand` (query_id, vec_id) CTE — shared by
+    * the single-probe and multiprobe ANN oracles. */
+  private def annScoredTailSql: String =
+    s"""scored AS (
        |  SELECT c.query_id, c.vec_id,
        |    ${cosSql("q.embedding", "v.embedding")} AS score
        |  FROM cand c
@@ -680,6 +715,31 @@ object Similarity {
        |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
        |  FROM scored) t
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  private def annOracleSql: String = {
+    s"""$lshBucketCtes,
+       |qb AS (SELECT vec_id AS query_id, table_id, bucket
+       |       FROM buckets WHERE vec_id < $NumQueryVectors),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM qb JOIN buckets b
+       |           ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+       |         WHERE b.vec_id <> qb.query_id),
+       |$annScoredTailSql""".stripMargin
+  }
+
+  /** Multiprobe candidate CTEs: each query probes its own bucket plus
+    * the [[AnnBits]] hamming-1 neighbors per table. */
+  private def multiprobeCandCteSql: String = {
+    val flips = (0 until AnnBits).map(b => s", xor(bucket, ${1 << b})")
+      .mkString
+    s"""qb AS (SELECT vec_id AS query_id, table_id, bucket
+       |       FROM buckets WHERE vec_id < $NumQueryVectors),
+       |qp AS (SELECT DISTINCT query_id, table_id, pb AS bucket
+       |       FROM qb, UNNEST([bucket$flips]) AS u(pb)),
+       |cand AS (SELECT DISTINCT qp.query_id, b.vec_id
+       |         FROM qp JOIN buckets b
+       |           ON b.table_id = qp.table_id AND b.bucket = qp.bucket
+       |         WHERE b.vec_id <> qp.query_id)""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1505,6 +1565,24 @@ object Similarity {
          |ORDER BY e.vec_id""".stripMargin),
     withOracle("sim_topk_ann", topKAnn, annOracleSql),
     withOracle("sim_ann_recall", annRecall, annRecallOracleSql),
+    withOracle("sim_topk_multiprobe", topKMultiprobe,
+      s"""$lshBucketCtes,
+         |$multiprobeCandCteSql,
+         |$annScoredTailSql""".stripMargin),
+    withOracle("sim_multiprobe_recall", multiprobeRecall,
+      s"""$lshBucketCtes,
+         |$multiprobeCandCteSql,
+         |mp AS (SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cosSql("q.embedding", "v.embedding")} DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.query_id
+         |    JOIN embeddings v ON v.vec_id = c.vec_id) t
+         |  WHERE rank <= $TopK),
+         |$exactTopKCteSql,
+         |${recallTailSql("mp")}""".stripMargin),
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
     rowsOnly("sim_topk_ivf", topKIvf),

@@ -436,4 +436,24 @@ class SimilaritySpec extends SparkSpec {
     assert(incoherent == 0L)
     assert(bySide.values.toSet == Set("train", "eval"))
   }
+
+  test("multiprobe dominates single-probe recall per query") {
+    // the multiprobe candidate set is a superset (flip set includes the
+    // original bucket), and a superset rerank pool can only displace an
+    // exact-top-k member with another exact-top-k member — so per-query
+    // recall must be >= the single-probe tier's
+    val single = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val multi = Similarity.multiprobeRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(multi.keySet == single.keySet && multi.nonEmpty)
+    multi.foreach { case (q, r) =>
+      assert(r >= single(q), s"query $q: multiprobe $r < single ${single(q)}")
+    }
+    // and the output is a valid ranking: k rows per query, ranks 1..k
+    val out = Similarity.topKMultiprobe(spark, sf).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
 }
