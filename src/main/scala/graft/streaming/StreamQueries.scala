@@ -18,6 +18,104 @@ object StreamQueries {
         MicroBatchPipeline.hourlyAgg(MicroBatchPipeline.eventsStream(s, dir)))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Declared query — the WATERMARK LATE-DATA AUDIT, the observability
+    * readout behind every event-time pipeline's first production
+    * question: "how much data are we dropping as late, and where?"
+    * Construction: the event stream arrives as two forced micro-batches
+    * — first everything except a held-back ~1/16 of STRAGGLERS (md5
+    * rule), then the stragglers. Straggler eligibility is deliberately
+    * restricted to rows whose (hour window, type) key both CLOSES under
+    * the final watermark (window end ≤ max−2h) and contains at least
+    * one on-time row — because Spark's late-row guarantee is exactly
+    * that narrow: a late row into an ALREADY-EVICTED key is dropped
+    * (and counted in numRowsDroppedByWatermark), but a late row into a
+    * key the store never saw is silently aggregated into state that
+    * Append mode will never emit (measured on this engine's Spark —
+    * the probe that motivated this construction). Under the
+    * construction every straggler hits an evicted key, so the drop set
+    * is exact and the audit joins the DRAINED per-window counts against
+    * batch ground truth to report, per (window, type): batch count,
+    * emitted count, rows LOST to the watermark, and rows still PENDING
+    * in open windows that Append never emitted before termination. The
+    * oracle replays all four from the split rule and the watermark
+    * arithmetic — if Spark's eviction or late-drop semantics move, this
+    * query diverges: it is the engine's pinned record OF them. State
+    * stays bounded by the 2 h horizon per key, the production
+    * guarantee the audit exists to price. */
+  def lateAuditQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val landing = graft.TempDirs.scoped("graft_late_landing")
+    val ev = graft.Tables.events(spark, dir)
+    val mts = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // m1 = the newest event time outside the final hour — the watermark
+    // the store holds while the straggler batch arrives is m1 - 2h,
+    // because the final hour lands as its own (second) batch
+    val m1 = ev.filter(col("ts") <= lit(mts) - expr("INTERVAL 1 HOUR"))
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val ws = date_trunc("hour", col("ts"))
+    val candidate = substring(md5(col("event_id").cast("string")), 1, 1) === "0"
+    // eligibility: the key must be EVICTED before the stragglers arrive
+    // (end <= m1 - 2h) and must hold at least one on-time row — the only
+    // regime where Spark's drop guarantee is sharp (see the doc above)
+    val evictedEarly = ws + expr("INTERVAL 1 HOUR") <=
+      lit(m1) - expr("INTERVAL 2 HOURS")
+    val hasOnTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(ws, col("event_type"))
+    val isStraggler = candidate && evictedEarly &&
+      (sum((!candidate).cast("long")).over(hasOnTime) > 0)
+    // one parquet FILE per micro-batch, ordered by modification time
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = graft.TempDirs.scoped("graft_late_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(landing, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    // three ordered batches: history (sans stragglers) -> final hour ->
+    // stragglers. The middle batch advances nothing new below m1, but
+    // its END is when the store evicts the early keys — so the
+    // stragglers in batch three meet already-evicted keys and drop.
+    val flagged = ev.withColumn("straggler", isStraggler)
+    writeOne(flagged.filter(!col("straggler") &&
+        col("ts") <= lit(mts) - expr("INTERVAL 1 HOUR"))
+      .drop("straggler"), "a.parquet", 1000000L)
+    writeOne(flagged.filter(col("ts") > lit(mts) - expr("INTERVAL 1 HOUR"))
+      .drop("straggler"), "b.parquet", 2000000L)
+    writeOne(flagged.filter(col("straggler")).drop("straggler"),
+      "c.parquet", 3000000L)
+    val drained = MicroBatchPipeline.runToResult(spark,
+      MicroBatchPipeline.hourlyAgg(MicroBatchPipeline.eventsStreamFrom(
+        spark, landing, maxFilesPerTrigger = Some(1))),
+      OutputMode.Append())
+    val batch = ev
+      .select(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") <=
+          lit(mts) - expr("INTERVAL 2 HOURS")).as("closed"))
+      .groupBy(col("window_start"), col("event_type"), col("closed"))
+      .agg(count(lit(1)).as("n_batch"))
+    batch.join(drained.select(col("window_start"), col("event_type"),
+          col("n_events").as("n_emitted")),
+        Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"),
+        when(col("closed"), "closed").otherwise("open").as("window_state"),
+        col("n_batch"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+        when(col("closed"),
+          col("n_batch") - coalesce(col("n_emitted"), lit(0L)))
+          .otherwise(0L).as("n_late"),
+        when(!col("closed"),
+          col("n_batch") - coalesce(col("n_emitted"), lit(0L)))
+          .otherwise(0L).as("n_pending"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stateful sessionization (30-min gap) via flatMapGroupsWithState. */
   def sessionizeQuery(s: SparkSession, dir: String): DataFrame =
     MicroBatchPipeline.sessionize(s, graft.Tables.events(s, dir))
@@ -329,6 +427,27 @@ object StreamQueries {
          |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
          |  AND m <= (SELECT MAX(doc_id) // 2 FROM documents)
          |ORDER BY query_doc, match_doc""".stripMargin),
+    // Snapshot diff: live set as of slice 0 vs the current head over the
+    // standard append+append+delete lifecycle — added = b1 survivors
+    // (> max/2, not forgotten), removed = b0 docs the delete tombstoned,
+    // unchanged = the rest of b0. Class counts and id bounds replay from
+    // the md5 train split, the max/2 slice cut, and the %5 forget rule.
+    withOracle("dedup_index_diff", StreamingDedup.indexDiffQuery,
+      """WITH t AS (SELECT doc_id,
+        |    (SELECT MAX(doc_id) // 2 FROM documents) AS cut
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+        |SELECT * FROM (
+        |  SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |  FROM t WHERE doc_id > cut AND doc_id % 5 <> 2
+        |  UNION ALL
+        |  SELECT 'removed', CAST(COUNT(*) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        |  FROM t WHERE doc_id <= cut AND doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT 'unchanged', CAST(COUNT(*) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        |  FROM t WHERE doc_id <= cut AND doc_id % 5 <> 2)
+        |ORDER BY change""".stripMargin),
     // Compaction-policy readout: after append+append+delete+fold, exactly
     // one compacted slice per subdir, zero tombstones, and physical row
     // counts equal to live docs (Bands band rows + one signature row
@@ -388,6 +507,33 @@ object StreamQueries {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // Late-data audit: closed = window end <= final watermark (max-2h);
+    // stragglers (md5 candidates in closed keys that also have on-time
+    // rows) are dropped by the watermark, open windows stay pending.
+    withOracle("stream_late_audit", lateAuditQuery,
+      """WITH mx AS (SELECT MAX(ts) AS mts,
+        |    MAX(CASE WHEN ts <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+        |      THEN ts END) AS m1
+        |  FROM events),
+        |e AS (SELECT ts, event_type, date_trunc('hour', ts) AS ws,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' AS cand,
+        |    mts, m1
+        |  FROM events, mx),
+        |w AS (SELECT ws, event_type, mts, m1, COUNT(*) AS n_batch,
+        |    SUM(CASE WHEN cand THEN 0 ELSE 1 END) AS n_ontime,
+        |    (ws + INTERVAL 1 HOUR <= mts - INTERVAL 2 HOUR) AS closed,
+        |    (ws + INTERVAL 1 HOUR <= m1 - INTERVAL 2 HOUR) AS early
+        |  FROM e GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT *, CASE WHEN early AND n_ontime > 0
+        |    THEN n_batch - n_ontime ELSE 0 END AS n_strag FROM w)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  CASE WHEN closed THEN 'closed' ELSE 'open' END AS window_state,
+        |  CAST(n_batch AS BIGINT) AS n_batch,
+        |  CAST(CASE WHEN closed THEN n_batch - n_strag ELSE 0 END AS BIGINT)
+        |    AS n_emitted,
+        |  CAST(CASE WHEN closed THEN n_strag ELSE 0 END AS BIGINT) AS n_late,
+        |  CAST(CASE WHEN closed THEN 0 ELSE n_batch END AS BIGINT) AS n_pending
+        |FROM g ORDER BY window_start, event_type""".stripMargin),
     withOracle("stream_sessionize", sessionizeQuery,
       graft.operators.RelationalExt.sessionizeOracleSql),
     withOracle("stream_sliding_agg", slidingAggQuery,

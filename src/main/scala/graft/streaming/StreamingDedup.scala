@@ -638,6 +638,51 @@ object StreamingDedup {
         col("n_band_rows"), col("n_set_rows"), col("n_live_docs"))
   }
 
+  /** Declared query — SNAPSHOT DIFF, the "what changed between these
+    * two index versions" ops verb that completes the as-of family: a
+    * reader that pinned itself to a snapshot eventually asks what it
+    * would pick up by advancing, and a maintenance owner asks what a
+    * delete actually removed. The lifecycle is the as-of matrix's
+    * standard one (two id-ordered appends, then the %5 forget delete);
+    * the diff compares the LIVE doc set AS OF slice 0 against the
+    * current head — both through the SAME tombstone-aware reader the
+    * serve queries use — and reports one row per change class (added /
+    * removed / unchanged) with counts and id bounds. Counts replay from
+    * the split rules in SQL, so a reader that stopped honoring asOf, or
+    * a delete that leaked into the snapshot, diverges here.
+    *
+    * Scale shape: the diff is two manifest-bounded slice reads and two
+    * anti-joins on the id column — never touches signatures, and the
+    * class aggregate is three map-side-combined rows. */
+  def indexDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_idxdiff_state")
+    val sink = graft.TempDirs.scoped("graft_idxdiff_sink")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val train = docs.filter(!isEval)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(train.filter(col("doc_id") <= cut), state, sink).count()
+      appendBatch(train.filter(col("doc_id") > cut), state, sink).count()
+      deleteFromIndex(spark, state,
+        train.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+    }
+    def liveAt(asOf: Long) = graft.operators.IndexFiles
+      .readLive(spark, s"$state/bands", s"$state/tombstones", "rec_id", asOf)
+      .select(col("rec_id")).distinct()
+    val snap = liveAt(0L)
+    val head = liveAt(Long.MaxValue)
+    def cls(name: String, ids: DataFrame): DataFrame =
+      ids.agg(count(lit(1)).as("n_docs"),
+          min(col("rec_id")).as("min_doc"), max(col("rec_id")).as("max_doc"))
+        .select(lit(name).as("change"), col("n_docs"),
+          col("min_doc"), col("max_doc"))
+    cls("added", head.join(snap, Seq("rec_id"), "left_anti"))
+      .unionByName(cls("removed", snap.join(head, Seq("rec_id"), "left_anti")))
+      .unionByName(cls("unchanged", snap.join(head, Seq("rec_id"), "left_semi")))
+      .orderBy(col("change"))
+  }
+
   /** Declared query — the TEXT index manifest, [[graft.operators.IvfIndex
     * .indexStatsQuery]]'s twin on the LSH dedup index: slice counts per
     * state dir plus live vs tombstoned DOC counts over the same

@@ -616,6 +616,23 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingDedup.listSlices(spark, s"$state/bands").sorted == slicesBefore)
   }
 
+  test("late audit: conservation and a genuine drop set") {
+    val out = streaming.StreamQueries.lateAuditQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (st, nb, ne, nl, np) = (r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      // every batch row is accounted for exactly once
+      assert(ne + nl + np == nb, s"row not conserved: $r")
+      if (st == "open") assert(ne == 0 && nl == 0 && np == nb)
+      else assert(np == 0)
+    }
+    // the audit is not vacuous: this corpus produces real drops and
+    // real pending windows
+    assert(out.map(_.getLong(5)).sum > 0, "no late rows measured")
+    assert(out.exists(_.getString(2) == "open"))
+  }
+
   test("binary serve: a forced query split equals the batch top-k") {
     import graft.operators.{EmbeddingOps, Similarity}
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
