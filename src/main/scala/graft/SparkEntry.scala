@@ -16,7 +16,7 @@ object SparkEntry {
     operators.Relational.specs ++ operators.RelationalExt.specs ++
       pipeline.BpiQueries.specs ++
       operators.TextAnalysis.specs ++ operators.Bpe.specs ++
-      operators.Unigram.specs ++
+      operators.Unigram.specs ++ operators.Sketches.specs ++
       operators.QualityGate.specs ++
       operators.Curation.specs ++
       operators.Dedup.specs ++
