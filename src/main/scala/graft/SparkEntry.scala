@@ -21,7 +21,7 @@ object SparkEntry {
       operators.Curation.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++ operators.ClusterIndex.specs ++
-      operators.EmbeddingOps.specs ++
+      operators.EmbeddingOps.specs ++ operators.Pca.specs ++
       operators.IvfIndex.specs ++
       operators.PqIndex.specs ++ operators.IvfPqIndex.specs ++
       streaming.StreamQueries.specs ++

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+import graft.{QuerySpec, Tables}
+
+/** PCA over the embedding corpus — the LEARNED compression rung in the
+  * serving matrix (int8 = 4×, binary = 32×, matryoshka = native prefix,
+  * PQ = codebooks, PCA = the data's own principal subspace): project
+  * vectors onto the top-[[PcaDims]] eigenvectors of the covariance and
+  * serve search through the projection with an exact rerank, recall-
+  * audited like every other tier.
+  *
+  * Reproducibility is the hard part at cluster scale and it is solved
+  * the corr-moments way: the second-moment (Gram) matrix and the mean
+  * are accumulated as DECIMAL(30,18) sums of per-row double products —
+  * the double→decimal cast is deterministic, decimal addition is
+  * associative and commutative, so ANY partitioning folds to the
+  * bit-identical matrix (a float sum would drift with partition order
+  * and no two cluster runs would train the same basis). The 64×64
+  * eigendecomposition then runs on the driver with a deterministic
+  * cyclic Jacobi sweep — no randomness, fixed rotation order — so the
+  * basis is a pure function of the corpus.
+  *
+  * Scale shape: the Gram explode emits dim² cells per row BUT the
+  * groupBy map-side combines to a dim(dim+1)/2-cell grid before the
+  * exchange (the CMS argument — shuffle volume is the grid, not the
+  * corpus); the driver solve is O(dim³) on a 64×64 matrix; projection
+  * and serving are one broadcast of the basis. Declared queries are
+  * rows-only (the basis is data-trained), pinned in PcaSpec by
+  * orthonormality, eigen-residuals, variance accounting, and a local
+  * recompute of projections.
+  */
+object Pca {
+
+  /** Components kept by the projection tier — matches
+    * [[EmbeddingOps.MatryoshkaDims]] so the learned-vs-native-prefix
+    * comparison is like for like. */
+  val PcaDims = 16
+
+  /** Jacobi sweeps; 12 cyclic sweeps drive off-diagonal mass below
+    * 1e-12 on 64×64 covariance matrices (asserted in PcaSpec). */
+  val JacobiSweeps = 12
+
+  private val D30 = DataTypes.createDecimalType(30, 18)
+
+  /** Exact accumulated moments of an embedding frame: n, the decimal
+    * mean-sum vector (length d), and the decimal upper-triangle Gram
+    * sums keyed (j, k) with j <= k. ONE pass, map-side combined. */
+  private[graft] def moments(emb: DataFrame)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    val cells = emb.select(posexplode(col("embedding")).as(Seq("j", "xj")),
+        col("embedding"))
+      .select(col("j"), col("xj"),
+        posexplode(col("embedding")).as(Seq("k", "xk")))
+      .filter(col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        (col("xj").cast("double") * col("xk").cast("double"))
+          .cast(D30).as("p"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("p")).as("g"))
+      .collect()
+    val sums = emb.select(posexplode(col("embedding")).as(Seq("j", "xj")))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xj").cast("double").cast(D30)).as("s"))
+      .collect()
+    val d = sums.length
+    require(d > 0, "empty embedding corpus")
+    val n = sums.head.getLong(1)
+    val mean = Array.ofDim[Double](d)
+    sums.foreach { r =>
+      mean(r.getInt(0)) = r.getDecimal(2).doubleValue() / n
+    }
+    val gram = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (j, k) = (r.getInt(0), r.getInt(1))
+      val v = r.getDecimal(2).doubleValue()
+      gram(j)(k) = v; gram(k)(j) = v
+    }
+    (n, mean, gram)
+  }
+
+  /** Covariance from the exact moments (fixed double formulas). */
+  private[graft] def covariance(n: Long, mean: Array[Double],
+      gram: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mean.length
+    Array.tabulate(d, d)((j, k) => gram(j)(k) / n - mean(j) * mean(k))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic: sweeps visit (p, q) pairs in fixed row-major order,
+    * rotations applied only when the off-diagonal entry is nonzero.
+    * Returns (eigenvalues, eigenvectors-as-rows), sorted by
+    * (eigenvalue desc, then first-nonzero-component-positive sign
+    * convention so the basis is unique). */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < JacobiSweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val col = Array.tabulate(d)(r => v(r)(i))
+      // sign convention: first component with |x| > 1e-12 is positive
+      val lead = col.indexWhere(x => math.abs(x) > 1e-12)
+      if (lead >= 0 && col(lead) < 0) col.map(-_) else col
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** The trained basis for a directory's embeddings: (n, mean, evals,
+    * top-[[PcaDims]] eigenvectors). */
+  private[graft] def trainBasis(s: SparkSession, dir: String)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (n, mean, gram) = moments(emb)
+    val (evals, evecs) = jacobiEigen(covariance(n, mean, gram))
+    (n, mean, evals, evecs.take(PcaDims))
+  }
+
+  /** Declared query — the VARIANCE LADDER: per component, eigenvalue,
+    * variance share, and the cumulative share — the table a corpus
+    * owner reads to pick a projection width (and the direct evidence
+    * for whether a matryoshka-style prefix would have been enough). */
+  def varianceQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (n, mean, gram) = moments(emb)
+    val (evals, _) = jacobiEigen(covariance(n, mean, gram))
+    val total = evals.sum
+    val rows = evals.zipWithIndex.scanLeft((0L, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, i)) =>
+        (i.toLong, ev, ev / total, cum + ev / total)
+    }.drop(1)
+    rows.toSeq.toDF("component", "eigenvalue", "var_share", "cum_var_share")
+      .orderBy(col("component"))
+  }
+
+  /** Column expression: project an embedding onto a broadcast basis —
+    * centered dot per component, emitted as an array. */
+  private def projectCol(mean: Array[Double],
+      basis: Array[Array[Double]]) = {
+    val centered = transform(col("embedding"), (x, i) =>
+      x.cast("double") - element_at(lit(mean), i + 1))
+    array(basis.map { comp =>
+      aggregate(
+        zip_with(centered, lit(comp), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** Declared query — per-vector projection onto the top components
+    * plus the reconstruction error, the per-row audit of what the
+    * projection loses (PcaSpec pins the corpus-level identity: mean
+    * squared reconstruction error == sum of dropped eigenvalues). */
+  def projectQuery(s: SparkSession, dir: String): DataFrame = {
+    val (_, mean, _, basis) = trainBasis(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val proj = projectCol(mean, basis)
+    val centered = transform(col("embedding"), (x, i) =>
+      x.cast("double") - element_at(lit(mean), i + 1))
+    val centeredNormSq = aggregate(
+      transform(centered, x => x * x), lit(0.0), (a, b) => a + b)
+    val projNormSq = aggregate(
+      transform(col("pca"), x => x * x), lit(0.0), (a, b) => a + b)
+    emb.select(col("vec_id"), col("embedding"), proj.as("pca"),
+        centeredNormSq.as("cns"))
+      .select(col("vec_id"),
+        lit(PcaDims).cast("long").as("n_components"),
+        concat_ws(",", transform(col("pca"),
+          x => format_string("%.6f", x))).as("projection"),
+        // Pythagoras on the orthonormal basis: residual = centered
+        // norm² minus projected norm² (clamped at 0 for fp dust)
+        sqrt(greatest(col("cns") - projNormSq, lit(0.0)))
+          .as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Declared query — top-k served through the PCA projection:
+    * shortlist by cosine in the [[PcaDims]]-dim projected space, exact
+    * full-dim rerank — the learned-subspace twin of
+    * [[EmbeddingOps.topKMatryoshka]] (same shortlist depth, same rerank
+    * budget), so the two recall audits compare the native prefix
+    * against the data's own principal subspace at equal width. */
+  def topKPcaQuery(s: SparkSession, dir: String): DataFrame = {
+    val (_, mean, _, basis) = trainBasis(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val projected = emb.select(col("vec_id"), col("embedding"),
+      projectCol(mean, basis).as("pv"))
+    val queries = projected.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"))
+    val dot = aggregate(zip_with(col("qpv"), col("pv"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val norm = (c: org.apache.spark.sql.Column) => sqrt(aggregate(
+      transform(c, x => x * x), lit(0.0), (a, b) => a + b))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("proj_score").desc, col("vec_id").asc)
+    val shortlist = projected.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot / (norm(col("qpv")) * norm(col("pv")))).as("proj_score"))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= EmbeddingOps.MatryoshkaShortlist)
+      .select(col("query_id"), col("vec_id"), col("proj_score"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    broadcast(shortlist)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("proj_score"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("proj_score"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The learned-subspace tier's recall audit, shared body. */
+  def pcaRecallQuery(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallVsExact(s, dir, topKPcaQuery(s, dir))
+
+  import QuerySpec.rowsOnly
+
+  val specs: Seq[QuerySpec] = Seq(
+    rowsOnly("sim_pca_variance", varianceQuery),
+    rowsOnly("sim_pca_project", projectQuery),
+    rowsOnly("sim_topk_pca", topKPcaQuery),
+    rowsOnly("sim_pca_recall", pcaRecallQuery))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pca
+
+class PcaSpec extends SparkSpec {
+
+  test("jacobi: planted 2x2 and diagonal matrices solve exactly") {
+    val (ev, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev(0) - 3.0) < 1e-12 && math.abs(ev(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(vecs(1).zip(Array(r, -r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    val (evD, vecsD) = Pca.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(evD.toSeq == Seq(5.0, 3.0, 1.0))
+    assert(vecsD(0).toSeq == Seq(0.0, 1.0, 0.0))
+  }
+
+  test("basis is orthonormal and satisfies the eigen equation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (n, mean, gram) = Pca.moments(emb)
+    val cov = Pca.covariance(n, mean, gram)
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    val d = mean.length
+    // orthonormality of the full basis
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => evecs(i)(k) * evecs(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<v$i,v$j> = $dot")
+    }
+    // residual ||C v - lambda v|| per component
+    for (i <- 0 until d) {
+      val cv = (0 until d).map(r =>
+        (0 until d).map(k => cov(r)(k) * evecs(i)(k)).sum)
+      val res = math.sqrt((0 until d).map(r =>
+        math.pow(cv(r) - evals(i) * evecs(i)(r), 2)).sum)
+      assert(res < 1e-9, s"component $i residual $res")
+    }
+    // eigenvalues sorted desc and summing to trace
+    assert(evals.sliding(2).forall { case Array(a, b) => a >= b - 1e-12 })
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(evals.sum - trace) < 1e-9)
+  }
+
+  test("moments are partitioning-invariant (the decimal-fold contract)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (n1, m1, g1) = Pca.moments(emb)
+    val (n2, m2, g2) = Pca.moments(emb.repartition(7))
+    assert(n1 == n2)
+    assert(m1.toSeq == m2.toSeq) // bit-identical, not approximately
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+  }
+
+  test("variance ladder accounts for all variance; recon error matches dropped mass") {
+    val ladder = Pca.varianceQuery(spark, sf).collect()
+    assert(ladder.length > 0)
+    assert(math.abs(ladder.last.getDouble(3) - 1.0) < 1e-9)
+    // corpus identity: mean squared reconstruction error equals the sum
+    // of the dropped eigenvalues (orthonormal basis Pythagoras)
+    val dropped = ladder.drop(Pca.PcaDims).map(_.getDouble(1)).sum
+    val proj = Pca.projectQuery(spark, sf).collect()
+    val mse = proj.map(r => math.pow(r.getDouble(3), 2)).sum / proj.length
+    assert(math.abs(mse - dropped) < 1e-6 * math.max(1.0, dropped),
+      s"mse $mse vs dropped eigenmass $dropped")
+  }
+
+  test("pca serving ranks by exact cosine and recall audits recount") {
+    val out = Pca.topKPcaQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1)).map(r => (r.getDouble(4), r.getLong(2)))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) })
+    }
+    val audit = Pca.pcaRecallQuery(spark, sf).collect()
+    audit.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}
