@@ -347,6 +347,82 @@ object EmbeddingOps {
     Similarity.recallVsExact(s, dir, topKBinary(s, dir))
 
   // -------------------------------------------------------------------
+  // Persisted binary index lifecycle — append / delete / as-of on the
+  // packed code table through the shared IndexFiles slice+tombstone
+  // machinery. Unlike the IVF/PQ lifecycles (data-trained geometry ⇒
+  // rows-only), the binary codes are a pure function of the corpus, so
+  // EVERY lifecycle query here carries a full differential oracle —
+  // the delete and as-of verbs hash-checked end to end.
+  // -------------------------------------------------------------------
+
+  private def binCodesDir(idx: String) = s"$idx/codes"
+  private def binTombsDir(idx: String) = s"$idx/tombstones"
+
+  private def appendBinarySlice(emb: DataFrame, idx: String,
+      sliceId: Long): Unit =
+    packedSignBits(emb)
+      .select(col("vec_id"), col("code_lo"), col("code_hi"))
+      .write.mode("overwrite")
+      .parquet(s"${binCodesDir(idx)}/b$sliceId")
+
+  /** Serve the standard query set against the persisted code table as
+    * of `asOf` — queries pack from the embeddings table (a tombstoned
+    * id may still ASK; it just can't be returned), the corpus side is
+    * the tombstone-aware live read. */
+  private def serveBinaryIndex(s: SparkSession, dir: String, idx: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val live = IndexFiles.readLive(s, binCodesDir(idx), binTombsDir(idx),
+      "vec_id", asOf)
+    val queryCodes = packedSignBits(
+        emb.filter(col("vec_id") < Similarity.NumQueryVectors))
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    binaryServe(live, emb, queryCodes).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Declared query — the persisted form: two id-ordered slices, then
+    * serve; equals [[topKBinary]] exactly (same oracle text). */
+  def topKBinaryPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempDirs.scoped("graft_binidx")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    appendBinarySlice(emb.filter(col("vec_id") <= cut), idx, 0L)
+    appendBinarySlice(emb.filter(col("vec_id") > cut), idx, 1L)
+    serveBinaryIndex(s, dir, idx)
+  }
+
+  /** Declared query — the DELETE verb with a FULL differential oracle:
+    * build, forget vec_id % 5 == 2, serve. Tombstoned vectors must not
+    * appear; survivors rank exactly as in an index built without them
+    * (the shortlist recomputes over the live set). */
+  def topKBinaryDeleted(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempDirs.scoped("graft_binidxdel")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    appendBinarySlice(emb, idx, 0L)
+    IndexFiles.delete(
+      emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+      "vec_id", binCodesDir(idx), binTombsDir(idx))
+    serveBinaryIndex(s, dir, idx)
+  }
+
+  /** Declared query — AS-OF snapshot serving, hash-checked: two
+    * id-ordered slices, a delete, then serve AS OF slice 0 — only
+    * slice-0 vectors answer, and the LATER delete is invisible (its
+    * tombstone postdates the snapshot): time travel, not filtering. */
+  def topKBinaryAsOf(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempDirs.scoped("graft_binidxasof")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    appendBinarySlice(emb.filter(col("vec_id") <= cut), idx, 0L)
+    appendBinarySlice(emb.filter(col("vec_id") > cut), idx, 1L)
+    IndexFiles.delete(
+      emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+      "vec_id", binCodesDir(idx), binTombsDir(idx))
+    serveBinaryIndex(s, dir, idx, asOf = 0L)
+  }
+
+  // -------------------------------------------------------------------
   // Matryoshka (prefix-dim) serving tier — MRL-trained embeddings carry
   // their coarse geometry in the leading dimensions, so a prefix slice
   // is itself a usable low-cost embedding: shortlist on the first
@@ -435,9 +511,10 @@ object EmbeddingOps {
       |    UNNEST(generate_series(0, CAST(len(e.embedding) AS INT) - 1)) AS g(i)
       |  GROUP BY e.vec_id, len(e.embedding))""".stripMargin
 
-  /** Hamming-shortlist CTE (`sl`) — shared by the binary top-k and its
-    * recall audit so the shortlist definition is one text. */
-  private def binShortlistCte: String = {
+  /** Hamming-shortlist CTE (`sl`) — shared by the binary top-k, its
+    * recall audit, and the lifecycle oracles (which restrict the corpus
+    * side: the live set after a delete, the snapshot as of a slice). */
+  private def binShortlistCte(corpusCond: String = "TRUE"): String = {
     val hamSql = "bit_count(xor(q.code_lo, c.code_lo))" +
       " + bit_count(xor(q.code_hi, c.code_hi))"
     s"""sl AS (SELECT query_id, vec_id, hamming FROM (
@@ -447,7 +524,8 @@ object EmbeddingOps {
        |        ORDER BY $hamSql ASC, c.vec_id ASC) AS hrank
        |    FROM bits q JOIN bits c
        |      ON q.vec_id < ${Similarity.NumQueryVectors}
-       |     AND c.vec_id <> q.vec_id) t
+       |     AND c.vec_id <> q.vec_id
+       |     AND ($corpusCond)) t
        |  WHERE hrank <= $BinaryShortlist)""".stripMargin
   }
 
@@ -498,7 +576,7 @@ object EmbeddingOps {
   /** ONE text behind the batch binary top-k and its streaming twin. */
   private def topKBinaryOracleSql: String =
     s"""$binCtes,
-       |$binShortlistCte
+       |${binShortlistCte()}
        |$binRerankSql
        |ORDER BY query_id, rank""".stripMargin
 
@@ -515,9 +593,27 @@ object EmbeddingOps {
     // boundary invariant, so it carries the batch oracle text VERBATIM.
     withOracle("stream_binary_serve", streamBinaryServeQuery,
       topKBinaryOracleSql),
+    // Lifecycle verbs with FULL differential oracles (codes are a pure
+    // function of the corpus — no data-trained geometry): persisted
+    // serve equals the transient query; delete recomputes the shortlist
+    // over the live set; as-of serves the slice-0 snapshot with the
+    // later delete invisible.
+    withOracle("sim_topk_binary_persisted", topKBinaryPersisted,
+      topKBinaryOracleSql),
+    withOracle("sim_topk_binary_deleted", topKBinaryDeleted,
+      s"""$binCtes,
+         |${binShortlistCte("c.vec_id % 5 <> 2")}
+         |$binRerankSql
+         |ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_topk_binary_asof", topKBinaryAsOf,
+      s"""$binCtes,
+         |${binShortlistCte(
+            "c.vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)")}
+         |$binRerankSql
+         |ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_binary_recall", binaryRecall,
       s"""$binCtes,
-        |$binShortlistCte,
+        |${binShortlistCte()},
         |bin AS (SELECT query_id, vec_id FROM ($binRerankSql) r),
         |${Similarity.exactTopKCteSql},
         |${Similarity.recallTailSql("bin")}""".stripMargin),

@@ -270,6 +270,29 @@ class TombstoneSpec extends SparkSpec {
     assert(survA == survB)
   }
 
+  test("binary index lifecycle: persisted equals transient, delete and as-of behave") {
+    import graft.operators.EmbeddingOps
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(EmbeddingOps.topKBinaryPersisted(spark, sf)) ==
+      rows(EmbeddingOps.topKBinary(spark, sf)))
+    val deleted = EmbeddingOps.topKBinaryDeleted(spark, sf).collect()
+    assert(deleted.nonEmpty)
+    deleted.foreach(r => assert(r.getLong(2) % 5 != 2,
+      s"tombstoned vec ${r.getLong(2)} served"))
+    val cut = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0) / 2
+    val asof = EmbeddingOps.topKBinaryAsOf(spark, sf).collect()
+    assert(asof.nonEmpty)
+    asof.foreach { r =>
+      assert(r.getLong(2) <= cut, s"post-snapshot vec ${r.getLong(2)} served")
+    }
+    // time travel, not filtering: vec ids the delete tombstoned AFTER
+    // the snapshot must still be servable in the as-of read
+    assert(asof.exists(_.getLong(2) % 5 == 2),
+      "as-of read should still serve later-deleted ids")
+  }
+
   test("forget audit: every index reports full propagation, counts recount") {
     val out = graft.operators.Curation.forgetAuditQuery(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq ==
