@@ -406,6 +406,27 @@ object EmbeddingOps {
     serveBinaryIndex(s, dir, idx)
   }
 
+  /** Declared query — COMPACTION, hash-checked: build, delete, fold the
+    * tombstones into the physical rows ([[IndexFiles
+    * .compactWithTombstones]]), then serve. The fold must be invisible
+    * to readers, so the oracle is the DELETED oracle verbatim — if
+    * compaction dropped a live row, resurrected a dead one, or
+    * duplicated anything through a crashed rename, this query diverges
+    * where the rows-only IVF twin could only count slices. */
+  def topKBinaryCompacted(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempDirs.scoped("graft_binidxcomp")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    appendBinarySlice(emb, idx, 0L)
+    IndexFiles.delete(
+      emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+      "vec_id", binCodesDir(idx), binTombsDir(idx))
+    IndexFiles.compactWithTombstones(s, binCodesDir(idx), binTombsDir(idx),
+      upTo = 1L, "vec_id") { (merged, dst) =>
+        merged.write.mode("overwrite").parquet(dst)
+    }
+    serveBinaryIndex(s, dir, idx)
+  }
+
   /** Declared query — AS-OF snapshot serving, hash-checked: two
     * id-ordered slices, a delete, then serve AS OF slice 0 — only
     * slice-0 vectors answer, and the LATER delete is invisible (its
@@ -481,7 +502,7 @@ object EmbeddingOps {
   /** Shared quantization-oracle prefix (per-vector scale -> int8 codes):
     * ONE SQL text behind the quantize and int8-search oracles so the
     * rounding replay cannot drift. */
-  private val quantOracleCtes: String =
+  private[operators] val quantOracleCtes: String =
     s"""WITH q AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding,
@@ -498,7 +519,7 @@ object EmbeddingOps {
   /** Shared binary-tier oracle prefix: the packed sign-bit words —
     * DuckDB replays the identical positional pack (bit i of a word =
     * dimension word·32+i, sign rule x >= 0). */
-  private val binCtes: String =
+  private[operators] val binCtes: String =
     s"""WITH bits AS (
       |  SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dims,
       |    CAST(SUM(CASE WHEN i < $BinaryWordBits AND e.embedding[i+1] >= 0
@@ -514,7 +535,7 @@ object EmbeddingOps {
   /** Hamming-shortlist CTE (`sl`) — shared by the binary top-k, its
     * recall audit, and the lifecycle oracles (which restrict the corpus
     * side: the live set after a delete, the snapshot as of a slice). */
-  private def binShortlistCte(corpusCond: String = "TRUE"): String = {
+  private[operators] def binShortlistCte(corpusCond: String = "TRUE"): String = {
     val hamSql = "bit_count(xor(q.code_lo, c.code_lo))" +
       " + bit_count(xor(q.code_hi, c.code_hi))"
     s"""sl AS (SELECT query_id, vec_id, hamming FROM (
@@ -531,7 +552,7 @@ object EmbeddingOps {
 
   /** Exact rerank over the hamming shortlist, as a full select (top-k
     * oracle) or wrapped as a membership CTE (recall oracle). */
-  private def binRerankSql: String =
+  private[operators] def binRerankSql: String =
     s"""SELECT query_id, rank, vec_id, hamming, score FROM (
        |  SELECT s.query_id, s.vec_id, s.hamming,
        |    ${Similarity.cosSql("q.embedding", "v.embedding")} AS score,
@@ -545,7 +566,7 @@ object EmbeddingOps {
 
   /** Matryoshka prefix CTEs (`pfx`, `msl`) — slice, prefix-cosine
     * shortlist; shared by the prefix top-k and its recall audit. */
-  private def mslCtes: String =
+  private[operators] def mslCtes: String =
     s"""WITH pfx AS (SELECT vec_id, embedding,
        |    list_slice(embedding, 1, $MatryoshkaDims) AS pv
        |  FROM embeddings),
@@ -561,7 +582,7 @@ object EmbeddingOps {
        |  WHERE prank <= $MatryoshkaShortlist)""".stripMargin
 
   /** Full-dim rerank over the prefix shortlist. */
-  private def mslRerankSql: String =
+  private[operators] def mslRerankSql: String =
     s"""SELECT query_id, rank, vec_id, prefix_score, score FROM (
        |  SELECT s.query_id, s.vec_id, s.prefix_score,
        |    ${Similarity.cosSql("q.embedding", "v.embedding")} AS score,
@@ -572,6 +593,13 @@ object EmbeddingOps {
        |  JOIN embeddings q ON q.vec_id = s.query_id
        |  JOIN embeddings v ON v.vec_id = s.vec_id) t
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
+
+  /** ONE text behind the delete verb and the compaction that folds it. */
+  private def binDeletedOracleSql: String =
+    s"""$binCtes,
+       |${binShortlistCte("c.vec_id % 5 <> 2")}
+       |$binRerankSql
+       |ORDER BY query_id, rank""".stripMargin
 
   /** ONE text behind the batch binary top-k and its streaming twin. */
   private def topKBinaryOracleSql: String =
@@ -601,10 +629,11 @@ object EmbeddingOps {
     withOracle("sim_topk_binary_persisted", topKBinaryPersisted,
       topKBinaryOracleSql),
     withOracle("sim_topk_binary_deleted", topKBinaryDeleted,
-      s"""$binCtes,
-         |${binShortlistCte("c.vec_id % 5 <> 2")}
-         |$binRerankSql
-         |ORDER BY query_id, rank""".stripMargin),
+      binDeletedOracleSql),
+    // Compaction must be invisible to readers: the DELETED oracle,
+    // verbatim, after the fold.
+    withOracle("sim_topk_binary_compacted", topKBinaryCompacted,
+      binDeletedOracleSql),
     withOracle("sim_topk_binary_asof", topKBinaryAsOf,
       s"""$binCtes,
          |${binShortlistCte(

@@ -198,7 +198,15 @@ object Pca {
     * squared reconstruction error == sum of dropped eigenvalues). */
   def projectQuery(s: SparkSession, dir: String): DataFrame = {
     val (_, mean, _, basis) = trainBasis(s, dir)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    projectOver(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")), mean, basis)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The projection body over any embedding frame against a FROZEN
+    * (mean, basis) — shared by the batch query and the ingest twin. */
+  private[graft] def projectOver(emb: DataFrame, mean: Array[Double],
+      basis: Array[Array[Double]]): DataFrame = {
     val proj = projectCol(mean, basis)
     val centered = transform(col("embedding"), (x, i) =>
       x.cast("double") - element_at(lit(mean), i + 1))
@@ -216,7 +224,6 @@ object Pca {
         // norm² minus projected norm² (clamped at 0 for fp dust)
         sqrt(greatest(col("cns") - projNormSq, lit(0.0)))
           .as("recon_err"))
-      .orderBy(col("vec_id"))
   }
 
   /** Declared query — top-k served through the PCA projection:
@@ -266,11 +273,47 @@ object Pca {
   def pcaRecallQuery(s: SparkSession, dir: String): DataFrame =
     Similarity.recallVsExact(s, dir, topKPcaQuery(s, dir))
 
+  /** Declared query — projection AT INGEST: the basis is trained ONCE
+    * from the static corpus, then each arriving micro-batch projects
+    * against the frozen (mean, basis) and lands in a batch-id-keyed
+    * overwrite dir — the embedding-at-ingest shape
+    * (stream_feature_embed's convention) for the learned subspace.
+    * Per-row work against frozen state is batch-boundary invariant, so
+    * the drained output equals [[projectQuery]] row-for-row (pinned in
+    * PcaSpec with a forced split). */
+  def streamProjectQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val out = graft.TempDirs.scoped("graft_spca_out")
+    val ckpt = graft.TempDirs.scoped("graft_spca_ckpt")
+    val (_, mean, _, basis) = trainBasis(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          projectOver(batch.toDF()
+              .select(col("vec_id"), col("embedding")), mean, basis)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("vec_id"))
+  }
+
   import QuerySpec.rowsOnly
 
   val specs: Seq[QuerySpec] = Seq(
     rowsOnly("sim_pca_variance", varianceQuery),
     rowsOnly("sim_pca_project", projectQuery),
     rowsOnly("sim_topk_pca", topKPcaQuery),
-    rowsOnly("sim_pca_recall", pcaRecallQuery))
+    rowsOnly("sim_pca_recall", pcaRecallQuery),
+    rowsOnly("stream_pca_project", streamProjectQuery))
 }

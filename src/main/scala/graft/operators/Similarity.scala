@@ -422,6 +422,116 @@ object Similarity {
   def multiprobeRecall(s: SparkSession, dir: String): DataFrame =
     recallVsExact(s, dir, topKMultiprobe(s, dir))
 
+  /** THE SERVING MATRIX — every deterministic serving tier's recall on
+    * one screen (exact anchor, int8, binary, matryoshka prefix,
+    * single-probe LSH, multiprobe LSH): total exact-top-k hits and
+    * recall@k per tier, each row riding [[recallVsExact]] over the
+    * tier's own declared query. This is the table a serving owner
+    * actually decides from — compression level and probe depth against
+    * measured recall — and because every tier here is a pure function
+    * of the corpus, the WHOLE matrix replays in SQL (the PCA and IVF
+    * tiers keep their own audits but stay out: trained state is not
+    * SQL-replayable). SimilaritySpec pins each matrix row equal to the
+    * standalone audit's total, so the two can never drift. */
+  def servingMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    val denom = (NumQueryVectors * TopK).toLong
+    def row(name: String, approx: DataFrame): DataFrame =
+      recallVsExact(s, dir, approx)
+        .agg(coalesce(sum(col("n_hits")), lit(0L)).as("n_hits"))
+        .select(lit(name).as("tier"), lit(denom).as("n_exact"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / denom).as("recall_at_k"))
+    row("ann_lsh", topKAnn(s, dir))
+      .unionByName(row("ann_multiprobe", topKMultiprobe(s, dir)))
+      .unionByName(row("binary", EmbeddingOps.topKBinary(s, dir)))
+      .unionByName(row("exact", topKExact(s, dir)))
+      .unionByName(row("int8", EmbeddingOps.topKInt8(s, dir)))
+      .unionByName(row("matryoshka", EmbeddingOps.topKMatryoshka(s, dir)))
+      .orderBy(col("tier"))
+  }
+
+  /** Per-tier total-hits tail over `ex` and a membership CTE. */
+  private def hitsTailSql(approx: String): String =
+    s"""SELECT CAST(${NumQueryVectors * TopK} AS BIGINT) AS n_exact,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM ex e JOIN $approx a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id""".stripMargin
+
+  private def servingMatrixOracleSql: String = {
+    val annHits =
+      s"""WITH ${lshBucketCtes.stripPrefix("WITH ")},
+         |qb AS (SELECT vec_id AS query_id, table_id, bucket
+         |       FROM buckets WHERE vec_id < $NumQueryVectors),
+         |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+         |         FROM qb JOIN buckets b
+         |           ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+         |         WHERE b.vec_id <> qb.query_id),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cosSql("q.embedding", "v.embedding")} DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.query_id
+         |    JOIN embeddings v ON v.vec_id = c.vec_id) t
+         |  WHERE rank <= $TopK),
+         |$exactTopKCteSql
+         |${hitsTailSql("ann")}""".stripMargin
+    val mpHits =
+      s"""WITH ${lshBucketCtes.stripPrefix("WITH ")},
+         |$multiprobeCandCteSql,
+         |mp AS (SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cosSql("q.embedding", "v.embedding")} DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.query_id
+         |    JOIN embeddings v ON v.vec_id = c.vec_id) t
+         |  WHERE rank <= $TopK),
+         |$exactTopKCteSql
+         |${hitsTailSql("mp")}""".stripMargin
+    val binHits =
+      s"""${EmbeddingOps.binCtes},
+         |${EmbeddingOps.binShortlistCte()},
+         |bin AS (SELECT query_id, vec_id
+         |  FROM (${EmbeddingOps.binRerankSql}) r),
+         |$exactTopKCteSql
+         |${hitsTailSql("bin")}""".stripMargin
+    val matHits =
+      s"""${EmbeddingOps.mslCtes},
+         |mat AS (SELECT query_id, vec_id
+         |  FROM (${EmbeddingOps.mslRerankSql}) r),
+         |$exactTopKCteSql
+         |${hitsTailSql("mat")}""".stripMargin
+    val i8Hits =
+      s"""${EmbeddingOps.quantOracleCtes},
+         |i8 AS (SELECT query_id, vec_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+         |            p -> p[1] * p[2])) AS DOUBLE) * a.scale * b.scale DESC,
+         |          b.vec_id ASC) AS rank
+         |    FROM c a JOIN c b
+         |      ON a.vec_id < $NumQueryVectors AND b.vec_id <> a.vec_id) t
+         |  WHERE rank <= $TopK),
+         |$exactTopKCteSql
+         |${hitsTailSql("i8")}""".stripMargin
+    val exactHits =
+      s"""SELECT CAST(${NumQueryVectors * TopK} AS BIGINT) AS n_exact,
+         |  CAST(${NumQueryVectors * TopK} AS BIGINT) AS n_hits""".stripMargin
+    s"""SELECT tier, n_exact, n_hits,
+       |  CAST(n_hits AS DOUBLE) / n_exact AS recall_at_k
+       |FROM (
+       |  SELECT 'ann_lsh' AS tier, * FROM ($annHits)
+       |  UNION ALL SELECT 'ann_multiprobe', * FROM ($mpHits)
+       |  UNION ALL SELECT 'binary', * FROM ($binHits)
+       |  UNION ALL SELECT 'exact', * FROM ($exactHits)
+       |  UNION ALL SELECT 'int8', * FROM ($i8Hits)
+       |  UNION ALL SELECT 'matryoshka', * FROM ($matHits))
+       |ORDER BY tier""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // ANN: IVF (inverted file) — the other standard scale path
   // -------------------------------------------------------------------
@@ -1565,6 +1675,8 @@ object Similarity {
          |ORDER BY e.vec_id""".stripMargin),
     withOracle("sim_topk_ann", topKAnn, annOracleSql),
     withOracle("sim_ann_recall", annRecall, annRecallOracleSql),
+    withOracle("sim_serving_matrix", servingMatrixQuery,
+      servingMatrixOracleSql),
     withOracle("sim_topk_multiprobe", topKMultiprobe,
       s"""$lshBucketCtes,
          |$multiprobeCandCteSql,

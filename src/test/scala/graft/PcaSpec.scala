@@ -67,6 +67,25 @@ class PcaSpec extends SparkSpec {
       s"mse $mse vs dropped eigenmass $dropped")
   }
 
+  test("ingest projection equals the batch projection (forced split)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (n, mean, gram) = Pca.moments(emb)
+    val (_, evecs) = Pca.jacobiEigen(Pca.covariance(n, mean, gram))
+    val basis = evecs.take(Pca.PcaDims)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val whole = rows(Pca.projectOver(emb, mean, basis))
+    val split = rows(
+      Pca.projectOver(emb.filter(col("vec_id") % 2 === 0), mean, basis)
+        .unionByName(
+          Pca.projectOver(emb.filter(col("vec_id") % 2 === 1), mean, basis)))
+    assert(whole == split && whole.nonEmpty)
+    // and the declared streaming twin drains to the batch result
+    assert(rows(Pca.streamProjectQuery(spark, sf)) ==
+      rows(Pca.projectQuery(spark, sf)))
+  }
+
   test("pca serving ranks by exact cosine and recall audits recount") {
     val out = Pca.topKPcaQuery(spark, sf).collect()
     assert(out.nonEmpty)

@@ -437,6 +437,21 @@ class SimilaritySpec extends SparkSpec {
     assert(bySide.values.toSet == Set("train", "eval"))
   }
 
+  test("serving matrix rows equal the standalone audits' totals") {
+    import graft.operators.EmbeddingOps
+    val matrix = Similarity.servingMatrixQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def total(audit: org.apache.spark.sql.DataFrame): Long =
+      audit.collect().map(_.getLong(1)).sum
+    assert(matrix("exact") == matrix.values.max)
+    assert(matrix("ann_lsh") == total(Similarity.annRecall(spark, sf)))
+    assert(matrix("ann_multiprobe") ==
+      total(Similarity.multiprobeRecall(spark, sf)))
+    assert(matrix("binary") == total(EmbeddingOps.binaryRecall(spark, sf)))
+    assert(matrix("matryoshka") ==
+      total(EmbeddingOps.matryoshkaRecall(spark, sf)))
+  }
+
   test("multiprobe dominates single-probe recall per query") {
     // the multiprobe candidate set is a superset (flip set includes the
     // original bucket), and a superset rerank pool can only displace an
