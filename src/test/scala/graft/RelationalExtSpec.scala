@@ -281,6 +281,22 @@ class RelationalExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bucketed join: zero exchanges under the join, results intact") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // run the declared query once so both bucketed tables exist
+    val out = RelationalExt.joinBucketed(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the join frame over the bucketed tables must plan with NO shuffle
+    // on either side — that is the whole point of the layout
+    val join = RelationalExt.bucketedJoinFrame(spark)
+    join.count()
+    val shuffles = join.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join planned ${shuffles.size} shuffle exchange(s)")
+  }
+
   test("ols: planted exact fit, corr consistency, partitioning invariance") {
     import spark.implicits._
     // y = 2x exactly (prices in dollars; cents stay integral):
