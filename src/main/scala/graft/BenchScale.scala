@@ -42,7 +42,12 @@ object BenchScale {
     "dedup_groups",
     "dedup_serve_deleted",
     "dedup_containment",
-    "mm_incremental_dedup")
+    "mm_incremental_dedup",
+    // round-13 heavy additions (documents/embeddings only — the scaled
+    // corpora replicate exactly those two tables): the three-index
+    // forget propagation and the PCA moment pass + serve
+    "dedup_forget_audit",
+    "sim_topk_pca")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
