@@ -34,7 +34,11 @@ object Explain {
         "text_classifier_calibration", "sim_range_search", "sim_leakage_split",
         "dedup_winnowing", "text_winnow_decontaminate", "dedup_joint_groups",
         "sim_hybrid_retrieve", "sim_hybrid_ivf", "sim_text_topk",
-        "text_feature_embedding", "text_quality_signals", "rel_agg_corr")
+        "text_feature_embedding", "text_quality_signals", "rel_agg_corr",
+        "sim_topk_binary", "sim_topk_matryoshka", "sim_topk_multiprobe",
+        "sim_serving_matrix", "rel_join_bucketed", "rel_zorder_layout",
+        "rel_agg_ols", "rel_event_transitions", "text_heavy_hitters_cms",
+        "sim_topk_pca", "dedup_index_diff")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

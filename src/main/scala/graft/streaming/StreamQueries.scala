@@ -427,6 +427,22 @@ object StreamQueries {
          |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
          |  AND m <= (SELECT MAX(doc_id) // 2 FROM documents)
          |ORDER BY query_doc, match_doc""".stripMargin),
+    // Delete visibility: the pre-delete serve batch keeps forgotten-side
+    // matches, the post-delete batch must not see them — two halves of
+    // one output held to different match sets by the same oracle.
+    withOracle("dedup_serve_visibility", StreamingDedup.serveVisibilityQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
+         |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp
+         |        UNION ALL SELECT doc_b AS q, doc_a AS m, jaccard FROM jp)
+         |SELECT q AS query_doc, m AS match_doc, jaccard,
+         |  CAST(CASE WHEN substr(md5(CAST(q AS VARCHAR)), 2, 1) < '8'
+         |    THEN 0 ELSE 1 END AS BIGINT) AS served_batch
+         |FROM sym
+         |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
+         |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
+         |  AND (substr(md5(CAST(q AS VARCHAR)), 2, 1) < '8'
+         |       OR NOT (m % 5 = 2))
+         |ORDER BY query_doc, match_doc""".stripMargin),
     // Snapshot diff: live set as of slice 0 vs the current head over the
     // standard append+append+delete lifecycle — added = b1 survivors
     // (> max/2, not forgotten), removed = b0 docs the delete tombstoned,

@@ -638,6 +638,42 @@ object StreamingDedup {
         col("n_band_rows"), col("n_set_rows"), col("n_live_docs"))
   }
 
+  /** Declared query — DELETE VISIBILITY across serve batches, the
+    * read-your-writes ordering contract of a mutable serving index: a
+    * delete issued BETWEEN two serve batches must be invisible to the
+    * batch that already ran and fully visible to the next one. The
+    * eval queries split deterministically in two (second md5 hex digit
+    * < '8'), batch 0 serves against the full train index, the %5 forget
+    * delete lands, batch 1 serves the rest — and the output tags each
+    * pair with its serve batch so the oracle can hold the two halves to
+    * DIFFERENT match sets: batch 0 keeps its forgotten-side matches
+    * (they were live when it ran), batch 1 must not see them. This is
+    * the index-mutation twin of `stream_late_audit`'s pinned-semantics
+    * role: if the serve path ever started reading stale slices (a
+    * cache, a listing race) or leaking tombstones backwards, one of
+    * the two halves diverges. */
+  def serveVisibilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_servevis_state")
+    val sink = graft.TempDirs.scoped("graft_servevis_sink")
+    val out = graft.TempDirs.scoped("graft_servevis_out")
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val inBatch0 = substring(md5(col("doc_id").cast("string")), 2, 1) < "8"
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(docs.filter(!isEval), state, sink).count()
+      serveTextBatch(docs.filter(isEval && inBatch0), state, out, 0L,
+        Dedup.JaccardThreshold, DefaultBucketCap)
+      deleteFromIndex(spark, state,
+        docs.filter(!isEval && col("doc_id") % 5 === 2).select(col("doc_id")))
+      serveTextBatch(docs.filter(isEval && !inBatch0), state, out, 1L,
+        Dedup.JaccardThreshold, DefaultBucketCap)
+    }
+    spark.read.parquet(s"$out/b0").withColumn("served_batch", lit(0L))
+      .unionByName(spark.read.parquet(s"$out/b1")
+        .withColumn("served_batch", lit(1L)))
+      .orderBy(col("query_doc"), col("match_doc"))
+  }
+
   /** Declared query — SNAPSHOT DIFF, the "what changed between these
     * two index versions" ops verb that completes the as-of family: a
     * reader that pinned itself to a snapshot eventually asks what it

@@ -293,6 +293,25 @@ class TombstoneSpec extends SparkSpec {
       "as-of read should still serve later-deleted ids")
   }
 
+  test("serve visibility: deletes bind the later batch only") {
+    val out = StreamingDedup.serveVisibilityQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the post-delete batch must never surface a forgotten match
+    out.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(1) % 5 != 2,
+        s"post-delete batch served forgotten doc ${r.getLong(1)}")
+    }
+    // and the pre-delete batch is the unrestricted serve — recount it
+    // against the oracle rule (batch-0 queries keep ALL matches)
+    val b0 = out.filter(_.getLong(3) == 0L)
+    b0.foreach { r =>
+      val qHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes)
+        .map("%02x".format(_)).mkString
+      assert(qHex.charAt(1) < '8', s"batch-0 row with batch-1 query: $r")
+    }
+  }
+
   test("forget audit: every index reports full propagation, counts recount") {
     val out = graft.operators.Curation.forgetAuditQuery(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq ==
