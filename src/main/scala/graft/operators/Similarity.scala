@@ -206,6 +206,102 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** PageRank iterations to run — enough for the centrality ORDER to
+    * settle on a [[KnnK]]-regular graph at verification scale. */
+  val PageRankIters = 3
+
+  /** PAGERANK over the kNN graph, in EXACT INTEGERS — graph centrality
+    * as an oracle-checked declared query. Float PageRank is the classic
+    * irreproducible computation: per-node contribution sums change with
+    * partition order, so no two cluster runs agree in the last ulps and
+    * rankings flip on ties. Here the fixed-fanout variant
+    * (pr' = 0.15/N + 0.85·Σ_in pr/K — every node spreads over exactly
+    * its K kNN slots, the uniform-outdegree shape the kNN graph has by
+    * construction) keeps every iterate a rational with denominator
+    * D_t = N·(20K)^t, so the recurrence runs on BIGINT numerators:
+    * n_{t+1}(v) = 3K·(20K)^t + 17·Σ_{u→v} n_t(u), n_0 = 1. Bit-exact on
+    * any partitioning and any engine; the one double appears in the
+    * final presentation division. The centrality feeds graph-based
+    * sampling (keep high-centrality exemplars) the way the cluster
+    * sizes feed diversity caps.
+    *
+    * Shape at scale: T shuffles on the edge key (edges = corpus·K rows,
+    * integer payloads), each a map-side-combined sum — the standard
+    * iterative-graph cost, with NO convergence nondeterminism because
+    * the iterate is exact. */
+  def knnPagerank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val edges = knnGraph(s, dir)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+    pagerankOver(nodes, edges)
+  }
+
+  /** The integer-numerator recurrence over any (vec_id) node frame and
+    * (src, dst) edge frame — factored so planted-graph specs drive the
+    * exact production iteration. */
+  private[graft] def pagerankOver(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    var pr = nodes.select(col("vec_id"), lit(1L).as("n_num"))
+    var t = 0
+    while (t < PageRankIters) {
+      val base = 3L * KnnK * math.pow(20.0 * KnnK, t).toLong
+      val inflow = edges
+        .join(pr.select(col("vec_id").as("src"), col("n_num")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("n_num")).as("inflow"))
+      pr = nodes
+        .join(inflow.select(col("dst").as("vec_id"), col("inflow")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + lit(17L) * coalesce(col("inflow"), lit(0L)))
+            .as("n_num"))
+      t += 1
+    }
+    val n = nodes.count()
+    val d3 = n.toDouble * math.pow(20.0 * KnnK, PageRankIters)
+    val w = Window.orderBy(col("pr_num").desc, col("vec_id").asc)
+    pr.select(col("vec_id"), col("n_num").as("pr_num"),
+        (col("n_num").cast("double") / d3).as("pagerank"))
+      .withColumn("pr_rank", row_number().over(w).cast("long"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def pagerankOracleSql: String = {
+    val k = KnnK
+    def step(prev: String, cur: String, t: Int): String = {
+      val base = 3L * k * math.pow(20.0 * k, t).toLong
+      s"""$cur AS (
+         |  SELECT nd.vec_id,
+         |    CAST($base + 17 * COALESCE(s.x, 0) AS BIGINT) AS n
+         |  FROM (SELECT vec_id FROM embeddings) nd
+         |  LEFT JOIN (SELECT e.dst, SUM(p.n) AS x
+         |             FROM e JOIN $prev p ON p.vec_id = e.src
+         |             GROUP BY e.dst) s ON s.dst = nd.vec_id)"""
+    }
+    val steps = (0 until PageRankIters)
+      .map(t => step(s"p$t", s"p${t + 1}", t)).mkString(",\n")
+    val dPow = math.pow(20.0 * k, PageRankIters).toLong
+    s"""$lshPairScoresCtes,
+       |sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS nbr, score FROM pair_scores),
+       |ranked AS (
+       |  SELECT vec_id, nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, nbr ASC) AS rank
+       |  FROM sym),
+       |e AS (SELECT vec_id AS src, nbr AS dst FROM ranked WHERE rank <= $k),
+       |p0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS n FROM embeddings),
+       |$steps
+       |SELECT vec_id, n AS pr_num,
+       |  CAST(n AS DOUBLE)
+       |    / (CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) * $dPow)
+       |    AS pagerank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, vec_id ASC) AS BIGINT)
+       |    AS pr_rank
+       |FROM p${PageRankIters} ORDER BY vec_id""".stripMargin
+  }
+
   /** Semantic clusters — the structure [[knnGraph]] exists to feed: a
     * vector pair is an edge iff each is in the other's top-[[KnnK]]
     * (mutual-kNN, the standard symmetric-strictness upgrade that keeps
@@ -1584,6 +1680,7 @@ object Similarity {
          |SELECT vec_a, vec_b, score FROM pair_scores
          |WHERE score >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
+    withOracle("sim_knn_pagerank", knnPagerank, pagerankOracleSql),
     withOracle("sim_knn_graph", knnGraph,
       s"""$lshPairScoresCtes,
          |sym AS (

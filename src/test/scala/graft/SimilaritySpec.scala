@@ -437,6 +437,34 @@ class SimilaritySpec extends SparkSpec {
     assert(bySide.values.toSet == Set("train", "eval"))
   }
 
+  test("pagerank: planted graphs, mass accounting, partitioning invariance") {
+    import spark.implicits._
+    // K-regular symmetric triangle: perfect symmetry => equal numerators
+    val tri = Seq(0L, 1L, 2L).toDF("vec_id")
+    val triEdges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 0L), (2L, 1L), (0L, 2L))
+      .toDF("src", "dst")
+    val triPr = Similarity.pagerankOver(tri, triEdges).collect()
+    assert(triPr.map(_.getLong(1)).distinct.length == 1)
+    // star: everyone points at the hub => hub strictly dominates
+    val star = (0L to 4L).toDF("vec_id")
+    val starEdges = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val starPr = Similarity.pagerankOver(star, starEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(i => starPr(0L) > starPr(i)))
+    // real corpus: bit-identical under a different edge partitioning
+    val nodes = spark.read.parquet(s"$sf/embeddings.parquet").select(col("vec_id"))
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+    val a = Similarity.pagerankOver(nodes, edges)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.pagerankOver(nodes, edges.repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+    // ranks are a permutation of 1..N
+    val ranks = Similarity.knnPagerank(spark, sf).collect().map(_.getLong(3))
+    assert(ranks.sorted.toSeq == (1L to ranks.length).toSeq)
+  }
+
   test("serving matrix rows equal the standalone audits' totals") {
     import graft.operators.EmbeddingOps
     val matrix = Similarity.servingMatrixQuery(spark, sf).collect()
