@@ -265,7 +265,9 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  private def pagerankOracleSql: String = {
+  /** The p0..pT integer-iteration CTE chain over an `e`(src, dst) edge
+    * CTE — shared by the pagerank oracle and its consumers. */
+  private def pagerankStepCtes: String = {
     val k = KnnK
     def step(prev: String, cur: String, t: Int): String = {
       val base = 3L * k * math.pow(20.0 * k, t).toLong
@@ -279,7 +281,12 @@ object Similarity {
     }
     val steps = (0 until PageRankIters)
       .map(t => step(s"p$t", s"p${t + 1}", t)).mkString(",\n")
-    val dPow = math.pow(20.0 * k, PageRankIters).toLong
+    s"""p0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS n FROM embeddings),
+       |$steps""".stripMargin
+  }
+
+  private def pagerankOracleSql: String = {
+    val dPow = math.pow(20.0 * KnnK, PageRankIters).toLong
     s"""$lshPairScoresCtes,
        |sym AS (
        |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
@@ -290,9 +297,8 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY score DESC, nbr ASC) AS rank
        |  FROM sym),
-       |e AS (SELECT vec_id AS src, nbr AS dst FROM ranked WHERE rank <= $k),
-       |p0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS n FROM embeddings),
-       |$steps
+       |e AS (SELECT vec_id AS src, nbr AS dst FROM ranked WHERE rank <= $KnnK),
+       |$pagerankStepCtes
        |SELECT vec_id, n AS pr_num,
        |  CAST(n AS DOUBLE)
        |    / (CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) * $dPow)
@@ -301,6 +307,44 @@ object Similarity {
        |    AS pr_rank
        |FROM p${PageRankIters} ORDER BY vec_id""".stripMargin
   }
+
+  /** CLUSTER EXEMPLARS — the pagerank consumer: per semantic cluster,
+    * the most CENTRAL member (max pagerank numerator, ties to the
+    * smaller id) instead of the blind min-id canonical — "which document
+    * best represents this near-duplicate group" is a centrality
+    * question, and picking the exemplar by graph importance is the
+    * quality-aware refinement the dedup tier already made for survivor
+    * selection (dedup_quality_survivor's argument, on graph structure
+    * instead of length). One join of two already-declared results and a
+    * per-cluster rank window; both inputs are exact, so the whole
+    * composition replays in SQL. */
+  def clusterExemplars(s: SparkSession, dir: String): DataFrame = {
+    val clusters = semanticClusters(s, dir)
+    val pr = knnPagerank(s, dir).select(col("vec_id"), col("pr_num"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("pr_num").desc, col("vec_id").asc)
+    clusters.join(pr, "vec_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("vec_id").as("exemplar_vec"), col("pr_num").as("exemplar_pr_num"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def clusterExemplarsOracleSql: String =
+    s"""$clusterOracleCtes,
+       |e AS (SELECT vec_id AS src, nbr AS dst FROM knn),
+       |$pagerankStepCtes
+       |SELECT cluster_id, cluster_size, exemplar_vec, exemplar_pr_num
+       |FROM (
+       |  SELECT c.cluster_id, s.cluster_size, c.vec_id AS exemplar_vec,
+       |    p.n AS exemplar_pr_num,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY p.n DESC, c.vec_id ASC) AS rk
+       |  FROM comp c
+       |  JOIN sizes s USING (cluster_id)
+       |  JOIN p${PageRankIters} p ON p.vec_id = c.vec_id) t
+       |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
   /** Semantic clusters — the structure [[knnGraph]] exists to feed: a
     * vector pair is an edge iff each is in the other's top-[[KnnK]]
@@ -1697,6 +1741,8 @@ object Similarity {
          |ORDER BY vec_id, rank""".stripMargin),
     // The kNN-graph consumer: mutual-kNN edges + recursive-CTE components
     // (the dedup_groups oracle pattern), sizes joined back.
+    withOracle("sim_cluster_exemplars", clusterExemplars,
+      clusterExemplarsOracleSql),
     withOracle("sim_semantic_clusters", semanticClusters,
       s"""$clusterOracleCtes
          |SELECT c.vec_id, c.cluster_id, s.cluster_size

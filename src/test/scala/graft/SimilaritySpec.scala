@@ -465,6 +465,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.sorted.toSeq == (1L to ranks.length).toSeq)
   }
 
+  test("cluster exemplars are members with dominating centrality") {
+    val clusters = Similarity.semanticClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    val pr = Similarity.knnPagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = Similarity.clusterExemplars(spark, sf).collect()
+    assert(ex.map(_.getLong(0)).toSet == clusters.keySet)
+    ex.foreach { r =>
+      val (cid, size, vec, num) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      val members = clusters(cid)
+      assert(members.contains(vec) && members.size == size)
+      assert(num == pr(vec))
+      members.foreach { m =>
+        assert(pr(m) < num || (pr(m) == num && m >= vec))
+      }
+    }
+  }
+
   test("serving matrix rows equal the standalone audits' totals") {
     import graft.operators.EmbeddingOps
     val matrix = Similarity.servingMatrixQuery(spark, sf).collect()
