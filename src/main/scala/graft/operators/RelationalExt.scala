@@ -1291,7 +1291,60 @@ object RelationalExt {
        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Flag hours whose count sits at least this many standard deviations
+    * from the type's mean. */
+  val AnomalyZ = 2.0
+
+  /** HOURLY ANOMALY READOUT — the ops-monitoring query every event
+    * pipeline grows: per (event_type, hour) count, flag the hours at
+    * least [[AnomalyZ]] population standard deviations from that type's
+    * mean hourly volume. Reproducible the corr-moments way: the moments
+    * (n, Σc, Σc²) are exact integers, mean/std/z are FIXED double
+    * formulas over them — the same anomaly set on any partitioning and
+    * any engine, which is what makes the alert diff-able day over day.
+    * Two tiny map-side-combined aggregations, one broadcast join of the
+    * 5-row moment table back onto the hourly counts. */
+  def hourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val mom = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val std = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double") / (col("n") * col("n")).cast("double"))
+    hourly.join(broadcast(mom), "event_type")
+      .select(col("event_type"), col("window_start"), col("n_events"),
+        ((col("n_events").cast("double") - mean) / std).as("z_score"))
+      .filter(abs(col("z_score")) >= AnomalyZ)
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  private val hourlyAnomalyOracleSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+       |      AS window_start,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(n_events) AS BIGINT) AS sx,
+       |    CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+       |  FROM h GROUP BY 1)
+       |SELECT h.event_type, h.window_start, h.n_events,
+       |  (CAST(h.n_events AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+       |    / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+       |           / CAST(m.n * m.n AS DOUBLE)) AS z_score
+       |FROM h JOIN m USING (event_type)
+       |WHERE abs((CAST(h.n_events AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+       |    / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+       |           / CAST(m.n * m.n AS DOUBLE))) >= $AnomalyZ
+       |ORDER BY event_type, window_start""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("rel_hourly_anomaly", hourlyAnomaly, hourlyAnomalyOracleSql),
     withOracle("rel_join_bucketed", joinBucketed, joinBucketedOracleSql),
     withOracle("rel_zorder_layout", zorderLayout, zorderOracleSql),
     withOracle("rel_agg_ols", aggOls, olsOracleSql),

@@ -547,6 +547,32 @@ object TextAnalysis {
           .as("repetition_ratio"))
       .orderBy(col("doc_id"))
 
+  /** NOVELTY CURVE — per document, how much of its shingle content the
+    * corpus had NOT seen in any earlier document (first occurrence by
+    * doc_id): the diminishing-returns readout a corpus owner reads when
+    * deciding whether the next crawl increment is still worth ingesting
+    * (a source whose late documents contribute near-zero novel shingles
+    * is saturated — more of it buys tokens, not information). Exact and
+    * deterministic: "earlier" is the stable doc_id order, novelty is
+    * integer counting over DISTINCT (doc, shingle) pairs, the ratio one
+    * division. One shuffle on the shingle key (the inverted-index shape
+    * every dedup query already pays), then a per-doc combine. */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.GraftExpressions
+          .shingleStrings(col("text"), graft.operators.Dedup.ShingleSize)))
+          .as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -1248,6 +1274,20 @@ object TextAnalysis {
         |  (CAST(damped AS DOUBLE) / SUM(damped) OVER ())
         |    * SUM(n_tokens) OVER () / n_tokens AS epochs_at_budget
         |FROM d ORDER BY source""".stripMargin),
+    withOracle("text_novelty_curve", noveltyCurve,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS novelty_ratio
+        |FROM sh s JOIN f USING (g)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
     withOracle("text_repetition", repetition,
       """WITH sh AS (
         |  SELECT doc_id,

@@ -221,4 +221,48 @@ class QualityGateSpec extends SparkSpec {
     // the corpus's bigrams overlap both splits, so evidence is non-trivial
     assert(rows.exists(r => r.getLong(2) > 0L && r.getLong(3) > 0L))
   }
+
+  test("novelty curve: first doc fully novel, totals conserve") {
+    val out = graft.operators.TextAnalysis.noveltyCurve(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the earliest emitted doc can only contain first-seen shingles
+    assert(out.minBy(_.getLong(0)).getDouble(3) == 1.0)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) ==
+        r.getLong(2).toDouble / r.getLong(1))
+    }
+    // conservation: novel counts sum to the corpus's distinct shingles
+    val distinctShingles = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(array_distinct(graft.functions.GraftExpressions
+        .shingleStrings(col("text"), graft.operators.Dedup.ShingleSize)))
+        .as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == distinctShingles)
+  }
+
+  test("hourly anomaly: every flagged hour recounts past the threshold") {
+    val out = graft.operators.RelationalExt.hourlyAnomaly(spark, sf).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(3)) >=
+      graft.operators.RelationalExt.AnomalyZ))
+    // local recount of one type's z-scores
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("ws"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = hourly.groupBy(_._1).toSeq
+    val expected = byType.flatMap { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._3).sum
+      val sxx = rows.map(x => x._3 * x._3).sum
+      val mean = sx.toDouble / n
+      val std = math.sqrt((n * sxx - sx * sx).toDouble / (n * n).toDouble)
+      rows.collect { case (_, ws, c)
+        if math.abs((c.toDouble - mean) / std) >=
+          graft.operators.RelationalExt.AnomalyZ => (tpe, ws) }
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == expected)
+  }
 }
