@@ -573,6 +573,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** NOVELTY AT INGEST — [[noveltyCurve]] computed incrementally: the
+    * corpus arrives as three id-ordered slices, each batch scores its
+    * documents against the ACCUMULATED seen-shingle state (plus its own
+    * within-batch first occurrences) and appends its new shingles to
+    * the state. Unlike the frozen-state ingest twins (LM, classifier,
+    * PCA), novelty is ORDER-SENSITIVE state accumulation — the
+    * incremental-dedup kind — and because the slice split is monotone
+    * in doc_id, first-occurrence-by-id semantics coincide with
+    * first-arrival, so the drained output equals the batch curve
+    * row-for-row and the twin carries its oracle text VERBATIM. Per
+    * batch: one bucket join against the state (shingle-keyed, the
+    * inverted-index shape), one distinct-append; history is read, never
+    * re-shuffled. */
+  def incrementalNoveltyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_novelty_state")
+    val out = graft.TempDirs.scoped("graft_novelty_out")
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(ids / 3, 2 * ids / 3, Long.MaxValue)
+    var lo = Long.MinValue
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val grams = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.GraftExpressions
+            .shingleStrings(col("text"), graft.operators.Dedup.ShingleSize)))
+            .as("g"))
+      val seen =
+        if (i == 0) spark.emptyDataFrame.withColumn("g", lit("")).limit(0)
+          .select(col("g"))
+        else spark.read.parquet((0 until i).map(j => s"$state/b$j"): _*)
+      val firstHere = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .join(seen, Seq("g"), "left_anti")
+      grams
+        .join(firstHere, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum((col("first_doc") === col("doc_id")).cast("long")),
+            lit(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams"))
+            .as("novelty_ratio"))
+        .write.mode("overwrite").parquet(s"$out/b$i")
+      grams.select(col("g")).distinct()
+        .join(seen, Seq("g"), "left_anti")
+        .write.mode("overwrite").parquet(s"$state/b$i")
+      lo = hi
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("doc_id"))
+  }
+
+  /** ONE text behind the batch novelty curve and its incremental twin. */
+  private val noveltyCurveOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS novelty_ratio
+      |FROM sh s JOIN f USING (g)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
@@ -1274,20 +1341,11 @@ object TextAnalysis {
         |  (CAST(damped AS DOUBLE) / SUM(damped) OVER ())
         |    * SUM(n_tokens) OVER () / n_tokens AS epochs_at_budget
         |FROM d ORDER BY source""".stripMargin),
-    withOracle("text_novelty_curve", noveltyCurve,
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-        |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
-        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
-        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_novel,
-        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / COUNT(*) AS novelty_ratio
-        |FROM sh s JOIN f USING (g)
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+    // Incremental twin: id-ordered slices make first-arrival coincide
+    // with first-occurrence-by-id, so the batch oracle applies verbatim.
+    withOracle("text_incremental_novelty", incrementalNoveltyQuery,
+      noveltyCurveOracleSql),
+    withOracle("text_novelty_curve", noveltyCurve, noveltyCurveOracleSql),
     withOracle("text_repetition", repetition,
       """WITH sh AS (
         |  SELECT doc_id,

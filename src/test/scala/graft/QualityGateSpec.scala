@@ -241,6 +241,14 @@ class QualityGateSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == distinctShingles)
   }
 
+  test("incremental novelty equals the batch curve") {
+    val batch = graft.operators.TextAnalysis.noveltyCurve(spark, sf)
+      .collect().map(_.toString).toSeq
+    val inc = graft.operators.TextAnalysis.incrementalNoveltyQuery(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inc == batch && inc.nonEmpty)
+  }
+
   test("hourly anomaly: every flagged hour recounts past the threshold") {
     val out = graft.operators.RelationalExt.hourlyAnomaly(spark, sf).collect()
     out.foreach(r => assert(math.abs(r.getDouble(3)) >=
