@@ -1253,8 +1253,10 @@ object RelationalExt {
     * the remaining exchange"), demonstrated for real: both sides are
     * written as [[JoinBuckets]]-bucket sorted tables on the join key,
     * and the fact-to-fact join then runs with ZERO shuffle on either
-    * side (plan-asserted in RelationalExtSpec — the only exchange left
-    * in the declared query is the tiny groupBy above the join). At
+    * side. (At verification scale the optimizer rightly broadcasts the
+    * tiny orders side instead; RelationalExtSpec therefore asserts the
+    * exchange-free SORT-MERGE join under a forced no-broadcast regime —
+    * the 100 TB case where neither fact side fits a broadcast.) At
     * 100 TB this is the difference between re-shuffling two fact
     * tables on every join and paying the layout cost once at write
     * time — the same build-once economics as the persisted indexes,

@@ -283,18 +283,28 @@ class RelationalExtSpec extends SparkSpec {
 
   test("bucketed join: zero exchanges under the join, results intact") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     // run the declared query once so both bucketed tables exist
     val out = RelationalExt.joinBucketed(spark, sf).collect()
     assert(out.nonEmpty)
-    // the join frame over the bucketed tables must plan with NO shuffle
-    // on either side — that is the whole point of the layout
-    val join = RelationalExt.bucketedJoinFrame(spark)
-    join.count()
-    val shuffles = join.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
-    }
-    assert(shuffles.isEmpty,
-      s"bucketed join planned ${shuffles.size} shuffle exchange(s)")
+    // At verification scale the optimizer rightly broadcasts the tiny
+    // orders side; the layout's point is the 100 TB case where NEITHER
+    // side broadcasts — force that regime and the bucketed sort-merge
+    // join must run with NO shuffle exchange on either side.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val join = RelationalExt.bucketedJoinFrame(spark)
+      join.count()
+      val plan = join.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty ||
+        plan.toString.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed tables:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join planned ${shuffles.size} shuffle exchange(s)")
+    } finally spark.conf.set(thresholdKey, prev)
   }
 
   test("ols: planted exact fit, corr consistency, partitioning invariance") {
