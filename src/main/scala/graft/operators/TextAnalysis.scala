@@ -573,6 +573,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE novelty rollup — the actual acquisition decision table:
+    * a source whose documents contribute a low novel-shingle fraction
+    * is saturated relative to the rest of the corpus, and its next
+    * crawl increment buys tokens, not information. Same inverted-index
+    * pass as [[noveltyCurve]], one more map-side-combined rollup on the
+    * tiny source key; the ratio is one division of exact longs. */
+  def noveltyBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    noveltyCurve(s, dir)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams"))
+          .as("novelty_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** NOVELTY AT INGEST — [[noveltyCurve]] computed incrementally: the
     * corpus arrives as three id-ordered slices, each batch scores its
     * documents against the ACCUMULATED seen-shingle state (plus its own
@@ -1346,6 +1366,22 @@ object TextAnalysis {
     withOracle("text_incremental_novelty", incrementalNoveltyQuery,
       noveltyCurveOracleSql),
     withOracle("text_novelty_curve", noveltyCurve, noveltyCurveOracleSql),
+    withOracle("text_novelty_by_source", noveltyBySource,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |d AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sh s JOIN f USING (g) GROUP BY s.doc_id)
+        |SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(d.n_novel) AS BIGINT) AS n_novel,
+        |  CAST(SUM(d.n_novel) AS DOUBLE) / SUM(d.n_grams) AS novelty_ratio
+        |FROM d JOIN documents doc USING (doc_id)
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin),
     withOracle("text_repetition", repetition,
       """WITH sh AS (
         |  SELECT doc_id,

@@ -241,6 +241,15 @@ class QualityGateSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == distinctShingles)
   }
 
+  test("per-source novelty rollup conserves the per-doc totals") {
+    val perDoc = graft.operators.TextAnalysis.noveltyCurve(spark, sf).collect()
+    val bySource = graft.operators.TextAnalysis.noveltyBySource(spark, sf)
+      .collect()
+    assert(bySource.map(_.getLong(1)).sum == perDoc.length)
+    assert(bySource.map(_.getLong(2)).sum == perDoc.map(_.getLong(1)).sum)
+    assert(bySource.map(_.getLong(3)).sum == perDoc.map(_.getLong(2)).sum)
+  }
+
   test("incremental novelty equals the batch curve") {
     val batch = graft.operators.TextAnalysis.noveltyCurve(spark, sf)
       .collect().map(_.toString).toSeq
