@@ -182,16 +182,32 @@ object Bpe {
     * key, and fertility is one division of two exact BIGINTs. */
   def bpeFertilityQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = trainMerges(wordCounts(docs))
-    tokenStatsOver(docs, merges)
+    fertilityOver(docs, trainMerges(wordCounts(docs)))
+  }
+
+  /** The per-source fertility body over any documents frame — factored
+    * so the all-empty-source totality case is spec-testable. */
+  private[graft] def fertilityOver(docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    // Totality guard: tokenStatsOver emits NO row for a document with no
+    // non-empty words, so a source whose documents are ALL empty would
+    // silently vanish from the readout (an inner join cannot resurrect
+    // it). The source universe comes from the documents table and the
+    // stats left-join onto it — an all-empty source shows up as
+    // (0 words, 0 tokens, fertility 0.0) instead of disappearing, which
+    // is what "keep the readout total" actually requires. The n_words>0
+    // branch then guards the division for exactly that row.
+    val bySource = tokenStatsOver(docs, merges)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(sum(col("n_words")).as("n_words"),
         sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+    docs.select(col("source")).distinct()
+      .join(bySource, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .select(col("source"), col("n_words"), col("n_bpe_tokens"),
-        // Zero guard: a source whose documents are all empty has
-        // n_words = 0; a defined 0.0 keeps the readout total instead of
-        // a NULL fertility row.
         when(col("n_words") > 0,
           col("n_bpe_tokens").cast("double") / col("n_words"))
           .otherwise(lit(0.0)).as("fertility"))

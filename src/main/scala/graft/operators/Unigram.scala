@@ -211,12 +211,21 @@ object Unigram {
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
     val uni = tokenStatsOver(docs, trainVocab(wc))
       .select(col("doc_id"), col("n_unigram_tokens"))
-    bpe.join(uni, "doc_id")
+    // Totality: per-doc stats drop all-empty docs, so the source
+    // universe left-joins the rollup (the fertilityOver guard) — an
+    // all-empty source reads as zeros, not as a missing row.
+    val bySource = bpe.join(uni, "doc_id")
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(sum(col("n_words")).as("n_words"),
         sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
         sum(col("n_unigram_tokens")).as("n_unigram_tokens"))
+    docs.select(col("source")).distinct()
+      .join(bySource, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"))
       .select(col("source"), col("n_words"), col("n_bpe_tokens"),
         col("n_unigram_tokens"),
         when(col("n_words") > 0,

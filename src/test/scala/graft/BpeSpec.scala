@@ -143,4 +143,22 @@ class BpeSpec extends SparkSpec {
     // a word always encodes to >= 1 token, so fertility >= 1 everywhere
     got.values.foreach { case (_, _, f) => assert(f >= 1.0) }
   }
+
+  test("fertility: an all-empty source stays in the readout at 0.0") {
+    import spark.implicits._
+    // tokenStatsOver drops empty docs, so an inner-join rollup would
+    // silently omit srcEmpty — the totality guard must resurrect it
+    val docs = Seq(
+      (1L, "srcA", "some words here"),
+      (2L, "srcEmpty", ""),
+      (3L, "srcEmpty", "")
+    ).toDF("doc_id", "source", "text")
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs))
+    val got = Bpe.fertilityOver(docs, merges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set("srcA", "srcEmpty"))
+    assert(got("srcEmpty") == ((0L, 0L, 0.0)))
+    assert(got("srcA")._1 == 3L)
+  }
 }
