@@ -84,19 +84,22 @@ object BenchScale {
       // to bound the run — ±20% host noise cannot mask the super-linear
       // growth this artifact exists to detect.
       val passes = if (k == 10) 1 else 2
-      // The declared families, plus the embedding lifecycle at the
-      // saturation cap's scale setting (cap 128): the embedding corpus
-      // is structureless at the declared 0.45 threshold (pair-cosine std
-      // = 1/sqrt(64), qualifying pairs ~ 7e-5 of all pairs), so TRUE
-      // qualifying-pair volume grows quadratically with corpus size and
-      // the uncapped witness search necessarily tracks it. The cap is
-      // the designed cost bound — this series measures what it buys.
+      // The declared families (the embedding lifecycle now DEFAULTS to
+      // the saturation cap, EmbeddingBucketCap = 128 — the scale-safe
+      // configuration), plus the loose-cap variant kept as the
+      // diagnostic series: the embedding corpus is structureless at the
+      // declared 0.45 threshold (pair-cosine std = 1/sqrt(64),
+      // qualifying pairs ~ 7e-5 of all pairs), so TRUE qualifying-pair
+      // volume grows quadratically with corpus size and an effectively
+      // uncapped witness search necessarily tracks it — the measured
+      // super-linear curve documents what the default cap buys.
       val runs: Seq[(String, String => Long)] =
         Families.map { name =>
           name -> ((d: String) => SparkEntry.queries(name)(spark, d).count())
-        } :+ ("embedding_incremental_dedup_cap128" ->
+        } :+ ("embedding_incremental_dedup_cap1024" ->
           ((d: String) => streaming.StreamingDedup
-            .incrementalEmbeddingDedupQuery(spark, d, bucketCap = 128)
+            .incrementalEmbeddingDedupQuery(spark, d,
+              bucketCap = streaming.StreamingDedup.DefaultBucketCap)
             .count()))
       runs.foreach { case (name, run) =>
         val best = (1 to passes).map { _ =>

@@ -258,11 +258,37 @@ object Similarity {
     }
     val n = nodes.count()
     val d3 = n.toDouble * math.pow(20.0 * KnnK, PageRankIters)
-    val w = Window.orderBy(col("pr_num").desc, col("vec_id").asc)
+    // No global rank column here: an unpartitioned row_number window
+    // would collapse the whole corpus into one task's sort at 100× —
+    // the full-corpus output is per-node scores only, and the ranked
+    // presentation lives in [[knnPagerankTopK]] where the sort is a
+    // bounded TakeOrderedAndProject.
     pr.select(col("vec_id"), col("n_num").as("pr_num"),
         (col("n_num").cast("double") / d3).as("pagerank"))
-      .withColumn("pr_rank", row_number().over(w).cast("long"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Rows of the ranked pagerank leaderboard. Bounded by construction:
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-K
+    * heaps, one K-row merge on the driver side of the exchange), so the
+    * only unpartitioned sort in the lifecycle is over K rows. */
+  val PageRankTopK = 25
+
+  /** KNN PAGERANK LEADERBOARD — the ranked presentation of
+    * [[knnPagerank]]: the [[PageRankTopK]] most central vectors with
+    * their global rank. The rank window runs AFTER the limit, so the
+    * unpartitioned row_number only ever sorts K rows (PlanSpec asserts
+    * every unpartitioned WindowExec in this plan sits above a limit);
+    * the corpus-wide ordering itself is the TakeOrderedAndProject
+    * top-K, which scales as per-partition heaps — never a global sort. */
+  def knnPagerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("pr_num").desc, col("vec_id").asc)
+    knnPagerank(s, dir)
+      .orderBy(col("pr_num").desc, col("vec_id").asc)
+      .limit(PageRankTopK)
+      .withColumn("pr_rank", row_number().over(w).cast("long"))
+      .select(col("pr_rank"), col("vec_id"), col("pr_num"), col("pagerank"))
+      .orderBy(col("pr_rank"))
   }
 
   /** The p0..pT integer-iteration CTE chain over an `e`(src, dst) edge
@@ -302,10 +328,33 @@ object Similarity {
        |SELECT vec_id, n AS pr_num,
        |  CAST(n AS DOUBLE)
        |    / (CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) * $dPow)
-       |    AS pagerank,
-       |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, vec_id ASC) AS BIGINT)
-       |    AS pr_rank
+       |    AS pagerank
        |FROM p${PageRankIters} ORDER BY vec_id""".stripMargin
+  }
+
+  private def pagerankTopKOracleSql: String = {
+    val dPow = math.pow(20.0 * KnnK, PageRankIters).toLong
+    s"""$lshPairScoresCtes,
+       |sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS nbr, score FROM pair_scores),
+       |ranked AS (
+       |  SELECT vec_id, nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, nbr ASC) AS rank
+       |  FROM sym),
+       |e AS (SELECT vec_id AS src, nbr AS dst FROM ranked WHERE rank <= $KnnK),
+       |$pagerankStepCtes
+       |SELECT pr_rank, vec_id, pr_num, pagerank FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, vec_id ASC)
+       |      AS BIGINT) AS pr_rank,
+       |    vec_id, n AS pr_num,
+       |    CAST(n AS DOUBLE)
+       |      / (CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) * $dPow)
+       |      AS pagerank
+       |  FROM p${PageRankIters}) t
+       |WHERE pr_rank <= $PageRankTopK ORDER BY pr_rank""".stripMargin
   }
 
   /** CLUSTER EXEMPLARS — the pagerank consumer: per semantic cluster,
@@ -892,6 +941,38 @@ object Similarity {
        |           ON b.table_id = a.table_id AND b.bucket = a.bucket
        |          AND b.salt = a.salt
        |          AND a.vec_id < b.vec_id),
+       |pair_scores AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${cosSql("va.embedding", "vb.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings va ON va.vec_id = c.vec_a
+       |  JOIN embeddings vb ON vb.vec_id = c.vec_b)""".stripMargin
+
+  /** Capped-witness pair scores — the oracle twin of the streaming
+    * embedding tier's BUCKET-SATURATION contract
+    * ([[graft.streaming.StreamingDedup.EmbeddingBucketCap]]): a pair
+    * (a, b), a < b, is a dedup witness only if the EARLIER side `a` is
+    * among the first `cap` members of some shared (table, bucket) in
+    * arrival order. Under the declared queries' vec_id-monotone slicing,
+    * arrival order IS vec_id order and exemplar rank is time-independent
+    * (later arrivals never precede an existing member), so the whole
+    * incremental lifecycle — appends, compaction, single-drain stream
+    * alike — reduces to this one rank predicate, replayed here with a
+    * per-bucket ROW_NUMBER. No salt CTE: the streaming tier's exemplar
+    * window is the saturation bound itself (the write path never salts),
+    * so the oracle mirrors the unsalted bucket join exactly. */
+  private[graft] def cappedWitnessPairScoresCtes(cap: Int): String =
+    s"""$lshBucketCtes,
+       |rk AS (
+       |  SELECT vec_id, table_id, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY table_id, bucket
+       |      ORDER BY vec_id ASC) AS rk
+       |  FROM buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM rk a JOIN buckets b
+       |           ON b.table_id = a.table_id AND b.bucket = a.bucket
+       |          AND a.vec_id < b.vec_id
+       |         WHERE a.rk <= $cap),
        |pair_scores AS (
        |  SELECT c.vec_a, c.vec_b,
        |    ${cosSql("va.embedding", "vb.embedding")} AS score
@@ -1725,6 +1806,7 @@ object Similarity {
          |WHERE score >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin),
     withOracle("sim_knn_pagerank", knnPagerank, pagerankOracleSql),
+    withOracle("sim_pagerank_topk", knnPagerankTopK, pagerankTopKOracleSql),
     withOracle("sim_knn_graph", knnGraph,
       s"""$lshPairScoresCtes,
          |sym AS (

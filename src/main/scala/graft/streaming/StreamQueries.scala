@@ -491,11 +491,14 @@ object StreamQueries {
          |  AND NOT (m % 5 = 2)
          |ORDER BY query_doc, match_doc""".stripMargin),
     // Embedding twin: survivors of the streaming LSH dedup = vectors that
-    // are not the larger side of any verified LSH-candidate pair (the
-    // batch dedup_embedding contract, which first-seen-wins reduces to in
-    // the declared single-batch drain).
+    // are not the larger side of any CAPPED-WITNESS verified pair — the
+    // saturation cap (EmbeddingBucketCap, the embedding tier's scale
+    // bound) is part of the declared contract, and under the single-drain
+    // batch's rec_id exemplar order the cap reduces to a per-bucket
+    // vec_id rank predicate the oracle replays exactly.
     withOracle("stream_embedding_dedup", StreamingDedup.streamEmbeddingDedupQuery,
-      s"""${graft.operators.Similarity.lshPairScoresCtes}
+      s"""${graft.operators.Similarity.cappedWitnessPairScoresCtes(
+               StreamingDedup.EmbeddingBucketCap)}
          |SELECT e.vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps
          |  WHERE ps.vec_b = e.vec_id
@@ -503,10 +506,13 @@ object StreamQueries {
          |ORDER BY e.vec_id""".stripMargin),
     // Embedding twin of text_incremental_dedup: three vec_id-ordered
     // slices into one index with a compaction between — monotone split =>
-    // min-lower-id, so the stream_embedding_dedup oracle applies.
+    // min-lower-id under the SAME saturation cap (exemplar rank is
+    // time-independent in vec_id order, so the single-drain capped oracle
+    // applies across appends and the compaction unchanged).
     withOracle("embedding_incremental_dedup",
       (s, d) => StreamingDedup.incrementalEmbeddingDedupQuery(s, d),
-      s"""${graft.operators.Similarity.lshPairScoresCtes}
+      s"""${graft.operators.Similarity.cappedWitnessPairScoresCtes(
+               StreamingDedup.EmbeddingBucketCap)}
          |SELECT e.vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps
          |  WHERE ps.vec_b = e.vec_id

@@ -56,6 +56,24 @@ object StreamingDedup {
     * bucket's size, only degenerate boilerplate buckets saturate. */
   val DefaultBucketCap = 1024
 
+  /** The EMBEDDING tier's default saturation cap — deliberately tight.
+    * The fixed-hyperplane bucket space is AnnTables × 2^AnnBits = 128
+    * keys, so bucket occupancy grows LINEARLY with the corpus, and on a
+    * structureless corpus (this one: pair-cosine std = 1/sqrt(64),
+    * P(cos >= 0.45) ≈ 7e-5) the TRUE qualifying-pair count grows
+    * quadratically — any witness search honoring every pair must do
+    * quadratic work (measured: BENCH_SCALE ratio 1.5–3.0 at 10× when
+    * effectively uncapped). The exemplar cap is the designed cost bound:
+    * per-append work stays at batch-rows × bands × cap (measured flat,
+    * ratio 0.46 at 10×), at the documented witness-miss trade — a
+    * newcomer escapes only if EVERY one of its buckets saturated past
+    * all its true matches. On clustered corpora any retained exemplar
+    * witnesses its bucket, so the miss rate is negligible; here the cap
+    * is what makes the lifecycle scale-safe, so it is the DEFAULT and
+    * the loose document-tier cap is the opt-in. The oracle twin is
+    * [[graft.operators.Similarity.cappedWitnessPairScoresCtes]]. */
+  val EmbeddingBucketCap = 128
+
   /** What varies between the document and embedding tiers. `sig` is the
     * stored-signature expression over the incoming frame's columns;
     * `buckets` maps a signature to its bucket array (posexplode index =
@@ -114,13 +132,13 @@ object StreamingDedup {
   def startEmbedding(emb: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, threshold: Double = Similarity.NearDupThreshold,
       trigger: Trigger = Trigger.AvailableNow(),
-      bucketCap: Int = DefaultBucketCap): StreamingQuery =
+      bucketCap: Int = EmbeddingBucketCap): StreamingQuery =
     startWith(emb, embeddingSpec(threshold), stateDir, outDir, checkpoint,
       trigger, bucketCap)
 
   def runEmbedding(emb: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, threshold: Double = Similarity.NearDupThreshold,
-      bucketCap: Int = DefaultBucketCap): Unit =
+      bucketCap: Int = EmbeddingBucketCap): Unit =
     startEmbedding(emb, stateDir, outDir, checkpoint, threshold,
       bucketCap = bucketCap).awaitTermination()
 
@@ -149,7 +167,7 @@ object StreamingDedup {
   /** Embedding twin of [[appendBatch]] (needs `vec_id` and `embedding`). */
   def appendEmbeddingBatch(slice: DataFrame, stateDir: String, outDir: String,
       threshold: Double = Similarity.NearDupThreshold,
-      bucketCap: Int = DefaultBucketCap, batchId: Long = -1L): DataFrame = {
+      bucketCap: Int = EmbeddingBucketCap, batchId: Long = -1L): DataFrame = {
     val spark = slice.sparkSession
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
     processBatch(slice, id, embeddingSpec(threshold), stateDir, outDir, bucketCap)
@@ -836,12 +854,16 @@ object StreamingDedup {
   /** Embedding twin of [[incrementalDedupQuery]]: the embeddings table
     * arrives as THREE vec_id-ordered slices appended to one persisted LSH
     * index, with a compaction (b0+b1 → c1) before the third append — the
-    * nightly-curation shape for a growing embedding corpus. The monotone
-    * slice split makes first-seen-wins coincide with the batch tier's
-    * min-lower-id contract, so dedup_embedding's exact-cosine SQL oracle
-    * applies unchanged. */
+    * nightly-curation shape for a growing embedding corpus, run at the
+    * tier's default [[EmbeddingBucketCap]] (the scale-safe configuration;
+    * the loose cap is the opt-in). The monotone slice split makes
+    * first-seen-wins coincide with min-lower-id AND makes exemplar rank
+    * time-independent (arrival order is vec_id order, so a bucket's
+    * first-cap set never changes retroactively) — the capped-witness SQL
+    * oracle ([[graft.operators.Similarity.cappedWitnessPairScoresCtes]])
+    * therefore replays the whole lifecycle, compaction included. */
   def incrementalEmbeddingDedupQuery(spark: SparkSession, dir: String,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = EmbeddingBucketCap): DataFrame = {
     val state = graft.TempDirs.scoped("graft_incededup_state")
     val out = graft.TempDirs.scoped("graft_incededup_out")
     val emb = graft.Tables.embeddings(spark, dir)
@@ -862,10 +884,11 @@ object StreamingDedup {
   }
 
   /** Embedding twin of the declared query: survivors of a one-drain
-    * streaming dedup over the embeddings table. Oracle: the batch tier's
-    * dedup_embedding survivors (same salted LSH candidates at this scale
-    * — no bucket is near either cap — and the same min-lower-id policy,
-    * which first-seen-wins reduces to in a single batch). */
+    * streaming dedup over the embeddings table at the tier's default
+    * [[EmbeddingBucketCap]]. Oracle: the capped-witness pair set (within
+    * one batch the exemplar window orders by rec_id, so the cap is the
+    * per-bucket vec_id-rank predicate) with the min-lower-id policy that
+    * first-seen-wins reduces to in a single batch. */
   def streamEmbeddingDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val state = graft.TempDirs.scoped("graft_sededup_state")
     val out = graft.TempDirs.scoped("graft_sededup_out")

@@ -460,9 +460,53 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.pagerankOver(nodes, edges.repartition(7))
       .collect().map(_.toString).toSeq
     assert(a == b && a.nonEmpty)
-    // ranks are a permutation of 1..N
-    val ranks = Similarity.knnPagerank(spark, sf).collect().map(_.getLong(3))
-    assert(ranks.sorted.toSeq == (1L to ranks.length).toSeq)
+    // the leaderboard is exactly the K (pr_num desc, vec_id asc)-largest
+    // rows of the full per-node output, ranked 1..K
+    val full = Similarity.knnPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.sortBy { case (id, num) => (-num, id) }
+      .take(Similarity.PageRankTopK)
+    val top = Similarity.knnPagerankTopK(spark, sf).collect()
+    assert(top.map(_.getLong(0)).toSeq ==
+      (1L to expected.length).toSeq)
+    assert(top.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      expected.toSeq)
+    // scale pin (VERDICT r13 #2): the only unpartitioned window in the
+    // ranked presentation sorts a limit-bounded input — no WindowExec
+    // without partition keys may sit over the unbounded corpus.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, SparkPlan}
+    // AQE wraps stages in leaf-like nodes TreeNode.collect cannot see
+    // through — flatten the executed tree by hand.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def boundedBelow(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val topQ = Similarity.knnPagerankTopK(spark, sf)
+    topQ.count()
+    val unpartitioned = flatten(topQ.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.nonEmpty, "expected the bounded rank window")
+    unpartitioned.foreach { w =>
+      assert(boundedBelow(w.child),
+        s"unpartitioned WindowExec over an unbounded input:\n$w")
+    }
+    // ... and the full-corpus query plans NO unpartitioned window at all
+    val fullQ = Similarity.knnPagerank(spark, sf)
+    fullQ.count()
+    assert(flatten(fullQ.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "full pagerank output must not globally sort via a window")
   }
 
   test("cluster exemplars are members with dominating centrality") {
