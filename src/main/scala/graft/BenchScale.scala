@@ -47,7 +47,15 @@ object BenchScale {
     // corpora replicate exactly those two tables): the three-index
     // forget propagation and the PCA moment pass + serve
     "dedup_forget_audit",
-    "sim_topk_pca")
+    "sim_topk_pca",
+    // round-14 (VERDICT r13 #3): the cluster-index lifecycle family is
+    // now the bench's heaviest (~50 s of 277 at sf0.1) — its three
+    // structurally distinct members (build+stats, append lifecycle via
+    // the streaming twin, delete+rebucket) get the 1x/3x/10x datapoint;
+    // the compacted/asof variants share the append path's plan shape.
+    "sim_clusters_stats",
+    "stream_cluster_append",
+    "sim_clusters_deleted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,15 @@ object Pca {
     val d = sums.length
     require(d > 0, "empty embedding corpus")
     val n = sums.head.getLong(1)
+    // totality guard (the repo convention): a ragged or null embedding
+    // would leave some dimensions with fewer samples, silently
+    // mis-scaling their means if n were taken from an arbitrary
+    // dimension — fail loudly instead.
+    sums.foreach { r =>
+      require(r.getLong(1) == n,
+        s"ragged embedding corpus: dimension ${r.getInt(0)} has " +
+          s"${r.getLong(1)} values, dimension ${sums.head.getInt(0)} has $n")
+    }
     val mean = Array.ofDim[Double](d)
     sums.foreach { r =>
       mean(r.getInt(0)) = r.getDecimal(2).doubleValue() / n

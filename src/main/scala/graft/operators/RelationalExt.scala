@@ -1117,11 +1117,15 @@ object RelationalExt {
     * layout; writing the files is then `orderBy(zv)` at insert.
     *
     * Grid rule: each dimension scales onto the 2^[[ZGridBits]]-cell
-    * grid as floor(x·2^g / (max+1)) — a min-is-zero range map whose
-    * double division is IEEE-identical in both engines (the range-rank
-    * a production writer would precompute, collapsed to one scalar agg
-    * because both dims here start at 0). One scan, one broadcast of the
-    * 1-row maxes, one shuffle on (layout, bucket), two aggregate rows
+    * grid as floor((x−min)·2^g / (max−min+1)) — a full min/max range
+    * map whose double division is IEEE-identical in both engines (the
+    * range-rank a production writer would precompute, collapsed to one
+    * scalar agg). Mapping from the OBSERVED minimum rather than an
+    * assumed zero matters for correctness, not just coverage: a
+    * negative coordinate (an order predating the date epoch) would
+    * produce a negative grid cell whose arithmetic right-shift silently
+    * corrupts the Morton interleave. One scan, one broadcast of the
+    * 1-row bounds, one shuffle on (layout, bucket), two aggregate rows
     * out; the final averages are single divisions of exact longs. */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val cells = 1 << ZGridBits
@@ -1129,11 +1133,13 @@ object RelationalExt {
       col("o_custkey").cast("long").as("ck"),
       datediff(col("o_orderdate").cast("date"),
         lit("1995-01-01").cast("date")).cast("long").as("dd"))
-    val maxes = base.agg(max(col("ck")).as("mck"), max(col("dd")).as("mdd"))
-    def cell(x: Column, mx: Column): Column =
-      floor(x.cast("double") * cells / (mx.cast("double") + 1.0)).cast("long")
-    val zx = cell(col("ck"), col("mck"))
-    val zy = cell(col("dd"), col("mdd"))
+    val maxes = base.agg(max(col("ck")).as("mck"), max(col("dd")).as("mdd"),
+      min(col("ck")).as("nck"), min(col("dd")).as("ndd"))
+    def cell(x: Column, mn: Column, mx: Column): Column =
+      floor((x - mn).cast("double") * cells
+        / ((mx - mn).cast("double") + 1.0)).cast("long")
+    val zx = cell(col("ck"), col("nck"), col("mck"))
+    val zy = cell(col("dd"), col("ndd"), col("mdd"))
     val tagged = base.crossJoin(broadcast(maxes))
       .select(col("ck"), col("dd"),
         zInterleave(zx, zy).as("zv"),
@@ -1170,12 +1176,13 @@ object RelationalExt {
        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
        |      AS BIGINT) AS dd
        |  FROM orders),
-       |m AS (SELECT MAX(ck) AS mck, MAX(dd) AS mdd FROM b),
+       |m AS (SELECT MAX(ck) AS mck, MAX(dd) AS mdd,
+       |    MIN(ck) AS nck, MIN(dd) AS ndd FROM b),
        |g AS (SELECT ck, dd,
-       |    CAST(floor(CAST(ck AS DOUBLE) * $cells / (CAST(mck AS DOUBLE) + 1.0))
-       |      AS BIGINT) AS zx,
-       |    CAST(floor(CAST(dd AS DOUBLE) * $cells / (CAST(mdd AS DOUBLE) + 1.0))
-       |      AS BIGINT) AS zy
+       |    CAST(floor(CAST(ck - nck AS DOUBLE) * $cells
+       |      / (CAST(mck - nck AS DOUBLE) + 1.0)) AS BIGINT) AS zx,
+       |    CAST(floor(CAST(dd - ndd AS DOUBLE) * $cells
+       |      / (CAST(mdd - ndd AS DOUBLE) + 1.0)) AS BIGINT) AS zy
        |  FROM b, m),
        |z AS (SELECT ck, dd, ($zSum) AS zv, ((zx << $ZGridBits) + zy) AS lv
        |  FROM g),
@@ -1319,6 +1326,13 @@ object RelationalExt {
     val std = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
       .cast("double") / (col("n") * col("n")).cast("double"))
     hourly.join(broadcast(mom), "event_type")
+      // degenerate-variance guard (the corr family's convention): a type
+      // whose hourly counts are all equal has integer variance 0 exactly
+      // — dividing would emit NaN/±Inf z-scores whose ordering semantics
+      // differ between engines; such a type has no anomalous hours by
+      // definition, so it is excluded BEFORE the division on the exact
+      // integer moments.
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
       .select(col("event_type"), col("window_start"), col("n_events"),
         ((col("n_events").cast("double") - mean) / std).as("z_score"))
       .filter(abs(col("z_score")) >= AnomalyZ)
@@ -1340,7 +1354,8 @@ object RelationalExt {
        |    / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
        |           / CAST(m.n * m.n AS DOUBLE)) AS z_score
        |FROM h JOIN m USING (event_type)
-       |WHERE abs((CAST(h.n_events AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+       |WHERE m.n * m.sxx - m.sx * m.sx > 0
+       |  AND abs((CAST(h.n_events AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
        |    / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
        |           / CAST(m.n * m.n AS DOUBLE))) >= $AnomalyZ
        |ORDER BY event_type, window_start""".stripMargin
