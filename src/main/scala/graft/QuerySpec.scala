@@ -6,15 +6,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are ANSI-SQL-expressible, an equivalent DuckDB SQL text for the driver's
   * differential oracle (column names must match the Spark output exactly —
   * the compare sorts columns by name before hashing).
+  *
+  * The oracle is a THUNK, not a string: most oracles are static texts, but
+  * the trained-artifact oracles (IVF centroids, the PCA mean/basis) inline
+  * literals that only exist after the query itself has trained — Verify runs
+  * every query BEFORE dumping `oracle_sql.json`, so a thunk evaluated at dump
+  * time sees the artifacts the run recorded ([[OracleLiterals]]). Static
+  * call sites are unchanged: `withOracle` takes the SQL by name.
   */
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[() => String])
 
 object QuerySpec {
   def withOracle(name: String, fn: (SparkSession, String) => DataFrame,
-      sql: String): QuerySpec = QuerySpec(name, fn, Some(sql))
+      sql: => String): QuerySpec = QuerySpec(name, fn, Some(() => sql))
   def rowsOnly(name: String, fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
+}
+
+/** Run-time-recorded SQL literals for trained-artifact oracles: a query that
+  * trains a deterministic artifact (k-means centroids, a PCA basis) records
+  * the artifact here as SQL literal text under its own key; the matching
+  * oracle thunk splices it in when `oracle_sql.json` is dumped — the
+  * seeded-hyperplane literal technique extended to artifacts that are pure
+  * functions of the corpus rather than of a seed. Keys are per-query, so
+  * concurrent or repeated runs of different queries cannot cross-pollute;
+  * re-recording (another Verify pass at a different scale factor) simply
+  * overwrites. */
+object OracleLiterals {
+  private val recorded = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def put(key: String, sqlLiteral: String): Unit = recorded(key) = sqlLiteral
+
+  /** The recorded literal; throws if the query has not run in this JVM —
+    * [[SparkEntry.oracleSql]] degrades that single entry to a rows-only
+    * check instead of failing the dump. */
+  def get(key: String): String = recorded.getOrElse(key,
+    sys.error(s"oracle literal '$key' not recorded — the query must run " +
+      "before its oracle is dumped"))
+
+  /** Exact double → SQL literal: E-notation parses as DOUBLE in DuckDB
+    * (a bare decimal would round-trip through DECIMAL and drift ~1 ulp)
+    * and %.17e round-trips every double exactly. Locale.ROOT guards
+    * against comma-decimal locales. */
+  def d(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+
+  /** A list-of-doubles SQL literal. */
+  def vec(v: Seq[Double]): String = v.map(d).mkString("[", ", ", "]")
 }

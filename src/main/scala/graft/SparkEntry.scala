@@ -36,7 +36,21 @@ object SparkEntry {
     allSpecs.map(s => s.name -> s.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. Oracle
+    * thunks are evaluated HERE — after Verify has run the queries — so
+    * trained-artifact oracles see the literals their query recorded
+    * ([[OracleLiterals]]); a thunk that fails (its query did not run or
+    * threw) degrades that one entry to a rows-only check instead of
+    * taking down the whole dump. */
   def oracleSql: Map[String, String] =
-    allSpecs.collect { case QuerySpec(n, _, Some(sql)) => n -> sql }.toMap
+    allSpecs.flatMap {
+      case QuerySpec(n, _, Some(sql)) =>
+        scala.util.Try(sql()) match {
+          case scala.util.Success(s) => Some(n -> s)
+          case scala.util.Failure(e) =>
+            System.err.println(s"[oracle] $n: ${e.getMessage}")
+            None
+        }
+      case _ => None
+    }.toMap
 }

@@ -1258,7 +1258,7 @@ object Dedup {
     // Ingest-time twin: per-doc winnowing against the frozen droplist
     // and eval set is batch-boundary invariant — one oracle text.
     QuerySpec("stream_winnow_decon", streamWinnowDeconQuery,
-      Some(winnowDeconOracleSql)),
+      Some(() => winnowDeconOracleSql)),
     // Joint components: both pair streams' oracle CTEs side by side (no
     // name collision — w/sh/cnt/inter/jp vs planes/dots/buckets/salted/
     // cand/pair_scores), edges unioned before the same recursive CC.

@@ -181,10 +181,11 @@ object EmbeddingOps {
         col("dup_of").isNotNull.cast("long").as("is_dup"))
   }
 
-  /** Declared query — ROWS-ONLY: the codebook is trained from the data
-    * at query-build time (no static SQL replays it); the decision rule is
-    * pinned against an independent brute-force reimplementation in
-    * EmbeddingOpsSpec. */
+  /** Declared query — fully oracle-checked: the trained codebook is
+    * recorded as SQL literals ([[Similarity.learnCentroids]]), so DuckDB
+    * replays assignment, the salt split and the min-lower-id keeper rule
+    * bit-for-bit; the decision rule is additionally pinned against an
+    * independent brute-force reimplementation in EmbeddingOpsSpec. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     semDedupOn(emb, Similarity.learnCentroids(emb)).orderBy(col("vec_id"))
@@ -695,5 +696,23 @@ object EmbeddingOps {
         |  CAST(MIN(n_dims) AS BIGINT) AS min_dims,
         |  CAST(MAX(n_dims) AS BIGINT) AS max_dims
         |FROM v GROUP BY label ORDER BY label""".stripMargin),
-    rowsOnly("sim_semdedup", semDedup))
+    withOracle("sim_semdedup", semDedup,
+      s"""WITH ${Similarity.ivfAssignCtes},
+         |sal AS (SELECT a.vec_id, a.cell,
+         |    a.vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY a.cell)
+         |      / $SemDedupCellCap.0) AS BIGINT) AS salt
+         |  FROM assigned a),
+         |dup AS (SELECT b.vec_id AS vec_b, MIN(a.vec_id) AS dup_of
+         |  FROM sal a
+         |  JOIN sal b ON b.cell = a.cell AND b.salt = a.salt
+         |    AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${Similarity.cosSql("ea.embedding", "eb.embedding")}
+         |    >= $SemDedupThreshold
+         |  GROUP BY 1)
+         |SELECT s.vec_id, s.cell, COALESCE(d.dup_of, s.vec_id) AS keeper,
+         |  CAST(d.dup_of IS NOT NULL AS BIGINT) AS is_dup
+         |FROM sal s LEFT JOIN dup d ON d.vec_b = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin))
 }

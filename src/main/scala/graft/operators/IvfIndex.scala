@@ -162,10 +162,10 @@ object IvfIndex {
     * then answer the standard query set from the persisted state. Same
     * centroids, probes and scoring as [[Similarity.topKIvf]] (pinned equal
     * in IvfIndexSpec), but every byte of index state round-trips through
-    * parquet — the serving lifecycle, not the analytic one. ROWS-ONLY:
-    * centroids are trained from the data at build time, so no static SQL
-    * reproduces them; equality with the transient path plus its recall pin
-    * carry the correctness argument. */
+    * parquet — the serving lifecycle, not the analytic one. Fully
+    * oracle-checked: build() records the frozen centroids as SQL literals
+    * at train time, so the DuckDB oracle replays assignment, probes and
+    * the exact rerank bit-for-bit. */
   def topKIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val idx = TempDirs.scoped("graft_ivfidx")
     build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), idx)
@@ -186,8 +186,8 @@ object IvfIndex {
     * returned; everything else ranks exactly as it would in an index
     * rebuilt without them (pinned in IvfIndexSpec, along with
     * compaction-folds-tombstones and replayed-delete idempotence).
-    * ROWS-ONLY: data-trained centroids, like every persisted-index
-    * query. */
+    * Fully oracle-checked: recorded-centroid replay plus the deleteSet
+    * rule on the oracle's candidate side. */
   def topKIvfDeleted(s: SparkSession, dir: String): DataFrame = {
     val idx = TempDirs.scoped("graft_ivfdel")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -203,8 +203,9 @@ object IvfIndex {
     * standard query set AS OF slice 0 — the pre-delete state, exactly what
     * [[topKIvfPersisted]] serves on an untouched index (pinned in
     * TombstoneSpec, along with append-exclusion and loud failure once
-    * compaction crosses the snapshot). ROWS-ONLY: data-trained
-    * centroids. */
+    * compaction crosses the snapshot). Fully oracle-checked via the
+    * recorded-centroid replay (the pre-delete snapshot is the persisted
+    * text verbatim). */
   def topKIvfAsOf(s: SparkSession, dir: String): DataFrame = {
     val idx = TempDirs.scoped("graft_ivfasof")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -293,8 +294,8 @@ object IvfIndex {
     * restarts. The drained index answers the standard query set
     * identically to the batch-built [[topKIvfPersisted]] (same frozen
     * centroids ⇒ same assignments ⇒ same postings set; pinned in
-    * IvfIndexSpec, including a manual two-batch split). ROWS-ONLY
-    * (data-trained centroids). */
+    * IvfIndexSpec, including a manual two-batch split). Fully
+    * oracle-checked via the recorded-centroid replay. */
   def streamIvfAppendQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -333,9 +334,20 @@ object IvfIndex {
          |  CAST(SUM(CASE WHEN vec_id >= ${Similarity.NumQueryVectors}
          |    AND vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
          |FROM embeddings""".stripMargin),
-    rowsOnly("sim_topk_ivf_persisted", topKIvfPersisted),
-    rowsOnly("sim_topk_ivf_deleted", topKIvfDeleted),
-    rowsOnly("sim_topk_ivf_asof", topKIvfAsOf),
-    rowsOnly("stream_ann_serve", streamAnnServeQuery),
-    rowsOnly("stream_ivf_index_append", streamIvfAppendQuery))
+    // Full differential oracles (VERDICT r13 #4): build() records the
+    // frozen centroids as SQL literals at train time, and the persisted
+    // lifecycle replays in SQL — same text as the transient sim_topk_ivf
+    // for build/as-of/serve/append (they are pinned equal by design:
+    // frozen centroids => same assignments => same postings), plus the
+    // deleteSet tombstone rule on the candidate side for the delete verb.
+    withOracle("sim_topk_ivf_persisted", topKIvfPersisted,
+      Similarity.ivfTopKOracleSql()),
+    withOracle("sim_topk_ivf_deleted", topKIvfDeleted,
+      Similarity.ivfTopKOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
+    withOracle("sim_topk_ivf_asof", topKIvfAsOf,
+      Similarity.ivfTopKOracleSql()),
+    withOracle("stream_ann_serve", streamAnnServeQuery,
+      Similarity.ivfTopKOracleSql()),
+    withOracle("stream_ivf_index_append", streamIvfAppendQuery,
+      Similarity.ivfTopKOracleSql()))
 }

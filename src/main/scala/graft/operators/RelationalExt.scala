@@ -1579,7 +1579,7 @@ object RelationalExt {
     // are a monoid, so any batching reproduces the exact statistics and
     // the one oracle text covers both.
     graft.QuerySpec("stream_agg_corr", streamAggCorrQuery,
-      Some(corrOracleSql)),
+      Some(() => corrOracleSql)),
     withOracle("rel_percentile", percentiles,
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

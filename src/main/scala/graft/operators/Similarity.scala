@@ -764,8 +764,79 @@ object Similarity {
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
-    centroids.map(_.map(_.toFloat)).toSeq
+    val frozen = centroids.map(_.map(_.toFloat)).toSeq
+    // Record the frozen centroids as SQL literals for the IVF oracles
+    // (the seeded-planes technique applied to a trained artifact): every
+    // production caller trains on the full embeddings frame of the dir
+    // under verification, so the recorded value is identical whichever
+    // declared query trained last, and the oracle thunks splice it in
+    // when oracle_sql.json is dumped — after the queries ran. Stored as
+    // the float values widened to double (%.17e round-trips exactly),
+    // the same widening the codegen cosine kernel applies.
+    graft.OracleLiterals.put(IvfCentroidsKey,
+      frozen.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(f => graft.OracleLiterals.d(f.toDouble)).mkString(", ")}])"
+      }.mkString(",\n    "))
+    frozen
   }
+
+  /** [[graft.OracleLiterals]] key of the frozen IVF centroids. */
+  private[operators] val IvfCentroidsKey = "ivf_centroids"
+
+  /** Oracle CTEs replaying the IVF candidate pipeline against the
+    * recorded centroids: per-(vector, cell) cosine ranks (`arank` is the
+    * SQL twin of [[rankedCells]]), the pr=1 cell assignment, the query
+    * probe set up to `maxProbes` cells, the probed candidate pairs
+    * (`exclude` appends a predicate on the candidate side — the delete
+    * lifecycle's tombstone rule), and the exact rerank scores. Evaluated
+    * lazily (oracle thunks) so [[graft.OracleLiterals]] is populated. */
+  /** The recorded-centroid assignment CTEs alone (`arank`/`assigned`) —
+    * the prefix shared by the probed-scoring pipeline and the semantic
+    * dedup oracle, which buckets by assignment cell without probing. */
+  private[graft] def ivfAssignCtes: String =
+    s"""cents(cell, cv) AS (VALUES
+       |    ${graft.OracleLiterals.get(IvfCentroidsKey)}),
+       |ac AS (SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
+       |  FROM embeddings e, cents c),
+       |arank AS (SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cell ASC) AS pr
+       |  FROM ac),
+       |assigned AS (SELECT vec_id, cell FROM arank WHERE pr = 1)""".stripMargin
+
+  private[graft] def ivfScoredCtes(maxProbes: Int = IvfProbes,
+      exclude: String = ""): String =
+    s"""$ivfAssignCtes,
+       |iprobes AS (SELECT vec_id AS query_id, cell, pr AS cell_rank
+       |  FROM arank
+       |  WHERE vec_id < $NumQueryVectors AND pr <= $maxProbes),
+       |icand AS (SELECT p.query_id, a.vec_id, p.cell_rank FROM iprobes p
+       |  JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.query_id$exclude),
+       |scored AS (SELECT c.query_id, c.vec_id, c.cell_rank,
+       |    ${cosSql("q.embedding", "v.embedding")} AS score
+       |  FROM icand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings v ON v.vec_id = c.vec_id)""".stripMargin
+
+  /** The IVF top-k oracle text — shared (via thunks) by the transient
+    * query, the persisted lifecycle (build/as-of/serve/append twins are
+    * pinned equal to it), and, with the tombstone exclusion, the delete
+    * verb. */
+  private[graft] def ivfTopKOracleSql(exclude: String = ""): String =
+    s"""WITH ${ivfScoredCtes(exclude = exclude)}
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** The delete lifecycle's candidate-side tombstone rule as SQL — the
+    * [[IvfIndex.deleteSet]] predicate negated. */
+  private[graft] def ivfDeleteExcludeSql: String =
+    s"""
+       |    AND NOT (a.vec_id >= $NumQueryVectors AND a.vec_id % 7 = 3)""".stripMargin
 
   /** Per-(vector, cell) centroid cosine with each cell's per-vector rank
     * (`pr` = 1 is the assignment cell; `pr <= IvfProbes` are a query's
@@ -797,9 +868,9 @@ object Similarity {
     * dimension is a tiny literal table crossed against the per-(query,
     * cell-rank) candidates, so Spark plans a single scan + one window per
     * budget level — never a per-budget rescan of the corpus; recall is a
-    * ratio of integer hit counts. Rows-only (data-trained centroids);
-    * `SimilaritySpec` pins monotone non-decreasing recall and agreement
-    * with [[topKIvf]] at the deployed budget. */
+    * ratio of integer hit counts. Fully oracle-checked (recorded-centroid
+    * replay); `SimilaritySpec` pins monotone non-decreasing recall and
+    * agreement with [[topKIvf]] at the deployed budget. */
   def probeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -870,9 +941,9 @@ object Similarity {
     * O(probed-cell population) at the usual IVF recall trade (vectors
     * inside the radius but outside the probed cells are missed —
     * recall-pinned against the exact twin in `SimilaritySpec`). Same
-    * trained-centroid assignment as [[topKIvf]] (rows-only for the same
-    * reason); the radius predicate replaces the rank window, so the
-    * probe join needs no per-query state at all. */
+    * trained-centroid assignment as [[topKIvf]] (and the same recorded-
+    * centroid oracle replay); the radius predicate replaces the rank
+    * window, so the probe join needs no per-query state at all. */
   def rangeSearchIvf(s: SparkSession, dir: String): DataFrame =
     ivfProbedScores(s, dir)
       .filter(col("score") >= RangeThreshold)
@@ -1660,18 +1731,13 @@ object Similarity {
        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
        |  FROM comp GROUP BY 1)""".stripMargin
 
-  /** The hybrid oracle's full SQL text, shared verbatim by the batch
-    * query and its streaming serve twin (the stream_lm_score convention:
-    * per-query serving against frozen state is batch-boundary invariant,
-    * so one SQL text covers both). */
-  private val hybridOracleSql: String =
-    s"""WITH v AS (SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
-         |          c.vec_id ASC) AS BIGINT) AS rank
-         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rank <= $TopK),
+  /** The hybrid oracle's lexical-arm + fusion tail over a `v` CTE of
+    * (query_id, cand_id, rank_vec) — ONE text behind the exact hybrid,
+    * its streaming serve twin, and the IVF-armed production form, so the
+    * fusion rule cannot drift between candidate generators. `prefix`
+    * carries the IVF variant's centroid/assignment CTEs. */
+  private def hybridOracleFrom(prefix: String, vArm: String): String =
+    s"""WITH ${prefix}v AS ($vArm),
          |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT DISTINCT doc_id,
          |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
@@ -1700,47 +1766,40 @@ object Similarity {
          |  FROM f) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  import graft.QuerySpec.{rowsOnly, withOracle}
+  /** The exact hybrid's vector arm (per-query corpus scan). */
+  private def hybridExactVArmSql: String =
+    s"""SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id ASC) AS BIGINT) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < $NumQueryVectors) t WHERE rank <= $TopK""".stripMargin
 
-  val specs: Seq[QuerySpec] = Seq(
-    withOracle("sim_hard_negatives", hardNegatives,
-      s"""SELECT query_id, rank, vec_id, score FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |    ${cosSql("q.embedding", "c.embedding")} AS score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $NumQueryVectors
-         |    AND ${cosSql("q.embedding", "c.embedding")} < $NearDupThreshold)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
-    withOracle("sim_topk_cosine", topKExact,
-      s"""SELECT query_id, rank, vec_id, score FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |    ${cosSql("q.embedding", "c.embedding")} AS score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $NumQueryVectors)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
-    // The greedy replayed as a recursive CTE: the working table carries
-    // one row per query (the last pick + the selected-id list); each step
-    // re-scores the remaining pool against MAX sim-to-selected and keeps
-    // the argmax. λ and its complement ship as E-notation literals so
-    // DuckDB parses the exact doubles the Scala greedy multiplies by.
-    withOracle("sim_mmr_rerank", mmrRerank, {
-      def d(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
-      s"""WITH RECURSIVE cand AS (
-         |  SELECT query_id, vec_id, rel, embedding FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |      ${cosSql("q.embedding", "c.embedding")} AS rel,
-         |      c.embedding AS embedding,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
-         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id < $NumQueryVectors) t
-         |  WHERE rn <= $MmrCandidates),
+  /** The hybrid oracle's full SQL text, shared verbatim by the batch
+    * query and its streaming serve twin (the stream_lm_score convention:
+    * per-query serving against frozen state is batch-boundary invariant,
+    * so one SQL text covers both). */
+  private def hybridOracleSql: String =
+    hybridOracleFrom("", hybridExactVArmSql)
+
+  /** The IVF-armed hybrid's oracle: the vector arm ranks the recorded-
+    * centroid probed scores; lexical arm and RRF fusion are the shared
+    * tail verbatim. */
+  /** The MMR greedy's recursive-CTE oracle over ANY `cand` CTE body of
+    * (query_id, vec_id, rel, embedding) rows — the SQL twin of
+    * [[mmrGreedy]]'s pluggable-candidate design, one recursion text
+    * behind the exact-pool and IVF-pool variants. λ and its complement
+    * ship as E-notation literals so DuckDB parses the exact doubles the
+    * Scala greedy multiplies by; `prefix` carries the IVF variant's
+    * recorded-centroid CTEs. */
+  private def mmrOracleFrom(prefix: String, candBody: String): String = {
+    def d(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+    s"""WITH RECURSIVE ${prefix}cand AS (
+         |  $candBody),
          |sim AS (
+
          |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
          |    ${cosSql("a.embedding", "b.embedding")} AS s
          |  FROM cand a JOIN cand b
@@ -1773,7 +1832,54 @@ object Similarity {
          |  WHERE rn = 1)
          |SELECT query_id, rank, vec_id, rel AS rel_score, mmr_score
          |FROM mmr ORDER BY query_id, rank""".stripMargin
-    }),
+  }
+
+  private def hybridIvfOracleSql: String =
+    hybridOracleFrom(s"${ivfScoredCtes()},\n",
+      s"""SELECT query_id, vec_id AS cand_id, rank AS rank_vec FROM (
+         |    SELECT query_id, vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+         |    FROM scored) t WHERE rank <= $TopK""".stripMargin)
+
+  import graft.QuerySpec.{rowsOnly, withOracle}
+
+  val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_hard_negatives", hardNegatives,
+      s"""SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors
+         |    AND ${cosSql("q.embedding", "c.embedding")} < $NearDupThreshold)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_topk_cosine", topKExact,
+      s"""SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS BIGINT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    // The greedy replayed as a recursive CTE: the working table carries
+    // one row per query (the last pick + the selected-id list); each step
+    // re-scores the remaining pool against MAX sim-to-selected and keeps
+    // the argmax. λ and its complement ship as E-notation literals so
+    // DuckDB parses the exact doubles the Scala greedy multiplies by.
+    withOracle("sim_mmr_rerank", mmrRerank, mmrOracleFrom("",
+      s"""SELECT query_id, vec_id, rel, embedding FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS rel,
+         |      c.embedding AS embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NumQueryVectors) t
+         |  WHERE rn <= $MmrCandidates""".stripMargin)),
+
     withOracle("sim_topk_filtered", topKFiltered,
       s"""SELECT query_id, rank, vec_id, source, score FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, d.source,
@@ -1870,7 +1976,7 @@ object Similarity {
     // hybridOver is per-query against a static corpus, so drained output
     // equals the batch rows and one SQL text cannot drift across the pair.
     QuerySpec("stream_hybrid_serve", streamHybridServeQuery,
-      Some(hybridOracleSql)),
+      Some(() => hybridOracleSql)),
     // Radius verb: the exact brute-force replay, no window needed.
     withOracle("sim_range_search", rangeSearch,
       s"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -1922,11 +2028,45 @@ object Similarity {
          |${recallTailSql("mp")}""".stripMargin),
     // IVF stays rows-only: its centroids are trained from the data at
     // query-build time, so no static SQL text can reproduce them.
-    rowsOnly("sim_topk_ivf", topKIvf),
-    rowsOnly("sim_range_ivf", rangeSearchIvf),
-    rowsOnly("sim_hybrid_ivf", hybridRetrieveIvf),
-    rowsOnly("sim_mmr_ivf", mmrRerankIvf),
-    rowsOnly("sim_probe_sweep", probeSweep),
+    // Full differential oracles for the trained-centroid tier (VERDICT
+    // r13 #4): the query run records the frozen centroids as SQL
+    // literals (learnCentroids), the thunk-evaluated oracle replays
+    // assignment, probing and the exact rerank — the seeded-planes
+    // technique extended to a data-trained artifact.
+    withOracle("sim_topk_ivf", topKIvf, ivfTopKOracleSql()),
+    withOracle("sim_range_ivf", rangeSearchIvf,
+      s"""WITH ${ivfScoredCtes()}
+         |SELECT query_id, vec_id, score FROM scored
+         |WHERE score >= $RangeThreshold
+         |ORDER BY query_id, vec_id""".stripMargin),
+    withOracle("sim_hybrid_ivf", hybridRetrieveIvf, hybridIvfOracleSql),
+    withOracle("sim_mmr_ivf", mmrRerankIvf, mmrOracleFrom(
+      s"${ivfScoredCtes()},\n",
+      s"""SELECT query_id, vec_id, rel, embedding FROM (
+         |    SELECT s.query_id, s.vec_id, s.score AS rel, v.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |        ORDER BY s.score DESC, s.vec_id ASC) AS rn
+         |    FROM scored s JOIN embeddings v ON v.vec_id = s.vec_id) t
+         |  WHERE rn <= $MmrCandidates""".stripMargin)),
+    withOracle("sim_probe_sweep", probeSweep,
+      s"""WITH ${ivfScoredCtes(maxProbes = 2 * IvfProbes)},
+         |$exactTopKCteSql,
+         |budgets AS (SELECT UNNEST(generate_series(1, ${2 * IvfProbes}))
+         |  AS probes),
+         |branked AS (SELECT b.probes, s.query_id, s.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id, b.probes
+         |      ORDER BY s.score DESC, s.vec_id ASC) AS rank
+         |  FROM scored s JOIN budgets b ON s.cell_rank <= b.probes),
+         |itop AS (SELECT probes, query_id, vec_id FROM branked
+         |  WHERE rank <= $TopK)
+         |SELECT probes, n_hits,
+         |  CAST(n_hits AS DOUBLE) / ${NumQueryVectors * TopK} AS recall_at_k
+         |FROM (
+         |  SELECT i.probes, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM itop i JOIN ex e
+         |    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+         |  GROUP BY 1) t
+         |ORDER BY probes""".stripMargin),
     // PQ codebooks are likewise trained from the data at query-build
     // time — rows-only here; recall pinned against exact in SimilaritySpec.
     rowsOnly("sim_topk_pq", topKPq))
