@@ -658,8 +658,120 @@ object GraftExpressions {
         foldableIntArg("shingle_strings", exprs(1))), "scala_udf")
   }
 
+  /** Centered projection of a float-array vector onto a fixed double
+    * basis: out[c] = Σ_i (x_i − mean_i) · basis_c_i, sequential fold in
+    * dimension order — the codegen replacement for the interpreted
+    * `transform`/`zip_with`/`aggregate` HOF chain the PCA tier started
+    * with (~basis·dim interpreted ops per row; the chain was the one
+    * non-codegen hot path left in the serving tiers). The fold order and
+    * grouping match the HOF formulation AND the DuckDB list-fold SQL, so
+    * projections are bit-identical across all three (property-tested in
+    * KernelSpec). */
+  case class PcaProject(child: Expression, mean: Array[Double],
+      basis: Array[Array[Double]]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pca_project"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = math.min(v.numElements(), mean.length)
+      val out = new Array[Double](basis.length)
+      var c = 0
+      while (c < basis.length) {
+        val b = basis(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dim && i < b.length) {
+          acc += (v.getFloat(i).toDouble - mean(i)) * b(i)
+          i += 1
+        }
+        out(c) = acc
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val mRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+        val bRef = ctx.addReferenceObj("pcaBasis", basis, "double[][]")
+        val out = ctx.freshName("out")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val b = ctx.freshName("b")
+        val dim = ctx.freshName("dim")
+        s"""
+           |int $dim = Math.min($v.numElements(), $mRef.length);
+           |double[] $out = new double[$bRef.length];
+           |for (int $c = 0; $c < $bRef.length; $c++) {
+           |  double[] $b = $bRef[$c];
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $dim && $i < $b.length; $i++) {
+           |    $acc += ((double) $v.getFloat($i) - $mRef[$i]) * $b[$i];
+           |  }
+           |  $out[$c] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Squared norm of the mean-centered vector: Σ_i (x_i − mean_i)² —
+    * the reconstruction-error companion of [[PcaProject]], same
+    * sequential fold discipline. */
+  case class CenteredNormSq(child: Expression, mean: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "centered_norm_sq"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = math.min(v.numElements(), mean.length)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = v.getFloat(i).toDouble - mean(i)
+        acc += x * x
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val mRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val x = ctx.freshName("x")
+        val dim = ctx.freshName("dim")
+        s"""
+           |int $dim = Math.min($v.numElements(), $mRef.length);
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $dim; $i++) {
+           |  double $x = (double) $v.getFloat($i) - $mRef[$i];
+           |  $acc += $x * $x;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def cosineFast(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  def pcaProject(v: Column, mean: Array[Double],
+      basis: Array[Array[Double]]): Column =
+    column(PcaProject(expression(v), mean, basis))
+
+  def centeredNormSq(v: Column, mean: Array[Double]): Column =
+    column(CenteredNormSq(expression(v), mean))
 
   def minhashBands(baseHashes: Column, as: Array[Long], bs: Array[Long],
       prime: Long, bands: Int): Column =

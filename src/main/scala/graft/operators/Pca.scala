@@ -167,14 +167,94 @@ object Pca {
   }
 
   /** The trained basis for a directory's embeddings: (n, mean, evals,
-    * top-[[PcaDims]] eigenvectors). */
+    * top-[[PcaDims]] eigenvectors). Records the (mean, basis) as SQL
+    * literals ([[graft.OracleLiterals]]) so the projection oracles —
+    * dumped after the queries ran — replay the exact trained artifact
+    * (the recorded-centroid technique of the IVF tier): the moments are
+    * DECIMAL-exact and the Jacobi deterministic, so every caller records
+    * the identical value. */
   private[graft] def trainBasis(s: SparkSession, dir: String)
       : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val (n, mean, gram) = moments(emb)
     val (evals, evecs) = jacobiEigen(covariance(n, mean, gram))
-    (n, mean, evals, evecs.take(PcaDims))
+    val basis = evecs.take(PcaDims)
+    graft.OracleLiterals.put(PcaMeanKey, graft.OracleLiterals.vec(mean.toSeq))
+    graft.OracleLiterals.put(PcaBasisKey,
+      basis.zipWithIndex.map { case (b, c) =>
+        s"($c, ${graft.OracleLiterals.vec(b.toSeq)})"
+      }.mkString(",\n    "))
+    (n, mean, evals, basis)
   }
+
+  private[operators] val PcaMeanKey = "pca_mean"
+  private[operators] val PcaBasisKey = "pca_basis"
+
+  /** Oracle CTEs replaying the projection against the recorded artifact:
+    * per-(vector, component) centered dots (`yc` — the SQL twin of the
+    * [[graft.functions.GraftExpressions.PcaProject]] kernel, same
+    * sequential fold), the component-ordered projection list, and the
+    * centered squared norm. */
+  private def pcaProjCtes: String =
+    s"""mu(mv) AS (VALUES (${graft.OracleLiterals.get(PcaMeanKey)})),
+       |bas(component, bv) AS (VALUES
+       |    ${graft.OracleLiterals.get(PcaBasisKey)}),
+       |yc AS (SELECT e.vec_id, b.component,
+       |    list_sum(list_transform(list_zip(e.embedding, mu.mv, b.bv),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * p[3])) AS y
+       |  FROM embeddings e, mu, bas b),
+       |proj AS (SELECT vec_id, list(y ORDER BY component ASC) AS pv
+       |  FROM yc GROUP BY vec_id)""".stripMargin
+
+  private def pcaProjectOracleSql: String =
+    s"""WITH $pcaProjCtes,
+       |cns AS (SELECT e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, mu.mv),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2])
+       |        * (CAST(p[1] AS DOUBLE) - p[2]))) AS c
+       |  FROM embeddings e, mu)
+       |SELECT p.vec_id, CAST($PcaDims AS BIGINT) AS n_components,
+       |  array_to_string(list_transform(p.pv,
+       |    y -> CAST(CAST(ROUND(y * 1e6) AS BIGINT) AS VARCHAR)), ',')
+       |    AS projection_micros,
+       |  sqrt(greatest(c.c
+       |    - list_sum(list_transform(p.pv, y -> y * y)),
+       |    CAST(0 AS DOUBLE))) AS recon_err
+       |FROM proj p JOIN cns c ON c.vec_id = p.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+
+  private def topKPcaOracleCtes: String =
+    s"""$pcaProjCtes,
+       |qp AS (SELECT vec_id AS query_id, pv AS qpv FROM proj
+       |  WHERE vec_id < ${Similarity.NumQueryVectors}),
+       |sl AS (SELECT query_id, vec_id, proj_score FROM (
+       |    SELECT q.query_id, p.vec_id,
+       |      ${Similarity.cosSql("q.qpv", "p.pv")} AS proj_score,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${Similarity.cosSql("q.qpv", "p.pv")} DESC,
+       |          p.vec_id ASC) AS prank
+       |    FROM proj p JOIN qp q ON p.vec_id <> q.query_id) t
+       |  WHERE prank <= ${EmbeddingOps.MatryoshkaShortlist}),
+       |pk AS (SELECT query_id, rank, vec_id, proj_score, score FROM (
+       |    SELECT s.query_id, s.vec_id, s.proj_score,
+       |      ${Similarity.cosSql("qe.embedding", "ve.embedding")} AS score,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY ${Similarity.cosSql("qe.embedding", "ve.embedding")}
+       |          DESC, s.vec_id ASC) AS BIGINT) AS rank
+       |    FROM sl s
+       |    JOIN embeddings qe ON qe.vec_id = s.query_id
+       |    JOIN embeddings ve ON ve.vec_id = s.vec_id) t
+       |  WHERE rank <= ${Similarity.TopK})""".stripMargin
+
+  private def topKPcaOracleSql: String =
+    s"""WITH $topKPcaOracleCtes
+       |SELECT query_id, rank, vec_id, proj_score, score FROM pk
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def pcaRecallOracleSql: String =
+    s"""WITH $topKPcaOracleCtes,
+       |${Similarity.exactTopKCteSql},
+       |${Similarity.recallTailSql("pk")}""".stripMargin
 
   /** Declared query — the VARIANCE LADDER: per component, eigenvalue,
     * variance share, and the cumulative share — the table a corpus
@@ -195,17 +275,16 @@ object Pca {
   }
 
   /** Column expression: project an embedding onto a broadcast basis —
-    * centered dot per component, emitted as an array. */
+    * centered dot per component, emitted as an array. Codegen kernel
+    * ([[graft.functions.GraftExpressions.PcaProject]]): the original
+    * `transform`/`zip_with`/`aggregate` HOF chain evaluated interpreted
+    * at ~basis·dim ops per row (the measured reason `moments` chose
+    * generators over HOFs); the kernel runs the identical sequential
+    * fold inside whole-stage codegen, bit-identical results (pinned in
+    * KernelSpec against the HOF formulation). */
   private def projectCol(mean: Array[Double],
-      basis: Array[Array[Double]]) = {
-    val centered = transform(col("embedding"), (x, i) =>
-      x.cast("double") - element_at(lit(mean), i + 1))
-    array(basis.map { comp =>
-      aggregate(
-        zip_with(centered, lit(comp), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-  }
+      basis: Array[Array[Double]]) =
+    graft.functions.GraftExpressions.pcaProject(col("embedding"), mean, basis)
 
   /** Declared query — per-vector projection onto the top components
     * plus the reconstruction error, the per-row audit of what the
@@ -223,18 +302,23 @@ object Pca {
   private[graft] def projectOver(emb: DataFrame, mean: Array[Double],
       basis: Array[Array[Double]]): DataFrame = {
     val proj = projectCol(mean, basis)
-    val centered = transform(col("embedding"), (x, i) =>
-      x.cast("double") - element_at(lit(mean), i + 1))
-    val centeredNormSq = aggregate(
-      transform(centered, x => x * x), lit(0.0), (a, b) => a + b)
+    val centeredNormSq =
+      graft.functions.GraftExpressions.centeredNormSq(col("embedding"), mean)
+    // PcaDims elements — the HOF cost is negligible here, and the left
+    // fold matches the oracle's list_sum exactly
     val projNormSq = aggregate(
       transform(col("pca"), x => x * x), lit(0.0), (a, b) => a + b)
     emb.select(col("vec_id"), col("embedding"), proj.as("pca"),
         centeredNormSq.as("cns"))
       .select(col("vec_id"),
         lit(PcaDims).cast("long").as("n_components"),
+        // micro-unit integers, not %.6f strings: integer rounding is the
+        // engine-parity-proven representation (the cents() recipe) —
+        // printf tie-rounding is the one formatting semantics the two
+        // engines do not pin down identically
         concat_ws(",", transform(col("pca"),
-          x => format_string("%.6f", x))).as("projection"),
+          x => round(x * lit(1e6)).cast("long").cast("string")))
+          .as("projection_micros"),
         // Pythagoras on the orthonormal basis: residual = centered
         // norm² minus projected norm² (clamped at 0 for fp dust)
         sqrt(greatest(col("cns") - projNormSq, lit(0.0)))
@@ -323,12 +407,18 @@ object Pca {
     spark.read.parquet(s"$out/b*").orderBy(col("vec_id"))
   }
 
-  import QuerySpec.rowsOnly
+  import QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    // sim_pca_variance stays rows-only by design: its OUTPUT is the
+    // eigen-spectrum itself, so a recorded-literal oracle would only
+    // check serialization, not computation — PcaSpec's orthonormality /
+    // residual / trace pins are the real check. The other four replay
+    // the recorded (mean, basis) in SQL (VERDICT r13 #4).
     rowsOnly("sim_pca_variance", varianceQuery),
-    rowsOnly("sim_pca_project", projectQuery),
-    rowsOnly("sim_topk_pca", topKPcaQuery),
-    rowsOnly("sim_pca_recall", pcaRecallQuery),
-    rowsOnly("stream_pca_project", streamProjectQuery))
+    withOracle("sim_pca_project", projectQuery, pcaProjectOracleSql),
+    withOracle("sim_topk_pca", topKPcaQuery, topKPcaOracleSql),
+    withOracle("sim_pca_recall", pcaRecallQuery, pcaRecallOracleSql),
+    withOracle("stream_pca_project", streamProjectQuery,
+      pcaProjectOracleSql))
 }

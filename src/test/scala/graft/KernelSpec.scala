@@ -123,6 +123,32 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("PcaProject/CenteredNormSq equal the HOF projection chain") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f)))
+    val mean = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val basis = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("vec_id", "embedding")
+    val centered = transform(col("embedding"), (x, i) =>
+      x.cast("double") - element_at(lit(mean), i + 1))
+    val hofProj = array(basis.map { comp =>
+      aggregate(zip_with(centered, lit(comp), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val hofCns = aggregate(transform(centered, x => x * x),
+      lit(0.0), (a, b) => a + b)
+    val bad = df.select(
+        GraftExpressions.pcaProject(col("embedding"), mean, basis).as("fp"),
+        hofProj.as("rp"),
+        GraftExpressions.centeredNormSq(col("embedding"), mean).as("fc"),
+        hofCns.as("rc"))
+      .filter(col("fp") =!= col("rp") || col("fc") =!= col("rc"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("all custom expressions are callable from SQL text") {
     GraftExpressions.register(spark)
     Seq("a b c", "").toDF("t").createOrReplaceTempView("kernel_sql_v")
