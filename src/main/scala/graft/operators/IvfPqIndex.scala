@@ -208,10 +208,80 @@ object IvfPqIndex {
     topK(s, idx, queries, emb, asOf = 0L)
   }
 
-  import graft.QuerySpec.rowsOnly
+  import graft.QuerySpec.withOracle
+
+  /** Oracle CTEs replaying the residual-PQ lifecycle against the three
+    * recorded artifacts (IVF centroids, normalized-centroid geometry,
+    * residual codebooks): cell assignment and probe ranks come from the
+    * shared [[Similarity.ivfAssignCtes]] (`cs` is the ADC base offset),
+    * residual codes are the argmin over (v̂ − ĉ − cb) L2 distances (the
+    * [[graft.functions.GraftExpressions.PqEncodeResidual]] fold), the
+    * ADC is base + the s0-ordered LUT fold, cut at [[IvfPqRerank]], then
+    * the shared exact-rerank tail. `exclude` carries the delete verb's
+    * tombstone rule. */
+  private def ivfPqOracleSql(exclude: String = ""): String = {
+    val sub = s"(len(v.embedding) // ${Similarity.PqSubspaces})"
+    val qsub = s"(len(q.embedding) // ${Similarity.PqSubspaces})"
+    s"""WITH ${Similarity.ivfAssignCtes},
+       |ncents(ncell, ncv) AS (VALUES
+       |    ${graft.OracleLiterals.get(Similarity.IvfPqNCentsKey)}),
+       |rcb(s0, j, cv) AS (VALUES
+       |    ${graft.OracleLiterals.get(Similarity.IvfPqCodebooksKey)}),
+       |vn AS (SELECT vec_id, embedding,
+       |    CASE WHEN nrm = 0 THEN CAST(1 AS DOUBLE) ELSE nrm END AS n
+       |  FROM (SELECT vec_id, embedding,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) t),
+       |rdists AS (SELECT v.vec_id, b.s0, b.j,
+       |    list_sum(list_transform(list_zip(
+       |      v.embedding[b.s0 * $sub + 1 : (b.s0 + 1) * $sub],
+       |      nc.ncv[b.s0 * $sub + 1 : (b.s0 + 1) * $sub],
+       |      b.cv),
+       |      p -> (CAST(p[1] AS DOUBLE) / v.n - p[2] - p[3])
+       |        * (CAST(p[1] AS DOUBLE) / v.n - p[2] - p[3]))) AS d
+       |  FROM vn v
+       |  JOIN assigned asg ON asg.vec_id = v.vec_id
+       |  JOIN ncents nc ON nc.ncell = asg.cell
+       |  CROSS JOIN rcb b),
+       |rcodes AS (SELECT vec_id, s0, j FROM (
+       |    SELECT vec_id, s0, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s0
+       |      ORDER BY d ASC, j ASC) AS rn FROM rdists) t WHERE rn = 1),
+       |pprobes AS (SELECT vec_id AS query_id, cell, cs AS adc_base
+       |  FROM arank
+       |  WHERE vec_id < ${Similarity.NumQueryVectors} AND pr <= $IvfPqProbes),
+       |qlut AS (SELECT q.vec_id AS query_id, b.s0, b.j,
+       |    list_sum(list_transform(list_zip(
+       |      q.embedding[b.s0 * $qsub + 1 : (b.s0 + 1) * $qsub], b.cv),
+       |      p -> CAST(p[1] AS DOUBLE) / q.n * p[2])) AS l
+       |  FROM vn q CROSS JOIN rcb b
+       |  WHERE q.vec_id < ${Similarity.NumQueryVectors}),
+       |adcs AS (SELECT p.query_id, a.vec_id, p.adc_base,
+       |    list_sum(list(l.l ORDER BY l.s0 ASC)) AS lsum
+       |  FROM pprobes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id$exclude
+       |  JOIN rcodes c ON c.vec_id = a.vec_id
+       |  JOIN qlut l ON l.query_id = p.query_id
+       |    AND l.s0 = c.s0 AND l.j = c.j
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_base + lsum DESC, vec_id ASC) AS ar
+       |    FROM adcs) t
+       |  WHERE ar <= $IvfPqRerank),
+       |${Similarity.annScoredTailSql}""".stripMargin
+  }
 
   val specs: Seq[QuerySpec] = Seq(
-    rowsOnly("sim_topk_ivfpq_persisted", topKIvfPqPersisted),
-    rowsOnly("sim_topk_ivfpq_deleted", topKIvfPqDeleted),
-    rowsOnly("sim_topk_ivfpq_asof", topKIvfPqAsOf))
+    // Full differential oracles (VERDICT r13 #4): the residual tier's
+    // three recorded artifacts replay the whole compressed lifecycle —
+    // as-of answers the pre-delete snapshot, i.e. the persisted text.
+    withOracle("sim_topk_ivfpq_persisted", topKIvfPqPersisted,
+      ivfPqOracleSql()),
+    withOracle("sim_topk_ivfpq_deleted", topKIvfPqDeleted,
+      ivfPqOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
+    withOracle("sim_topk_ivfpq_asof", topKIvfPqAsOf,
+      ivfPqOracleSql()))
 }

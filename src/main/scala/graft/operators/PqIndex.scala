@@ -140,8 +140,9 @@ object PqIndex {
     topK(s, idx, queries, emb)
   }
 
-  import graft.QuerySpec.rowsOnly
+  import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
-    rowsOnly("sim_topk_pq_persisted", topKPqPersisted))
+    withOracle("sim_topk_pq_persisted", topKPqPersisted,
+      Similarity.pqTopKOracleSql))
 }

@@ -798,7 +798,7 @@ object Similarity {
        |    ${graft.OracleLiterals.get(IvfCentroidsKey)}),
        |ac AS (SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
        |  FROM embeddings e, cents c),
-       |arank AS (SELECT vec_id, cell,
+       |arank AS (SELECT vec_id, cell, cs,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY cs DESC, cell ASC) AS pr
        |  FROM ac),
@@ -1103,8 +1103,9 @@ object Similarity {
        |ORDER BY query_id""".stripMargin
 
   /** Exact-rerank tail over a `cand` (query_id, vec_id) CTE — shared by
-    * the single-probe and multiprobe ANN oracles. */
-  private def annScoredTailSql: String =
+    * the single-probe and multiprobe ANN oracles, the PQ tier and the
+    * persisted IVFPQ lifecycle. */
+  private[operators] def annScoredTailSql: String =
     s"""scored AS (
        |  SELECT c.query_id, c.vec_id,
        |    ${cosSql("q.embedding", "v.embedding")} AS score
@@ -1169,8 +1170,70 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(l2Normalize)
-    trainSubspaceCodebooks(sample)
+    val cbs = trainSubspaceCodebooks(sample)
+    // recorded-artifact oracle literal (the IVF-centroid technique): one
+    // (subspace, code, centroid) row per codebook entry.
+    graft.OracleLiterals.put(PqCodebooksKey,
+      cbs.zipWithIndex.map { case (cb, i) =>
+        s"(${i / PqCodebookSize}, ${i % PqCodebookSize}, " +
+          s"${graft.OracleLiterals.vec(cb.toSeq)})"
+      }.mkString(",\n    "))
+    cbs
   }
+
+  /** [[graft.OracleLiterals]] key of the frozen plain-PQ codebooks. */
+  private[operators] val PqCodebooksKey = "pq_codebooks"
+
+  /** Oracle CTEs replaying the spherical-PQ pipeline against the recorded
+    * codebooks: per-vector L2 norms (`vn` — zero-guarded like the
+    * kernel), per-(vector, subspace, code) L2 distances over the
+    * normalized subvector (`dists` — the SQL twin of
+    * [[graft.functions.GraftExpressions.PqEncode]], same per-element
+    * divide-then-subtract fold), the argmin codes, the per-query ADC
+    * lookup table, the s0-ordered ADC fold (list_sum over an ordered
+    * list — the left-to-right reduce [[adcScore]] runs), and the
+    * [[PqRerank]] candidate cut. */
+  private[graft] def pqCandCtes: String = {
+    val sub = s"(len(v.embedding) // $PqSubspaces)"
+    val qsub = s"(len(q.embedding) // $PqSubspaces)"
+    s"""pqcb(s0, j, cv) AS (VALUES
+       |    ${graft.OracleLiterals.get(PqCodebooksKey)}),
+       |vn AS (SELECT vec_id, embedding,
+       |    CASE WHEN nrm = 0 THEN CAST(1 AS DOUBLE) ELSE nrm END AS n
+       |  FROM (SELECT vec_id, embedding,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) t),
+       |dists AS (SELECT v.vec_id, b.s0, b.j,
+       |    list_sum(list_transform(list_zip(
+       |      v.embedding[b.s0 * $sub + 1 : (b.s0 + 1) * $sub], b.cv),
+       |      p -> (CAST(p[1] AS DOUBLE) / v.n - p[2])
+       |        * (CAST(p[1] AS DOUBLE) / v.n - p[2]))) AS d
+       |  FROM vn v, pqcb b),
+       |codes AS (SELECT vec_id, s0, j FROM (
+       |    SELECT vec_id, s0, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s0
+       |      ORDER BY d ASC, j ASC) AS rn FROM dists) t WHERE rn = 1),
+       |qlut AS (SELECT q.vec_id AS query_id, b.s0, b.j,
+       |    list_sum(list_transform(list_zip(
+       |      q.embedding[b.s0 * $qsub + 1 : (b.s0 + 1) * $qsub], b.cv),
+       |      p -> CAST(p[1] AS DOUBLE) / q.n * p[2])) AS l
+       |  FROM vn q, pqcb b WHERE q.vec_id < $NumQueryVectors),
+       |adc AS (SELECT l.query_id, c.vec_id,
+       |    list_sum(list(l.l ORDER BY l.s0 ASC)) AS a
+       |  FROM codes c JOIN qlut l ON l.s0 = c.s0 AND l.j = c.j
+       |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY a DESC, vec_id ASC) AS ar FROM adc) t
+       |  WHERE ar <= $PqRerank)""".stripMargin
+  }
+
+  /** The PQ top-k oracle — shared by the transient sim_topk_pq and the
+    * persisted sim_topk_pq_persisted (pinned equal: frozen codebooks =>
+    * identical codes => identical ADC ranks). */
+  private[graft] def pqTopKOracleSql: String =
+    s"""WITH $pqCandCtes,
+       |$annScoredTailSql""".stripMargin
 
   /** Residual PQ codebooks (the FAISS `by_residual` default): same
     * bounded, deterministic driver sample, but each normalized vector is
@@ -1179,6 +1242,11 @@ object Similarity {
     * zero, so the [[PqCodebookSize]] codes spend their resolution on the
     * within-cell differences an IVF probe actually has to rank — the
     * composition fix for IVF+PQ recall trailing IVF alone. */
+  /** [[graft.OracleLiterals]] keys of the frozen residual codebooks and
+    * the normalized-centroid geometry they subtract. */
+  private[operators] val IvfPqCodebooksKey = "ivfpq_codebooks"
+  private[operators] val IvfPqNCentsKey = "ivfpq_ncents"
+
   def learnResidualPqCodebooks(emb: DataFrame,
       centroids: Seq[Array[Float]]): Array[Array[Double]] = {
     val cents = normalizedCentroids(centroids)
@@ -1201,14 +1269,26 @@ object Similarity {
         while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
         r
       }
-    trainSubspaceCodebooks(sample)
+    val cbs = trainSubspaceCodebooks(sample)
+    graft.OracleLiterals.put(IvfPqCodebooksKey,
+      cbs.zipWithIndex.map { case (cb, i) =>
+        s"(${i / PqCodebookSize}, ${i % PqCodebookSize}, " +
+          s"${graft.OracleLiterals.vec(cb.toSeq)})"
+      }.mkString(",\n    "))
+    cbs
   }
 
   /** IVF centroids L2-normalized in double — the geometry both
     * [[graft.functions.GraftExpressions.PqEncodeResidual]] and the
     * residual trainer subtract, so encode and train cannot drift. */
-  def normalizedCentroids(centroids: Seq[Array[Float]]): Array[Array[Double]] =
-    centroids.map(c => l2Normalize(c.map(_.toDouble))).toArray
+  def normalizedCentroids(centroids: Seq[Array[Float]]): Array[Array[Double]] = {
+    val ncs = centroids.map(c => l2Normalize(c.map(_.toDouble))).toArray
+    graft.OracleLiterals.put(IvfPqNCentsKey,
+      ncs.zipWithIndex.map { case (nc, cell) =>
+        s"($cell, ${graft.OracleLiterals.vec(nc.toSeq)})"
+      }.mkString(",\n    "))
+    ncs
+  }
 
   private def l2Normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -2069,5 +2149,5 @@ object Similarity {
          |ORDER BY probes""".stripMargin),
     // PQ codebooks are likewise trained from the data at query-build
     // time — rows-only here; recall pinned against exact in SimilaritySpec.
-    rowsOnly("sim_topk_pq", topKPq))
+    withOracle("sim_topk_pq", topKPq, pqTopKOracleSql))
 }
