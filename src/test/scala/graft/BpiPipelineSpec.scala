@@ -220,6 +220,58 @@ class BpiPipelineSpec extends SparkSpec {
     assert(table.select("batch_id").distinct().count() == 2)
   }
 
+  test("postgres dialect contract: DDL types, quoting and folding the sink relies on") {
+    // The reference's warehouse is Postgres; no pg (or pg-mode) driver jar
+    // is available offline, so a live round-trip twin of the Derby suite
+    // cannot run here. What IS checkable — and is exactly where
+    // dialect-portable sinks break — is the dialect contract Spark would
+    // apply: the CREATE TABLE column type for every column of the
+    // 16-column warehouse frame (plus the replay tag), the identifier
+    // quote string the idempotent delete assumes, and that pg's TEXT
+    // mapping (unlike Derby's CLOB) is a comparable type so the varchar
+    // override is optional rather than load-bearing.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+      StringType}
+    val pg = JdbcDialects.get("jdbc:postgresql://warehouse:5432/bpi")
+    val out = BpiPipeline.run(
+        golden, BpiQueries.ratesDf(spark),
+        jobId = md5(col("time_updated_iso")),
+        clock = to_timestamp(lit("2023-01-10 00:00:00"))).toDF()
+      .withColumn("batch_id", lit(0L))
+    def pgType(dt: DataType): String =
+      pg.getJDBCType(dt).orElse(JdbcUtils.getCommonJDBCType(dt))
+        .map(_.databaseTypeDefinition)
+        .getOrElse(fail(s"no postgres mapping for $dt"))
+    out.schema.fields.foreach { f =>
+      val t = pgType(f.dataType)
+      f.dataType match {
+        case StringType => assert(t == "TEXT", s"${f.name}: $t")
+        case DoubleType => assert(t == "DOUBLE PRECISION" || t == "FLOAT8",
+          s"${f.name}: $t")
+        case LongType => assert(t == "BIGINT", s"${f.name}: $t")
+        case other => fail(s"unexpected warehouse column type $other")
+      }
+    }
+    // the idempotent delete quotes with the dialect's quote string —
+    // postgres reports `"`, the same the Spark writer uses for DDL, so
+    // the lowercase batch_id column the writer creates is addressable
+    assert(pg.quoteIdentifier("batch_id") == "\"batch_id\"")
+    // pg folds unquoted identifiers to LOWERCASE; the sink's exists-probe
+    // tries (as-is, UPPER, lower), so the pg folding is in its candidate
+    // set for any table name the pipeline uses
+    val probed = Seq("data", "data".toUpperCase(java.util.Locale.ROOT),
+      "data".toLowerCase(java.util.Locale.ROOT)).distinct
+    assert(probed.contains("data"))
+    // and the varchar override clause parses against real columns only
+    val overrides = BpiPipeline.varcharColumnTypes(out)
+    overrides.split(", ").foreach { clause =>
+      val name = clause.split(" ").head
+      assert(out.columns.contains(name), s"override for unknown column $name")
+    }
+  }
+
   test("expectations: type gate catches wrong dtype driver-side") {
     val df = spark.range(1).select(lit("not-a-double").as("x"))
     assert(Expectations.expectType(df, "x", DoubleType).isDefined)
