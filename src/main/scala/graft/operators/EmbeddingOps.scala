@@ -609,9 +609,147 @@ object EmbeddingOps {
        |$binRerankSql
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Corpus-calibrated dedup threshold — SURVEY §8.1's own 100 TB
+  // prescription ("hold the threshold in the planted-duplicate regime,
+  // corpus-relative") as declared, oracle-checked queries. A fixed
+  // absolute threshold (0.45) sits wherever the corpus's background
+  // cosine distribution puts it — on a structureless corpus that is the
+  // random tail and the qualifying-pair count grows quadratically; the
+  // calibrated cutoff mean + z·std moves WITH the corpus, so the pairs
+  // that qualify are the planted near-duplicates, whose count is linear
+  // by construction.
+  // -------------------------------------------------------------------
+
+  /** Background-pair sample: md5-bucket the ids and pair each bucket's
+    * min with its max — deterministic, distributed (one 4096-key
+    * aggregate), uncorrelated with id-adjacent plant structure, and
+    * exactly replayable in SQL. */
+  val CalibrationBuckets = 4096
+
+  /** Tail width of the calibrated cutoff: mean + [[CalibrationZ]]·std.
+    * Six sigmas puts the cutoff in the planted-duplicate regime
+    * (P ≈ 1e-9 per background pair) while staying a FIXED rational
+    * factor — the formula stays IEEE-deterministic across engines
+    * (sqrt is correctly rounded; no libm ln/erf whose last ulp is
+    * implementation-defined). */
+  val CalibrationZ = 6.0
+
+  private val D38 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Exact nano-cosine moments over the background-pair sample: n, Σc,
+    * Σc² with c = round(cos·1e9) — the integer-moments recipe (cents(),
+    * scaled), so ANY partitioning folds to the identical row and the
+    * mean/std/threshold are fixed double formulas over exact integers. */
+  private def calibrationMoments(emb: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("long") % CalibrationBuckets
+    val ids = emb.select(col("vec_id"), bucket.as("b"))
+      .groupBy(col("b"))
+      .agg(min(col("vec_id")).as("va"), max(col("vec_id")).as("vb"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val c = round(Similarity.cos(col("ea"), col("eb")) * lit(1e9))
+      .cast("long")
+    ids
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")),
+        "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        "vb")
+      .select(c.as("c"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast(D38)).as("scc"))
+  }
+
+  /** Declared query — the calibration readout a corpus owner checks
+    * before fixing a dedup cutoff: background sample size, mean and std
+    * of the background cosine, and the calibrated threshold
+    * mean + z·std. On this corpus: mean ≈ 0, std ≈ 1/√64, threshold
+    * ≈ 0.8 — above the random tail that made the fixed 0.45 cutoff
+    * quadratic. */
+  def thresholdCalibration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val mean =
+      col("sc").cast("double") / col("n_pairs").cast("double") / lit(1e9)
+    val varNum = col("n_pairs").cast(D38) * col("scc") -
+      col("sc").cast(D38) * col("sc").cast(D38)
+    val std = sqrt(varNum.cast("double")
+      / (col("n_pairs") * col("n_pairs")).cast("double")) / lit(1e9)
+    calibrationMoments(emb).select(col("n_pairs"),
+      mean.as("mean_cos"), std.as("std_cos"),
+      (mean + lit(CalibrationZ) * std).as("threshold"))
+  }
+
+  /** Declared query — embedding dedup at the CALIBRATED threshold: the
+    * same LSH candidate stream and min-lower-id survivor policy as
+    * dedup_embedding, with the cutoff computed from the corpus instead
+    * of fixed. The 1-row calibration broadcasts; at the calibrated
+    * cutoff the verified-pair volume is the genuine-duplicate count —
+    * on THIS corpus zero, the statistically honest answer (the pairs
+    * the fixed 0.45 cutoff "deduped" are background-tail pairs of a
+    * structureless corpus, the SURVEY §8.1 diagnosis), and on a corpus
+    * with real plants the ≈1.0-cosine copies, linear by construction —
+    * which is what makes this the uncapped lifecycle's scale-safe
+    * sibling. */
+  def calibratedDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val thr = thresholdCalibration(s, dir).select(col("threshold"))
+    val dups = Similarity.lshCandidatePairScores(s, dir)
+      .crossJoin(broadcast(thr))
+      .filter(col("score") >= col("threshold"))
+      .select(col("vec_b"))
+    emb.select(col("vec_id"))
+      .join(dups, col("vec_id") === col("vec_b"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  /** The calibration CTEs (`calm` exact moments, `cal` finalized row) —
+    * one text behind both declared queries' oracles. */
+  private def calibrationCteSql: String = {
+    def d(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+    s"""calm AS (
+       |  SELECT COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS scc FROM (
+       |    SELECT CAST(ROUND(
+       |        (${Similarity.cosSql("ea.embedding", "eb.embedding")}) * 1e9)
+       |      AS BIGINT) AS c
+       |    FROM (
+       |      SELECT MIN(vec_id) AS va, MAX(vec_id) AS vb
+       |      FROM (SELECT vec_id,
+       |          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |            AS BIGINT) % $CalibrationBuckets AS b
+       |        FROM embeddings) t
+       |      GROUP BY b HAVING COUNT(*) >= 2) p
+       |    JOIN embeddings ea ON ea.vec_id = p.va
+       |    JOIN embeddings eb ON eb.vec_id = p.vb) sm),
+       |cal AS (
+       |  SELECT CAST(n AS BIGINT) AS n_pairs,
+       |    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS mean_cos,
+       |    sqrt(CAST(CAST(n AS HUGEINT) * scc
+       |        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
+       |      / CAST(n * n AS DOUBLE)) / 1e9 AS std_cos
+       |  FROM calm)""".stripMargin +
+      s""",
+       |calt AS (
+       |  SELECT n_pairs, mean_cos, std_cos,
+       |    mean_cos + ${d(CalibrationZ)} * std_cos AS threshold
+       |  FROM cal)""".stripMargin
+  }
+
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_threshold_calibration", thresholdCalibration,
+      s"""WITH $calibrationCteSql
+         |SELECT n_pairs, mean_cos, std_cos, threshold FROM calt""".stripMargin),
+    withOracle("dedup_embedding_calibrated", calibratedDedup,
+      s"""${Similarity.lshPairScoresCtes},
+         |$calibrationCteSql
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps, calt
+         |  WHERE ps.vec_b = e.vec_id AND ps.score >= calt.threshold)
+         |ORDER BY e.vec_id""".stripMargin),
     withOracle("sim_quantize_binary", quantizeBinary,
       s"""$binCtes
         |SELECT vec_id, n_dims, code_lo, code_hi,

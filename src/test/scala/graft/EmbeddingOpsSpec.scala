@@ -68,6 +68,62 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("calibration: exact local recount of the md5-bucket pair moments") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def md5hex8(x: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dd += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = emb.keys.toSeq
+      .groupBy(id => md5hex8(id) % EmbeddingOps.CalibrationBuckets)
+      .filter(_._2.size >= 2)
+    val cs = byBucket.values.toSeq.map { ids =>
+      val v = cos(emb(ids.min), emb(ids.max)) * 1e9
+      new JBD(v).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    }
+    val n = cs.size.toLong
+    val sc = cs.sum
+    val scc = cs.map(c => BigInt(c) * BigInt(c)).sum
+    val mean = sc.toDouble / n.toDouble / 1e9
+    val varNum = (BigInt(n) * scc - BigInt(sc) * BigInt(sc)).toDouble
+    val std = math.sqrt(varNum / (n * n).toDouble) / 1e9
+    val row = EmbeddingOps.thresholdCalibration(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getDouble(1) == mean)
+    assert(row.getDouble(2) == std)
+    assert(row.getDouble(3) == mean + EmbeddingOps.CalibrationZ * std)
+    // the calibrated cutoff sits above the background tail the fixed
+    // 0.45 threshold was drowning in
+    assert(row.getDouble(3) > Similarity.NearDupThreshold)
+  }
+
+  test("calibrated dedup: survivors equal the candidate-pair recount") {
+    val thr = EmbeddingOps.thresholdCalibration(spark, sf)
+      .collect().head.getDouble(3)
+    // nearDupPairs is the same candidate stream filtered at 0.45; the
+    // calibrated cutoff is above it (asserted in the moments test), so
+    // filtering the public pair stream reproduces the decision input
+    val dups = Similarity.nearDupPairs(spark, sf).collect()
+      .filter(_.getDouble(2) >= thr).map(_.getLong(1)).toSet
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val survivors = EmbeddingOps.calibratedDedup(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == all -- dups)
+  }
+
   test("int8 search preserves the exact top-k (recall floor)") {
     val exact = Similarity.topKExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -27,7 +27,7 @@ class SparkEntrySpec extends SparkSpec {
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // CTE names are declared inside the same SQL text
         val isCte = s"(?i)\\b$t\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined ||
-          s"(?i)\\b$t\\s*\\([a-z_, ]*\\)\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined
+          s"(?i)\\b$t\\s*\\([a-z_0-9, ]*\\)\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined
         assert(isCte || known.contains(t) || keywords.contains(t),
           s"$name references unknown table '$t'")
       }
