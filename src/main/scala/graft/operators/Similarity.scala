@@ -112,16 +112,17 @@ object Similarity {
   /** Candidate id pairs from the salted (table, bucket) equi-join —
     * exposed for the skew test. */
   private[graft] def lshCandidatePairs(emb: DataFrame,
-      cap: Int = MaxBucketSize): DataFrame = {
-    // broadcastSizes: the key space is AnnTables * 2^AnnBits (128) rows —
-    // counting via broadcast join beats sort-shuffling every bucket row.
+      cap: Int = MaxBucketSize, bits: Int = AnnBits): DataFrame = {
+    // broadcastSizes: the key space is AnnTables * 2^bits (128 at the
+    // default geometry) rows — counting via broadcast join beats
+    // sort-shuffling every bucket row.
     // No persist: the self-join's two sides are identical subplans, so
     // ReusedExchange already computes the bucket pipeline once; a cache
     // here only adds memory traffic and blocks codegen fusion.
     val buckets = LshSkew.saltBuckets(
       emb.select(
         col("vec_id"),
-        posexplode(planeBuckets(col("embedding")))
+        posexplode(planeBucketsN(col("embedding"), bits))
           .as(Seq("table_id", "bucket"))),
       Seq("table_id", "bucket"), "vec_id", cap, broadcastSizes = true)
     // ids only through the bucket join: the 8x-replicated shuffle rows are
@@ -135,9 +136,10 @@ object Similarity {
       .distinct()
   }
 
-  private[operators] def lshCandidatePairScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidatePairScores(s: SparkSession, dir: String,
+      bits: Int = AnnBits): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    lshCandidatePairs(emb)
+    lshCandidatePairs(emb, bits = bits)
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
@@ -193,8 +195,15 @@ object Similarity {
     * measured trade, pinned in SimilaritySpec for topKAnn's identical
     * bucketing). One shuffle for the pair scores, one for the per-vector
     * window. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val scores = lshCandidatePairScores(s, dir)
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphAt(s, dir, AnnBits)
+
+  /** [[knnGraph]] at a `bits`-wide bucket geometry — default bits IS the
+    * declared graph (planesN's first [[AnnBits]] planes are the default
+    * planes); wider geometries feed the scale audit's keys-∝-N remedy. */
+  private[graft] def knnGraphAt(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val scores = lshCandidatePairScores(s, dir, bits)
     val sym = scores
       .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("score"))
       .unionAll(scores
@@ -409,10 +418,22 @@ object Similarity {
     * and the component contraction is [[Dedup.componentsOver]]'s
     * adjudicated machinery (driver union-find under the edge cap, else
     * distributed large/small-star rounds). */
-  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+  def semanticClusters(s: SparkSession, dir: String): DataFrame =
+    semanticClustersAt(s, dir, AnnBits)
+
+  /** The clustering chain at a `bits`-wide geometry — the DEFAULT bits
+    * is the declared query verbatim (planesN's first AnnBits planes are
+    * the default planes); wider geometries are the scale audit's
+    * measured remedy: on a structureless corpus the candidate-pair
+    * volume is ~N²/keys, so a FIXED key space makes any rebuild
+    * super-linear no matter how well the join is salted — keys ∝ N is
+    * the fix, and this knob is how BenchScale measures it. */
+  private[graft] def semanticClustersAt(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
     // persist: the forward filter and the reversed semi-join side both
     // consume the graph; without it the LSH bucket join runs twice
-    val edges = knnGraph(s, dir).select(col("vec_id"), col("nbr")).persist()
+    val edges = knnGraphAt(s, dir, bits)
+      .select(col("vec_id"), col("nbr")).persist()
     val mutual = edges.filter(col("vec_id") < col("nbr"))
       .join(edges.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")),
         Seq("vec_id", "nbr"), "left_semi")
@@ -539,11 +560,24 @@ object Similarity {
   val Dim = 64
 
   /** Fixed pseudo-random hyperplanes (seeded) — deterministic across runs
-    * and executors; shipped as literals so there is no broadcast state. */
-  private def planes(table: Int): Seq[Array[Double]] = {
+    * and executors; shipped as literals so there is no broadcast state.
+    * `planesN` generates a WIDER geometry for the same table seed: the
+    * first [[AnnBits]] planes coincide with the default geometry (same
+    * RNG sequence), extra bits append — the knob the scale audit's
+    * geometry-proportional remedy turns (keys ∝ corpus keeps bucket
+    * occupancy constant where a fixed key space cannot). */
+  private[operators] def planesN(table: Int, bits: Int): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(7 + table)
-    Seq.fill(AnnBits)(Array.fill(Dim)(rnd.nextDouble() * 2 - 1))
+    Seq.fill(bits)(Array.fill(Dim)(rnd.nextDouble() * 2 - 1))
   }
+  private def planes(table: Int): Seq[Array[Double]] = planesN(table, AnnBits)
+
+  /** Bucket column for a `bits`-wide geometry (default = the declared
+    * [[planeBuckets]]). */
+  private[operators] def planeBucketsN(embedding: Column, bits: Int): Column =
+    graft.functions.GraftExpressions.hyperplaneBuckets(
+      embedding, (0 until AnnTables).flatMap(t => planesN(t, bits)).toArray,
+      AnnTables, bits)
 
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * at least one table; exact cosine re-ranks the candidates. Recall is

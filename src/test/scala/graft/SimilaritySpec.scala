@@ -279,6 +279,28 @@ class SimilaritySpec extends SparkSpec {
     assert(byCluster.values.exists(_.length > 1))
   }
 
+  test("geometry-proportional LSH: wider-bits candidates nest inside the default's") {
+    // planesN's first AnnBits planes ARE the default planes (same seeded
+    // RNG sequence), so two vectors agreeing on all 6 sign bits agree on
+    // the first 4: the wider geometry's candidate-pair set must nest
+    // inside the default's — the invariant that makes keys ∝ N a recall
+    // REFINEMENT rather than a different index.
+    def pairs(bits: Int): Set[(Long, Long)] =
+      Similarity.lshCandidatePairScores(spark, sf, bits)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at4 = pairs(Similarity.AnnBits)
+    val at6 = pairs(Similarity.AnnBits + 2)
+    assert(at6.subsetOf(at4))
+    assert(at6.size < at4.size) // wider keys genuinely prune candidates
+    // the clustering chain at the wider geometry still partitions the corpus
+    val out = Similarity.semanticClustersAt(spark, sf, Similarity.AnnBits + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    assert(out.groupBy(_._2).values.map(_.length).sum == n)
+  }
+
   test("diverse sample: per-cluster keep budget, singletons always kept") {
     val out = Similarity.diverseSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
