@@ -53,30 +53,22 @@ object BenchScale {
     // structurally distinct members (build+stats, append lifecycle via
     // the streaming twin, delete+rebucket) get the 1x/3x/10x datapoint;
     // the compacted/asof variants share the append path's plan shape.
-    // MEASURED FINDINGS (r14): the INCREMENTAL maintainer refuses 10x
-    // by design — its rebuild-equality guard fires once a (table,
-    // bucket) population crosses the salt cap (the plain append join
-    // would silently diverge from the salted rebuild above it),
-    // recorded in `guard_refused` — and the salted REBUILD itself
-    // measures super-linear (2.5 at 10x): on a structureless corpus the
-    // candidate-pair volume is ~N²/keys, so a FIXED 128-key geometry
-    // makes ANY rebuild quadratic no matter how well the join is
-    // salted. The remedy is keys ∝ N, measured directly below as the
-    // `_kprop` variant (AnnBits widened with the corpus via the seeded
-    // planesN knob: 4/6/8 bits at 1x/3x/10x keeps per-bucket occupancy
-    // ~constant).
+    // MEASURED FINDINGS (r14), at the then-default FIXED 128-key
+    // geometry: the incremental maintainer refused 10x by design (its
+    // rebuild-equality guard fires once a (table, bucket) population
+    // crosses the salt cap — recorded in `guard_refused`) and the
+    // salted rebuild itself measured super-linear (5.71 at 10x): on a
+    // structureless corpus the candidate-pair volume is ~N²/keys, so a
+    // fixed key space makes ANY rebuild quadratic no matter how well
+    // the join is salted. The keys-∝-N remedy measured 0.59 and IS NOW
+    // THE DEFAULT (Similarity.adaptiveBits: the ladder holds expected
+    // bucket occupancy ~constant; the seeded planesN sequence nests, so
+    // wider geometries refine the default's candidates); the old fixed
+    // geometry survives only as the `_fixedgeo` diagnostic series.
     "sim_clusters_stats",
     "stream_cluster_append",
     "sim_clusters_deleted",
     "sim_semantic_clusters")
-
-  /** Geometry-proportional bits for the `_kprop` remedy series: keys per
-    * table 16 / 64 / 256 at 1x / 3x / 10x — occupancy ~constant. */
-  def kpropBits(scale: Int): Int = scale match {
-    case 1 => 4
-    case 3 => 6
-    case _ => 8
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,9 +123,9 @@ object BenchScale {
           ((d: String) => streaming.StreamingDedup
             .incrementalEmbeddingDedupQuery(spark, d,
               bucketCap = streaming.StreamingDedup.DefaultBucketCap)
-            .count())) :+ ("sim_semantic_clusters_kprop" ->
+            .count())) :+ ("sim_semantic_clusters_fixedgeo" ->
           ((d: String) => operators.Similarity
-            .semanticClustersAt(spark, d, kpropBits(k))
+            .semanticClustersAt(spark, d, operators.Similarity.AnnBits)
             .count()))
       runs.foreach { case (name, run) =>
         // A family may REFUSE a scale by design (the cluster index's

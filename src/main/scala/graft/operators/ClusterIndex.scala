@@ -156,13 +156,31 @@ object ClusterIndex {
       .join(dead, Seq("vec_id"), "left_anti")
 
 
-  /** The frozen LSH geometry: same seeded hyperplanes as the batch tier,
-    * so an appended vector lands in exactly the bucket the rebuild puts
-    * it in. */
-  private def bucketsOf(emb: DataFrame): DataFrame =
+  /** The frozen LSH geometry: same seeded hyperplanes as the batch tier
+    * at the index's recorded bit width, so an appended vector lands in
+    * exactly the bucket the rebuild puts it in. */
+  private def bucketsOf(emb: DataFrame, bits: Int): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(Similarity.planeBuckets(col("embedding")))
+      posexplode(Similarity.planeBucketsN(col("embedding"), bits))
         .as(Seq("table_id", "bucket")))
+
+  private def geoPath(state: String) = s"$state/geometry"
+
+  /** The index's frozen key-space width, chosen ONCE at creation
+    * (explicitly by the caller, or [[Similarity.adaptiveBits]] of the
+    * first batch) and recorded in the state dir: every later append
+    * MUST bucket at the same width or its pair slices would not union
+    * to the rebuild's pair set. Deletes never re-narrow it — verbs
+    * serve at build geometry, the `semanticClustersOracleSqlOver`
+    * contract. */
+  private def readGeometry(spark: SparkSession, state: String): Int =
+    spark.read.parquet(geoPath(state)).head().getInt(0)
+
+  private def writeGeometry(spark: SparkSession, state: String,
+      bits: Int): Unit = {
+    import spark.implicits._
+    Seq(bits).toDF("bits").coalesce(1).write.parquet(geoPath(state))
+  }
 
   /** Exact cosine over candidate id pairs, embeddings re-attached by
     * equi-join (ids-only through the pair machinery — the batch tier's
@@ -209,19 +227,22 @@ object ClusterIndex {
     * an existing vec_id is refused loudly — the pair-accumulation
     * invariant (slice union == rebuild pair set) assumes ids arrive
     * once; updates are delete-then-append territory, not silent merge. */
-  def appendBatch(batch0: DataFrame, state: String): Unit = {
+  def appendBatch(batch0: DataFrame, state: String,
+      bits: Option[Int] = None): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.select(col("vec_id"), col("embedding")).persist()
     val sliceId = nextOpId(spark, state)
 
     if (sliceId == 0L) {
+      val geo = bits.getOrElse(Similarity.adaptiveBits(batch.count()))
+      writeGeometry(spark, state, geo)
       // first slice: the batch IS the corpus — one rebuild-shaped pass
       // eager localCheckpoint instead of persist: each of these frames is
       // re-referenced by several consumers, and Catalyst plans are TREES —
       // without truncation the nested references blow the analyzed plan up
       // exponentially (the largeSmallStarComponents precedent, Dedup.scala).
       val pairs =
-        scorePairs(Similarity.lshCandidatePairs(batch), batch)
+        scorePairs(Similarity.lshCandidatePairs(batch, bits = geo), batch)
           .localCheckpoint(true)
       // knn is re-evaluated three times downstream (the write plus both
       // sides of mutualTouching) — checkpoint once so the rank window
@@ -239,6 +260,11 @@ object ClusterIndex {
       return
     }
 
+    val geo = readGeometry(spark, state)
+    require(bits.forall(_ == geo),
+      s"appendBatch at bits=${bits.get} against an index built at " +
+        s"bits=$geo — the pair-accumulation invariant needs one frozen " +
+        "geometry; re-bucket (rebuild) to widen")
     val dead = deadAll(spark, state).localCheckpoint(true)
     // dead vectors are out of the live index: they must not pair with the
     // batch, rank in anyone's top-K, or re-enter through a re-append
@@ -247,8 +273,8 @@ object ClusterIndex {
     val histEmb = readAll(spark, embBase(state))
       .join(dead, Seq("vec_id"), "left_anti").persist()
     // --- candidate pairs introduced by this batch --------------------
-    val histBuckets = bucketsOf(histEmb)
-    val batchBuckets = bucketsOf(batch)
+    val histBuckets = bucketsOf(histEmb, geo)
+    val batchBuckets = bucketsOf(batch, geo)
     // ONE driver action for both guards (they were two separate jobs —
     // at batch-append job counts the scheduling latency is the cost):
     //  - re-append guard: emb UNION tombstones must not contain a batch
@@ -288,7 +314,7 @@ object ClusterIndex {
     // batch-internal pairs are DISJOINT sets, each already distinct —
     // a redundant distinct here would be the widest shuffle of the append
     val newIds =
-      crossIds.unionByName(Similarity.lshCandidatePairs(batch))
+      crossIds.unionByName(Similarity.lshCandidatePairs(batch, bits = geo))
     val allEmb = histEmb.unionByName(batch)
     val newPairs = scorePairs(newIds, allEmb).localCheckpoint(true)
 
@@ -484,11 +510,16 @@ object ClusterIndex {
       .select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val (cut1, cut2) = (top / 3, 2 * top / 3)
+    // geometry from the FULL corpus the lifecycle will hold, not the
+    // first batch: the shared-verbatim rebuild oracle picks its key
+    // space from COUNT(embeddings), and the equality contract needs the
+    // index built at exactly that width
+    val geo = Some(Similarity.corpusBits(spark, dir))
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut1), state)
+      appendBatch(emb.filter(col("vec_id") <= cut1), state, geo)
       appendBatch(emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
-        state)
-      appendBatch(emb.filter(col("vec_id") > cut2), state)
+        state, geo)
+      appendBatch(emb.filter(col("vec_id") > cut2), state, geo)
     }
     clusters(spark, state)
   }
@@ -504,24 +535,55 @@ object ClusterIndex {
       .select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val cut = top / 2
+    val geo = Some(Similarity.corpusBits(spark, dir))
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state)
-      appendBatch(emb.filter(col("vec_id") > cut), state)
+      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
+      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
       deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
         state)
     }
     clusters(spark, state)
   }
 
-  /** The rebuild oracle over a restricted corpus: every `embeddings`
-    * reference (always the table — the column is singular) swapped for a
-    * `live_emb` CTE carrying the restriction predicate. */
-  private def restrictedOracleSql(predicate: String): String =
-    Similarity.semanticClustersOracleSql
-      .replace("embeddings", "live_emb")
+  /** The rebuild oracle over a restricted corpus: the shared text
+    * instantiated at a `live_emb` CTE carrying the restriction
+    * predicate. The geometry count inside stays on the FULL embeddings
+    * table — verbs serve at the key space frozen when the index was
+    * built; a delete or snapshot must not re-narrow it. The re-bucket
+    * verb's oracle passes the +2-rung ladder as `geo`. */
+  private def restrictedOracleSql(predicate: String,
+      geo: Similarity.OracleGeo =
+        Similarity.OracleGeo.Ladder("embeddings")): String =
+    Similarity.semanticClustersOracleSqlOver("live_emb", geo)
       .replaceFirst("WITH RECURSIVE ",
         "WITH RECURSIVE live_emb AS " +
           s"(SELECT * FROM embeddings WHERE $predicate),\n")
+
+  /** Declared-query form of the RE-BUCKET verb: the standard two-append
+    * + delete lifecycle at the corpus-adaptive width, then
+    * [[rebucketIndex]] into a geometry two rungs wider — the planned
+    * response to a shrinking `guard_headroom` in the geometry audit.
+    * Re-bucket-then-cluster equals a rebuild over only the survivors AT
+    * THE WIDER WIDTH, so the oracle is the restricted rebuild text with
+    * the +2-shifted ladder. */
+  def rebucketClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.TempDirs.scoped("graft_rebucket_state_a")
+    val wider = graft.TempDirs.scoped("graft_rebucket_state_b")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = top / 2
+    val n = emb.count()
+    val geo = Some(Similarity.adaptiveBits(n))
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
+      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
+      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        state)
+      rebucketIndex(spark, state, wider, Similarity.widenedBits(n, 2))
+    }
+    clusters(spark, wider)
+  }
 
   /** AS-OF snapshot serving — the time-travel verb of the index family
     * (`sim_topk_ivf_asof` / `dedup_serve_asof` precedent): two appends
@@ -536,9 +598,10 @@ object ClusterIndex {
       .select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val cut = top / 2
+    val geo = Some(Similarity.corpusBits(spark, dir))
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state)          // op 0
-      appendBatch(emb.filter(col("vec_id") > cut), state)           // op 1
+      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)     // op 0
+      appendBatch(emb.filter(col("vec_id") > cut), state, geo)      // op 1
       deleteIds(emb.filter(col("vec_id") % 5 === 2)
         .select(col("vec_id")), state)                              // op 2
     }
@@ -555,6 +618,23 @@ object ClusterIndex {
     * predates the fold refuses loudly. Crash safety is the shared
     * [[StreamingDedup.publishCompacted]] dot-dir/rename/cleanup
     * protocol. */
+  /** RE-BUCKET the index at a wider frozen geometry — the operation the
+    * salt-cap guard's refusal prescribes ("re-bucket with a wider
+    * geometry"): one rebuild-shaped pass over the LIVE set into a fresh
+    * state at `bits`, after which appends resume with the cap headroom
+    * the [[Similarity.geometryAudit]] row shows. The permanent delete
+    * record carries over — a tombstoned id must stay un-appendable in
+    * the re-bucketed index too (the forget-audit contract) — and the
+    * old state is left untouched for as-of reads until retired. */
+  def rebucketIndex(spark: SparkSession, oldState: String,
+      newState: String, bits: Int): Unit = {
+    val dead = deadAll(spark, oldState).localCheckpoint(true)
+    val live = readAll(spark, embBase(oldState))
+      .join(dead, Seq("vec_id"), "left_anti")
+    appendBatch(live, newState, Some(bits))
+    if (!dead.isEmpty) deleteIds(dead, newState)
+  }
+
   def compactOps(spark: SparkSession, state: String, upToOp: Long): Unit = {
     val dead = deadAll(spark, state).persist()
     def mergeInputs(base: String): Seq[String] =
@@ -629,6 +709,7 @@ object ClusterIndex {
       .select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val cut = top / 2
+    val geo = Some(Similarity.corpusBits(spark, dir))
     // two appends into ONE landing dir = two data files (coalesce(1)
     // each); FileStreamSource ignores the _SUCCESS markers
     emb.filter(col("vec_id") <= cut)
@@ -643,7 +724,7 @@ object ClusterIndex {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: Dataset[Row], _: Long) =>
-          appendBatch(b.toDF(), state); ()
+          appendBatch(b.toDF(), state, geo); ()
         }
         .start().awaitTermination()
     }
@@ -670,9 +751,10 @@ object ClusterIndex {
       .select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
     val cut = top / 2
+    val geo = Some(Similarity.corpusBits(spark, dir))
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state)
-      appendBatch(emb.filter(col("vec_id") > cut), state)
+      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
+      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
       deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
         state)
     }
@@ -716,5 +798,8 @@ ORDER BY vec_id""",
       restrictedOracleSql("vec_id % 7 <> 3")),
     withOracle("sim_clusters_asof", asofClustersQuery,
       restrictedOracleSql(
-        "vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)")))
+        "vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)")),
+    withOracle("sim_clusters_rebucket", rebucketClustersQuery,
+      restrictedOracleSql("vec_id % 7 <> 3",
+        Similarity.OracleGeo.Ladder("embeddings", 2))))
 }

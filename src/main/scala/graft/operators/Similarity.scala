@@ -196,11 +196,17 @@ object Similarity {
     * bucketing). One shuffle for the pair scores, one for the per-vector
     * window. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphAt(s, dir, AnnBits)
+    knnGraphAt(s, dir, corpusBits(s, dir))
 
-  /** [[knnGraph]] at a `bits`-wide bucket geometry — default bits IS the
-    * declared graph (planesN's first [[AnnBits]] planes are the default
-    * planes); wider geometries feed the scale audit's keys-∝-N remedy. */
+  /** The corpus-adaptive geometry for `dir`'s embeddings — a
+    * metadata-count planning decision ([[adaptiveBits]]), made once per
+    * query and replayed by the oracles' `geo` CTE from the same count. */
+  private[graft] def corpusBits(s: SparkSession, dir: String): Int =
+    adaptiveBits(Tables.embeddings(s, dir).count())
+
+  /** [[knnGraph]] at an explicit `bits`-wide bucket geometry (planesN's
+    * first [[AnnBits]] planes are the default planes, so geometries
+    * NEST — the scale audit's measured keys-∝-N lever). */
   private[graft] def knnGraphAt(s: SparkSession, dir: String,
       bits: Int): DataFrame = {
     val scores = lshCandidatePairScores(s, dir, bits)
@@ -322,7 +328,7 @@ object Similarity {
 
   private def pagerankOracleSql: String = {
     val dPow = math.pow(20.0 * KnnK, PageRankIters).toLong
-    s"""$lshPairScoresCtes,
+    s"""$adaptivePairScoresCtes,
        |sym AS (
        |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
        |  UNION ALL
@@ -343,7 +349,7 @@ object Similarity {
 
   private def pagerankTopKOracleSql: String = {
     val dPow = math.pow(20.0 * KnnK, PageRankIters).toLong
-    s"""$lshPairScoresCtes,
+    s"""$adaptivePairScoresCtes,
        |sym AS (
        |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
        |  UNION ALL
@@ -419,15 +425,14 @@ object Similarity {
     * adjudicated machinery (driver union-find under the edge cap, else
     * distributed large/small-star rounds). */
   def semanticClusters(s: SparkSession, dir: String): DataFrame =
-    semanticClustersAt(s, dir, AnnBits)
+    semanticClustersAt(s, dir, corpusBits(s, dir))
 
-  /** The clustering chain at a `bits`-wide geometry — the DEFAULT bits
-    * is the declared query verbatim (planesN's first AnnBits planes are
-    * the default planes); wider geometries are the scale audit's
-    * measured remedy: on a structureless corpus the candidate-pair
-    * volume is ~N²/keys, so a FIXED key space makes any rebuild
-    * super-linear no matter how well the join is salted — keys ∝ N is
-    * the fix, and this knob is how BenchScale measures it. */
+  /** The clustering chain at an explicit `bits`-wide geometry. The
+    * DEFAULT is corpus-adaptive ([[corpusBits]]) because a fixed key
+    * space makes the rebuild super-linear on a structureless corpus
+    * (candidate-pair volume ~N²/keys — BENCH_SCALE measured 5.71 fixed
+    * vs 0.59 keys-∝-N at 10×); the explicit knob remains for the scale
+    * rig's fixed-geometry diagnostic series. */
   private[graft] def semanticClustersAt(s: SparkSession, dir: String,
       bits: Int): DataFrame = {
     // persist: the forward filter and the reversed semi-join side both
@@ -558,6 +563,58 @@ object Similarity {
   val AnnBits = 4
   val AnnTables = 8
   val Dim = 64
+
+  /** Keys-∝-corpus geometry for the kNN/cluster family. BENCH_SCALE's
+    * r14 finding: on a structureless corpus the LSH candidate-pair
+    * volume is ~N²/keys, so ANY fixed key space makes the clustering
+    * rebuild super-linear (measured 5.71 at 10×) no matter how well the
+    * bucket join is salted — while widening the key space with the
+    * corpus (same seeded plane sequence, extra bits appended) measured
+    * 0.59. The ladder below picks the smallest geometry whose EXPECTED
+    * per-(table, bucket) occupancy stays ≤ [[TargetBucketOccupancy]]:
+    * integer comparisons only, so the DuckDB oracles replay the choice
+    * bit-exactly from COUNT(*). [[MaxAdaptiveBits]] bounds the
+    * plane-literal text the oracles ship (2^12 keys ≈ 512k vectors at
+    * target occupancy; past it the salt cap still bounds the join and
+    * the k-means cell route (sim_semdedup) is the prescribed engine). */
+  val TargetBucketOccupancy = 125
+  val MaxAdaptiveBits = 12
+
+  /** Smallest bits in [AnnBits, MaxAdaptiveBits] with
+    * TargetBucketOccupancy·2^bits >= n. */
+  def adaptiveBits(n: Long): Int = {
+    var b = AnnBits
+    while (b < MaxAdaptiveBits && (TargetBucketOccupancy.toLong << b) < n) b += 1
+    b
+  }
+
+  /** [[adaptiveBits]] widened by `extra` rungs, capped — the re-bucket
+    * verb's "next wider geometry" (its oracle replays the same shift on
+    * the ladder CASE). */
+  def widenedBits(n: Long, extra: Int): Int =
+    math.min(adaptiveBits(n) + extra, MaxAdaptiveBits)
+
+  /** The [[adaptiveBits]] ladder as a SQL CASE over a count column `n`,
+    * rungs shifted by `offset` ([[widenedBits]]) — the oracle replays
+    * the geometry CHOICE, not just the buckets. */
+  private[operators] def adaptiveBitsCaseSql(offset: Int = 0): String =
+    (AnnBits until MaxAdaptiveBits)
+      .map(b => s"WHEN n <= ${TargetBucketOccupancy.toLong << b} " +
+        s"THEN ${math.min(b + offset, MaxAdaptiveBits)}")
+      .mkString("CASE ", " ", s" ELSE $MaxAdaptiveBits END")
+
+  /** How an oracle text fixes its key-space width: `Exact(bits)` ships
+    * exactly that many planes per table with no geometry CTE
+    * (`Exact(AnnBits)` is the historical fixed-geometry text, byte for
+    * byte — the dedup tier's contract); `Ladder(ref, offset)` ships
+    * [[MaxAdaptiveBits]]-wide planes plus a `geo` CTE replaying the
+    * (shifted) occupancy ladder from COUNT(*) of `ref`. */
+  private[graft] sealed trait OracleGeo
+  private[graft] object OracleGeo {
+    final case class Exact(bits: Int) extends OracleGeo
+    final case class Ladder(countRef: String, offset: Int = 0)
+      extends OracleGeo
+  }
 
   /** Fixed pseudo-random hyperplanes (seeded) — deterministic across runs
     * and executors; shipped as literals so there is no broadcast state.
@@ -1006,25 +1063,53 @@ object Similarity {
     * (vector, table, bit) dots, and the per-(vector, table) bucket ids —
     * DuckDB replays the exact signature computation the codegen kernel
     * runs, so every LSH-derived query gets a full bit-exact oracle. */
-  private def lshBucketCtes: String = {
+  private def lshBucketCtes: String =
+    lshBucketCtesOver("embeddings", OracleGeo.Exact(AnnBits))
+
+  /** The bucket CTE prefix over an arbitrary `corpus` CTE/table at an
+    * [[OracleGeo]] key-space width. The `Ladder` form is the
+    * kNN/cluster family's keys-∝-N default, differentially verified
+    * because a ladder disagreement changes every downstream bucket; its
+    * count ref is separate from `corpus` because index verbs serve at
+    * the geometry FROZEN at build time — a delete or as-of restriction
+    * shrinks the corpus but must not re-narrow the key space. */
+  private[operators] def lshBucketCtesOver(corpus: String,
+      geo: OracleGeo): String = {
     // Explicit exponent notation: DuckDB parses bare decimal literals as
     // DECIMAL (lossy to-DOUBLE conversion, ~1 ulp drift), but E-notation
     // literals parse directly as DOUBLE and round-trip exactly.
     // Locale.ROOT: the default-locale format would emit comma decimals
     // (broken SQL) under e.g. de_DE.
     def d(v: Double): String = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+    val bits = geo match {
+      case OracleGeo.Exact(b) => b
+      case _: OracleGeo.Ladder => MaxAdaptiveBits
+    }
     val planeRows = (0 until AnnTables).flatMap { t =>
-      planes(t).zipWithIndex.map { case (p, b) =>
+      planesN(t, bits).zipWithIndex.map { case (p, b) =>
         s"($t, $b, [${p.map(d).mkString(", ")}])"
       }
     }.mkString(",\n    ")
+    val geoCte = geo match {
+      case _: OracleGeo.Exact => ""
+      case OracleGeo.Ladder(ref, off) =>
+        s"""
+           |geo AS (
+           |  SELECT ${adaptiveBitsCaseSql(off)} AS gbits
+           |  FROM (SELECT COUNT(*) AS n FROM $ref)),""".stripMargin
+    }
+    val dotsFrom = geo match {
+      case _: OracleGeo.Exact => s"FROM $corpus e, planes pl"
+      case _: OracleGeo.Ladder =>
+        s"FROM $corpus e, planes pl, geo g WHERE pl.bit < g.gbits"
+    }
     s"""WITH planes(table_id, bit, p) AS (VALUES
-       |    $planeRows),
+       |    $planeRows),$geoCte
        |dots AS (
        |  SELECT e.vec_id, pl.table_id, pl.bit,
        |    list_sum(list_transform(list_zip(e.embedding, pl.p),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d
-       |  FROM embeddings e, planes pl),
+       |  $dotsFrom),
        |buckets AS (
        |  SELECT vec_id, table_id,
        |    CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
@@ -1035,7 +1120,13 @@ object Similarity {
     * [[lshCandidatePairScores]] (also reused by the streaming embedding
     * dedup oracle in StreamQueries). */
   private[graft] def lshPairScoresCtes: String =
-    s"""$lshBucketCtes,
+    lshPairScoresCtesOver("embeddings", OracleGeo.Exact(AnnBits))
+
+  /** [[lshPairScoresCtes]] over an arbitrary corpus/geometry — see
+    * [[lshBucketCtesOver]] for the two parameters' contracts. */
+  private[operators] def lshPairScoresCtesOver(corpus: String,
+      geo: OracleGeo): String =
+    s"""${lshBucketCtesOver(corpus, geo)},
        |salted AS (
        |  SELECT vec_id, table_id, bucket,
        |    vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY table_id, bucket)
@@ -1050,8 +1141,13 @@ object Similarity {
        |  SELECT c.vec_a, c.vec_b,
        |    ${cosSql("va.embedding", "vb.embedding")} AS score
        |  FROM cand c
-       |  JOIN embeddings va ON va.vec_id = c.vec_a
-       |  JOIN embeddings vb ON vb.vec_id = c.vec_b)""".stripMargin
+       |  JOIN $corpus va ON va.vec_id = c.vec_a
+       |  JOIN $corpus vb ON vb.vec_id = c.vec_b)""".stripMargin
+
+  /** The kNN/cluster family's pair-scores prefix: full corpus at the
+    * corpus-adaptive geometry. */
+  private[operators] def adaptivePairScoresCtes: String =
+    lshPairScoresCtesOver("embeddings", OracleGeo.Ladder("embeddings"))
 
   /** Capped-witness pair scores — the oracle twin of the streaming
     * embedding tier's BUCKET-SATURATION contract
@@ -1814,13 +1910,77 @@ object Similarity {
     * == rebuild-then-cluster by construction, so one SQL text replays
     * both and the two declared queries cannot drift. */
   private[operators] def semanticClustersOracleSql: String =
-    s"""$clusterOracleCtes
+    semanticClustersOracleSqlOver("embeddings")
+
+  /** The rebuild oracle over an arbitrary `corpus` CTE — the index
+    * verbs' restricted replays (delete survivors, as-of snapshots)
+    * reuse this ONE text with a `live_emb` corpus. The geometry count
+    * always reads the FULL embeddings table: verbs serve at the key
+    * space frozen when the index was built, so a restriction must not
+    * re-narrow the geometry. */
+  private[graft] def semanticClustersOracleSqlOver(corpus: String,
+      geo: OracleGeo = OracleGeo.Ladder("embeddings")): String =
+    s"""${clusterOracleCtesOver(corpus, geo)}
        |SELECT c.vec_id, c.cluster_id, s.cluster_size
        |FROM comp c JOIN sizes s USING (cluster_id)
        |ORDER BY vec_id""".stripMargin
 
-  private def clusterOracleCtes: String =
-    s"""${lshPairScoresCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+  /** GEOMETRY AUDIT — the dashboard row behind the keys-∝-N default: the
+    * corpus's chosen key-space width, its expected and worst-case
+    * (table, bucket) occupancy, and the headroom before the cluster
+    * index's salt-cap guard would refuse an append ("re-bucket with a
+    * wider geometry"). An operator alerts on `guard_headroom`
+    * approaching 0 and schedules [[graft.operators.ClusterIndex
+    * .rebucketIndex]] — the audit is what makes the refusal a planned
+    * event instead of a page. Occupancy is reported in exact
+    * milli-units (integer DIV) so the row hashes across engines. */
+  def geometryAudit(s: SparkSession, dir: String): DataFrame = {
+    val bits = corpusBits(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val occ = emb.select(
+        posexplode(planeBucketsN(col("embedding"), bits))
+          .as(Seq("table_id", "bucket")))
+      .groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("n"))
+    occ.agg(max(col("n")).as("max_bucket"),
+        sum(when(col("n") > MaxBucketSize, 1L).otherwise(0L)).as("n_over_cap"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_vectors")))
+      .select(
+        col("n_vectors"),
+        lit(bits.toLong).as("geometry_bits"),
+        lit(1L << bits).as("keys_per_table"),
+        expr(s"n_vectors * 1000 div ${1L << bits}")
+          .as("expected_occupancy_milli"),
+        col("max_bucket"),
+        lit(MaxBucketSize.toLong).as("salt_cap"),
+        (lit(MaxBucketSize.toLong) - col("max_bucket")).as("guard_headroom"),
+        col("n_over_cap"))
+  }
+
+  private def geometryAuditOracleSql: String =
+    s"""${lshBucketCtesOver("embeddings", OracleGeo.Ladder("embeddings"))},
+       |occ AS (SELECT table_id, bucket, COUNT(*) AS n
+       |        FROM buckets GROUP BY 1, 2),
+       |agg AS (SELECT MAX(n) AS max_bucket,
+       |    CAST(SUM(CASE WHEN n > $MaxBucketSize THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_over_cap
+       |  FROM occ)
+       |SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       |  CAST(g.gbits AS BIGINT) AS geometry_bits,
+       |  CAST(1::BIGINT << g.gbits AS BIGINT) AS keys_per_table,
+       |  (SELECT COUNT(*) FROM embeddings) * 1000
+       |    // (1::BIGINT << g.gbits) AS expected_occupancy_milli,
+       |  a.max_bucket,
+       |  CAST($MaxBucketSize AS BIGINT) AS salt_cap,
+       |  CAST($MaxBucketSize AS BIGINT) - a.max_bucket AS guard_headroom,
+       |  a.n_over_cap
+       |FROM agg a, geo g""".stripMargin
+
+  private def clusterOracleCtes: String = clusterOracleCtesOver("embeddings")
+
+  private[operators] def clusterOracleCtesOver(corpus: String,
+      geo: OracleGeo = OracleGeo.Ladder("embeddings")): String =
+    s"""${lshPairScoresCtesOver(corpus, geo)
+           .replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |sym AS (
        |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
        |  UNION ALL
@@ -1837,7 +1997,7 @@ object Similarity {
        |edges(a, b) AS (SELECT u, v FROM mutual
        |                UNION ALL SELECT v, u FROM mutual),
        |r(v, lbl) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
+       |  SELECT vec_id, vec_id FROM $corpus
        |  UNION
        |  SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v),
        |comp AS (SELECT v AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
@@ -1959,6 +2119,7 @@ object Similarity {
   import graft.QuerySpec.{rowsOnly, withOracle}
 
   val specs: Seq[QuerySpec] = Seq(
+    withOracle("sim_geometry_audit", geometryAudit, geometryAuditOracleSql),
     withOracle("sim_hard_negatives", hardNegatives,
       s"""SELECT query_id, rank, vec_id, score FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -2028,7 +2189,7 @@ object Similarity {
     withOracle("sim_knn_pagerank", knnPagerank, pagerankOracleSql),
     withOracle("sim_pagerank_topk", knnPagerankTopK, pagerankTopKOracleSql),
     withOracle("sim_knn_graph", knnGraph,
-      s"""$lshPairScoresCtes,
+      s"""$adaptivePairScoresCtes,
          |sym AS (
          |  SELECT vec_a AS vec_id, vec_b AS nbr, score FROM pair_scores
          |  UNION ALL

@@ -21,6 +21,35 @@ class ClusterIndexSpec extends SparkSpec {
     assert(incr == rebuild)
   }
 
+  test("frozen geometry: wider-built index equals the wider rebuild; " +
+      "mismatched append bits are refused") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val wide = Similarity.AnnBits + 2
+    val state = TempDirs.scoped("graft_widegeo_state")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= cut), state,
+        Some(wide))
+      // the recorded geometry governs even when the caller omits bits
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") > cut), state)
+    }
+    val incr = ClusterIndex.clusters(spark, state)
+      .collect().map(_.toString).toSeq
+    val rebuild = Similarity.semanticClustersAt(spark, sf, wide)
+      .collect().map(_.toString).toSeq
+    assert(incr == rebuild)
+    // an explicit append at a DIFFERENT width must fail loudly — silent
+    // mixed-geometry pair slices would diverge from every rebuild
+    val extra = Seq((999999L, Array.fill(Similarity.Dim)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ClusterIndex.appendBatch(extra, state, Some(Similarity.AnnBits))
+    }
+    assert(e.getMessage.contains("frozen geometry"))
+  }
+
   /** Incrementality needs a corpus with STRUCTURE to be observable: on a
     * uniform-random toy corpus every vector is every append's near-
     * neighbor candidate and any maintenance scheme degenerates to a
@@ -70,6 +99,47 @@ class ClusterIndexSpec extends SparkSpec {
     assert(folded.count() == 84)
     assert(folded.filter(col("cluster_id") === 0L)
       .agg(max(col("cluster_size"))).head().getLong(0) == 12L)
+  }
+
+  test("re-bucket: wider frozen geometry, tombstones carried, old state intact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val narrow = Similarity.adaptiveBits(n)
+    val wide = Similarity.widenedBits(n, 2)
+    assert(wide > narrow)
+    val a = TempDirs.scoped("graft_rebucket_spec_a")
+    val b = TempDirs.scoped("graft_rebucket_spec_b")
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      ClusterIndex.appendBatch(emb, a, Some(narrow))
+      ClusterIndex.deleteIds(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), a)
+      val before = ClusterIndex.clusters(spark, a)
+        .collect().map(_.toString).toSeq
+      ClusterIndex.rebucketIndex(spark, a, b, wide)
+      // the source state is untouched — still serving as-of reads
+      val after = ClusterIndex.clusters(spark, a)
+        .collect().map(_.toString).toSeq
+      assert(before == after)
+      // every survivor served exactly once at the wider width
+      assert(ClusterIndex.clusters(spark, b).count() ==
+        emb.filter(col("vec_id") % 7 =!= 3).count())
+      // the delete record carried: a tombstoned id stays un-appendable
+      val deadId = emb.filter(col("vec_id") % 7 === 3)
+        .agg(min(col("vec_id"))).head().getLong(0)
+      val e1 = intercept[IllegalArgumentException] {
+        ClusterIndex.appendBatch(emb.filter(col("vec_id") === deadId), b)
+      }
+      assert(e1.getMessage.contains("re-append"))
+      // and the new geometry is frozen WIDE: the retired width is refused
+      val extra = Seq((888888L, Array.fill(Similarity.Dim)(0.25f)))
+        .toDF("vec_id", "embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        ClusterIndex.appendBatch(extra, b, Some(narrow))
+      }
+      assert(e2.getMessage.contains("frozen geometry"))
+    }
   }
 
   test("streaming drain equals the rebuild row for row") {

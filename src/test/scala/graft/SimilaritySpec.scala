@@ -279,6 +279,45 @@ class SimilaritySpec extends SparkSpec {
     assert(byCluster.values.exists(_.length > 1))
   }
 
+  test("adaptiveBits ladder: rung boundaries, monotonicity, caps") {
+    import Similarity.{adaptiveBits, AnnBits, MaxAdaptiveBits, TargetBucketOccupancy}
+    // verification corpora sit on the default rung — the adaptive
+    // default is behavior-preserving exactly where the oracles hash
+    assert(adaptiveBits(500) == AnnBits)   // sf0.01
+    assert(adaptiveBits(2000) == AnnBits)  // sf0.1 (exact boundary)
+    // the measured BENCH_SCALE rungs
+    assert(adaptiveBits(2001) == 5)
+    assert(adaptiveBits(6000) == 6)        // 3x
+    assert(adaptiveBits(20000) == 8)       // 10x
+    assert(adaptiveBits(Long.MaxValue) == MaxAdaptiveBits)
+    // monotone, and expected occupancy <= target until the cap saturates
+    var prev = AnnBits
+    (1 to 20).foreach { i =>
+      val n = 1L << i
+      val b = adaptiveBits(n)
+      assert(b >= prev); prev = b
+      if (b < MaxAdaptiveBits)
+        assert(n <= (TargetBucketOccupancy.toLong << b))
+    }
+  }
+
+  test("geometry audit: ladder width and exact occupancy accounting") {
+    val row = Similarity.geometryAudit(spark, sf).head()
+    val n = Tables.embeddings(spark, sf).count()
+    val bits = Similarity.adaptiveBits(n)
+    assert(row.getAs[Long]("n_vectors") == n)
+    assert(row.getAs[Long]("geometry_bits") == bits.toLong)
+    assert(row.getAs[Long]("keys_per_table") == (1L << bits))
+    assert(row.getAs[Long]("expected_occupancy_milli") ==
+      n * 1000L / (1L << bits))
+    val maxB = row.getAs[Long]("max_bucket")
+    assert(maxB >= n / (1L << bits)) // pigeonhole: someone is at the mean
+    assert(row.getAs[Long]("salt_cap") == Similarity.MaxBucketSize.toLong)
+    assert(row.getAs[Long]("guard_headroom") ==
+      Similarity.MaxBucketSize - maxB)
+    assert(row.getAs[Long]("n_over_cap") == 0L) // spec corpus is under cap
+  }
+
   test("geometry-proportional LSH: wider-bits candidates nest inside the default's") {
     // planesN's first AnnBits planes ARE the default planes (same seeded
     // RNG sequence), so two vectors agreeing on all 6 sign bits agree on
