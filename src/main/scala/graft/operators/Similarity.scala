@@ -641,10 +641,14 @@ object Similarity {
     * tunable via (AnnBits, AnnTables); cost per query is the bucket size,
     * not the corpus size. */
   def topKAnn(s: SparkSession, dir: String): DataFrame = {
+    // corpus-adaptive key space (the kNN family's keys-∝-N default):
+    // per-query serving cost is the bucket size, which a fixed geometry
+    // lets grow linearly with the corpus — the ladder holds it ~constant
+    val bits = corpusBits(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      posexplode(planeBuckets(col("embedding")))
+      posexplode(planeBucketsN(col("embedding"), bits))
         .as(Seq("table_id", "bucket")))
     val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -674,13 +678,14 @@ object Similarity {
     * tuning without re-bucketing the corpus. Same bucket equi-join,
     * exact rerank, and deterministic tie-breaks as [[topKAnn]]. */
   def topKMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val bits = corpusBits(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      posexplode(planeBuckets(col("embedding")))
+      posexplode(planeBucketsN(col("embedding"), bits))
         .as(Seq("table_id", "bucket")))
     val probeSet = array((col("bucket") +:
-      (0 until AnnBits).map(b => col("bucket").bitwiseXOR(lit(1 << b)))): _*)
+      (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)
     val queries = bucketed.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("table_id"), explode(probeSet).as("bucket"))
@@ -739,7 +744,7 @@ object Similarity {
 
   private def servingMatrixOracleSql: String = {
     val annHits =
-      s"""WITH ${lshBucketCtes.stripPrefix("WITH ")},
+      s"""WITH ${annBucketCtes.stripPrefix("WITH ")},
          |qb AS (SELECT vec_id AS query_id, table_id, bucket
          |       FROM buckets WHERE vec_id < $NumQueryVectors),
          |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
@@ -758,7 +763,7 @@ object Similarity {
          |$exactTopKCteSql
          |${hitsTailSql("ann")}""".stripMargin
     val mpHits =
-      s"""WITH ${lshBucketCtes.stripPrefix("WITH ")},
+      s"""WITH ${annBucketCtes.stripPrefix("WITH ")},
          |$multiprobeCandCteSql,
          |mp AS (SELECT query_id, vec_id FROM (
          |    SELECT c.query_id, c.vec_id,
@@ -1184,7 +1189,7 @@ object Similarity {
   /** The recall audit replayed end to end: exact and ANN rankings both in
     * SQL (the same CTE bodies as their own oracles), joined on membership. */
   private def annRecallOracleSql: String = {
-    s"""$lshBucketCtes,
+    s"""$annBucketCtes,
        |qb AS (SELECT vec_id AS query_id, table_id, bucket
        |       FROM buckets WHERE vec_id < $NumQueryVectors),
        |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
@@ -1249,8 +1254,13 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** The serving tier's bucket prefix — corpus-adaptive like the engine
+    * queries it replays. */
+  private def annBucketCtes: String =
+    lshBucketCtesOver("embeddings", OracleGeo.Ladder("embeddings"))
+
   private def annOracleSql: String = {
-    s"""$lshBucketCtes,
+    s"""$annBucketCtes,
        |qb AS (SELECT vec_id AS query_id, table_id, bucket
        |       FROM buckets WHERE vec_id < $NumQueryVectors),
        |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
@@ -1261,19 +1271,22 @@ object Similarity {
   }
 
   /** Multiprobe candidate CTEs: each query probes its own bucket plus
-    * the [[AnnBits]] hamming-1 neighbors per table. */
-  private def multiprobeCandCteSql: String = {
-    val flips = (0 until AnnBits).map(b => s", xor(bucket, ${1 << b})")
-      .mkString
+    * the hamming-1 neighbors per table — one flip per GEOMETRY bit, so
+    * the probe set widens with the adaptive key space (the engine's
+    * `0 until bits` flip loop, replayed from the `geo` CTE). */
+  private def multiprobeCandCteSql: String =
     s"""qb AS (SELECT vec_id AS query_id, table_id, bucket
        |       FROM buckets WHERE vec_id < $NumQueryVectors),
-       |qp AS (SELECT DISTINCT query_id, table_id, pb AS bucket
-       |       FROM qb, UNNEST([bucket$flips]) AS u(pb)),
+       |qp AS (SELECT DISTINCT query_id, table_id, bucket FROM qb
+       |       UNION
+       |       SELECT DISTINCT qb.query_id, qb.table_id,
+       |         xor(qb.bucket, 1::BIGINT << fl.i) AS bucket
+       |       FROM qb, geo g,
+       |         UNNEST(generate_series(0, g.gbits - 1)) AS fl(i)),
        |cand AS (SELECT DISTINCT qp.query_id, b.vec_id
        |         FROM qp JOIN buckets b
        |           ON b.table_id = qp.table_id AND b.bucket = qp.bucket
        |         WHERE b.vec_id <> qp.query_id)""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // ANN: product quantization (ADC scan + exact re-rank)
@@ -2284,11 +2297,11 @@ object Similarity {
     withOracle("sim_serving_matrix", servingMatrixQuery,
       servingMatrixOracleSql),
     withOracle("sim_topk_multiprobe", topKMultiprobe,
-      s"""$lshBucketCtes,
+      s"""$annBucketCtes,
          |$multiprobeCandCteSql,
          |$annScoredTailSql""".stripMargin),
     withOracle("sim_multiprobe_recall", multiprobeRecall,
-      s"""$lshBucketCtes,
+      s"""$annBucketCtes,
          |$multiprobeCandCteSql,
          |mp AS (SELECT query_id, vec_id FROM (
          |    SELECT c.query_id, c.vec_id,
