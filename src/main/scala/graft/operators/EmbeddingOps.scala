@@ -188,7 +188,12 @@ object EmbeddingOps {
     * independent brute-force reimplementation in EmbeddingOpsSpec. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    semDedupOn(emb, Similarity.learnCentroids(emb)).orderBy(col("vec_id"))
+    // K ∝ N, not the serving tier's K ∝ √N: dedup pair volume inside
+    // cells is N²/K, so only a corpus-proportional codebook keeps the
+    // join linear — trained and recorded under its own oracle key
+    semDedupOn(emb, Similarity.learnCentroidsAt(emb,
+        Similarity.ivfDedupCells(emb.count()), Similarity.SemDedupCentroidsKey))
+      .orderBy(col("vec_id"))
   }
 
   // -------------------------------------------------------------------
@@ -835,7 +840,7 @@ object EmbeddingOps {
         |  CAST(MAX(n_dims) AS BIGINT) AS max_dims
         |FROM v GROUP BY label ORDER BY label""".stripMargin),
     withOracle("sim_semdedup", semDedup,
-      s"""WITH ${Similarity.ivfAssignCtes},
+      s"""WITH ${Similarity.ivfAssignCtesFor(Similarity.SemDedupCentroidsKey)},
          |sal AS (SELECT a.vec_id, a.cell,
          |    a.vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY a.cell)
          |      / $SemDedupCellCap.0) AS BIGINT) AS salt

@@ -825,13 +825,48 @@ object Similarity {
   val IvfProbes = 4
   val IvfTrainSample = 1024
   val IvfIters = 3
+  val MaxIvfCells = 4096
+
+  /** SERVING cell count: K doubles when the corpus QUADRUPLES (K ∝ √N,
+    * the textbook IVF sizing — per-query cost is the K-wide centroid
+    * scan plus probes·N/K posting rows, balanced at K ~ √N), anchored
+    * at [[IvfCells]] for the ≤2000-vector verification corpora so the
+    * adaptive default is behavior-preserving where the oracles hash. */
+  def ivfServingCells(n: Long): Int = {
+    var k = IvfCells
+    while (k < MaxIvfCells &&
+        2000L * (k / IvfCells).toLong * (k / IvfCells) < n) k *= 2
+    k
+  }
+
+  /** DEDUP cell count: K doubles when the corpus DOUBLES past the
+    * occupancy target (K ∝ N — candidate-pair volume inside cells is
+    * occupancy²·K = N²/K, so only a corpus-proportional key space keeps
+    * the semantic-dedup join linear; the LSH tier's
+    * [[TargetBucketOccupancy]] argument, applied to trained cells).
+    * Same 2000-vector anchor rung. */
+  def ivfDedupCells(n: Long): Int = {
+    var k = IvfCells
+    while (k < MaxIvfCells && k.toLong * TargetBucketOccupancy < n) k *= 2
+    k
+  }
 
   /** Train IVF centroids: spherical k-means (Lloyd) on a bounded,
     * deterministic sample on the driver — the standard IVF recipe (train
     * small, assign distributed). Returns float centroids so the codegen
-    * cosine kernel consumes them as array<float> literals. */
-  def learnCentroids(emb: DataFrame): Seq[Array[Float]] = {
-    val sample = emb.orderBy(col("vec_id")).limit(IvfTrainSample)
+    * cosine kernel consumes them as array<float> literals. The default
+    * entry point sizes K by [[ivfServingCells]] and records under the
+    * serving key; [[learnCentroidsAt]] takes an explicit (cells, key)
+    * for tiers with a different sizing law (semantic dedup's K ∝ N). */
+  def learnCentroids(emb: DataFrame): Seq[Array[Float]] =
+    learnCentroidsAt(emb, ivfServingCells(emb.count()), IvfCentroidsKey)
+
+  def learnCentroidsAt(emb: DataFrame, cells: Int,
+      key: String): Seq[Array[Float]] = {
+    // sample ∝ K: Lloyd needs enough members per cell to be meaningful,
+    // and the seeds are the first `cells` sample rows
+    val sampleN = math.max(IvfTrainSample, cells * 16)
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = sample.head.length
@@ -840,14 +875,14 @@ object Similarity {
       while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    var centroids = sample.take(IvfCells).map(_.clone())
+    var centroids = sample.take(cells).map(_.clone())
     for (_ <- 0 until IvfIters) {
-      val sums = Array.fill(IvfCells)(new Array[Double](dim))
-      val counts = new Array[Int](IvfCells)
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
       sample.foreach { v =>
         var best = 0; var bestScore = Double.NegativeInfinity
         var c = 0
-        while (c < IvfCells) {
+        while (c < cells) {
           val sc = cosSim(v, centroids(c))
           if (sc > bestScore) { bestScore = sc; best = c }
           c += 1
@@ -869,15 +904,19 @@ object Similarity {
     // when oracle_sql.json is dumped — after the queries ran. Stored as
     // the float values widened to double (%.17e round-trips exactly),
     // the same widening the codegen cosine kernel applies.
-    graft.OracleLiterals.put(IvfCentroidsKey,
+    graft.OracleLiterals.put(key,
       frozen.zipWithIndex.map { case (c, i) =>
         s"($i, [${c.map(f => graft.OracleLiterals.d(f.toDouble)).mkString(", ")}])"
       }.mkString(",\n    "))
     frozen
   }
 
-  /** [[graft.OracleLiterals]] key of the frozen IVF centroids. */
+  /** [[graft.OracleLiterals]] key of the frozen IVF centroids. The
+    * dedup-sized codebook records separately — the two sizing laws may
+    * pick different K on the same corpus, so sharing one key would let
+    * whichever query trained last poison the other tier's replay. */
   private[operators] val IvfCentroidsKey = "ivf_centroids"
+  private[operators] val SemDedupCentroidsKey = "semdedup_centroids"
 
   /** Oracle CTEs replaying the IVF candidate pipeline against the
     * recorded centroids: per-(vector, cell) cosine ranks (`arank` is the
@@ -889,9 +928,11 @@ object Similarity {
   /** The recorded-centroid assignment CTEs alone (`arank`/`assigned`) —
     * the prefix shared by the probed-scoring pipeline and the semantic
     * dedup oracle, which buckets by assignment cell without probing. */
-  private[graft] def ivfAssignCtes: String =
+  private[graft] def ivfAssignCtes: String = ivfAssignCtesFor(IvfCentroidsKey)
+
+  private[graft] def ivfAssignCtesFor(key: String): String =
     s"""cents(cell, cv) AS (VALUES
-       |    ${graft.OracleLiterals.get(IvfCentroidsKey)}),
+       |    ${graft.OracleLiterals.get(key)}),
        |ac AS (SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
        |  FROM embeddings e, cents c),
        |arank AS (SELECT vec_id, cell, cs,

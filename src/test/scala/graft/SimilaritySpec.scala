@@ -301,6 +301,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF cell ladders: serving K grows as sqrt(N), dedup K as N, " +
+      "both anchored at the verification rung") {
+    import Similarity.{ivfServingCells, ivfDedupCells, IvfCells, MaxIvfCells}
+    // both corpora of record sit on the 16-cell anchor rung
+    assert(ivfServingCells(500) == IvfCells)
+    assert(ivfServingCells(2000) == IvfCells)
+    assert(ivfDedupCells(500) == IvfCells)
+    assert(ivfDedupCells(2000) == IvfCells)
+    // serving: K doubles when the corpus quadruples (K ∝ √N)
+    assert(ivfServingCells(2001) == 32)
+    assert(ivfServingCells(8000) == 32)
+    assert(ivfServingCells(8001) == 64)
+    assert(ivfServingCells(20000) == 64)
+    // dedup: K doubles when the corpus doubles past the occupancy target
+    assert(ivfDedupCells(2001) == 32)
+    assert(ivfDedupCells(4000) == 32)
+    assert(ivfDedupCells(20000) == 256)
+    assert(ivfServingCells(Long.MaxValue) == MaxIvfCells)
+    assert(ivfDedupCells(Long.MaxValue) == MaxIvfCells)
+    // dedup K dominates serving K: constant occupancy needs more cells
+    (1 to 30).foreach { i =>
+      assert(ivfDedupCells(1L << i) >= ivfServingCells(1L << i))
+    }
+  }
+
   test("geometry audit: ladder width and exact occupancy accounting") {
     val row = Similarity.geometryAudit(spark, sf).head()
     val n = Tables.embeddings(spark, sf).count()
