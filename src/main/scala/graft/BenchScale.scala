@@ -68,7 +68,11 @@ object BenchScale {
     "sim_clusters_stats",
     "stream_cluster_append",
     "sim_clusters_deleted",
-    "sim_semantic_clusters")
+    "sim_semantic_clusters",
+    // the trained tiers' corpus-adaptive sizing laws (r14): serving
+    // K ∝ √N, semantic-dedup K ∝ N — measured, not asserted
+    "sim_topk_ivf",
+    "sim_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

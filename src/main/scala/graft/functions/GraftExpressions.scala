@@ -394,6 +394,152 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Per-row cosine against EVERY row of a frozen centroid matrix —
+    * array<double> of K scores, position = cell id. Replaces K
+    * per-centroid literal-array cosine columns: the matrix ships as ONE
+    * reference object, so analyzed-plan size and generated-code size
+    * stay O(1) in K where the literal form grew O(K·dim) — the blowup
+    * the scale rig measured (9.5 s at 10× for a 1.3M-cosine job) once
+    * the adaptive cell ladders let K grow past the 16-cell anchor.
+    * Arithmetic is bit-identical to [[CosineSimilarity]] against an
+    * array<float> centroid literal: same fold order, same float→double
+    * widening, same unguarded final division. */
+  case class CentroidScores(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "centroid_scores"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val out = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val n = math.min(x.numElements(), cv.length)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xi = x.getFloat(i).toDouble
+          val yi = cv(i).toDouble
+          d += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+        }
+        out(c) = d / (math.sqrt(na) * math.sqrt(nb))
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ct = ctx.addReferenceObj("centroids", cents, "float[][]")
+        val out = ctx.freshName("out")
+        val c = ctx.freshName("c")
+        val cv = ctx.freshName("cv")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        s"""
+           |double[] $out = new double[${cents.length}];
+           |for (int $c = 0; $c < ${cents.length}; $c++) {
+           |  float[] $cv = $ct[$c];
+           |  int $n = Math.min($a.numElements(), $cv.length);
+           |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $xi = (double) $a.getFloat($i);
+           |    double $yi = (double) $cv[$i];
+           |    $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |  }
+           |  $out[$c] = $d / (Math.sqrt($na) * Math.sqrt($nb));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Argmax cell over the frozen centroid matrix — the corpus-side
+    * assignment as ONE int per row. The ranked-window formulation
+    * ([[graft.operators.Similarity.rankedCells]] filtered to pr = 1)
+    * explodes N·K scored rows through a shuffle just to keep the top
+    * one; with the adaptive cell ladders (dedup K ∝ N) that is N² rows
+    * — the scale rig measured it. Ordering semantics are the window's
+    * exactly (score DESC with NaN greatest, ties to the lower cell):
+    * `Double.compare` treats NaN as greater than everything and the
+    * strict `> 0` keeps the earlier cell on ties — pinned against the
+    * window form in KernelSpec, zero-norm rows included. */
+  case class CellAssign(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "cell_assign"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      var best = 0
+      var bestScore = Double.NaN
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val n = math.min(x.numElements(), cv.length)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xi = x.getFloat(i).toDouble
+          val yi = cv(i).toDouble
+          d += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+        }
+        val sc = d / (math.sqrt(na) * math.sqrt(nb))
+        if (c == 0 || java.lang.Double.compare(sc, bestScore) > 0) {
+          best = c; bestScore = sc
+        }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ct = ctx.addReferenceObj("centroids", cents, "float[][]")
+        val best = ctx.freshName("best")
+        val bestScore = ctx.freshName("bestScore")
+        val c = ctx.freshName("c")
+        val cv = ctx.freshName("cv")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        val sc = ctx.freshName("sc")
+        s"""
+           |int $best = 0;
+           |double $bestScore = Double.NaN;
+           |for (int $c = 0; $c < ${cents.length}; $c++) {
+           |  float[] $cv = $ct[$c];
+           |  int $n = Math.min($a.numElements(), $cv.length);
+           |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $xi = (double) $a.getFloat($i);
+           |    double $yi = (double) $cv[$i];
+           |    $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |  }
+           |  double $sc = $d / (Math.sqrt($na) * Math.sqrt($nb));
+           |  if ($c == 0 || java.lang.Double.compare($sc, $bestScore) > 0) {
+           |    $best = $c; $bestScore = $sc;
+           |  }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Product-quantization encoder: L2-normalize the input vector, split it
     * into `m` contiguous subvectors, and emit for each the index of the
     * nearest (L2) codebook centroid — the array<int> of PQ codes that
@@ -798,6 +944,12 @@ object GraftExpressions {
   def hyperplaneBuckets(v: Column, planes: Array[Array[Double]],
       tables: Int, bits: Int): Column =
     column(HyperplaneBuckets(expression(v), planes, tables, bits))
+
+  def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
+    column(CentroidScores(expression(v), cents))
+
+  def cellAssign(v: Column, cents: Array[Array[Float]]): Column =
+    column(CellAssign(expression(v), cents))
 
   def pqEncode(v: Column, codebooks: Array[Array[Double]],
       m: Int, ks: Int): Column =

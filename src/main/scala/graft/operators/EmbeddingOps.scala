@@ -162,9 +162,7 @@ object EmbeddingOps {
     // (16 cells), the case LshSkew documents for the groupBy+broadcast
     // sizing form — no window sort-shuffle just to count cells.
     val assigned = LshSkew.saltBuckets(
-      Similarity.rankedCells(emb, centroids)
-        .filter(col("pr") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell")),
+      Similarity.assignedCells(emb, centroids),
       Seq("cell"), "vec_id", cap, broadcastSizes = true)
       .persist()
     val left = assigned.select(col("cell"), col("salt"),

@@ -82,9 +82,7 @@ object IvfIndex {
 
   private def appendSlice(emb: DataFrame, dir: String,
       cents: Seq[Array[Float]], sliceId: Long): Unit =
-    Similarity.rankedCells(emb.select(col("vec_id"), col("embedding")), cents)
-      .filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    Similarity.assignedCells(emb.select(col("vec_id"), col("embedding")), cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${postingsDir(dir)}/b$sliceId")
 

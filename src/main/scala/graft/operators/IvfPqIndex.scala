@@ -82,8 +82,7 @@ object IvfPqIndex {
   private def appendSlice(emb: DataFrame, dir: String,
       cents: Seq[Array[Float]], cbs: Array[Array[Double]],
       sliceId: Long): Unit =
-    Similarity.rankedCells(emb.select(col("vec_id"), col("embedding")), cents)
-      .filter(col("pr") === 1)
+    Similarity.assignedCells(emb.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"),
         graft.functions.GraftExpressions.pqEncodeResidual(
           col("embedding"), col("cell"),

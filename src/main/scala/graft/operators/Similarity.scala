@@ -863,33 +863,51 @@ object Similarity {
 
   def learnCentroidsAt(emb: DataFrame, cells: Int,
       key: String): Seq[Array[Float]] = {
-    // sample ∝ K: Lloyd needs enough members per cell to be meaningful,
-    // and the seeds are the first `cells` sample rows
-    val sampleN = math.max(IvfTrainSample, cells * 16)
+    // sample ∝ K: Lloyd needs members per cell and the seeds are the
+    // first `cells` sample rows. The driver-side train is the tier's
+    // quadratic term (K·sample·iters dots with sample ∝ K), so the
+    // multiplier stays small and [[MaxIvfCells]] bounds it — past the
+    // cap, the 100 TB answer is a distributed/hierarchical k-means,
+    // not a bigger driver loop. Inactive at verification scale: K = 16
+    // keeps sample at the [[IvfTrainSample]] floor.
+    val sampleN = math.max(IvfTrainSample, cells * 8)
     val sample = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = sample.head.length
-    def cosSim(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
+    // norms hoisted out of the K-wide argmax loop — the fold order per
+    // norm/dot is unchanged, so every score (and therefore every
+    // trained centroid) is bit-identical to the naive per-pair cosine
+    def normOf(a: Array[Double]): Double = {
+      var na = 0.0; var i = 0
+      while (i < dim) { na += a(i) * a(i); i += 1 }
+      math.sqrt(na)
     }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val sampleNorms = sample.map(normOf)
     var centroids = sample.take(cells).map(_.clone())
     for (_ <- 0 until IvfIters) {
+      val centNorms = centroids.map(normOf)
       val sums = Array.fill(cells)(new Array[Double](dim))
       val counts = new Array[Int](cells)
-      sample.foreach { v =>
+      var s = 0
+      while (s < sample.length) {
+        val v = sample(s)
         var best = 0; var bestScore = Double.NegativeInfinity
         var c = 0
         while (c < cells) {
-          val sc = cosSim(v, centroids(c))
+          val sc = dot(v, centroids(c)) / (sampleNorms(s) * centNorms(c))
           if (sc > bestScore) { bestScore = sc; best = c }
           c += 1
         }
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
+        s += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
@@ -983,16 +1001,30 @@ object Similarity {
     * expression-tree blowup); the explode + rank form keeps the plan
     * linear. Shared by [[topKIvf]] and the persisted [[IvfIndex]] so the
     * transient and persisted paths cannot drift. */
-  private[operators] def rankedCells(emb: DataFrame,
+  /** Corpus-side cell assignment: argmax in the kernel — one int per
+    * row, no N·K score explosion through a window shuffle (which with
+    * the dedup ladder's K ∝ N is N² shuffled rows — measured on the
+    * scale rig). Semantics identical to `rankedCells.filter(pr === 1)`
+    * (KernelSpec pins NaN/tie order); use [[rankedCells]] only for the
+    * bounded QUERY side, where the per-query probe ranking is the
+    * point. */
+  private[graft] def assignedCells(emb: DataFrame,
+      centroids: Seq[Array[Float]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftExpressions
+        .cellAssign(col("embedding"), centroids.toArray).as("cell"))
+
+  private[graft] def rankedCells(emb: DataFrame,
       centroids: Seq[Array[Float]]): DataFrame = {
-    val centroidCols = centroids.map(c => array(c.map(lit): _*))
-    val cellScores = centroidCols.zipWithIndex.map { case (cc, i) =>
-      cos(col("embedding"), cc).as(s"cs_$i")
-    }
-    val scored = emb.select(col("vec_id") +: col("embedding") +: cellScores: _*)
-      .select(col("vec_id"), col("embedding"),
-        posexplode(array(centroids.indices.map(i => col(s"cs_$i")): _*))
-          .as(Seq("cell", "cell_score")))
+    // ONE codegen kernel against the whole centroid matrix (reference
+    // object), not K literal-array cosine columns: the literal form made
+    // plan analysis + codegen O(K·dim) and measured super-linear on the
+    // scale rig once the adaptive cell ladders let K grow — the kernel
+    // is bit-identical per cell (KernelSpec) and O(1) in plan size.
+    val scores = graft.functions.GraftExpressions
+      .centroidScores(col("embedding"), centroids.toArray)
+    val scored = emb.select(col("vec_id"), col("embedding"),
+      posexplode(scores).as(Seq("cell", "cell_score")))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_score").desc, col("cell").asc)
     scored.withColumn("pr", row_number().over(wCell))
@@ -1011,12 +1043,14 @@ object Similarity {
   def probeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val ranked = rankedCells(emb, learnCentroids(emb))
-    val assigned = ranked.filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = learnCentroids(emb)
+    val assigned = assignedCells(emb, cents)
     val maxProbes = 2 * IvfProbes
-    val probes = ranked
-      .filter(col("vec_id") < NumQueryVectors && col("pr") <= maxProbes)
+    // probe ranking only over the bounded query set — the corpus never
+    // pays the per-cell rank window
+    val probes = rankedCells(
+        emb.filter(col("vec_id") < NumQueryVectors), cents)
+      .filter(col("pr") <= maxProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cell"), col("pr").as("cell_rank"))
     val budgets = (1 to maxProbes).map(_.toLong).toDF("probes")
@@ -1059,11 +1093,11 @@ object Similarity {
     * probe/assignment rules cannot drift between the two verbs. */
   private def ivfProbedScores(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val ranked = rankedCells(emb, learnCentroids(emb))
-    val assigned = ranked.filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val probes = ranked
-      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
+    val cents = learnCentroids(emb)
+    val assigned = assignedCells(emb, cents)
+    val probes = rankedCells(
+        emb.filter(col("vec_id") < NumQueryVectors), cents)
+      .filter(col("pr") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1881,11 +1915,11 @@ object Similarity {
     * exact-pool MMR measured and floor-pinned, deterministic repeat. */
   def mmrRerankIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val ranked = rankedCells(emb, learnCentroids(emb))
-    val assigned = ranked.filter(col("pr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val probes = ranked
-      .filter(col("vec_id") < NumQueryVectors && col("pr") <= IvfProbes)
+    val cents = learnCentroids(emb)
+    val assigned = assignedCells(emb, cents)
+    val probes = rankedCells(
+        emb.filter(col("vec_id") < NumQueryVectors), cents)
+      .filter(col("pr") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("vec_id").asc)

@@ -123,6 +123,51 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("CentroidScores equals per-centroid literal-array cosine columns") {
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val k = 13 // deliberately not a power of two
+    val cents = Array.fill(k)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f))
+    val vecs = (0 until 70).map(_ =>
+      Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f)) :+
+      Array.fill(dim)(0.0f) // zero vector: NaN division must match too
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+    // the formulation the kernel replaced: one cosine column per
+    // centroid shipped as an array<float> literal
+    val ref = array(cents.map(c =>
+      GraftExpressions.cosineFast(col("v"),
+        array(c.map(lit).toIndexedSeq: _*))): _*)
+    val bad = df.select(
+        GraftExpressions.centroidScores(col("v"), cents).as("fast"),
+        ref.as("ref"))
+      // NaN-safe elementwise compare: <=> treats NaN = NaN as true
+      .filter(not(expr("fast <=> ref"))).count()
+    assert(bad == 0)
+  }
+
+  test("CellAssign equals the ranked-window pr=1 assignment, NaN rows included") {
+    val dim = 16
+    val rnd = new scala.util.Random(17)
+    val k = 11
+    val cents = (Array.fill(k - 1)(
+        Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f)) :+
+      Array.fill(dim)(0.0f)).reverse // cell 0 zero-norm: NaN for every row
+    val vecs = (0 until 90).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f))) :+
+      ((90L, Array.fill(dim)(0.0f))) // zero row: NaN against every cell
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val windowed = graft.operators.Similarity.rankedCells(df, cents.toSeq)
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("cell").as("ref_cell"))
+    val bad = graft.operators.Similarity.assignedCells(df, cents.toSeq)
+      .select(col("vec_id"), col("cell"))
+      .join(windowed, "vec_id")
+      .filter(col("cell") =!= col("ref_cell")).count()
+    assert(bad == 0)
+  }
+
   test("PcaProject/CenteredNormSq equal the HOF projection chain") {
     val rnd = new scala.util.Random(11)
     val dim = 16
