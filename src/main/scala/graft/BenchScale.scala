@@ -72,7 +72,21 @@ object BenchScale {
     // the trained tiers' corpus-adaptive sizing laws (r14): serving
     // K ∝ √N, semantic-dedup K ∝ N — measured, not asserted
     "sim_topk_ivf",
-    "sim_semdedup")
+    "sim_semdedup",
+    // round-15 (VERDICT r14 #6): the two new heavy verbs — the re-bucket
+    // rebuild pass and the full calibration + LSH dedup pass
+    "sim_clusters_rebucket",
+    "dedup_embedding_calibrated")
+
+  /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
+    * the persisted indexes, measured separately from their builds — one
+    * untimed invocation populates the [[StateCache]] (index built once
+    * per scale), then the timed passes serve from the built state, so
+    * the datapoint is probes·N/K postings + rerank, not the rebuild. */
+  val ServingFamilies: Seq[String] = Seq(
+    "sim_topk_ivf_persisted",
+    "sim_topk_ivfpq_persisted",
+    "stream_ann_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,6 +118,10 @@ object BenchScale {
       scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashMap[Int, String]]
     scales.foreach { k =>
       val dir = scaledDir(spark, sfDir, k)
+      // one JVM, several corpora: recorded trained-artifact literals are
+      // corpus-scoped (VERDICT r14 ADVICE #2) — wipe them at each scale
+      // boundary so nothing trained at 1x can leak into a 3x replay
+      OracleLiterals.scopeTo(dir)
       rows(k) = (
         spark.read.parquet(s"$dir/documents.parquet").count(),
         spark.read.parquet(s"$dir/embeddings.parquet").count())
@@ -131,19 +149,40 @@ object BenchScale {
           ((d: String) => operators.Similarity
             .semanticClustersAt(spark, d, operators.Similarity.AnnBits)
             .count()))
-      runs.foreach { case (name, run) =>
+      // Serving rows: prebuild once (untimed — populates the StateCache),
+      // then every timed pass serves from the built index. Build rows:
+      // clear the StateCache before each timed pass so the measurement
+      // stays the cold build/maintain cost the rig exists to track.
+      val servingRuns: Seq[(String, String => Long)] =
+        ServingFamilies.map { name =>
+          name -> ((d: String) => SparkEntry.queries(name)(spark, d).count())
+        }
+      (runs.map((_, false)) ++ servingRuns.map((_, true))).foreach {
+        case ((name, run), serving) =>
         // A family may REFUSE a scale by design (the cluster index's
         // rebuild-equality guard fails loudly once a bucket crosses the
         // salt cap rather than silently diverging) — record the refusal
         // as a first-class datapoint instead of losing the whole
         // artifact: the measured scale LIMIT of a fixed geometry is
-        // exactly what this rig exists to surface.
-        val attempt = scala.util.Try {
-          (1 to passes).map { _ =>
+        // exactly what this rig exists to surface. ONLY the guards'
+        // IllegalArgumentException (require) with the refusal wording is
+        // a datapoint — anything else (OOM, NPE, a real regression) is a
+        // rig failure and propagates (VERDICT r14 ADVICE #1).
+        val servingPasses = if (serving) 2 else passes
+        val attempt = try {
+          if (serving) run(dir)  // untimed: build the index once
+          scala.util.Success((1 to servingPasses).map { _ =>
+            if (!serving) StateCache.clear()
             val t0 = System.nanoTime()
             run(dir)
             (System.nanoTime() - t0) / 1e9
-          }.min
+          }.min)
+        } catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(m =>
+                m.contains("salt cap") || m.contains("re-bucket") ||
+                  m.contains("rebuild")) =>
+            scala.util.Failure(e)
         }
         attempt match {
           case scala.util.Success(best) =>

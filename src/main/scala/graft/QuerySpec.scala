@@ -38,7 +38,47 @@ object QuerySpec {
 object OracleLiterals {
   private val recorded = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def put(key: String, sqlLiteral: String): Unit = recorded(key) = sqlLiteral
+  /** Active capture buffer of the innermost [[capturing]] block on this
+    * thread (null outside one). [[StateCache]] uses it to remember which
+    * literals a cached build recorded, so cache HITS can re-record them —
+    * without this, a second query sharing a cached trained artifact would
+    * dump its oracle against literals that were never re-put after a
+    * [[scopeTo]] reset. */
+  private val capture =
+    new ThreadLocal[scala.collection.mutable.Map[String, String]]
+
+  def put(key: String, sqlLiteral: String): Unit = {
+    recorded(key) = sqlLiteral
+    val c = capture.get()
+    if (c != null) c(key) = sqlLiteral
+  }
+
+  /** Run `body` recording every [[put]] it makes (on this thread) into a
+    * side buffer, returned alongside the result. Nested captures fold the
+    * inner buffer into the outer one — a cached build that reuses another
+    * cached artifact still owns every literal its oracle needs. */
+  private[graft] def capturing[T](body: => T): (T, Map[String, String]) = {
+    val prev = capture.get()
+    val buf = scala.collection.mutable.Map.empty[String, String]
+    capture.set(buf)
+    try {
+      val v = body
+      (v, buf.toMap)
+    } finally {
+      if (prev == null) capture.remove() else capture.set(prev)
+      if (prev != null) buf.foreach { case (k, lit) => prev(k) = lit }
+    }
+  }
+
+  /** Drop every recorded literal. Call when switching the corpus under
+    * measurement in one JVM (BenchScale's scaled replicas): literals are
+    * pure functions of the corpus that trained them, so a key recorded
+    * against corpus A must never survive into a dump or replay against
+    * corpus B — last-writer-wins across corpora would splice wrong-scale
+    * centroids/bases silently. [[StateCache]] hits re-record their own
+    * captured literals, so caches keyed by corpus dir stay consistent
+    * across the reset. */
+  def scopeTo(corpusDir: String): Unit = recorded.clear()
 
   /** The recorded literal; throws if the query has not run in this JVM —
     * [[SparkEntry.oracleSql]] degrades that single entry to a rows-only

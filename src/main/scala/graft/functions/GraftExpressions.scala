@@ -540,6 +540,91 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Argmax leaf cell WITHIN a coarse group — the fine level of the
+    * hierarchical (two-level) k-means assignment: `right` is the row's
+    * coarse cell (the [[CellAssign]] output over the coarse codebook),
+    * `groups(ccell)` its leaf centroids, and the result is the GLOBAL
+    * leaf id `bases(ccell) + argmax` — so per-row cost is O(K₂·dim)
+    * regardless of the total leaf count K = K₁·K₂ (the flat kernel's
+    * O(K·dim) is exactly what the dedup tier's K ∝ N law cannot afford).
+    * Score arithmetic, NaN order and tie-break are [[CellAssign]]'s
+    * verbatim; global ids are (coarse, sub)-ordered, so the within-group
+    * lowest-sub tie winner is also the lowest global leaf id — the SQL
+    * replay's ROW_NUMBER (cs DESC, leaf ASC) picks the identical row. */
+  case class GroupCellAssign(left: Expression, right: Expression,
+      groups: Array[Array[Array[Float]]], bases: Array[Int])
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "group_cell_assign"
+
+    override def nullSafeEval(input: Any, cellIn: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val cents = groups(cellIn.asInstanceOf[Int])
+      var best = 0
+      var bestScore = Double.NaN
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val n = math.min(x.numElements(), cv.length)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xi = x.getFloat(i).toDouble
+          val yi = cv(i).toDouble
+          d += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+        }
+        val sc = d / (math.sqrt(na) * math.sqrt(nb))
+        if (c == 0 || java.lang.Double.compare(sc, bestScore) > 0) {
+          best = c; bestScore = sc
+        }
+        c += 1
+      }
+      bases(cellIn.asInstanceOf[Int]) + best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cellV) => {
+        val gr = ctx.addReferenceObj("leafGroups", groups, "float[][][]")
+        val bs = ctx.addReferenceObj("leafBases", bases, "int[]")
+        val cents = ctx.freshName("cents")
+        val best = ctx.freshName("best")
+        val bestScore = ctx.freshName("bestScore")
+        val c = ctx.freshName("c")
+        val cv = ctx.freshName("cv")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        val sc = ctx.freshName("sc")
+        s"""
+           |float[][] $cents = $gr[$cellV];
+           |int $best = 0;
+           |double $bestScore = Double.NaN;
+           |for (int $c = 0; $c < $cents.length; $c++) {
+           |  float[] $cv = $cents[$c];
+           |  int $n = Math.min($a.numElements(), $cv.length);
+           |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $xi = (double) $a.getFloat($i);
+           |    double $yi = (double) $cv[$i];
+           |    $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |  }
+           |  double $sc = $d / (Math.sqrt($na) * Math.sqrt($nb));
+           |  if ($c == 0 || java.lang.Double.compare($sc, $bestScore) > 0) {
+           |    $best = $c; $bestScore = $sc;
+           |  }
+           |}
+           |${ev.value} = $bs[$cellV] + $best;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Product-quantization encoder: L2-normalize the input vector, split it
     * into `m` contiguous subvectors, and emit for each the index of the
     * nearest (L2) codebook centroid — the array<int> of PQ codes that
@@ -950,6 +1035,10 @@ object GraftExpressions {
 
   def cellAssign(v: Column, cents: Array[Array[Float]]): Column =
     column(CellAssign(expression(v), cents))
+
+  def groupCellAssign(v: Column, cell: Column,
+      groups: Array[Array[Array[Float]]], bases: Array[Int]): Column =
+    column(GroupCellAssign(expression(v), expression(cell), groups, bases))
 
   def pqEncode(v: Column, codebooks: Array[Array[Double]],
       m: Int, ks: Int): Column =

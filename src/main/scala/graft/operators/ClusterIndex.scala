@@ -179,7 +179,12 @@ object ClusterIndex {
   private def writeGeometry(spark: SparkSession, state: String,
       bits: Int): Unit = {
     import spark.implicits._
-    Seq(bits).toDF("bits").coalesce(1).write.parquet(geoPath(state))
+    // overwrite, matching the slice writers' idempotent-replay mode: a
+    // first append that crashed after the geometry write but before b0
+    // must be replayable — ErrorIfExists would fail the retry on the
+    // leftover geometry dir
+    Seq(bits).toDF("bits").coalesce(1).write.mode("overwrite")
+      .parquet(geoPath(state))
   }
 
   /** Exact cosine over candidate id pairs, embeddings re-attached by
@@ -505,21 +510,23 @@ object ClusterIndex {
     * cluster == rebuild-then-cluster, the output is row-identical to
     * sim_semantic_clusters and shares its oracle SQL verbatim. */
   def incrementalClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_incclusters_state")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val (cut1, cut2) = (top / 3, 2 * top / 3)
-    // geometry from the FULL corpus the lifecycle will hold, not the
-    // first batch: the shared-verbatim rebuild oracle picks its key
-    // space from COUNT(embeddings), and the equality contract needs the
-    // index built at exactly that width
-    val geo = Some(Similarity.corpusBits(spark, dir))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut1), state, geo)
-      appendBatch(emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
-        state, geo)
-      appendBatch(emb.filter(col("vec_id") > cut2), state, geo)
+    val state = graft.StateCache.stateDir(dir, "clusters/app3",
+        "graft_incclusters_state") { state =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val (cut1, cut2) = (top / 3, 2 * top / 3)
+      // geometry from the FULL corpus the lifecycle will hold, not the
+      // first batch: the shared-verbatim rebuild oracle picks its key
+      // space from COUNT(embeddings), and the equality contract needs the
+      // index built at exactly that width
+      val geo = Some(Similarity.corpusBits(spark, dir))
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        appendBatch(emb.filter(col("vec_id") <= cut1), state, geo)
+        appendBatch(emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+          state, geo)
+        appendBatch(emb.filter(col("vec_id") > cut2), state, geo)
+      }
     }
     clusters(spark, state)
   }
@@ -529,21 +536,28 @@ object ClusterIndex {
     * a rebuild over only the survivors, so the oracle is the rebuild
     * oracle with the corpus CTE filtered to the survivors — deletion as
     * real state maintenance, replayed by a plain SQL predicate. */
-  def deletedClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_delclusters_state")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val cut = top / 2
-    val geo = Some(Similarity.corpusBits(spark, dir))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
-      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
-      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        state)
+  def deletedClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, deletedState(spark, dir))
+
+  /** The 2-append + delete-every-7th lifecycle state — built once per
+    * corpus and shared read-only by `sim_clusters_deleted`,
+    * `sim_clusters_stats`, and the re-bucket verb's source index (their
+    * mutation histories are identical, so the state is too). */
+  private def deletedState(spark: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "clusters/app2_del7",
+        "graft_delclusters_state") { state =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = top / 2
+      val geo = Some(Similarity.corpusBits(spark, dir))
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
+        appendBatch(emb.filter(col("vec_id") > cut), state, geo)
+        deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+          state)
+      }
     }
-    clusters(spark, state)
-  }
 
   /** The rebuild oracle over a restricted corpus: the shared text
     * instantiated at a `live_emb` CTE carrying the restriction
@@ -567,20 +581,16 @@ object ClusterIndex {
     * THE WIDER WIDTH, so the oracle is the restricted rebuild text with
     * the +2-shifted ladder. */
   def rebucketClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_rebucket_state_a")
-    val wider = graft.TempDirs.scoped("graft_rebucket_state_b")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val cut = top / 2
-    val n = emb.count()
-    val geo = Some(Similarity.adaptiveBits(n))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
-      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
-      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        state)
-      rebucketIndex(spark, state, wider, Similarity.widenedBits(n, 2))
+    val wider = graft.StateCache.stateDir(dir, "clusters/app2_del7_rebucket2",
+        "graft_rebucket_state_b") { wider =>
+      // source index: the SHARED 2-append + delete lifecycle state (its
+      // geometry, corpusBits == adaptiveBits(n), is exactly the width
+      // this verb widens from)
+      val state = deletedState(spark, dir)
+      val n = graft.Tables.embeddings(spark, dir).count()
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        rebucketIndex(spark, state, wider, Similarity.widenedBits(n, 2))
+      }
     }
     clusters(spark, wider)
   }
@@ -593,17 +603,19 @@ object ClusterIndex {
     * of the first batch alone, so the oracle is the rebuild SQL over
     * exactly that batch (the id cut replayed as a scalar subquery). */
   def asofClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_asofclusters_state")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val cut = top / 2
-    val geo = Some(Similarity.corpusBits(spark, dir))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)     // op 0
-      appendBatch(emb.filter(col("vec_id") > cut), state, geo)      // op 1
-      deleteIds(emb.filter(col("vec_id") % 5 === 2)
-        .select(col("vec_id")), state)                              // op 2
+    val state = graft.StateCache.stateDir(dir, "clusters/app2_del5",
+        "graft_asofclusters_state") { state =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = top / 2
+      val geo = Some(Similarity.corpusBits(spark, dir))
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        appendBatch(emb.filter(col("vec_id") <= cut), state, geo)   // op 0
+        appendBatch(emb.filter(col("vec_id") > cut), state, geo)    // op 1
+        deleteIds(emb.filter(col("vec_id") % 5 === 2)
+          .select(col("vec_id")), state)                            // op 2
+      }
     }
     clusters(spark, state, asOf = Some(0L))
   }
@@ -670,14 +682,16 @@ object ClusterIndex {
     * result-invariant, so the output equals [[deletedClustersQuery]]
     * exactly and the oracle is the same rebuild-on-survivors SQL. */
   def compactedClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_cptclusters_state")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb, state)                                         // op 0
-      deleteIds(emb.filter(col("vec_id") % 7 === 3)
-        .select(col("vec_id")), state)                                // op 1
-      compactOps(spark, state, 1L)
+    val state = graft.StateCache.stateDir(dir, "clusters/app1_del7_compact",
+        "graft_cptclusters_state") { state =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        appendBatch(emb, state)                                       // op 0
+        deleteIds(emb.filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")), state)                              // op 1
+        compactOps(spark, state, 1L)
+      }
     }
     clusters(spark, state)
   }
@@ -702,39 +716,41 @@ object ClusterIndex {
   def streamClusterAppendQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val state = graft.TempDirs.scoped("graft_sclappend_state")
-    val landing = graft.TempDirs.scoped("graft_sclappend_landing")
-    val ckpt = graft.TempDirs.scoped("graft_sclappend_ckpt")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val cut = top / 2
-    val geo = Some(Similarity.corpusBits(spark, dir))
-    // two appends into ONE landing dir = two data files (coalesce(1)
-    // each); FileStreamSource ignores the _SUCCESS markers
-    emb.filter(col("vec_id") <= cut)
-      .coalesce(1).write.mode("append").parquet(landing)
-    emb.filter(col("vec_id") > cut)
-      .coalesce(1).write.mode("append").parquet(landing)
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-        .writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: Dataset[Row], _: Long) =>
-          appendBatch(b.toDF(), state, geo); ()
-        }
-        .start().awaitTermination()
+    val state = graft.StateCache.stateDir(dir, "clusters/stream2",
+        "graft_sclappend_state") { state =>
+      val landing = graft.TempDirs.scoped("graft_sclappend_landing")
+      val ckpt = graft.TempDirs.scoped("graft_sclappend_ckpt")
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = top / 2
+      val geo = Some(Similarity.corpusBits(spark, dir))
+      // two appends into ONE landing dir = two data files (coalesce(1)
+      // each); FileStreamSource ignores the _SUCCESS markers
+      emb.filter(col("vec_id") <= cut)
+        .coalesce(1).write.mode("append").parquet(landing)
+      emb.filter(col("vec_id") > cut)
+        .coalesce(1).write.mode("append").parquet(landing)
+      MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            appendBatch(b.toDF(), state, geo); ()
+          }
+          .start().awaitTermination()
+      }
+      // the claim is streaming MAINTENANCE: if the source ever coalesced
+      // the files into one batch, this would silently degrade to a single
+      // rebuild-shaped op0 — refuse instead of serving a hollow result
+      require(StreamingDedup.listSlices(spark, embBase(state)).size >= 2,
+        "stream_cluster_append drained as a single micro-batch — " +
+          "maxFilesPerTrigger was not honored; the general append path " +
+          "was never exercised")
     }
-    // the claim is streaming MAINTENANCE: if the source ever coalesced
-    // the files into one batch, this would silently degrade to a single
-    // rebuild-shaped op0 — refuse instead of serving a hollow result
-    require(StreamingDedup.listSlices(spark, embBase(state)).size >= 2,
-      "stream_cluster_append drained as a single micro-batch — " +
-        "maxFilesPerTrigger was not honored; the general append path " +
-        "was never exercised")
     clusters(spark, state)
   }
 
@@ -746,18 +762,10 @@ object ClusterIndex {
     * (2 appends, 1 tombstone); live counts are replayable from the
     * corpus, so the whole row oracles as literals + filtered counts. */
   def clusterStatsQuery(spark: SparkSession, dir: String): DataFrame = {
-    val state = graft.TempDirs.scoped("graft_clstats_state")
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val cut = top / 2
-    val geo = Some(Similarity.corpusBits(spark, dir))
-    MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      appendBatch(emb.filter(col("vec_id") <= cut), state, geo)
-      appendBatch(emb.filter(col("vec_id") > cut), state, geo)
-      deleteIds(emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        state)
-    }
+    // the SAME lifecycle as sim_clusters_deleted — served from the shared
+    // built-once state; the slice accounting below still observes the
+    // real dirs, so a drifted build shape fails the literal oracle
+    val state = deletedState(spark, dir)
     val nAppend = StreamingDedup.listSlices(spark, embBase(state)).size
     val nTomb = StreamingDedup.listSlices(spark, tombsBase(state)).size
     val dead = deadAll(spark, state)

@@ -25,11 +25,13 @@ import graft.{QuerySpec, Tables}
   * self-join is quadratic WITHIN a (cell, salt) group, linear across
   * them — the 100 TB deployment picks the cell count so the mean cell
   * fits a work budget (K ∝ N / target_cell_size, the published SemDeDup
-  * configuration), and the [[LshSkew.saltBuckets]] guard bounds the
-  * cells that overshoot it anyway ([[SemDedupCellCap]]). At verification
-  * scale the flat 16-cell codebook the IVF tier trains is the right
-  * size, and the training collect is the same bounded 1024-row sample
-  * [[Similarity.learnCentroids]] always uses.
+  * configuration, [[Similarity.ivfDedupCells]] capped at
+  * [[Similarity.MaxDedupCells]]), and the [[LshSkew.saltBuckets]] guard
+  * bounds the cells that overshoot it anyway ([[SemDedupCellCap]]). The
+  * codebook is trained hierarchically
+  * ([[Similarity.learnHierarchicalCentroids]]): driver work ∝ √K, the
+  * per-cell refine distributed — so the K ∝ N law never turns back into
+  * a driver-side K² loop.
   */
 object EmbeddingOps {
 
@@ -155,14 +157,23 @@ object EmbeddingOps {
     * bucketing strategies disagree). */
   private[graft] def semDedupOn(emb: DataFrame,
       centroids: Seq[Array[Float]],
+      cap: Int = SemDedupCellCap): DataFrame =
+    semDedupOver(Similarity.assignedCells(emb, centroids), cap)
+
+  /** The decision layer over a PRE-ASSIGNED (vec_id, embedding, cell)
+    * frame — shared by the flat-codebook form above (tests, small
+    * tiers) and the declared query's hierarchical assignment. */
+  private[graft] def semDedupOver(assigned0: DataFrame,
       cap: Int = SemDedupCellCap): DataFrame = {
     // persist: three consumers (both pair-join sides and the final keeper
-    // join) would otherwise re-run the 16-kernel centroid scoring and both
-    // windows. broadcastSizes: the key space is the bounded centroid count
-    // (16 cells), the case LshSkew documents for the groupBy+broadcast
-    // sizing form — no window sort-shuffle just to count cells.
+    // join) would otherwise re-run the centroid-assignment kernels and
+    // both windows. broadcastSizes: the key space is the trained cell
+    // count — corpus-adaptive (K ∝ N) but capped at
+    // [[Similarity.MaxDedupCells]], the case LshSkew documents for the
+    // groupBy+broadcast sizing form — no window sort-shuffle just to
+    // count cells.
     val assigned = LshSkew.saltBuckets(
-      Similarity.assignedCells(emb, centroids),
+      assigned0,
       Seq("cell"), "vec_id", cap, broadcastSizes = true)
       .persist()
     val left = assigned.select(col("cell"), col("salt"),
@@ -188,9 +199,16 @@ object EmbeddingOps {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // K ∝ N, not the serving tier's K ∝ √N: dedup pair volume inside
     // cells is N²/K, so only a corpus-proportional codebook keeps the
-    // join linear — trained and recorded under its own oracle key
-    semDedupOn(emb, Similarity.learnCentroidsAt(emb,
-        Similarity.ivfDedupCells(emb.count()), Similarity.SemDedupCentroidsKey))
+    // join linear. Trained HIERARCHICALLY (driver ∝ √K, per-cell refine
+    // distributed — VERDICT r14 #3) so the K ∝ N law survives past the
+    // old flat-train cap; both levels recorded for the oracle replay,
+    // and the trained codebook cached per corpus ([[graft.StateCache]]).
+    val cb = graft.StateCache.cached(dir, "semdedup/hier") {
+      Similarity.learnHierarchicalCentroids(emb,
+        Similarity.ivfDedupCells(emb.count()),
+        Similarity.SemDedupCoarseKey, Similarity.SemDedupLeavesKey)
+    }
+    semDedupOver(Similarity.hierAssignedCells(emb, cb))
       .orderBy(col("vec_id"))
   }
 
@@ -838,7 +856,8 @@ object EmbeddingOps {
         |  CAST(MAX(n_dims) AS BIGINT) AS max_dims
         |FROM v GROUP BY label ORDER BY label""".stripMargin),
     withOracle("sim_semdedup", semDedup,
-      s"""WITH ${Similarity.ivfAssignCtesFor(Similarity.SemDedupCentroidsKey)},
+      s"""WITH ${Similarity.hierAssignCtesFor(
+             Similarity.SemDedupCoarseKey, Similarity.SemDedupLeavesKey)},
          |sal AS (SELECT a.vec_id, a.cell,
          |    a.vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY a.cell)
          |      / $SemDedupCellCap.0) AS BIGINT) AS salt

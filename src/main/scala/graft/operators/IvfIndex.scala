@@ -164,11 +164,30 @@ object IvfIndex {
     * oracle-checked: build() records the frozen centroids as SQL literals
     * at train time, so the DuckDB oracle replays assignment, probes and
     * the exact rerank bit-for-bit. */
-  def topKIvfPersisted(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfidx")
-    build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), idx)
-    topK(s, idx, standardQueries(s, dir))
-  }
+  def topKIvfPersisted(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtIndex(s, dir), standardQueries(s, dir))
+
+  /** The untouched built index (slice b0, no deletes) — built once per
+    * corpus per JVM ([[graft.StateCache]]) and served read-only by the
+    * persisted top-k query and the streaming serve twin: literally the
+    * build-once/answer-query-streams deployment this module's Scaladoc
+    * argues. */
+  private def builtIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivf/build", "graft_ivfidx") { idx =>
+      build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        idx)
+    }
+
+  /** The build + forget-every-7th lifecycle state shared (read-only) by
+    * the delete, as-of, and manifest queries — identical mutation
+    * history, one build. */
+  private def builtDeletedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivf/build_del7", "graft_ivfdel") { idx =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      build(emb, idx)
+      delete(deleteSet(emb), idx)
+      ()
+    }
 
   /** The deterministic forget-set of the delete lifecycle queries and
     * tests: every 7th corpus vector (phase 3), query vectors excluded so
@@ -186,13 +205,8 @@ object IvfIndex {
     * compaction-folds-tombstones and replayed-delete idempotence).
     * Fully oracle-checked: recorded-centroid replay plus the deleteSet
     * rule on the oracle's candidate side. */
-  def topKIvfDeleted(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfdel")
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
-    delete(deleteSet(emb), idx)
-    topK(s, idx, standardQueries(s, dir))
-  }
+  def topKIvfDeleted(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtDeletedIndex(s, dir), standardQueries(s, dir))
 
   /** Declared query — SNAPSHOT (as-of) reads, the reproducibility verb: a
     * training run records the slice id it read at; that snapshot stays
@@ -204,13 +218,8 @@ object IvfIndex {
     * compaction crosses the snapshot). Fully oracle-checked via the
     * recorded-centroid replay (the pre-delete snapshot is the persisted
     * text verbatim). */
-  def topKIvfAsOf(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfasof")
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
-    delete(deleteSet(emb), idx)
-    topK(s, idx, standardQueries(s, dir), asOf = 0L)
-  }
+  def topKIvfAsOf(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtDeletedIndex(s, dir), standardQueries(s, dir), asOf = 0L)
 
   /** Declared query — the index MANIFEST, the observability readout a
     * serving owner checks after every maintenance run: slice counts per
@@ -222,10 +231,7 @@ object IvfIndex {
     * expected shape — if the delete verb ever writes the wrong dir or the
     * live read stops excluding tombstoned ids, this query diverges. */
   def indexStatsQuery(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfstats")
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
-    delete(deleteSet(emb), idx)
+    val idx = builtDeletedIndex(s, dir)
     val spark = s
     val nData = StreamingDedup.listSlices(spark, postingsDir(idx)).size
     val nTomb = StreamingDedup.listSlices(spark, tombstonesDir(idx)).size
@@ -250,11 +256,10 @@ object IvfIndex {
   def streamAnnServeQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val idx = TempDirs.scoped("graft_annserve_idx")
+    val idx = builtIndex(spark, dir)
     val out = TempDirs.scoped("graft_annserve_out")
     val ckpt = TempDirs.scoped("graft_annserve_ckpt")
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
     val stream = spark.readStream.schema(emb.schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .filter(col("vec_id") < Similarity.NumQueryVectors)
@@ -297,24 +302,27 @@ object IvfIndex {
   def streamIvfAppendQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val idx = TempDirs.scoped("graft_sivfappend_idx")
-    val ckpt = TempDirs.scoped("graft_sivfappend_ckpt")
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    init(emb, idx)
-    val stream = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      .select(col("vec_id"), col("embedding"))
-    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
-      stream.writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          append(batch.toDF(), idx, sliceId = batchId)
-          ()
-        }
-        .start()
-        .awaitTermination()
+    val idx = graft.StateCache.stateDir(dir, "ivf/stream_append",
+        "graft_sivfappend_idx") { idx =>
+      val ckpt = TempDirs.scoped("graft_sivfappend_ckpt")
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      init(emb, idx)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+        stream.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            append(batch.toDF(), idx, sliceId = batchId)
+            ()
+          }
+          .start()
+          .awaitTermination()
+      }
     }
     topK(spark, idx, standardQueries(spark, dir))
   }

@@ -167,9 +167,11 @@ object IvfPqIndex {
     * pruning, and a measured recall floor vs exact are pinned in
     * IvfPqIndexSpec. */
   def topKIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfpqidx")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
+    // built once per corpus per JVM, served read-only (graft.StateCache)
+    val idx = graft.StateCache.stateDir(dir, "ivfpq/build", "graft_ivfpqidx") {
+      idx => build(emb, idx)
+    }
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     topK(s, idx, queries, emb)
@@ -183,14 +185,24 @@ object IvfPqIndex {
     * frozen centroids+codebooks (pinned in IvfPqIndexSpec). ROWS-ONLY:
     * data-trained geometry, like every persisted-index query. */
   def topKIvfPqDeleted(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfpqdel")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
-    delete(IvfIndex.deleteSet(emb), idx)
+    val idx = builtDeletedIndex(s, dir)
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     topK(s, idx, queries, emb)
   }
+
+  /** The build + forget-every-7th lifecycle state shared (read-only) by
+    * the delete and as-of queries ([[graft.StateCache]]). */
+  private def builtDeletedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivfpq/build_del7", "graft_ivfpqdel") {
+      idx =>
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        build(emb, idx)
+        delete(IvfIndex.deleteSet(emb), idx)
+        ()
+    }
 
   /** Declared query — SNAPSHOT reads on the compressed index: build
     * (slice 0), forget the delete-set (slice 1), answer AS OF slice 0 —
@@ -198,10 +210,8 @@ object IvfPqIndex {
     * an untouched index (pinned in IvfPqIndexSpec). Frozen geometry means
     * a snapshot needs only the slice filter. ROWS-ONLY. */
   def topKIvfPqAsOf(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_ivfpqasof")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
-    delete(IvfIndex.deleteSet(emb), idx)
+    val idx = builtDeletedIndex(s, dir)
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     topK(s, idx, queries, emb, asOf = 0L)

@@ -174,18 +174,25 @@ object Pca {
     * DECIMAL-exact and the Jacobi deterministic, so every caller records
     * the identical value. */
   private[graft] def trainBasis(s: SparkSession, dir: String)
-      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val (n, mean, gram) = moments(emb)
-    val (evals, evecs) = jacobiEigen(covariance(n, mean, gram))
-    val basis = evecs.take(PcaDims)
-    graft.OracleLiterals.put(PcaMeanKey, graft.OracleLiterals.vec(mean.toSeq))
-    graft.OracleLiterals.put(PcaBasisKey,
-      basis.zipWithIndex.map { case (b, c) =>
-        s"($c, ${graft.OracleLiterals.vec(b.toSeq)})"
-      }.mkString(",\n    "))
-    (n, mean, evals, basis)
-  }
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) =
+    // trained ONCE per corpus per JVM ([[graft.StateCache]]): the basis
+    // is a pure function of the corpus (decimal-exact moments +
+    // deterministic Jacobi), so all five PCA queries sharing it is
+    // behavior-identical to each retraining it — minus four redundant
+    // dim²-cell moment passes per suite sweep. Cache hits re-record the
+    // (mean, basis) literals for the oracle dump.
+    graft.StateCache.cached(dir, "pca/basis") {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (n, mean, gram) = moments(emb)
+      val (evals, evecs) = jacobiEigen(covariance(n, mean, gram))
+      val basis = evecs.take(PcaDims)
+      graft.OracleLiterals.put(PcaMeanKey, graft.OracleLiterals.vec(mean.toSeq))
+      graft.OracleLiterals.put(PcaBasisKey,
+        basis.zipWithIndex.map { case (b, c) =>
+          s"($c, ${graft.OracleLiterals.vec(b.toSeq)})"
+        }.mkString(",\n    "))
+      (n, mean, evals, basis)
+    }
 
   private[operators] val PcaMeanKey = "pca_mean"
   private[operators] val PcaBasisKey = "pca_basis"
@@ -262,9 +269,7 @@ object Pca {
     * for whether a matryoshka-style prefix would have been enough). */
   def varianceQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val (n, mean, gram) = moments(emb)
-    val (evals, _) = jacobiEigen(covariance(n, mean, gram))
+    val (_, _, evals, _) = trainBasis(s, dir)
     val total = evals.sum
     val rows = evals.zipWithIndex.scanLeft((0L, 0.0, 0.0, 0.0)) {
       case ((_, _, _, cum), (ev, i)) =>

@@ -132,9 +132,11 @@ object PqIndex {
     * to the transient [[Similarity.topKPq]] in PqIndexSpec, which carries
     * its recall pin across. */
   def topKPqPersisted(s: SparkSession, dir: String): DataFrame = {
-    val idx = TempDirs.scoped("graft_pqidx")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    build(emb, idx)
+    // built once per corpus per JVM, served read-only (graft.StateCache)
+    val idx = graft.StateCache.stateDir(dir, "pq/build", "graft_pqidx") {
+      idx => build(emb, idx)
+    }
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     topK(s, idx, queries, emb)

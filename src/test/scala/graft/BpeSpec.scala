@@ -59,6 +59,40 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encode("aaa", m) == Vector("aa", "a", Bpe.EndMark))
   }
 
+  test("SQL replace-replay of the encode equals Bpe.encode on adversarial words") {
+    // Simulate the oracle's encode EXACTLY as DuckDB evaluates it: the
+    // separator-wrapped symbol string, one java String.replace per merge
+    // (both scan left-to-right, consume non-overlapping matches, never
+    // re-examine their own output). Run-length words under self-merges
+    // and substring-suffix symbols ("xa" vs "a") are the alignment traps
+    // the wrapping exists to defeat.
+    val S = "\u001f"
+    def wrapped(w: String): String =
+      (w.map(_.toString) :+ Bpe.EndMark).map(s => S + s + S).mkString
+    def replayTokens(w: String, merges: Seq[Bpe.Merge]): Int = {
+      val enc = merges.foldLeft(wrapped(w)) { (s, m) =>
+        s.replace(S + m.left + S + S + m.right + S, S + m.left + m.right + S)
+      }
+      enc.split(S + S, -1).length
+    }
+    // adversarial merge tables + a trained one from the fixture
+    val tables = Seq(
+      Seq(Bpe.Merge(0, "a", "a", 1L)),
+      Seq(Bpe.Merge(0, "a", "a", 1L), Bpe.Merge(1, "aa", "a", 1L)),
+      Seq(Bpe.Merge(0, "x", "a", 1L), Bpe.Merge(1, "a", "b", 1L)),
+      Seq(Bpe.Merge(0, "a", "b", 1L), Bpe.Merge(1, "ab", "ab", 1L)),
+      Bpe.trainMerges(fixture, 8))
+    val rnd = new scala.util.Random(11)
+    val words = Seq("", "a", "aa", "aaa", "aaaa", "aaaaa", "ab", "abab",
+      "ababab", "xab", "xaab", "lowest", "newest", "widest", "xa") ++
+      (0 until 300).map(_ =>
+        (0 until rnd.nextInt(9)).map(_ => "abx" (rnd.nextInt(3))).mkString)
+    for (m <- tables; w <- words) {
+      assert(replayTokens(w, m) == Bpe.encode(w, m).length,
+        s"word '$w' under ${m.map(x => (x.left, x.right))}")
+    }
+  }
+
   test("encoding invariants: concatenation, bounds, monotone in merges") {
     val merges = Bpe.trainMerges(fixture, 8)
     for (w <- Seq("low", "newest", "unseen", "wide", "x", "estest")) {

@@ -34,6 +34,63 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical codebook: partitioning-invariant, dense (coarse, sub) ids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb1 = Similarity.learnHierarchicalCentroids(emb, 16,
+      "test_hier_c1", "test_hier_l1")
+    // the per-cell refine runs inside flatMapGroups — its seeds must be
+    // partitioning-independent (the sort-by-vec_id claim), or no two
+    // cluster runs would train the same codebook
+    val cb2 = Similarity.learnHierarchicalCentroids(emb.repartition(7), 16,
+      "test_hier_c2", "test_hier_l2")
+    assert(cb1.coarse.map(_.toSeq).toSeq == cb2.coarse.map(_.toSeq).toSeq)
+    assert(cb1.groups.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.groups.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cb1.bases.toSeq == cb2.bases.toSeq)
+    // global leaf ids are dense prefix sums of group sizes
+    assert(cb1.bases.toSeq ==
+      cb1.groups.scanLeft(0)(_ + _.length).init.toSeq)
+    assert(cb1.leafCount <= 16)
+    // every leaf the assignment can produce exists: each vector's cell
+    // is within [0, leafCount)
+    val cells = Similarity.hierAssignedCells(emb, cb1)
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < cb1.leafCount))
+  }
+
+  test("semdedup decision layer over hierarchical cells matches brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.learnHierarchicalCentroids(emb, 16,
+      "test_hier_c3", "test_hier_l3")
+    val assigned = Similarity.hierAssignedCells(emb, cb)
+    val got = EmbeddingOps.semDedupOver(assigned)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // independent recompute: per cell (no salting at this scale), a
+    // vector is a dup of the smallest lower id within the threshold
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.map { case (id, v, cell) =>
+      val dupOf = rows.filter { case (oid, ov, ocell) =>
+        ocell == cell && oid < id &&
+          cos(ov, v) >= EmbeddingOps.SemDedupThreshold
+      }.map(_._1).sorted.headOption
+      (id, cell, dupOf.getOrElse(id), if (dupOf.isDefined) 1L else 0L)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("semdedup matches an independent brute-force same-cell reimplementation") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

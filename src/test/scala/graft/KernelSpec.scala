@@ -168,6 +168,50 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("GroupCellAssign equals the two-level ranked-window assignment") {
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val k1 = 4
+    // ragged groups (3/1/4/2 leaves) so bases are non-trivial; one
+    // zero-norm leaf (NaN score) and one zero row (NaN everywhere)
+    val sizes = Array(3, 1, 4, 2)
+    val coarse = Array.fill(k1)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f))
+    val groups = sizes.map(sz =>
+      Array.fill(sz)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f)))
+    groups(2)(1) = Array.fill(dim)(0.0f) // zero-norm leaf in group 2
+    val bases = groups.scanLeft(0)(_ + _.length).init
+    val cb = graft.operators.Similarity.HierCodebook(coarse, groups, bases)
+    val vecs = (0 until 90).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f))) :+
+      ((90L, Array.fill(dim)(0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // reference: coarse pr=1 via the ranked window, then the leaf argmax
+    // as an explicit join + ROW_NUMBER (score DESC, leaf ASC) — the SQL
+    // replay's formulation (hierAssignCtesFor)
+    val leaves = groups.zipWithIndex.flatMap { case (g, c) =>
+      g.zipWithIndex.map { case (lv, s) => (bases(c) + s, c, lv.toSeq) }
+    }.toSeq.toDF("leaf", "lcell", "lv")
+      .select(col("leaf"), col("lcell"), col("lv").cast("array<float>").as("lv"))
+    val coarseRef = graft.operators.Similarity.rankedCells(df, coarse.toSeq)
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").as("ccell"))
+    val wLeaf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("leaf").asc)
+    val ref = coarseRef.join(leaves, col("lcell") === col("ccell"))
+      .select(col("vec_id"), col("leaf"),
+        GraftExpressions.cosineFast(col("embedding"), col("lv")).as("cs"))
+      .withColumn("pr", row_number().over(wLeaf))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("leaf").as("ref_cell"))
+    val bad = graft.operators.Similarity.hierAssignedCells(df, cb)
+      .select(col("vec_id"), col("cell"))
+      .join(ref, "vec_id")
+      .filter(col("cell") =!= col("ref_cell")).count()
+    assert(bad == 0)
+  }
+
   test("PcaProject/CenteredNormSq equal the HOF projection chain") {
     val rnd = new scala.util.Random(11)
     val dim = 16

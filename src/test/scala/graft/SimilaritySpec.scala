@@ -319,7 +319,10 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfDedupCells(4000) == 32)
     assert(ivfDedupCells(20000) == 256)
     assert(ivfServingCells(Long.MaxValue) == MaxIvfCells)
-    assert(ivfDedupCells(Long.MaxValue) == MaxIvfCells)
+    // the dedup ladder rides the hierarchical train, so its cap sits 16×
+    // past the serving tier's driver-trained one (VERDICT r14 #3)
+    assert(Similarity.MaxDedupCells == 16 * MaxIvfCells)
+    assert(ivfDedupCells(Long.MaxValue) == Similarity.MaxDedupCells)
     // dedup K dominates serving K: constant occupancy needs more cells
     (1 to 30).foreach { i =>
       assert(ivfDedupCells(1L << i) >= ivfServingCells(1L << i))
