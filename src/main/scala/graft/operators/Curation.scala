@@ -538,27 +538,27 @@ object Curation {
     * the (broadcast-small) tombstone set until compaction folds it. */
   def forgetAuditQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{MicroBatchPipeline, StreamingDedup}
-    val textState = graft.TempDirs.scoped("graft_forget_text")
-    val textSink = graft.TempDirs.scoped("graft_forget_textsink")
-    val mediaState = graft.TempDirs.scoped("graft_forget_media")
-    val mediaSink = graft.TempDirs.scoped("graft_forget_mediasink")
-    val ivfIdx = graft.TempDirs.scoped("graft_forget_ivf")
+    // text and media lifecycles here are EXACTLY the serve queries'
+    // shared train+forget states (graft.StateCache) — the audit reading
+    // the same physical state the serves answer from is the point; the
+    // IVF state deletes on %5 (not the serve family's %7) so it builds
+    // its own key
+    val textState = StreamingDedup.textTrainDeletedState(s, dir)
+    val mediaState = Multimodal.mediaTrainDeletedState(s, dir)
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val train = docs.filter(
       substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
     val media = Multimodal.phashTableOf(docs).filter(
       substring(md5(col("media_id").cast("string")), 1, 1) =!= "0")
-    MicroBatchPipeline.withBatchSizedShuffle(s) {
-      StreamingDedup.appendBatch(train, textState, textSink).count()
-      StreamingDedup.deleteFromIndex(s, textState,
-        train.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
-      StreamingDedup.appendMediaBatch(media, mediaState, mediaSink).count()
-      StreamingDedup.deleteFromIndex(s, mediaState,
-        media.filter(col("media_id") % 5 === 2).select(col("media_id")))
-      IvfIndex.build(emb, ivfIdx)
-      IvfIndex.delete(
-        emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), ivfIdx)
+    val ivfIdx = graft.StateCache.stateDir(dir, "ivf/build_del5",
+        "graft_forget_ivf") { ivfIdx =>
+      MicroBatchPipeline.withBatchSizedShuffle(s) {
+        IvfIndex.build(emb, ivfIdx)
+        IvfIndex.delete(
+          emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), ivfIdx)
+        ()
+      }
     }
     def auditRow(name: String, universe: DataFrame, idCol: String,
         live: DataFrame, liveCol: String,
