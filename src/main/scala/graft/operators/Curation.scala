@@ -448,7 +448,7 @@ object Curation {
       .filter(col("is_eval")).select(col("fp")).distinct().persist()
     val sketch = buildSketch(evalFps)
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -340,7 +340,7 @@ object EmbeddingOps {
     packedSignBits(emb).write.mode("overwrite").parquet(codesDir)
     val frozen = spark.read.parquet(codesDir)
     val stream = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .parquet(s"$dir/embeddings.parquet*")
       .filter(col("vec_id") < Similarity.NumQueryVectors)
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
@@ -716,7 +716,14 @@ object EmbeddingOps {
   def calibratedDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val thr = thresholdCalibration(s, dir).select(col("threshold"))
-    val dups = Similarity.lshCandidatePairScores(s, dir)
+    // candidates at the CORPUS-ADAPTIVE geometry (keys ∝ N): the
+    // calibrated threshold bounds the VERIFIED-pair volume, but the
+    // candidate volume is set by the key space — at the historical fixed
+    // 128 keys it is ~N²/keys and the rig measured the query 5.3× at 10×
+    // (round 15); on the ladder it is ~N·occupancy, and the oracle
+    // replays the same ladder (adaptivePairScoresCtes)
+    val dups = Similarity.lshCandidatePairScores(s, dir,
+        Similarity.corpusBits(s, dir))
       .crossJoin(broadcast(thr))
       .filter(col("score") >= col("threshold"))
       .select(col("vec_b"))
@@ -765,7 +772,7 @@ object EmbeddingOps {
       s"""WITH $calibrationCteSql
          |SELECT n_pairs, mean_cos, std_cos, threshold FROM calt""".stripMargin),
     withOracle("dedup_embedding_calibrated", calibratedDedup,
-      s"""${Similarity.lshPairScoresCtes},
+      s"""${Similarity.adaptivePairScoresCtes},
          |$calibrationCteSql
          |SELECT e.vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM pair_scores ps, calt

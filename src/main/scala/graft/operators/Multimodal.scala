@@ -711,7 +711,7 @@ object Multimodal {
     val ckpt = graft.TempDirs.scoped("graft_mmserve_ckpt")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
       val queries = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .parquet(s"$dir/documents.parquet*")
         .filter(isEval)
       queries.writeStream
         .outputMode(OutputMode.Append())

@@ -394,7 +394,7 @@ object Pca {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val stream = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .parquet(s"$dir/embeddings.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -209,7 +209,7 @@ object QualityGate {
     val ckpt = graft.TempDirs.scoped("graft_sqgate_ckpt")
     val staticDocs = Tables.documents(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -2007,7 +2007,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val stream = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
       .filter(col("doc_id") < NumQueryVectors)
       .select(col("doc_id"), col("text"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {

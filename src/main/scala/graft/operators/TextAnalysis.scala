@@ -862,7 +862,7 @@ object TextAnalysis {
     val (c1, c2, c3) = lmCounts(staticDocs)
     val frozen = Seq(c1, c2, c3).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -949,7 +949,7 @@ object TextAnalysis {
     val (cPos, cNeg) = classifierCounts(staticDocs)
     val frozen = Seq(cPos, cNeg).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1013,7 +1013,7 @@ object TextAnalysis {
     val ckpt = graft.TempDirs.scoped("graft_sfeat_ckpt")
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1091,7 +1091,7 @@ object TextAnalysis {
     val (cTgt, cRaw) = dsirCounts(staticDocs)
     val frozen = Seq(c1, c2, c3, cPos, cNeg, cTgt, cRaw).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1166,7 +1166,7 @@ object TextAnalysis {
     val (cTgt, cRaw) = dsirCounts(staticDocs)
     val frozen = Seq(cTgt, cRaw).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .parquet(s"$dir/documents.parquet*")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

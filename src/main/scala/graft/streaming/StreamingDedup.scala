@@ -548,7 +548,7 @@ object StreamingDedup {
     val ckpt = graft.TempDirs.scoped("graft_tserve_ckpt")
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
       val queries = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .parquet(s"$dir/documents.parquet*")
         .filter(isEval)
       queries.writeStream
         .outputMode(OutputMode.Append())
@@ -839,8 +839,7 @@ object StreamingDedup {
       val schema = graft.Tables.documents(spark, dir).schema
       val docs = spark.readStream
         .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+        .parquet(s"$dir/documents.parquet*")
       MicroBatchPipeline.withBatchSizedShuffle(spark) {
         run(docs, s"$root/state", s"$root/out", ckpt)
       }
@@ -926,8 +925,7 @@ object StreamingDedup {
       val schema = graft.Tables.embeddings(spark, dir).schema
       val emb = spark.readStream
         .schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(dir)
+        .parquet(s"$dir/embeddings.parquet*")
       MicroBatchPipeline.withBatchSizedShuffle(spark) {
         runEmbedding(emb.select(col("vec_id"), col("embedding")),
           s"$root/state", s"$root/out", ckpt)
