@@ -195,8 +195,17 @@ object Similarity {
     * measured trade, pinned in SimilaritySpec for topKAnn's identical
     * bucketing). One shuffle for the pair scores, one for the per-vector
     * window. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphAt(s, dir, corpusBits(s, dir))
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    // the graph is an INDEX (a pure function of the corpus), consumed by
+    // pagerank, clustering, exemplars and diversity sampling — built
+    // once per corpus per JVM ([[graft.StateCache]]) and materialized to
+    // parquet (doubles round-trip exactly), read-only thereafter
+    val p = graft.StateCache.stateDir(dir, "sim/knngraph",
+        "graft_knngraph") { p =>
+      knnGraphAt(s, dir, corpusBits(s, dir)).write.parquet(s"$p/data")
+    }
+    s.read.parquet(s"$p/data").orderBy(col("vec_id"), col("rank"))
+  }
 
   /** The corpus-adaptive geometry for `dir`'s embeddings — a
     * metadata-count planning decision ([[adaptiveBits]]), made once per
@@ -245,10 +254,16 @@ object Similarity {
     * iterative-graph cost, with NO convergence nondeterminism because
     * the iterate is exact. */
   def knnPagerank(s: SparkSession, dir: String): DataFrame = {
-    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
-    val edges = knnGraph(s, dir)
-      .select(col("vec_id").as("src"), col("nbr").as("dst"))
-    pagerankOver(nodes, edges)
+    // scores are exact integers, so the materialized frame is the
+    // computation — shared by the leaderboard and the exemplar pick
+    val p = graft.StateCache.stateDir(dir, "sim/pagerank",
+        "graft_pagerank") { p =>
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+      val edges = knnGraph(s, dir)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+      pagerankOver(nodes, edges).write.parquet(s"$p/data")
+    }
+    s.read.parquet(s"$p/data").orderBy(col("vec_id"))
   }
 
   /** The integer-numerator recurrence over any (vec_id) node frame and
@@ -424,8 +439,14 @@ object Similarity {
     * and the component contraction is [[Dedup.componentsOver]]'s
     * adjudicated machinery (driver union-find under the edge cap, else
     * distributed large/small-star rounds). */
-  def semanticClusters(s: SparkSession, dir: String): DataFrame =
-    semanticClustersAt(s, dir, corpusBits(s, dir))
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.StateCache.stateDir(dir, "sim/semclusters",
+        "graft_semclusters") { p =>
+      semanticClustersAt(s, dir, corpusBits(s, dir))
+        .write.parquet(s"$p/data")
+    }
+    s.read.parquet(s"$p/data").orderBy(col("vec_id"))
+  }
 
   /** The clustering chain at an explicit `bits`-wide geometry. The
     * DEFAULT is corpus-adaptive ([[corpusBits]]) because a fixed key
