@@ -598,6 +598,34 @@ class SimilaritySpec extends SparkSpec {
     }.isEmpty, "full pagerank output must not globally sort via a window")
   }
 
+  test("hierarchical assignment plans one narrow pass: no exchange, no window") {
+    // the whole point of the two-level kernel assignment (r15): leaf
+    // cells for the K ∝ N dedup codebook come from one codegen'd
+    // projection per row — any Exchange or WindowExec here would mean
+    // the N·K score explosion crept back in
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.learnHierarchicalCentroids(emb, 16,
+      "test_hier_plan_c", "test_hier_plan_l")
+    val q = Similarity.hierAssignedCells(emb, cb)
+    q.count()
+    val nodes = flatten(q.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[Exchange]),
+      "two-level assignment must not shuffle")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "two-level assignment must not rank through a window")
+  }
+
   test("cluster exemplars are members with dominating centrality") {
     val clusters = Similarity.semanticClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
