@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
     // naming anything else fails at verify time — catch it here.
     val known = Tables.all.toSet + "customer_v" // temp view used by subquery sql
     val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z_0-9]*)".r
-    val keywords = Set("generate_series", "unnest", "values")
+    val keywords = Set("generate_series", "unnest", "values", "range")
     SparkEntry.oracleSql.foreach { case (name, rawSql) =>
       // Strip SQL comments and string literals before scanning — prose
       // like "-- from the staging table" is not a table reference.
