@@ -36,7 +36,15 @@ object QuerySpec {
   * re-recording (another Verify pass at a different scale factor) simply
   * overwrites. */
 object OracleLiterals {
-  private val recorded = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Literals are keyed by (corpus scope, key): [[scopeTo]] switches the
+    * ACTIVE scope rather than wiping a global map, so interleaving two
+    * corpora in one JVM (the BenchScale replicas, or any future caller
+    * that revisits a scale) can never dump an oracle against another
+    * corpus's trained artifacts — the failure mode the old clear-only
+    * scopeTo left to caller convention (VERDICT r15 ADVICE #2). */
+  private val recorded =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  @volatile private var scope: String = ""
 
   /** Active capture buffer of the innermost [[capturing]] block on this
     * thread (null outside one). [[StateCache]] uses it to remember which
@@ -48,7 +56,7 @@ object OracleLiterals {
     new ThreadLocal[scala.collection.mutable.Map[String, String]]
 
   def put(key: String, sqlLiteral: String): Unit = {
-    recorded(key) = sqlLiteral
+    recorded((scope, key)) = sqlLiteral
     val c = capture.get()
     if (c != null) c(key) = sqlLiteral
   }
@@ -70,20 +78,23 @@ object OracleLiterals {
     }
   }
 
-  /** Drop every recorded literal. Call when switching the corpus under
+  /** Switch the active corpus scope. Call when switching the corpus under
     * measurement in one JVM (BenchScale's scaled replicas): literals are
     * pure functions of the corpus that trained them, so a key recorded
-    * against corpus A must never survive into a dump or replay against
-    * corpus B — last-writer-wins across corpora would splice wrong-scale
-    * centroids/bases silently. [[StateCache]] hits re-record their own
-    * captured literals, so caches keyed by corpus dir stay consistent
-    * across the reset. */
-  def scopeTo(corpusDir: String): Unit = recorded.clear()
+    * against corpus A must never be spliced into a dump or replay against
+    * corpus B — [[get]] only sees the active scope's literals, so
+    * wrong-scale centroids/bases are structurally unreachable, not merely
+    * avoided by calling order. [[StateCache]] hits re-record their own
+    * captured literals under the CURRENT scope, so caches keyed by corpus
+    * dir stay consistent across scope switches. The default scope ("") is
+    * what single-corpus runs (Verify, the test suites) live in without
+    * ever calling this. */
+  def scopeTo(corpusDir: String): Unit = scope = corpusDir
 
-  /** The recorded literal; throws if the query has not run in this JVM —
-    * [[SparkEntry.oracleSql]] degrades that single entry to a rows-only
-    * check instead of failing the dump. */
-  def get(key: String): String = recorded.getOrElse(key,
+  /** The recorded literal; throws if the query has not run in this JVM
+    * under the ACTIVE scope — [[SparkEntry.oracleSql]] degrades that
+    * single entry to a rows-only check instead of failing the dump. */
+  def get(key: String): String = recorded.getOrElse((scope, key),
     sys.error(s"oracle literal '$key' not recorded — the query must run " +
       "before its oracle is dumped"))
 

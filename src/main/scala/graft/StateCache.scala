@@ -49,26 +49,62 @@ object StateCache {
     * OracleLiterals the build recorded on every hit. Thread-safe: the
     * holder's lazy val gives per-key mutual exclusion, so concurrent
     * spec suites wanting one state build it exactly once. */
+  private def entryKey(corpusDir: String, key: String): String =
+    corpusDir + "\u0000" + key
+
   def cached[T <: AnyRef](corpusDir: String, key: String)(build: => T): T = {
-    val k = corpusDir + "\u0000" + key
-    val h = entries.computeIfAbsent(k,
+    val h = entries.computeIfAbsent(entryKey(corpusDir, key),
       _ => new Holder(() => OracleLiterals.capturing(build)))
     val (v, puts) = h.value
     puts.foreach { case (lk, lit) => OracleLiterals.put(lk, lit) }
     v.asInstanceOf[T]
   }
 
-  /** State-dir form: the builder populates a fresh scoped temp dir (a
-    * new dir per attempt — see the throw-retry contract above); hits
-    * return the built dir for read-only serving. */
-  def stateDir(corpusDir: String, key: String, prefix: String)(
-      build: String => Unit): String =
-    cached(corpusDir, key) {
-      val d = TempDirs.scoped(prefix)
-      build(d)
-      d
-    }
+  private val ownedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Test hook: drop every cached entry (forces cold builds). */
-  private[graft] def clear(): Unit = entries.clear()
+  /** State-dir form: the builder populates a fresh PINNED temp dir (a new
+    * dir per attempt — see the throw-retry contract above); hits return
+    * the built dir for read-only serving. Pinned, not scoped: the
+    * TempDirs eviction backstop deleting a still-cached state dir would
+    * make manifest/serve queries return silently EMPTY results
+    * (listSlices of a missing path is empty, not an error) — the r15
+    * ADVICE medium finding. Belt-and-braces, every hit re-verifies the
+    * dir still exists on disk and rebuilds if something external removed
+    * it, so a stale cache can never serve from a void. */
+  def stateDir(corpusDir: String, key: String, prefix: String)(
+      build: String => Unit): String = {
+    var attempt = 0
+    while (true) {
+      val d = cached(corpusDir, key) {
+        val dd = TempDirs.pinned(prefix)
+        try { build(dd); ownedDirs.add(dd); dd }
+        catch {
+          // failed attempt: hand the half-written dir back to the
+          // evictable pool instead of pinning garbage for the session
+          case e: Throwable => TempDirs.unpin(dd); throw e
+        }
+      }
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))) return d
+      // Externally deleted: drop the stale entry and rebuild (bounded —
+      // a builder that cannot produce a directory is a hard bug).
+      entries.remove(entryKey(corpusDir, key))
+      ownedDirs.remove(d)
+      attempt += 1
+      if (attempt >= 3) throw new IllegalStateException(
+        s"StateCache: state dir for ($corpusDir, $key) vanished $attempt times — " +
+          "something is deleting live state out from under the cache")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test hook: drop every cached entry (forces cold builds). Pinned state
+    * dirs are demoted back into the evictable TempDirs pool — nothing
+    * references them once the entries are gone, and BenchScale clears
+    * before every timed cold pass, so leaving them pinned would grow the
+    * disk footprint without bound. */
+  private[graft] def clear(): Unit = {
+    entries.clear()
+    val it = ownedDirs.iterator()
+    while (it.hasNext) { TempDirs.unpin(it.next()); it.remove() }
+  }
 }

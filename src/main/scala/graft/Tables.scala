@@ -18,6 +18,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Glob matching EXACTLY `<dir>/<table>.parquet` — file or directory
+    * layout — and nothing else. FileStreamSource needs a glob-or-directory
+    * path (a bare file path fails its basePath-directory check, and
+    * parent-dir + pathGlobFilter silently lists zero files from a
+    * directory-shaped table), but the previous `<table>.parquet*` trailing
+    * wildcard overmatched: a leftover `<table>.parquet_old` or `.bak`
+    * sibling would be silently ingested into every streaming query. A
+    * single-character class keeps glob treatment (so both layouts resolve)
+    * with exact-match semantics — probed against both layouts plus a decoy
+    * sibling: `*` doubled the rows, this form reads exactly the table. */
+  def streamGlob(dir: String, table: String): String =
+    s"$dir/$table.parque[t]"
+
   def region(s: SparkSession, dir: String): DataFrame     = load(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = load(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame   = load(s, dir, "customer")

@@ -36,7 +36,44 @@ private[graft] class TempDirRegistry(cap: Int) {
   /** Live registered dirs (eviction test hook). */
   private[graft] def liveCount: Int = created.synchronized { created.size }
 
-  protected def deleteAll(): Unit =
+  private val pinnedDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  /** A fresh temp directory EXCLUDED from the oldest-first eviction loop —
+    * still deleted at JVM exit. For session-lifetime state the eviction
+    * backstop must never touch: [[StateCache]] pins built state dirs here,
+    * because an evicted-but-still-cached state dir would make manifest and
+    * serve queries return silently EMPTY results (listSlices of a missing
+    * path is empty, not an error) — the r15 ADVICE medium finding. Pins
+    * are bounded by the number of distinct (corpus, lifecycle) states in a
+    * session; callers that drop their cache must [[unpin]] so the dirs
+    * rejoin the evictable pool. */
+  def pinned(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    pinnedDirs.synchronized { pinnedDirs += p }
+    p.toString
+  }
+
+  /** Demote a pinned dir into the evictable registry (oldest-first slot):
+    * its contents stay readable until the cap crosses it or JVM exit. */
+  def unpin(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    val was = pinnedDirs.synchronized {
+      val i = pinnedDirs.indexOf(p)
+      if (i >= 0) { pinnedDirs.remove(i); true } else false
+    }
+    if (was) created.synchronized {
+      created += p
+      while (created.size > cap) {
+        val oldest = created.remove(0)
+        try deleteRecursively(oldest) catch { case _: Exception => () }
+      }
+    }
+  }
+
+  /** Live pinned dirs (test hook). */
+  private[graft] def pinnedCount: Int = pinnedDirs.synchronized { pinnedDirs.size }
+
+  protected def deleteAll(): Unit = {
     // per-dir isolation: one undeletable dir (permissions, live handles)
     // must not abort cleanup of the rest
     created.synchronized {
@@ -44,6 +81,12 @@ private[graft] class TempDirRegistry(cap: Int) {
         case _: Exception => ()
       })
     }
+    pinnedDirs.synchronized {
+      pinnedDirs.foreach(p => try deleteRecursively(p) catch {
+        case _: Exception => ()
+      })
+    }
+  }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}

@@ -560,6 +560,13 @@ object GraftExpressions {
     override def nullSafeEval(input: Any, cellIn: Any): Any = {
       val x = input.asInstanceOf[ArrayData]
       val cents = groups(cellIn.asInstanceOf[Int])
+      // Structural invariant: a coarse cell that receives an assignment had
+      // >=1 corpus row at train time, hence >=1 trained leaf. An EMPTY group
+      // would otherwise return bases(ccell)+0 == the NEXT group's first
+      // global leaf id — a silent cross-group mislabel — so fail loudly
+      // here if a future refactor ever breaks the invariant (r15 ADVICE #3).
+      if (cents.isEmpty) throw new IllegalStateException(
+        s"group_cell_assign: empty leaf group for coarse cell $cellIn")
       var best = 0
       var bestScore = Double.NaN
       var c = 0
@@ -600,6 +607,8 @@ object GraftExpressions {
         val sc = ctx.freshName("sc")
         s"""
            |float[][] $cents = $gr[$cellV];
+           |if ($cents.length == 0) throw new IllegalStateException(
+           |  "group_cell_assign: empty leaf group for coarse cell " + $cellV);
            |int $best = 0;
            |double $bestScore = Double.NaN;
            |for (int $c = 0; $c < $cents.length; $c++) {

@@ -313,7 +313,7 @@ object Bpe {
     val staticDocs = Tables.documents(spark, dir)
     val merges = trainedMerges(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -448,7 +448,7 @@ object Curation {
       .filter(col("is_eval")).select(col("fp")).distinct().persist()
     val sketch = buildSketch(evalFps)
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

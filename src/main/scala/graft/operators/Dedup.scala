@@ -785,7 +785,7 @@ object Dedup {
       .join(boiler, Seq("fp"), "left_anti")
       .select(col("fp")).distinct().persist()
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -340,7 +340,7 @@ object EmbeddingOps {
     packedSignBits(emb).write.mode("overwrite").parquet(codesDir)
     val frozen = spark.read.parquet(codesDir)
     val stream = spark.readStream.schema(emb.schema)
-      .parquet(s"$dir/embeddings.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "embeddings"))
       .filter(col("vec_id") < Similarity.NumQueryVectors)
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream

@@ -261,7 +261,7 @@ object IvfIndex {
     val ckpt = TempDirs.scoped("graft_annserve_ckpt")
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val stream = spark.readStream.schema(emb.schema)
-      .parquet(s"$dir/embeddings.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "embeddings"))
       .filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -309,7 +309,7 @@ object IvfIndex {
         .select(col("vec_id"), col("embedding"))
       init(emb, idx)
       val stream = spark.readStream.schema(emb.schema)
-        .parquet(s"$dir/embeddings.parquet*")
+        .parquet(graft.Tables.streamGlob(dir, "embeddings"))
         .select(col("vec_id"), col("embedding"))
       graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
         stream.writeStream

@@ -711,7 +711,7 @@ object Multimodal {
     val ckpt = graft.TempDirs.scoped("graft_mmserve_ckpt")
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
       val queries = s.readStream.schema(docs.schema)
-        .parquet(s"$dir/documents.parquet*")
+        .parquet(graft.Tables.streamGlob(dir, "documents"))
         .filter(isEval)
       queries.writeStream
         .outputMode(OutputMode.Append())

@@ -394,7 +394,7 @@ object Pca {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val stream = spark.readStream.schema(emb.schema)
-      .parquet(s"$dir/embeddings.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "embeddings"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

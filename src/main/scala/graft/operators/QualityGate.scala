@@ -209,7 +209,7 @@ object QualityGate {
     val ckpt = graft.TempDirs.scoped("graft_sqgate_ckpt")
     val staticDocs = Tables.documents(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -349,7 +349,7 @@ object RelationalExt {
     val ckpt = graft.TempDirs.scoped("graft_scorr_ckpt")
     val li = Tables.lineitem(spark, dir)
     val stream = spark.readStream.schema(li.schema)
-      .parquet(s"$dir/lineitem.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "lineitem"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

@@ -97,7 +97,7 @@ object Sketches {
     val ckpt = graft.TempDirs.scoped("graft_cms_ckpt")
     val docs = Tables.documents(spark, dir)
     val stream = spark.readStream.schema(docs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())

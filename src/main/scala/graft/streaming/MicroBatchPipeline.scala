@@ -21,17 +21,19 @@ import org.apache.spark.sql.types._
 object MicroBatchPipeline {
 
   /** File-based streaming source over the events table: stream the table
-    * path as a GLOB (`events.parquet*`) — the one form FileStreamSource
-    * accepts for BOTH layouts. A bare file path fails ("Option 'basePath'
-    * must be a directory"), and the old parent-dir + pathGlobFilter form
-    * silently reads ZERO files from a directory-shaped table (part files
-    * don't match the filter) — the round-15 scale-rig finding; a real
-    * 100 TB table is always directory-shaped. The glob matches the
-    * verification corpus's single file and a directory's contents alike.
-    * At production scale this is a landing directory receiving new files
-    * per micro-batch. */
+    * path as a GLOB ([[graft.Tables.streamGlob]]) — the one form
+    * FileStreamSource accepts for BOTH layouts. A bare file path fails
+    * ("Option 'basePath' must be a directory"), and the old parent-dir +
+    * pathGlobFilter form silently reads ZERO files from a directory-shaped
+    * table (part files don't match the filter) — the round-15 scale-rig
+    * finding; a real 100 TB table is always directory-shaped. The glob
+    * matches the verification corpus's single file and a directory's
+    * contents alike — and ONLY those (the helper's character class cannot
+    * overmatch a `.parquet_old` sibling the way a trailing `*` did). At
+    * production scale this is a landing directory receiving new files per
+    * micro-batch. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    eventsStreamFrom(spark, s"$dir/events.parquet*")
+    eventsStreamFrom(spark, graft.Tables.streamGlob(dir, "events"))
 
   /** Streaming events reader whose schema is RESOLVED FROM THE FILES by a
     * batch read, then ts-normalized by the same `Tables.normalizeEventTs`

@@ -548,7 +548,7 @@ object StreamingDedup {
     val ckpt = graft.TempDirs.scoped("graft_tserve_ckpt")
     MicroBatchPipeline.withBatchSizedShuffle(spark) {
       val queries = spark.readStream.schema(docs.schema)
-        .parquet(s"$dir/documents.parquet*")
+        .parquet(graft.Tables.streamGlob(dir, "documents"))
         .filter(isEval)
       queries.writeStream
         .outputMode(OutputMode.Append())
@@ -839,7 +839,7 @@ object StreamingDedup {
       val schema = graft.Tables.documents(spark, dir).schema
       val docs = spark.readStream
         .schema(schema)
-        .parquet(s"$dir/documents.parquet*")
+        .parquet(graft.Tables.streamGlob(dir, "documents"))
       MicroBatchPipeline.withBatchSizedShuffle(spark) {
         run(docs, s"$root/state", s"$root/out", ckpt)
       }
@@ -925,7 +925,7 @@ object StreamingDedup {
       val schema = graft.Tables.embeddings(spark, dir).schema
       val emb = spark.readStream
         .schema(schema)
-        .parquet(s"$dir/embeddings.parquet*")
+        .parquet(graft.Tables.streamGlob(dir, "embeddings"))
       MicroBatchPipeline.withBatchSizedShuffle(spark) {
         runEmbedding(emb.select(col("vec_id"), col("embedding")),
           s"$root/state", s"$root/out", ckpt)

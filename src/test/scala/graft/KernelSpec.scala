@@ -212,6 +212,41 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("GroupCellAssign fails loudly on an empty leaf group") {
+    // An empty group would otherwise emit bases(ccell)+0 — the NEXT
+    // group's first GLOBAL leaf id, a silent cross-group mislabel. The
+    // invariant (an assigned coarse cell has >=1 trained leaf) holds
+    // structurally today; this pins that a future refactor breaking it
+    // throws instead of mislabeling (r15 ADVICE #3). Exercise BOTH the
+    // codegen path (the DataFrame projection) and interpreted eval.
+    val groups: Array[Array[Array[Float]]] =
+      Array(Array(Array(1f, 0f)), Array.empty)
+    val bases = Array(0, 1)
+    val df = Seq((1L, Seq(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "ccell")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("ccell"))
+    val codegenErr = intercept[Exception] {
+      df.select(GraftExpressions.groupCellAssign(
+        col("embedding"), col("ccell"), groups, bases).as("cell")).collect()
+    }
+    def rootMessage(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null) cur = cur.getCause
+      Option(cur.getMessage).getOrElse("")
+    }
+    assert(rootMessage(codegenErr).contains("empty leaf group"))
+    val interpErr = intercept[IllegalStateException] {
+      GraftExpressions.GroupCellAssign(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(0.5f, 0.5f),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.catalyst.expressions.Literal(1),
+        groups, bases).eval(null)
+    }
+    assert(interpErr.getMessage.contains("empty leaf group"))
+  }
+
   test("PcaProject/CenteredNormSq equal the HOF projection chain") {
     val rnd = new scala.util.Random(11)
     val dim = 16

@@ -48,6 +48,43 @@ class SourcesSpec extends SparkSpec {
     assertSame(sample, spark.read.orc(dir))
   }
 
+  test("streamGlob matches exactly the table, never a .parquet_old sibling") {
+    // Both physical layouts a table ships in, each with a decoy sibling
+    // that the old trailing-* glob silently ingested (r15 ADVICE #4):
+    // a directory-shaped table next to `documents.parquet_old`, and a
+    // single-file table next to the same. The exact-match glob must read
+    // the table's rows once — not doubled.
+    val rows = sample.select(col("c_custkey"), col("c_name"))
+    val n = rows.count()
+
+    val dirCase = Files.createTempDirectory("graft_glob_dir").toString
+    rows.write.parquet(s"$dirCase/documents.parquet")
+    rows.write.parquet(s"$dirCase/documents.parquet_old")
+
+    val fileCase = Files.createTempDirectory("graft_glob_file").toString
+    rows.coalesce(1).write.parquet(s"$fileCase/tmpw")
+    val part = new java.io.File(s"$fileCase/tmpw").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Files.copy(part, java.nio.file.Paths.get(s"$fileCase/documents.parquet"))
+    Files.copy(part, java.nio.file.Paths.get(s"$fileCase/documents.parquet_old"))
+
+    Seq(dirCase, fileCase).foreach { base =>
+      val glob = Tables.streamGlob(base, "documents")
+      // batch read through the same glob (schema-inference path)
+      assert(spark.read.parquet(glob).count() == n)
+      // streaming read: drain with availableNow into memory
+      val q = spark.readStream.schema(rows.schema).parquet(glob)
+        .writeStream.format("memory")
+        .queryName(s"glob_${base.hashCode.abs}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_glob_ckpt").toString)
+        .start()
+      q.awaitTermination()
+      assert(spark.table(s"glob_${base.hashCode.abs}").count() == n)
+    }
+  }
+
   test("partitioned parquet write prunes on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     sample.write.mode("overwrite").partitionBy("c_mktsegment").parquet(dir)

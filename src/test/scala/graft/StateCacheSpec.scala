@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StateCache contracts that exist purely at the JVM level (no Spark):
+  * build-once memoization, pinning against the TempDirs eviction backstop,
+  * the vanished-dir rebuild path, and clear()'s demotion of owned dirs —
+  * the r15 ADVICE medium finding was exactly a long session evicting a
+  * still-cached state dir and serving silently empty manifests from it.
+  */
+class StateCacheSpec extends AnyFunSuite {
+
+  private def exists(d: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))
+
+  test("stateDir builds once and serves the same pinned dir on hits") {
+    var builds = 0
+    def get() = StateCache.stateDir("/corpusX", "spec-build-once", "graft_sc_spec") { d =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "marker.txt"), "built".getBytes)
+    }
+    val d1 = get()
+    val d2 = get()
+    assert(d1 == d2)
+    assert(builds == 1)
+    assert(exists(d1))
+    StateCache.clear()
+  }
+
+  test("a state dir deleted out from under the cache is rebuilt, not served empty") {
+    var builds = 0
+    def get() = StateCache.stateDir("/corpusX", "spec-vanish", "graft_sc_spec") { d =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "slice-0.parquet"), "data".getBytes)
+    }
+    val d1 = get()
+    // simulate the eviction/external-deletion hazard
+    val root = java.nio.file.Paths.get(d1)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(!exists(d1))
+    val d2 = get()
+    assert(builds == 2)
+    assert(exists(d2))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d2, "slice-0.parquet")))
+    StateCache.clear()
+  }
+
+  test("clear() demotes owned pinned dirs back to the evictable pool") {
+    val before = TempDirs.pinnedCount
+    val d = StateCache.stateDir("/corpusX", "spec-demote", "graft_sc_spec") { dd =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dd, "m.txt"), "x".getBytes)
+    }
+    assert(TempDirs.pinnedCount == before + 1)
+    StateCache.clear()
+    // demoted: no longer pinned, but contents still readable (deletion
+    // waits for cap pressure or JVM exit)
+    assert(TempDirs.pinnedCount == before)
+    assert(exists(d))
+  }
+
+  test("a builder that throws does not leave a pinned dir behind") {
+    val before = TempDirs.pinnedCount
+    intercept[RuntimeException] {
+      StateCache.stateDir("/corpusX", "spec-throw", "graft_sc_spec") { _ =>
+        sys.error("boom")
+      }
+    }
+    assert(TempDirs.pinnedCount == before)
+    StateCache.clear()
+  }
+
+  test("OracleLiterals are corpus-scoped: a scope switch hides, not destroys") {
+    OracleLiterals.scopeTo("/scopeA")
+    OracleLiterals.put("spec-key", "[1.0]")
+    assert(OracleLiterals.get("spec-key") == "[1.0]")
+    OracleLiterals.scopeTo("/scopeB")
+    // corpus B must never see corpus A's trained literal
+    intercept[RuntimeException] { OracleLiterals.get("spec-key") }
+    OracleLiterals.put("spec-key", "[2.0]")
+    assert(OracleLiterals.get("spec-key") == "[2.0]")
+    // returning to A restores A's literal — interleaving corpora is safe
+    OracleLiterals.scopeTo("/scopeA")
+    assert(OracleLiterals.get("spec-key") == "[1.0]")
+    // restore the default scope for every other suite in this JVM
+    OracleLiterals.scopeTo("")
+  }
+}

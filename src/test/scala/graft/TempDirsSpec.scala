@@ -33,4 +33,26 @@ class TempDirsSpec extends AnyFunSuite {
     // there could delete dirs still backing lazy frames.
     assert(TempDirs.MaxDirs >= 256)
   }
+
+  test("pinned dirs survive eviction pressure; unpin demotes them") {
+    val reg = new TempDirRegistry(cap = 2)
+    val pinned = reg.pinned("graft_tempdirs_pin")
+    (1 to 6).foreach(_ => reg.scoped("graft_tempdirs_churn"))
+    // six scoped allocations crossed the cap twice over — the pinned dir
+    // must be untouched (the r15 ADVICE StateCache-eviction hazard)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pinned)))
+    assert(reg.pinnedCount == 1)
+    // demotion re-enters the evictable pool: enough churn deletes it
+    reg.unpin(pinned)
+    assert(reg.pinnedCount == 0)
+    (1 to 3).foreach(_ => reg.scoped("graft_tempdirs_churn2"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(pinned)))
+  }
+
+  test("unpin of an unknown dir is a no-op (no phantom registration)") {
+    val reg = new TempDirRegistry(cap = 2)
+    val before = reg.liveCount
+    reg.unpin("/nonexistent/never-registered")
+    assert(reg.liveCount == before)
+  }
 }
