@@ -76,7 +76,14 @@ object BenchScale {
     // round-15 (VERDICT r14 #6): the two new heavy verbs — the re-bucket
     // rebuild pass and the full calibration + LSH dedup pass
     "sim_clusters_rebucket",
-    "dedup_embedding_calibrated")
+    "dedup_embedding_calibrated",
+    // round-16: the multi-vector retrieval tier — expected scan-bound
+    // (broadcast query chunks, one corpus chunk-feature pass, dot
+    // aggregation bounded by the query set), so the ratio should track
+    // the corpus scan, not the pair volume; the cascade additionally
+    // bounds stage 2 at |queries| x 25 candidates regardless of N.
+    "sim_late_interaction",
+    "sim_li_pruned")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one

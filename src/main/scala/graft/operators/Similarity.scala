@@ -1871,7 +1871,18 @@ object Similarity {
     * the corpus side joins on dim — 64 buckets, each holding the docs
     * with mass in that dim — then one (query, cand) aggregate and the
     * usual bounded rank window. */
-  def textTopK(s: SparkSession, dir: String): DataFrame = {
+  def textTopK(s: SparkSession, dir: String): DataFrame =
+    docCosineRanked(s, dir)
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** The single-vector document-cosine ranking [[textTopK]] serves and the
+    * late-interaction cascade prunes with: exact-integer sparse dot over
+    * the feature-hash counts, one float division, per-query rank window.
+    * Unfiltered (every scored candidate with its rank) so consumers pick
+    * their own cutoff. */
+  private def docCosineRanked(s: SparkSession, dir: String): DataFrame = {
     val counts = TextAnalysis.featureCountsOf(Tables.documents(s, dir))
     val norms = counts.groupBy(col("doc_id"))
       .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
@@ -1896,9 +1907,235 @@ object Similarity {
           (sqrt(col("sq_q").cast("double")) *
             sqrt(col("sq_c").cast("double")))).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Candidate pool the late-interaction cascade reranks: wide enough
+    * that the MaxSim reorder is observable, narrow enough that stage 2
+    * touches |queries| x 25 documents instead of the corpus. */
+  val LiPruneCandidates = 25
+
+  /** LATE-INTERACTION (multi-vector) retrieval — ColBERT-style MaxSim
+    * (Khattab & Zaharia 2020) over the engine's own deterministic chunk
+    * vectors: a document is the BAG of its RAG-chunk feature-hash vectors
+    * (TextAnalysis.chunkFeatureCountsOf over ragChunksOf), and
+    * score(Q, D) = Σ_{q-chunk} max(0, max_{d-chunk} cos(q-chunk, d-chunk)).
+    * A fact buried in ONE chunk of D matches exactly the query chunk that
+    * asks for it; single-vector cosine dilutes it into the document mean —
+    * that reordering is what this operator buys.
+    *
+    * The max(0, ·) clamp is load-bearing for the sparse plan: a
+    * (q-chunk, d-chunk) pair sharing NO feature dims has cosine exactly 0
+    * and is never materialized by the dim equi-join; clamping makes absent
+    * pairs and negative best-matches agree at 0, so the sparse candidate
+    * set IS the declared semantics (a query chunk with no positive
+    * evidence in D contributes nothing). Consequently only candidates
+    * with ≥1 positive chunk interaction are retrievable — the impact-index
+    * reading every sparse retrieval engine shares.
+    *
+    * Exactness discipline: chunk cosine = one BIGINT dot / (sqrt·sqrt) of
+    * exact integer square norms (the sim_text_topk recipe one level
+    * down); the per-q-chunk max is a float COMPARISON (exact); the final
+    * per-document sum folds in ascending q-chunk order (array_sort +
+    * aggregate ↔ DuckDB list_sum(list(x ORDER BY qc)), the established
+    * ordered-fold pair).
+    *
+    * Shape at scale: the query side (NumQueryVectors docs' chunks, sparse)
+    * is BROADCAST; the corpus chunk-feature stream is scanned ONCE and
+    * equi-joined on the 8-byte dim key; the (query, q-chunk, cand,
+    * d-chunk) dot aggregation is map-side combinable, and everything
+    * after runs on query-bounded rows except the final per-query rank
+    * window, which Spark caps with a partial WindowGroupLimit before its
+    * exchange. No corpus-wide shuffle, no N×N pair set. */
+  def lateInteractionTopK(s: SparkSession, dir: String): DataFrame = {
+    val sc = liScores(liChunkFeatures(s, dir), None)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    sc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-stage retrieval CASCADE — prune with the cheap single-vector
+    * document cosine (top-[[LiPruneCandidates]] per query), late-interact
+    * only the survivors: the retrieve-then-rerank shape production
+    * serving stacks run, with BOTH stages' scores emitted so the MaxSim
+    * reordering is observable row by row. Survivors with no positive
+    * chunk interaction keep score 0 (left join + coalesce), so every
+    * pruned candidate is rankable and the top-k is total.
+    *
+    * Shape at scale: stage 1 is [[textTopK]]'s broadcast-queries corpus
+    * scan; stage 2's chunk work is SEMI-JOINED down to |queries| × 25
+    * candidate documents before any per-chunk pair is scored — the
+    * cascade is exactly what makes MaxSim affordable when the corpus is
+    * 10^9 documents and stage 2 would otherwise dominate. */
+  def lateInteractionPruned(s: SparkSession, dir: String): DataFrame = {
+    val pruned = docCosineRanked(s, dir)
+      .filter(col("rank") <= LiPruneCandidates)
+      .select(col("query_id"), col("cand_id"), col("score").as("doc_score"))
+    val sc = liScores(liChunkFeatures(s, dir),
+      Some(pruned.select(col("query_id"), col("cand_id"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    pruned.join(sc, Seq("query_id", "cand_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"),
+        col("doc_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The full late-interaction top-k oracle — shared verbatim by
+    * sim_late_interaction and its streaming serve twin. */
+  private lazy val liTopKOracleSql: String =
+    s"""WITH ${TextAnalysis.ragChunkCtes},
+       |${TextAnalysis.chunkFeatureCountCtes},
+       |${liScoreCtes()}
+       |SELECT query_id, rank, cand_id, score FROM (
+       |  SELECT lsc.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM lsc) t2
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** The MaxSim scoring CTEs (lq/lip/lcos/lms/lsc over the chunk-grain
+    * rcc/rcn tables) — the SQL replay of [[liScores]]. `extraJoin` keys
+    * the dot aggregation down to a candidate pool (the cascade's stage-2
+    * restriction); empty for the full corpus-scan form. */
+  private def liScoreCtes(extraJoin: String = ""): String =
+    s"""lq AS (SELECT doc_id AS query_id, chunk_id AS qc, dim,
+       |         signed_count AS cq
+       |       FROM rcc WHERE doc_id < $NumQueryVectors),
+       |lip AS (SELECT lq.query_id, lq.qc, b.doc_id AS cand_id,
+       |    b.chunk_id AS dc,
+       |    CAST(SUM(lq.cq * b.signed_count) AS BIGINT) AS dot
+       |  FROM rcc b JOIN lq ON b.dim = lq.dim AND b.doc_id <> lq.query_id
+       |  $extraJoin
+       |  GROUP BY 1, 2, 3, 4),
+       |lcos AS (SELECT p.query_id, p.qc, p.cand_id,
+       |    CAST(p.dot AS DOUBLE) / (sqrt(CAST(nq.sq AS DOUBLE))
+       |      * sqrt(CAST(nc.sq AS DOUBLE))) AS cs
+       |  FROM lip p
+       |  JOIN rcn nq ON nq.doc_id = p.query_id AND nq.chunk_id = p.qc
+       |  JOIN rcn nc ON nc.doc_id = p.cand_id AND nc.chunk_id = p.dc),
+       |lms AS (SELECT query_id, qc, cand_id,
+       |        greatest(MAX(cs), 0.0) AS maxsim
+       |        FROM lcos GROUP BY 1, 2, 3),
+       |lsc AS (SELECT query_id, cand_id,
+       |        list_sum(list(maxsim ORDER BY qc)) AS score
+       |        FROM lms GROUP BY 1, 2)""".stripMargin
+
+  /** Declared query — streaming late-interaction SERVING: the corpus
+    * chunk-feature table is built ONCE into StateCache-backed parquet
+    * state (the build-once-read-many shape every persisted index argues),
+    * then the query documents arrive as a micro-batch stream and each
+    * batch is chunked, featurized and MaxSim-scored against the frozen
+    * state — embed-at-serve, the operational endpoint of the multi-vector
+    * tier. Scoring is per-query independent and the corpus side is frozen
+    * during the drain, so batch boundaries cannot change results: the
+    * drain equals [[lateInteractionTopK]] and the oracle text is carried
+    * VERBATIM (manual two-batch split pinned in SimilaritySpec). */
+  def streamLiServeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val featsDir = liFeatureState(spark, dir)
+    val out = graft.TempDirs.scoped("graft_liserve_out")
+    val ckpt = graft.TempDirs.scoped("graft_liserve_ckpt")
+    val docsSchema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
+      .filter(col("doc_id") < NumQueryVectors)
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          serveLiBatch(spark, featsDir, batch.toDF(), out, batchId)
+          ()
+        }
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The corpus chunk-feature state, built once per corpus in this JVM. */
+  private[graft] def liFeatureState(spark: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "li/chunk_features", "graft_li_feats") { d =>
+      liChunkFeatures(spark, dir).write.parquet(s"$d/feats")
+    }
+
+  /** One late-interaction serving micro-batch: chunk + featurize the
+    * arriving query docs, MaxSim them against the frozen corpus features,
+    * rank top-k per query, land in the batch-keyed overwrite dir
+    * (idempotent replay). Factored so the split-invariance pin drives the
+    * stream's exact code. */
+  private[graft] def serveLiBatch(spark: SparkSession, featsDir: String,
+      queryDocs: DataFrame, out: String, batchId: Long): Unit = {
+    val qf = TextAnalysis.chunkFeatureCountsOf(
+      TextAnalysis.ragChunksOf(queryDocs))
+    val cf = spark.read.parquet(s"$featsDir/feats")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    liScoresOver(qf, cf, None)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+      .write.mode("overwrite").parquet(s"$out/b$batchId")
+  }
+
+  /** The chunk-grain sparse feature table (doc_id, chunk_id, dim,
+    * signed_count) both late-interaction queries score over. */
+  private def liChunkFeatures(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkFeatureCountsOf(
+      TextAnalysis.ragChunksOf(Tables.documents(s, dir)))
+
+  /** MaxSim scores (query_id, cand_id, score) over chunk features,
+    * optionally restricted to a (query_id, cand_id) candidate set. */
+  private def liScores(cc: DataFrame,
+      candidates: Option[DataFrame]): DataFrame =
+    liScoresOver(cc.filter(col("doc_id") < NumQueryVectors), cc, candidates)
+
+  /** The general form: query-doc chunk features scored against corpus
+    * chunk features — the split the streaming serve twin needs (queries
+    * arrive per micro-batch, the corpus side is the built static state).
+    * Self-matches are excluded by id, so passing the full corpus as `qf`'s
+    * superset is safe. */
+  private[graft] def liScoresOver(qf: DataFrame, cf: DataFrame,
+      candidates: Option[DataFrame]): DataFrame = {
+    val cn = cf.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
+    val qn = qf.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
+    val q = qf
+      .select(col("doc_id").as("query_id"), col("chunk_id").as("qc"),
+        col("dim"), col("signed_count").as("cq"))
+    val joined = cf.select(col("doc_id").as("cand_id"),
+        col("chunk_id").as("dc"), col("dim"), col("signed_count").as("cd"))
+      .join(broadcast(q), Seq("dim"))
+      .filter(col("cand_id") =!= col("query_id"))
+    val restricted = candidates.fold(joined)(cset =>
+      joined.join(broadcast(cset), Seq("query_id", "cand_id"), "left_semi"))
+    val ip = restricted
+      .groupBy(col("query_id"), col("qc"), col("cand_id"), col("dc"))
+      .agg(sum(col("cq") * col("cd")).as("dot"))
+    val cosd = ip
+      .join(qn.select(col("doc_id").as("query_id"),
+        col("chunk_id").as("qc"), col("sq").as("sq_q")), Seq("query_id", "qc"))
+      .join(cn.select(col("doc_id").as("cand_id"),
+        col("chunk_id").as("dc"), col("sq").as("sq_c")), Seq("cand_id", "dc"))
+      .select(col("query_id"), col("qc"), col("cand_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("sq_q").cast("double")) *
+            sqrt(col("sq_c").cast("double")))).as("cs"))
+    cosd.groupBy(col("query_id"), col("qc"), col("cand_id"))
+      .agg(greatest(max(col("cs")), lit(0.0)).as("maxsim"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("qc"), col("maxsim")))),
+          x => x("maxsim")),
+        lit(0.0), (a, x) => a + x).as("score"))
   }
 
   /** RRF smoothing constant (Cormack et al. 2009's k=60 — the standard
@@ -2028,7 +2265,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val stream = spark.readStream.schema(docs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
       .filter(col("doc_id") < NumQueryVectors)
       .select(col("doc_id"), col("text"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -2513,6 +2750,48 @@ object Similarity {
          |  SELECT r.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
          |  FROM r) t2
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    // Late interaction: the shared chunk CTEs (ragChunkCtes +
+    // chunkFeatureCountCtes — verbatim with text_rag_chunks, no drift),
+    // exact BIGINT chunk dots, per-q-chunk MAX, ordered-fold sum
+    // (list_sum(list(x ORDER BY qc)) ↔ Spark's array_sort + aggregate).
+    withOracle("sim_late_interaction", lateInteractionTopK, liTopKOracleSql),
+    // The streaming serve twin carries the batch oracle text VERBATIM:
+    // scoring is per-query independent against the frozen corpus state,
+    // so the drained output equals the batch rows (split-pinned).
+    QuerySpec("stream_li_serve", streamLiServeQuery,
+      Some(() => liTopKOracleSql)),
+    // The cascade: stage 1 is sim_text_topk's doc-cosine CTEs ranked to
+    // the wider LiPruneCandidates pool, stage 2 the MaxSim CTEs keyed
+    // down to that pool, zero-filled by the LEFT JOIN so the rank is
+    // total over the pruned set.
+    withOracle("sim_li_pruned", lateInteractionPruned,
+      s"""WITH ${TextAnalysis.featureCountCtes},
+         |pd AS (SELECT q.doc_id AS query_id, b.doc_id AS cand_id,
+         |    CAST(SUM(q.signed_count * b.signed_count) AS BIGINT) AS dot
+         |  FROM c q JOIN c b ON b.dim = q.dim AND b.doc_id <> q.doc_id
+         |  WHERE q.doc_id < $NumQueryVectors GROUP BY 1, 2),
+         |pr AS (SELECT query_id, cand_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.sq AS DOUBLE))
+         |      * sqrt(CAST(nc.sq AS DOUBLE))) AS doc_score
+         |  FROM pd JOIN n nq ON nq.doc_id = pd.query_id
+         |          JOIN n nc ON nc.doc_id = pd.cand_id),
+         |pruned AS (SELECT query_id, cand_id, doc_score FROM (
+         |    SELECT pr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY doc_score DESC, cand_id ASC) AS dr FROM pr) t0
+         |  WHERE dr <= $LiPruneCandidates),
+         |${TextAnalysis.ragChunkCtes},
+         |${TextAnalysis.chunkFeatureCountCtes},
+         |${liScoreCtes("JOIN pruned pp ON pp.query_id = lq.query_id " +
+             "AND pp.cand_id = b.doc_id")},
+         |lbase AS (SELECT p.query_id, p.cand_id, p.doc_score,
+         |    COALESCE(l.score, 0.0) AS score
+         |  FROM pruned p LEFT JOIN lsc l
+         |    ON l.query_id = p.query_id AND l.cand_id = p.cand_id)
+         |SELECT query_id, rank, cand_id, score, doc_score FROM (
+         |  SELECT lbase.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+         |  FROM lbase) t2
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_hybrid_retrieve", hybridRetrieve, hybridOracleSql),
     // The streaming serve twin carries the batch oracle text VERBATIM:

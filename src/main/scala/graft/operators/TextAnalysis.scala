@@ -445,7 +445,12 @@ object TextAnalysis {
     * rows ≈ docs × n/stride, no shuffle except the presentation sort);
     * trailing windows shorter than a full chunk are kept (slice clamps),
     * matching what an embedding batcher actually receives. */
-  def ragChunks(s: SparkSession, dir: String): DataFrame = {
+  def ragChunks(s: SparkSession, dir: String): DataFrame =
+    ragChunksOf(Tables.documents(s, dir)).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[ragChunks]] minus the presentation sort — the composable form the
+    * multi-vector (late-interaction) retrieval tier consumes. */
+  private[graft] def ragChunksOf(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     // Stop bound n - (chunk - stride), NOT the textbook n - chunk + 1: the
     // windows are stride-aligned, so the last aligned start must be allowed
@@ -458,7 +463,7 @@ object TextAnalysis {
       lit(1),
       greatest(size(toks) - (RagChunkTokens - RagChunkStride), lit(1)),
       lit(RagChunkStride))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), toks.as("toks"), posexplode(starts)
         .as(Seq("chunk_id", "start_token")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -467,7 +472,6 @@ object TextAnalysis {
           .cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("toks"), col("start_token"),
           lit(RagChunkTokens))).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Per-source token budget for [[domainMix]]: partial selection at both
@@ -862,7 +866,7 @@ object TextAnalysis {
     val (c1, c2, c3) = lmCounts(staticDocs)
     val frozen = Seq(c1, c2, c3).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -949,7 +953,7 @@ object TextAnalysis {
     val (cPos, cNeg) = classifierCounts(staticDocs)
     val frozen = Seq(cPos, cNeg).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1013,7 +1017,7 @@ object TextAnalysis {
     val ckpt = graft.TempDirs.scoped("graft_sfeat_ckpt")
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1043,6 +1047,67 @@ object TextAnalysis {
       .agg(sum(col("s")).as("signed_count"))
       .filter(col("signed_count") =!= 0)
   }
+
+  /** Sparse signed-count features PER RAG CHUNK — [[featureCountsOf]]'s
+    * hashing trick applied at (doc_id, chunk_id) grain over
+    * [[ragChunksOf]]'s windows: the MULTI-VECTOR document representation
+    * the late-interaction retrieval tier (Similarity.lateInteractionTopK)
+    * scores. Same dim/sign derivation (disjoint md5 slices), same exact
+    * BIGINT accumulation; re-splitting chunk_text reproduces the original
+    * token slice exactly (array_join/split round-trip empty tokens
+    * unchanged in both engines). */
+  private[graft] def chunkFeatureCountsOf(chunks: DataFrame): DataFrame = {
+    val dim = conv(substring(md5(col("tok")), 1, 6), 16, 10)
+      .cast("long") % FeatureDims
+    val sign = when(conv(substring(md5(col("tok")), 7, 2), 16, 10)
+      .cast("long") % 2 === 0, 1L).otherwise(-1L)
+    chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(tokens(col("chunk_text"))).as("tok"))
+      .select(col("doc_id"), col("chunk_id"), dim.as("dim"), sign.as("sg"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+      .agg(sum(col("sg")).as("signed_count"))
+      .filter(col("signed_count") =!= 0)
+  }
+
+  /** The RAG-chunk CTEs (w/s/rc) shared VERBATIM by text_rag_chunks and
+    * the late-interaction retrieval oracles — one text, so the chunk
+    * geometry cannot drift between the ingest query and its consumer. */
+  private[operators] val ragChunkCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |        UNNEST(generate_series(1,
+       |          greatest(len(toks) - ${RagChunkTokens - RagChunkStride}, 1),
+       |          $RagChunkStride)) AS start_token
+       |      FROM w),
+       |rc AS (SELECT doc_id,
+       |    CAST((start_token - 1) // $RagChunkStride AS BIGINT) AS chunk_id,
+       |    CAST(start_token AS BIGINT) AS start_token,
+       |    CAST(len(list_slice(toks, start_token,
+       |      start_token + ${RagChunkTokens - 1})) AS BIGINT) AS n_chunk_tokens,
+       |    array_to_string(list_slice(toks, start_token,
+       |      start_token + ${RagChunkTokens - 1}), ' ') AS chunk_text
+       |  FROM s)""".stripMargin
+
+  /** Chunk-grain feature-hash CTEs (rt/rh/rcc/rcn over `rc`) — the SQL
+    * replay of [[chunkFeatureCountsOf]] plus per-chunk exact square norms,
+    * mirroring [[featureCountCtes]] one level down. */
+  private[operators] val chunkFeatureCountCtes: String =
+    s"""rt AS (SELECT doc_id, chunk_id,
+       |         UNNEST(string_split(chunk_text, ' ')) AS tok
+       |       FROM rc),
+       |rh AS (SELECT doc_id, chunk_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT)
+       |      % $FeatureDims AS dim,
+       |    CASE WHEN CAST(concat('0x', substr(md5(tok), 7, 2)) AS BIGINT)
+       |      % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM rt),
+       |rcc AS (SELECT doc_id, chunk_id, dim,
+       |        CAST(SUM(sg) AS BIGINT) AS signed_count
+       |        FROM rh GROUP BY 1, 2, 3 HAVING SUM(sg) <> 0),
+       |rcn AS (SELECT doc_id, chunk_id,
+       |        SUM(signed_count * signed_count) AS sq
+       |        FROM rcc GROUP BY 1, 2)""".stripMargin
 
   /** The per-document QUALITY VECTOR — every scorer the engine trains,
     * joined into the one wide row a downstream consumer actually
@@ -1091,7 +1156,7 @@ object TextAnalysis {
     val (cTgt, cRaw) = dsirCounts(staticDocs)
     val frozen = Seq(c1, c2, c3, cPos, cNeg, cTgt, cRaw).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1166,7 +1231,7 @@ object TextAnalysis {
     val (cTgt, cRaw) = dsirCounts(staticDocs)
     val frozen = Seq(cTgt, cRaw).map(_.persist())
     val stream = spark.readStream.schema(staticDocs.schema)
-      .parquet(s"$dir/documents.parquet*")
+      .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
       stream.writeStream
         .outputMode(OutputMode.Append())
@@ -1437,21 +1502,12 @@ object TextAnalysis {
         |      WHERE len(toks) >= 2)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin),
+    // Chunk geometry replay: the shared w/s/rc CTEs (ragChunkCtes — one
+    // text with the late-interaction consumers, no drift).
     withOracle("text_rag_chunks", ragChunks,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |s AS (SELECT doc_id, toks,
-         |        UNNEST(generate_series(1,
-         |          greatest(len(toks) - ${RagChunkTokens - RagChunkStride}, 1),
-         |          $RagChunkStride)) AS start_token
-         |      FROM w)
-         |SELECT doc_id,
-         |  CAST((start_token - 1) // $RagChunkStride AS BIGINT) AS chunk_id,
-         |  CAST(start_token AS BIGINT) AS start_token,
-         |  CAST(len(list_slice(toks, start_token,
-         |    start_token + ${RagChunkTokens - 1})) AS BIGINT) AS n_chunk_tokens,
-         |  array_to_string(list_slice(toks, start_token,
-         |    start_token + ${RagChunkTokens - 1}), ' ') AS chunk_text
-         |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+      s"""WITH $ragChunkCtes
+         |SELECT doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text
+         |FROM rc ORDER BY doc_id, chunk_id""".stripMargin),
     withOracle("text_rare_bigram_ratio", rareBigramRatio,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram

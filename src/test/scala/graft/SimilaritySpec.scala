@@ -462,6 +462,102 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("late interaction: MaxSim replays exactly from collected chunk features") {
+    import org.apache.spark.sql.functions.col
+    val chunkFeats = graft.operators.TextAnalysis
+      .chunkFeatureCountsOf(graft.operators.TextAnalysis
+        .ragChunksOf(Tables.documents(spark, sf))).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    val byChunk = chunkFeats.groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(t => t._2 -> t._3).toMap }
+    val sq = byChunk.map { case (k, m) => k -> m.values.map(c => c * c).sum }
+    def cosOf(a: (Long, Long), b: (Long, Long)): Double = {
+      val (ma, mb) = (byChunk(a), byChunk(b))
+      val dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
+      dot.toDouble / (math.sqrt(sq(a).toDouble) * math.sqrt(sq(b).toDouble))
+    }
+    val docs = byChunk.keys.map(_._1).toSet
+    val queries = docs.filter(_ < Similarity.NumQueryVectors)
+    // local MaxSim: per q-chunk the max cos over the cand's chunks that
+    // share >= 1 dim, clamped at 0; summed in ascending q-chunk order
+    def liScore(q: Long, cand: Long): Double = {
+      val qChunks = byChunk.keys.filter(_._1 == q).toSeq.sortBy(_._2)
+      val dChunks = byChunk.keys.filter(_._1 == cand).toSeq
+      qChunks.flatMap { qc =>
+        val cands = dChunks.filter(dc =>
+          byChunk(qc).keySet.intersect(byChunk(dc).keySet).nonEmpty)
+        if (cands.isEmpty) None // absent pair: no row, contributes nothing
+        else Some(math.max(0.0, cands.map(dc => cosOf(qc, dc)).max))
+      }.foldLeft(0.0)(_ + _)
+    }
+    val got = Similarity.lateInteractionTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rowsQ) =>
+      val cands = docs.filter(c => c != q && liScore(q, c) > 0.0)
+      val expect = cands.toSeq.map(c => (c, liScore(q, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.TopK)
+      assert(rowsQ.sortBy(_._2).map(t => (t._3, t._4)).toSeq == expect)
+    }
+    queries.foreach(q => assert(got.exists(_._1 == q)))
+  }
+
+  test("pruned cascade: candidates come from the doc-cosine pool, MaxSim reranks") {
+    val pool = Similarity.textTopK(spark, sf) // TopK prefix of the rank
+    val pruned = Similarity.lateInteractionPruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val full = Similarity.lateInteractionTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_._1).values.foreach { qr =>
+      // dense ranks 1..k, MaxSim score non-increasing
+      assert(qr.map(_._2).sorted.toSeq == (1L to qr.length).toSeq)
+      val byRank = qr.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // a pair surfaced by BOTH forms carries the identical MaxSim score —
+    // pruning restricts the candidate pool, never changes a pair's score
+    // (a pruned-pool pair may legitimately sit below the unpruned top-k,
+    // so only the intersection is comparable)
+    val both = pruned.filter(p => full.contains((p._1, p._3)))
+    assert(both.nonEmpty)
+    both.foreach { case (q, _, cand, s, _) =>
+      assert(full((q, cand)) == s)
+    }
+    // the doc_score column is the stage-1 cosine: spot-check against the
+    // doc-cosine arm for pairs that appear in both outputs
+    val arm = pool.collect().map(r =>
+      ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val overlap = pruned.filter(p => arm.contains((p._1, p._3)))
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (q, _, cand, _, ds) =>
+      assert(arm((q, cand)) == ds)
+    }
+  }
+
+  test("stream li serve: drain equals the batch query; manual split invariant") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(Similarity.lateInteractionTopK(spark, sf))
+    val drained = rows(Similarity.streamLiServeQuery(spark, sf))
+    assert(drained == batch)
+    // manual two-batch split through the stream's exact serve code — the
+    // corpus state is frozen and scoring per-query independent, so any
+    // batching of the query docs must drain to identical rows
+    val featsDir = Similarity.liFeatureState(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_li_split").toString
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < Similarity.NumQueryVectors)
+    Similarity.serveLiBatch(spark, featsDir,
+      docs.filter(col("doc_id") < 2), out, 0L)
+    Similarity.serveLiBatch(spark, featsDir,
+      docs.filter(col("doc_id") >= 2), out, 1L)
+    val split = rows(spark.read.parquet(s"$out/b*"))
+    assert(split == batch)
+  }
+
   test("hybrid retrieve: RRF replays from the arm ranks, both arms contribute") {
     val rows = Similarity.hybridRetrieve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
