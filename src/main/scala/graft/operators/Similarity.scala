@@ -2101,30 +2101,35 @@ object Similarity {
     * chunk features — the split the streaming serve twin needs (queries
     * arrive per micro-batch, the corpus side is the built static state).
     * Self-matches are excluded by id, so passing the full corpus as `qf`'s
-    * superset is safe. */
+    * superset is safe.
+    *
+    * Square norms ride the feature rows as a WINDOW over (doc, chunk)
+    * rather than a groupBy + join back: DataFrame plans don't dedupe
+    * identical subtrees, so the join form recomputed the ENTIRE corpus
+    * featurization (scan + explode + md5 + aggregate) a second time just
+    * to build the norm table — the plan audit showed documents scanned 4×.
+    * The window costs one narrow exchange of the feature rows instead,
+    * and the integer sum is the same exact value either way. The norms
+    * then travel through the dot aggregation as grouping keys (constant
+    * per chunk), so no norm join exists at all. */
   private[graft] def liScoresOver(qf: DataFrame, cf: DataFrame,
       candidates: Option[DataFrame]): DataFrame = {
-    val cn = cf.groupBy(col("doc_id"), col("chunk_id"))
-      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
-    val qn = qf.groupBy(col("doc_id"), col("chunk_id"))
-      .agg(sum(col("signed_count") * col("signed_count")).as("sq"))
-    val q = qf
+    val wsq = Window.partitionBy(col("doc_id"), col("chunk_id"))
+    val sq = sum(col("signed_count") * col("signed_count")).over(wsq)
+    val q = qf.withColumn("sq_q", sq)
       .select(col("doc_id").as("query_id"), col("chunk_id").as("qc"),
-        col("dim"), col("signed_count").as("cq"))
-    val joined = cf.select(col("doc_id").as("cand_id"),
-        col("chunk_id").as("dc"), col("dim"), col("signed_count").as("cd"))
+        col("dim"), col("signed_count").as("cq"), col("sq_q"))
+    val joined = cf.withColumn("sq_c", sq)
+      .select(col("doc_id").as("cand_id"), col("chunk_id").as("dc"),
+        col("dim"), col("signed_count").as("cd"), col("sq_c"))
       .join(broadcast(q), Seq("dim"))
       .filter(col("cand_id") =!= col("query_id"))
     val restricted = candidates.fold(joined)(cset =>
       joined.join(broadcast(cset), Seq("query_id", "cand_id"), "left_semi"))
-    val ip = restricted
-      .groupBy(col("query_id"), col("qc"), col("cand_id"), col("dc"))
+    val cosd = restricted
+      .groupBy(col("query_id"), col("qc"), col("cand_id"), col("dc"),
+        col("sq_q"), col("sq_c"))
       .agg(sum(col("cq") * col("cd")).as("dot"))
-    val cosd = ip
-      .join(qn.select(col("doc_id").as("query_id"),
-        col("chunk_id").as("qc"), col("sq").as("sq_q")), Seq("query_id", "qc"))
-      .join(cn.select(col("doc_id").as("cand_id"),
-        col("chunk_id").as("dc"), col("sq").as("sq_c")), Seq("cand_id", "dc"))
       .select(col("query_id"), col("qc"), col("cand_id"),
         (col("dot").cast("double") /
           (sqrt(col("sq_q").cast("double")) *
