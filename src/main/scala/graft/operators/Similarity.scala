@@ -1998,6 +1998,37 @@ object Similarity {
        |  FROM lsc) t2
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** The full cascade oracle — shared verbatim by sim_li_pruned and the
+    * recall audit's cascade arm. */
+  private lazy val liPrunedOracleSql: String =
+    s"""WITH ${TextAnalysis.featureCountCtes},
+       |pd AS (SELECT q.doc_id AS query_id, b.doc_id AS cand_id,
+       |    CAST(SUM(q.signed_count * b.signed_count) AS BIGINT) AS dot
+       |  FROM c q JOIN c b ON b.dim = q.dim AND b.doc_id <> q.doc_id
+       |  WHERE q.doc_id < $NumQueryVectors GROUP BY 1, 2),
+       |pr AS (SELECT query_id, cand_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.sq AS DOUBLE))
+       |      * sqrt(CAST(nc.sq AS DOUBLE))) AS doc_score
+       |  FROM pd JOIN n nq ON nq.doc_id = pd.query_id
+       |          JOIN n nc ON nc.doc_id = pd.cand_id),
+       |pruned AS (SELECT query_id, cand_id, doc_score FROM (
+       |    SELECT pr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY doc_score DESC, cand_id ASC) AS dr FROM pr) t0
+       |  WHERE dr <= $LiPruneCandidates),
+       |${TextAnalysis.ragChunkCtes},
+       |${TextAnalysis.chunkFeatureCountCtes},
+       |${liScoreCtes("JOIN pruned pp ON pp.query_id = lq.query_id " +
+           "AND pp.cand_id = b.doc_id")},
+       |lbase AS (SELECT p.query_id, p.cand_id, p.doc_score,
+       |    COALESCE(l.score, 0.0) AS score
+       |  FROM pruned p LEFT JOIN lsc l
+       |    ON l.query_id = p.query_id AND l.cand_id = p.cand_id)
+       |SELECT query_id, rank, cand_id, score, doc_score FROM (
+       |  SELECT lbase.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM lbase) t2
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** The MaxSim scoring CTEs (lq/lip/lcos/lms/lsc over the chunk-grain
     * rcc/rcn tables) — the SQL replay of [[liScores]]. `extraJoin` keys
     * the dot aggregation down to a candidate pool (the cascade's stage-2
@@ -2058,6 +2089,34 @@ object Similarity {
         .awaitTermination()
     }
     spark.read.parquet(s"$out/b*").orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cascade recall audit — the multi-vector tier's member of the
+    * recall-audit convention (sim_ann_recall / sim_pca_recall /
+    * sim_binary_recall): recall@k of the pruned cascade's top-k against
+    * the full-corpus MaxSim top-k, per query. Both sides ARE the declared
+    * queries (definitional equality — the oracle scopes both full texts
+    * as subqueries), so this is the dashboard number that would page an
+    * operator if the stage-1 pool ever started starving the reranker.
+    * The query spine comes straight from the corpus filter, not from
+    * either ranking, so a query with zero positive candidates still
+    * reports its (0, 0.0) row. */
+  def liRecall(s: SparkSession, dir: String): DataFrame = {
+    val full = lateInteractionTopK(s, dir)
+      .select(col("query_id"), col("cand_id"))
+    val casc = lateInteractionPruned(s, dir)
+      .select(col("query_id"), col("cand_id"))
+    val hits = full.join(casc, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / TopK)
+          .as("recall_at_k"))
+      .orderBy(col("query_id"))
   }
 
   /** The corpus chunk-feature state, built once per corpus in this JVM. */
@@ -2770,34 +2829,24 @@ object Similarity {
     // the wider LiPruneCandidates pool, stage 2 the MaxSim CTEs keyed
     // down to that pool, zero-filled by the LEFT JOIN so the rank is
     // total over the pruned set.
-    withOracle("sim_li_pruned", lateInteractionPruned,
-      s"""WITH ${TextAnalysis.featureCountCtes},
-         |pd AS (SELECT q.doc_id AS query_id, b.doc_id AS cand_id,
-         |    CAST(SUM(q.signed_count * b.signed_count) AS BIGINT) AS dot
-         |  FROM c q JOIN c b ON b.dim = q.dim AND b.doc_id <> q.doc_id
-         |  WHERE q.doc_id < $NumQueryVectors GROUP BY 1, 2),
-         |pr AS (SELECT query_id, cand_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.sq AS DOUBLE))
-         |      * sqrt(CAST(nc.sq AS DOUBLE))) AS doc_score
-         |  FROM pd JOIN n nq ON nq.doc_id = pd.query_id
-         |          JOIN n nc ON nc.doc_id = pd.cand_id),
-         |pruned AS (SELECT query_id, cand_id, doc_score FROM (
-         |    SELECT pr.*, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY doc_score DESC, cand_id ASC) AS dr FROM pr) t0
-         |  WHERE dr <= $LiPruneCandidates),
-         |${TextAnalysis.ragChunkCtes},
-         |${TextAnalysis.chunkFeatureCountCtes},
-         |${liScoreCtes("JOIN pruned pp ON pp.query_id = lq.query_id " +
-             "AND pp.cand_id = b.doc_id")},
-         |lbase AS (SELECT p.query_id, p.cand_id, p.doc_score,
-         |    COALESCE(l.score, 0.0) AS score
-         |  FROM pruned p LEFT JOIN lsc l
-         |    ON l.query_id = p.query_id AND l.cand_id = p.cand_id)
-         |SELECT query_id, rank, cand_id, score, doc_score FROM (
-         |  SELECT lbase.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
-         |  FROM lbase) t2
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_li_pruned", lateInteractionPruned, liPrunedOracleSql),
+    // Cascade recall audit: BOTH full query texts scoped as subqueries
+    // (the curriculum/funnel convention — definitional equality with the
+    // queries it audits; each text carries its own CTE scope, so nothing
+    // can collide or drift), membership-joined per query.
+    withOracle("sim_li_recall", liRecall,
+      s"""WITH fullq AS (SELECT query_id, cand_id FROM ($liTopKOracleSql)),
+         |casc AS (SELECT query_id, cand_id FROM ($liPrunedOracleSql)),
+         |hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM fullq f JOIN casc c
+         |    ON c.query_id = f.query_id AND c.cand_id = f.cand_id
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK AS recall_at_k
+         |FROM documents d LEFT JOIN hits h ON h.query_id = d.doc_id
+         |WHERE d.doc_id < $NumQueryVectors
+         |ORDER BY query_id""".stripMargin),
     withOracle("sim_hybrid_retrieve", hybridRetrieve, hybridOracleSql),
     // The streaming serve twin carries the batch oracle text VERBATIM:
     // hybridOver is per-query against a static corpus, so drained output

@@ -536,6 +536,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("li recall: membership arithmetic replays, floor holds per query") {
+    val full = Similarity.lateInteractionTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val casc = Similarity.lateInteractionPruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.liRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq ==
+      (0L until Similarity.NumQueryVectors).toSeq)
+    rows.foreach { case (q, n, rec) =>
+      val expect = full.count(p => p._1 == q && casc.contains(p))
+      assert(n == expect)
+      assert(rec == n.toDouble / Similarity.TopK)
+      // the cascade's 25-doc pool must not starve the reranker: at least
+      // half of every query's true MaxSim top-k survives pruning here
+      assert(rec >= 0.5)
+    }
+  }
+
   test("stream li serve: drain equals the batch query; manual split invariant") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
