@@ -103,8 +103,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The corpus's verified near-dup pair set at the default threshold,
+    * built ONCE per corpus into StateCache-backed parquet — the
+    * production artifact shape (ngramJaccardPairs' own comment calls the
+    * hashed sets "a persisted intermediate table" at 100 TB; the verified
+    * PAIR SET is the next one up). Ten default-threshold consumers
+    * (groups/stats/survivor, the joint and leakage tiers, the funnel and
+    * pipeline, cross-source overlap, the mm pair matrix) previously
+    * re-ran the PPJoin per invocation; they now serve read-only from one
+    * build, the round-15 amortization convention. Values are identical —
+    * the state IS the query's output materialized. */
+  private[graft] def corpusPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.StateCache.stateDir(dir, "dedup/ngram_pairs",
+        "graft_ngram_pairs") { d =>
+      ngramJaccardPairs(Tables.documents(s, dir)).write.parquet(s"$d/pairs")
+    }
+    s.read.parquet(s"$st/pairs")
+  }
+
+  /** Corpus-level component labels over [[corpusPairs]] — the shared
+    * contraction behind every default-threshold grouping consumer. */
+  private[graft] def corpusGroups(s: SparkSession, dir: String): DataFrame =
+    componentsOver(Tables.documents(s, dir).select(col("doc_id")),
+      corpusPairs(s, dir).select(col("doc_a"), col("doc_b")))
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    corpusPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Thresholds the sweep audit evaluates (ascending; the lowest one
     * bounds the single pair scan). */
@@ -248,7 +272,7 @@ object Dedup {
     val exactCnt = cross.unionByName(diag).groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("n")).as("n_exact_pairs"))
       .filter(col("n_exact_pairs") > 0)
-    val near = ngramJaccardPairs(docs, JaccardThreshold)
+    val near = corpusPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
       .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
@@ -637,7 +661,7 @@ object Dedup {
   }
 
   def dedupGroups(s: SparkSession, dir: String): DataFrame =
-    dedupGroupsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    corpusGroups(s, dir).orderBy(col("doc_id"))
 
   /** Dup-group SIZE HISTOGRAM — the audit a dedup owner reads before
     * shipping: how many components of each size, and the documents they
@@ -646,7 +670,7 @@ object Dedup {
     * look before deleting. Two map-side-combinable aggregates over the
     * component labels; the histogram key space is tiny. */
   def dedupGroupStats(s: SparkSession, dir: String): DataFrame =
-    dedupGroupsOf(Tables.documents(s, dir))
+    corpusGroups(s, dir)
       .groupBy(col("component")).agg(count(lit(1)).as("group_size"))
       .groupBy(col("group_size"))
       .agg(count(lit(1)).as("n_groups"))
@@ -673,7 +697,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("toks").desc, col("doc_id").asc)
-    dedupGroupsOf(docs)
+    corpusGroups(s, dir)
       .join(toks, "doc_id")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("component"))
@@ -848,7 +872,7 @@ object Dedup {
     * query rides. */
   def jointDedupGroups(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val textPairs = ngramJaccardPairs(docs)
+    val textPairs = corpusPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
     val embPairs = Similarity.lshCandidatePairScores(s, dir)
       .filter(col("score") >= Similarity.NearDupThreshold)
@@ -878,7 +902,7 @@ object Dedup {
   def leakageSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     splitByComponent(docs.select(col("doc_id")),
-        ngramJaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+        corpusPairs(s, dir).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
   }
 
@@ -915,10 +939,11 @@ object Dedup {
     def isEval(c: Column): Column =
       substring(md5(c.cast("string")), 1, 1) === "0"
     // ONE pair scan feeds both the component contraction and the pair
-    // labels (the expensive PPJoin would otherwise run twice; retained
-    // for the session — the winnowingOverlap note)
-    val pairs = ngramJaccardPairs(docs)
-      .select(col("doc_a"), col("doc_b")).persist()
+    // labels — and it is the shared corpusPairs state, so the audit reads
+    // the same artifact the split queries label from (no persist needed:
+    // both consumers scan the materialized parquet)
+    val pairs = corpusPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
     val lab = componentsOver(docs.select(col("doc_id")), pairs)
       .select(col("doc_id"),
         isEval(col("doc_id")).as("doc_eval"),
@@ -954,7 +979,7 @@ object Dedup {
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(s, dir)
-    val canonical = dedupGroupsOf(docs)
+    val canonical = corpusGroups(s, dir)
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id"))
     docs.join(canonical, "doc_id")
@@ -1052,7 +1077,7 @@ object Dedup {
     val flags = QualityGate.gopherFlags(docs).select(col("doc_id"), col("keep"))
     val contaminated = decontaminate(docs)
       .select(col("doc_id"), col("contaminated"))
-    val comps = dedupGroupsOf(docs)
+    val comps = corpusGroups(s, dir)
     val surviving = !col("is_eval") && col("keep") &&
       coalesce(col("contaminated"), lit(0L)) === 0 &&
       col("component") === col("doc_id")

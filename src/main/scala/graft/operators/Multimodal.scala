@@ -609,7 +609,7 @@ object Multimodal {
     val img = phashDedup(s, dir)
       .select(col("media_id").as("pair_id"),
         col("keeper").as("image_keeper"), col("is_dup").as("image_is_dup"))
-    val txtDup = Dedup.ngramJaccardPairs(graft.Tables.documents(s, dir))
+    val txtDup = Dedup.corpusPairs(s, dir)
       .groupBy(col("doc_b")).agg(min(col("doc_a")).as("text_dup_of"))
     val txt = graft.Tables.documents(s, dir)
       .select(col("doc_id").as("pair_id"))
