@@ -103,6 +103,49 @@ object IvfIndex {
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
     IndexFiles.loadCentroids(spark, centroidsDir(dir))
 
+  /** MERGE persisted shard indexes into one serving index — the
+    * shard-then-merge build every large deployment runs: index a 100 TB
+    * corpus as K independent shard jobs (each bounded, restartable,
+    * parallel), then combine them into the index queries actually hit.
+    * Sound ONLY when every shard assigned against the SAME frozen
+    * codebook, so that is a hard precondition (bit-compared centroid
+    * tables — merging across codebooks would silently file one side's
+    * postings under the wrong cells; the honest cross-codebook verb is a
+    * rebuild, and this fails loudly instead). Each source contributes its
+    * LIVE posting set as one fresh slice in the destination's clock:
+    * reading live (rather than copying raw slices) folds any shard-local
+    * tombstones at merge time, so the merged index carries no foreign
+    * slice-clock semantics — its history starts at the merge. Serving the
+    * merged index equals serving one index built over the union corpus
+    * (same frozen centroids ⇒ same assignments ⇒ same postings set;
+    * pinned in IvfIndexSpec and oracle-checked end to end).
+    *
+    * Shape at scale: one partitioned pass per shard over its live
+    * postings (cell layout preserved ⇒ partition pruning survives the
+    * merge). On a real object store the fast path is a MANIFEST move —
+    * rename tombstone-free slice dirs into the destination clock without
+    * touching data files; the rewrite here is the portable form and the
+    * one that also folds tombstones. */
+  def merge(spark: SparkSession, dst: String, srcs: Seq[String]): Unit = {
+    require(srcs.nonEmpty, "merge needs at least one source index")
+    val cents = srcs.map(loadCentroids(spark, _))
+    cents.tail.zip(srcs.tail).foreach { case (c, src) =>
+      require(c.length == cents.head.length &&
+          c.zip(cents.head).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+        s"merge precondition violated: $src was built against a different " +
+          s"frozen codebook than ${srcs.head} — shard indexes must share " +
+          "one codebook (assign-time centroids decide every posting's " +
+          "cell); rebuild, don't merge")
+    }
+    IndexFiles.writeCentroids(spark, centroidsDir(dst), cents.head)
+    srcs.zipWithIndex.foreach { case (src, i) =>
+      postings(spark, src)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"${postingsDir(dst)}/b$i")
+    }
+  }
+
   /** All LIVE postings across slices (tombstoned vec_ids excluded; the
     * plain multi-slice union when no delete ever ran). `asOf` reads the
     * snapshot at that slice id instead ([[IndexFiles.readLive]]) — the
@@ -220,6 +263,32 @@ object IvfIndex {
     * text verbatim). */
   def topKIvfAsOf(s: SparkSession, dir: String): DataFrame =
     topK(s, builtDeletedIndex(s, dir), standardQueries(s, dir), asOf = 0L)
+
+  /** Declared query — the shard-then-merge BUILD: train one codebook over
+    * the corpus, index the even- and odd-id halves as two independent
+    * shard indexes against that frozen codebook (the bounded, restartable,
+    * parallel shard jobs a 100 TB build actually runs), [[merge]] them,
+    * answer the standard query set from the merged index. Equals
+    * [[topKIvfPersisted]] row for row (same codebook ⇒ same assignments ⇒
+    * same union posting set; pinned in IvfIndexSpec) — and therefore fully
+    * oracle-checked by the SAME recorded-centroid replay text. */
+  def topKIvfMerged(s: SparkSession, dir: String): DataFrame =
+    topK(s, mergedIndex(s, dir), standardQueries(s, dir))
+
+  /** The two-shard merged index state (one codebook, even/odd shards,
+    * merged), built once per corpus per JVM. */
+  private def mergedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivf/merged_evenodd", "graft_ivfmerged") {
+      idx =>
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val cents = Similarity.learnCentroids(emb)
+        val shardA = TempDirs.scoped("graft_ivfshard_a")
+        val shardB = TempDirs.scoped("graft_ivfshard_b")
+        build(emb.filter(col("vec_id") % 2 === 0), shardA, Some(cents))
+        build(emb.filter(col("vec_id") % 2 === 1), shardB, Some(cents))
+        merge(s, idx, Seq(shardA, shardB))
+    }
 
   /** Declared query — the index MANIFEST, the observability readout a
     * serving owner checks after every maintenance run: slice counts per
@@ -351,6 +420,11 @@ object IvfIndex {
     withOracle("sim_topk_ivf_deleted", topKIvfDeleted,
       Similarity.ivfTopKOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
     withOracle("sim_topk_ivf_asof", topKIvfAsOf,
+      Similarity.ivfTopKOracleSql()),
+    // Shard-then-merge: one codebook, two shard builds, one merge — the
+    // merged index serves exactly what the single-build index serves, so
+    // the recorded-centroid replay text carries over verbatim.
+    withOracle("sim_topk_ivf_merged", topKIvfMerged,
       Similarity.ivfTopKOracleSql()),
     withOracle("stream_ann_serve", streamAnnServeQuery,
       Similarity.ivfTopKOracleSql()),

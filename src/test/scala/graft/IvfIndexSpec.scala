@@ -50,6 +50,51 @@ class IvfIndexSpec extends SparkSpec {
       keyOf(IvfIndex.topK(spark, full, q)))
   }
 
+  test("shard-then-merge equals the single-build index; codebook mismatch refuses") {
+    val merged = IvfIndex.topKIvfMerged(spark, sf)
+    val single = IvfIndex.topKIvfPersisted(spark, sf)
+    assert(keyOf(merged) == keyOf(single))
+    assert(keyOf(merged).nonEmpty)
+    // merging shards built against DIFFERENT codebooks must fail loudly —
+    // one side's postings would silently land under wrong cells
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val centsA = Similarity.learnCentroids(emb)
+    val centsB = centsA.map(_.map(v => v + 1.0f)) // a genuinely different codebook
+    val a = TempDirs.scoped("graft_ivf_mismatch_a")
+    val b = TempDirs.scoped("graft_ivf_mismatch_b")
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), a, Some(centsA))
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 1), b, Some(centsB))
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.merge(spark, TempDirs.scoped("graft_ivf_mismatch_dst"), Seq(a, b))
+    }
+    assert(err.getMessage.contains("different"))
+  }
+
+  test("merge folds shard-local tombstones: deleted vectors stay forgotten") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnCentroids(emb)
+    val a = TempDirs.scoped("graft_ivf_tomb_a")
+    val b = TempDirs.scoped("graft_ivf_tomb_b")
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), a, Some(cents))
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 1), b, Some(cents))
+    // forget every 6th even id on shard A only
+    val dropped = emb.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id"))
+    IvfIndex.delete(dropped, a)
+    val dst = TempDirs.scoped("graft_ivf_tomb_dst")
+    IvfIndex.merge(spark, dst, Seq(a, b))
+    val live = IvfIndex.postings(spark, dst)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val droppedIds = dropped.collect().map(_.getLong(0)).toSet
+    assert(droppedIds.nonEmpty)
+    assert(live.intersect(droppedIds).isEmpty)
+    // everything not dropped survives the merge exactly once
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(live == all.diff(droppedIds))
+    val liveCount = IvfIndex.postings(spark, dst).count()
+    assert(liveCount == live.size) // no duplicated postings across shards
+  }
+
   test("compaction leaves results bit-identical and removes merged slices") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val top = emb.agg(max(col("vec_id"))).head().getLong(0)
