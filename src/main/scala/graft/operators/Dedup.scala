@@ -142,7 +142,7 @@ object Dedup {
     * tiny-key aggregate; thresholds with zero qualifying pairs drop out
     * (both engines agree). */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir), SweepThresholds.min)
+    sweepPairs(s, dir)
       .select(col("doc_b"), col("jaccard"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
@@ -216,8 +216,30 @@ object Dedup {
   }
 
   def containment(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.documents(s, dir))
+    corpusContainmentPairs(s, dir)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The sweep's one exact pair scan at the lowest candidate threshold
+    * and the corpus containment pair set, each materialized once per
+    * corpus — the [[corpusPairs]] convention applied to the two other
+    * PPJoin passes the dedup family runs (the sweep's min-threshold scan
+    * and the asymmetric-prefix containment scan). */
+  private def sweepPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.StateCache.stateDir(dir, "dedup/ngram_pairs_sweepmin",
+        "graft_sweep_pairs") { d =>
+      ngramJaccardPairs(Tables.documents(s, dir), SweepThresholds.min)
+        .write.parquet(s"$d/pairs")
+    }
+    s.read.parquet(s"$st/pairs")
+  }
+
+  private def corpusContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.StateCache.stateDir(dir, "dedup/containment_pairs",
+        "graft_cont_pairs") { d =>
+      containmentPairs(Tables.documents(s, dir)).write.parquet(s"$d/pairs")
+    }
+    s.read.parquet(s"$st/pairs")
+  }
 
   /** The containment DEDUP DECISION: drop the CONTAINED side of every
     * qualifying pair — the smaller doc (its content survives inside the
@@ -237,7 +259,7 @@ object Dedup {
     val container = when(col("n_a") < col("n_b"), col("doc_b"))
       .when(col("n_b") < col("n_a"), col("doc_a"))
       .otherwise(col("doc_a"))
-    containmentPairs(Tables.documents(s, dir))
+    corpusContainmentPairs(s, dir)
       .select(dropped.as("doc_id"), container.as("container"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_containers"), min(col("container")).as("kept_in"))

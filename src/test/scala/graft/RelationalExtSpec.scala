@@ -295,7 +295,7 @@ class RelationalExtSpec extends SparkSpec {
     val prev = spark.conf.get(thresholdKey)
     try {
       spark.conf.set(thresholdKey, "-1")
-      val join = RelationalExt.bucketedJoinFrame(spark)
+      val join = RelationalExt.bucketedJoinFrame(spark, sf)
       join.count()
       val plan = join.queryExecution.executedPlan
       assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty ||
