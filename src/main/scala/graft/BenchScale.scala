@@ -83,7 +83,11 @@ object BenchScale {
     // the corpus scan, not the pair volume; the cascade additionally
     // bounds stage 2 at |queries| x 25 candidates regardless of N.
     "sim_late_interaction",
-    "sim_li_pruned")
+    "sim_li_pruned",
+    // the shard-then-merge build: two shard index jobs + the merge pass,
+    // all linear-shaped (assign against frozen centroids, partitioned
+    // writes, one live-read per shard at merge)
+    "sim_topk_ivf_merged")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one
@@ -93,7 +97,10 @@ object BenchScale {
   val ServingFamilies: Seq[String] = Seq(
     "sim_topk_ivf_persisted",
     "sim_topk_ivfpq_persisted",
-    "stream_ann_serve")
+    "stream_ann_serve",
+    // multi-vector serving: chunk-feature state prebuilt once per scale,
+    // timed passes measure the per-batch featurize + MaxSim serve
+    "stream_li_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,6 +166,82 @@ class PropertySpec extends SparkSpec {
     assert(brute.nonEmpty, "planting failed to produce containment pairs")
   }
 
+  test("late interaction: MaxSim equals brute force on random corpora") {
+    import graft.operators.{Similarity, TextAnalysis}
+    // Tiny vocab forces dim collisions, shared dims, negative cosines and
+    // multi-chunk docs (up to ~3 RAG chunks at 64/32) — the adversarial
+    // surface the real-corpus replay test can't systematically cover.
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 90)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    } yield ws.mkString(" ")
+    // Plant a guaranteed NEGATIVE best-match: two single-letter docs whose
+    // letters hash to the SAME dim with OPPOSITE signs have chunk cosine
+    // exactly -1, so the (query 0, doc 29) pair exercises the max(0, ·)
+    // clamp — found from the featurizer itself, not assumed.
+    val probeTokens = (0 until 200).map(i => s"w$i")
+    val letterFeats = TextAnalysis.chunkFeatureCountsOf(
+        TextAnalysis.ragChunksOf(probeTokens.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val (negA, negB) = letterFeats.groupBy(_._2).values
+      .flatMap { xs =>
+        for {
+          a <- xs.find(_._3 > 0)
+          b <- xs.find(_._3 < 0)
+        } yield (probeTokens(a._1.toInt), probeTokens(b._1.toInt))
+      }.head
+    val corpus = samples(genDoc).take(30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .map {
+        case (0L, _)  => (0L, s"$negA $negA $negA")
+        case (29L, _) => (29L, s"$negB $negB")
+        case other    => other
+      }
+    val docs = corpus.toDF("doc_id", "text")
+    val cc = TextAnalysis.chunkFeatureCountsOf(TextAnalysis.ragChunksOf(docs))
+    val qf = cc.filter(col("doc_id") < Similarity.NumQueryVectors)
+    val got = Similarity.liScoresOver(qf, cc, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over collected chunk features: per q-chunk (ascending)
+    // the max cosine over the cand's OVERLAPPING chunks clamped at 0,
+    // folded left from 0.0 — the declared sparse semantics
+    val feats = cc.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    val byChunk = feats.groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(t => t._2 -> t._3).toMap }
+    val sq = byChunk.map { case (k, m) => k -> m.values.map(c => c * c).sum }
+    def cosOf(a: (Long, Long), b: (Long, Long)): Double = {
+      val (ma, mb) = (byChunk(a), byChunk(b))
+      val dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
+      dot.toDouble / (math.sqrt(sq(a).toDouble) * math.sqrt(sq(b).toDouble))
+    }
+    val docIds = byChunk.keys.map(_._1).toSet
+    val brute = (for {
+      q <- docIds.filter(_ < Similarity.NumQueryVectors)
+      cand <- docIds if cand != q
+    } yield {
+      val qChunks = byChunk.keys.filter(_._1 == q).toSeq.sortBy(_._2)
+      val dChunks = byChunk.keys.filter(_._1 == cand).toSeq
+      val terms = qChunks.flatMap { qc =>
+        val overlapping = dChunks.filter(dc =>
+          byChunk(qc).keySet.intersect(byChunk(dc).keySet).nonEmpty)
+        if (overlapping.isEmpty) None
+        else Some(math.max(0.0, overlapping.map(dc => cosOf(qc, dc)).max))
+      }
+      ((q, cand), terms)
+    }).collect { case (k, terms) if terms.nonEmpty =>
+      k -> terms.foldLeft(0.0)(_ + _)
+    }.toMap
+    assert(got == brute)
+    assert(brute.nonEmpty, "generation produced no chunk interactions")
+    // the planted anti-correlated pair: cosine exactly -1, clamped to a
+    // PRESENT row with score 0.0 (overlap exists, no positive evidence)
+    assert(cosOf((0L, 0L), (29L, 0L)) == -1.0)
+    assert(got((0L, 29L)) == 0.0)
+  }
+
   test("packTokens: random corpora conserve tokens at exact capacity") {
     import graft.operators.Curation
     val genDoc = for {
