@@ -138,12 +138,22 @@ object IvfIndex {
           "cell); rebuild, don't merge")
     }
     IndexFiles.writeCentroids(spark, centroidsDir(dst), cents.head)
-    srcs.zipWithIndex.foreach { case (src, i) =>
-      postings(spark, src)
+    var slice = 0L
+    srcs.foreach { src =>
+      val live = postings(spark, src)
         .select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"${postingsDir(dst)}/b$i")
+      // A fully-tombstoned shard contributes nothing — and writing its
+      // EMPTY slice would leave a part-less parquet dir the slice reader
+      // refuses to infer a schema from. Skip it instead of crashing every
+      // later read of the merged index.
+      if (!live.isEmpty) {
+        live.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"${postingsDir(dst)}/b$slice")
+        slice += 1
+      }
     }
+    require(slice > 0,
+      "merge produced an empty index — every source was fully tombstoned")
   }
 
   /** All LIVE postings across slices (tombstoned vec_ids excluded; the

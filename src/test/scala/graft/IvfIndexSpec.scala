@@ -93,6 +93,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(live == all.diff(droppedIds))
     val liveCount = IvfIndex.postings(spark, dst).count()
     assert(liveCount == live.size) // no duplicated postings across shards
+
+    // a FULLY tombstoned shard contributes nothing (its empty slice is
+    // skipped — a part-less parquet dir would break every later read)
+    IvfIndex.delete(emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")), a)
+    val dst2 = TempDirs.scoped("graft_ivf_tomb_dst2")
+    IvfIndex.merge(spark, dst2, Seq(a, b))
+    val live2 = IvfIndex.postings(spark, dst2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(live2 == all.filter(_ % 2 == 1))
   }
 
   test("compaction leaves results bit-identical and removes merged slices") {
