@@ -89,6 +89,10 @@ object StateCache {
       // a builder that cannot produce a directory is a hard bug).
       entries.remove(entryKey(corpusDir, key))
       ownedDirs.remove(d)
+      // the vanished dir's Path must not stay pinned for the session —
+      // each vanish/rebuild cycle would otherwise grow the pinned set
+      // with entries clear() can no longer demote
+      TempDirs.unpin(d)
       attempt += 1
       if (attempt >= 3) throw new IllegalStateException(
         s"StateCache: state dir for ($corpusDir, $key) vanished $attempt times — " +

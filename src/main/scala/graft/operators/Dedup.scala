@@ -114,11 +114,15 @@ object Dedup {
     * build, the round-15 amortization convention. Values are identical —
     * the state IS the query's output materialized. */
   private[graft] def corpusPairs(s: SparkSession, dir: String): DataFrame = {
-    val st = graft.StateCache.stateDir(dir, "dedup/ngram_pairs",
-        "graft_ngram_pairs") { d =>
-      ngramJaccardPairs(Tables.documents(s, dir)).write.parquet(s"$d/pairs")
-    }
-    s.read.parquet(s"$st/pairs")
+    // ONE PPJoin materialization serves both thresholds: by the operator's
+    // own contract the pair set is exact at any cutoff, so the default-
+    // threshold pairs are exactly the sweep scan's rows filtered at 0.6 —
+    // building a second near-identical state would double the per-corpus
+    // build time and state disk for a filter's worth of work.
+    require(JaccardThreshold >= SweepThresholds.min,
+      "corpusPairs serves from the sweep-threshold state; the default " +
+        "threshold must not go below the sweep floor")
+    sweepPairs(s, dir).filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** Corpus-level component labels over [[corpusPairs]] — the shared

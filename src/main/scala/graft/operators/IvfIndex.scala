@@ -137,23 +137,30 @@ object IvfIndex {
           "one codebook (assign-time centroids decide every posting's " +
           "cell); rebuild, don't merge")
     }
-    IndexFiles.writeCentroids(spark, centroidsDir(dst), cents.head)
+    // Postings first, centroids LAST: a refused merge (every source fully
+    // tombstoned) must leave dst unusable-loudly — with no centroid table,
+    // loadCentroids/append on the half-built dir fail instead of treating
+    // it as a valid empty index.
     var slice = 0L
     srcs.foreach { src =>
+      // persist: the emptiness probe and the write would otherwise each
+      // run the full slice-union + tombstone anti-join plan
       val live = postings(spark, src)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell")).persist()
       // A fully-tombstoned shard contributes nothing — and writing its
       // EMPTY slice would leave a part-less parquet dir the slice reader
       // refuses to infer a schema from. Skip it instead of crashing every
       // later read of the merged index.
-      if (!live.isEmpty) {
+      if (live.count() > 0) {
         live.write.mode("overwrite").partitionBy("cell")
           .parquet(s"${postingsDir(dst)}/b$slice")
         slice += 1
       }
+      live.unpersist()
     }
     require(slice > 0,
       "merge produced an empty index — every source was fully tombstoned")
+    IndexFiles.writeCentroids(spark, centroidsDir(dst), cents.head)
   }
 
   /** All LIVE postings across slices (tombstoned vec_ids excluded; the

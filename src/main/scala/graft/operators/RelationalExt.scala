@@ -1256,29 +1256,40 @@ object RelationalExt {
   }
 
   /** Ensure the bucketed layout exists for this corpus — built ONCE per
-    * corpus per JVM (StateCache), which is exactly the economics the
-    * Scaladoc below argues: the layout cost is paid at write time, every
-    * join after that is exchange-free. Table names are corpus-suffixed so
-    * two corpora in one JVM can never serve each other's layout. */
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val sfx = (dir.hashCode & 0x7fffffff).toString
-    val (ot, lt) =
-      (s"graft_bucketed_orders_$sfx", s"graft_bucketed_lineitem_$sfx")
-    graft.StateCache.stateDir(dir, "rel/bucketed_tables", "graft_bucket") { d =>
-      s.sql(s"DROP TABLE IF EXISTS $ot")
-      s.sql(s"DROP TABLE IF EXISTS $lt")
-      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
-        .write.format("parquet").option("path", s"$d/orders")
-        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ot)
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.format("parquet").option("path", s"$d/lineitem")
-        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(lt)
+    * corpus per JVM, which is exactly the economics the Scaladoc below
+    * argues: the layout cost is paid at write time, every join after that
+    * is exchange-free. Table names carry an md5 corpus suffix (collision-
+    * free in any realistic universe — a hashCode suffix could collide and
+    * let one corpus DROP another's layout), and the build is gated on the
+    * CATALOG (tableExists), not on a side cache: the catalog entry is the
+    * artifact actually served, so a recreated catalog rebuilds instead of
+    * serving names that no longer resolve. Data lives in a pinned temp
+    * dir (one per corpus, bounded) so the eviction backstop can never
+    * delete a registered table's files. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedTablesLock.synchronized {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val ot = s"graft_bucketed_orders_$sfx"
+      val lt = s"graft_bucketed_lineitem_$sfx"
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        val d = graft.TempDirs.pinned("graft_bucket")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+          .write.format("parquet").option("path", s"$d/orders")
+          .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ot)
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.format("parquet").option("path", s"$d/lineitem")
+          .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(lt)
+      }
+      (ot, lt)
     }
-    (ot, lt)
-  }
+
+  private val bucketedTablesLock = new Object
 
   /** BUCKETED CO-LOCATED JOIN — the layout technique the scale audit
     * keeps promising ("bucket lineitem+orders on orderkey to delete

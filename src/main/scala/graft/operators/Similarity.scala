@@ -1970,9 +1970,14 @@ object Similarity {
     * cascade is exactly what makes MaxSim affordable when the corpus is
     * 10^9 documents and stage 2 would otherwise dominate. */
   def lateInteractionPruned(s: SparkSession, dir: String): DataFrame = {
+    // persist: the |queries|x25 pool feeds both the stage-2 semi-join and
+    // the outer left join, and DataFrame plans don't dedupe identical
+    // subtrees — unpersisted, the whole stage-1 corpus dot + rank window
+    // would execute twice per run
     val pruned = docCosineRanked(s, dir)
       .filter(col("rank") <= LiPruneCandidates)
       .select(col("query_id"), col("cand_id"), col("score").as("doc_score"))
+      .persist()
     val sc = liScores(liChunkFeatures(s, dir),
       Some(pruned.select(col("query_id"), col("cand_id"))))
     val w = Window.partitionBy(col("query_id"))
