@@ -175,6 +175,47 @@ object Curation {
     * single global partition. At 100 TB the partition key would be the
     * output shard id; same plan.
     */
+  /** Docs per length-bucketed batch. */
+  val BatchDocs = 16
+
+  /** LENGTH-BUCKETED BATCHING — the padding-waste remedy a training data
+    * loader runs when it can't pack ([[packSequences]]'s concatenation is
+    * wrong for tasks that need document boundaries, e.g. contrastive or
+    * reward-model training): group documents into power-of-two LENGTH
+    * BANDS (band = bit length of the token count, integer-exact in any
+    * engine — no float log2 at band edges), order each band by a
+    * deterministic md5 shuffle, and cut fixed [[BatchDocs]]-document
+    * batches. A batch pads every member to its own max length, so banding
+    * bounds waste structurally: max/min token ratio within a band is < 2,
+    * hence fill ratio > 0.5 before the shuffle even helps. Emits the
+    * batch index a loader consumes (doc → band/batch/slot) plus the
+    * per-batch padded-efficiency evidence (`fill_ratio` = one division of
+    * exact integer window sums — the bit-reproducibility rule).
+    *
+    * Shape at scale: one narrow scan, one shuffle on the ~60-key
+    * (band, batch) space for the rank windows — parallel ACROSS bands
+    * like the packing family; a single giant band would sub-shard by an
+    * md5 bucket exactly as [[Curation.packSequences]]'s source note
+    * prescribes. */
+  def lengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("band"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wb = Window.partitionBy(col("band"), col("batch_seq"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("band", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch_seq", expr(s"(rk - 1) div $BatchDocs"))
+      .withColumn("pos_in_batch", (col("rk") - 1) % BatchDocs)
+      .withColumn("batch_max_tokens", max(col("n_tokens")).over(wb))
+      .withColumn("fill_ratio",
+        sum(col("n_tokens")).over(wb).cast("double") /
+          (count(lit(1)).over(wb) * col("batch_max_tokens")).cast("double"))
+      .select(col("doc_id"), col("n_tokens"), col("band"), col("batch_seq"),
+        col("pos_in_batch"), col("batch_max_tokens"), col("fill_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def packSequences(docs: DataFrame): DataFrame = {
     val cap = lit(PackCapacity.toLong)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -593,6 +634,29 @@ object Curation {
   import graft.QuerySpec.withOracle
 
   val specs: Seq[QuerySpec] = Seq(
+    // Length-bucketed batching: bit-length bands (integer-exact — no
+    // float log2), md5-ranked fixed-size batches, fill as one division
+    // of exact integer window aggregates.
+    withOracle("text_length_batches", lengthBatches,
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |    CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS band FROM t),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY band
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |    AS BIGINT) AS rk FROM b),
+         |g AS (SELECT doc_id, n_tokens, band,
+         |    CAST((rk - 1) // $BatchDocs AS BIGINT) AS batch_seq,
+         |    CAST((rk - 1) % $BatchDocs AS BIGINT) AS pos_in_batch
+         |  FROM r)
+         |SELECT doc_id, n_tokens, band, batch_seq, pos_in_batch,
+         |  CAST(MAX(n_tokens) OVER wb AS BIGINT) AS batch_max_tokens,
+         |  CAST(SUM(n_tokens) OVER wb AS DOUBLE)
+         |    / CAST(COUNT(*) OVER wb * MAX(n_tokens) OVER wb AS DOUBLE)
+         |    AS fill_ratio
+         |FROM g WINDOW wb AS (PARTITION BY band, batch_seq)
+         |ORDER BY doc_id""".stripMargin),
     withOracle("text_bloom_decontaminate",
       (s, dir) => bloomDecontaminate(Tables.documents(s, dir)),
       """WITH f AS (SELECT doc_id,

@@ -75,6 +75,33 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == (1L, "rep"))
   }
 
+  test("lengthBatches: bit-length bands bound padding waste structurally") {
+    import graft.operators.Curation
+    val rows = Curation.lengthBatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val n = Tables.documents(spark, sf).count()
+    // every doc indexed exactly once
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == n)
+    rows.foreach { case (_, toks, band, _, pos, bmax, fill) =>
+      // band = bit length - 1: token count in [2^band, 2^(band+1))
+      assert(toks >= (1L << band) && toks < (1L << (band + 1)))
+      assert(pos >= 0 && pos < Curation.BatchDocs)
+      assert(toks <= bmax)
+      // max/min < 2 within a band => fill > 0.5 for EVERY batch, the
+      // structural bound banding exists to provide
+      assert(fill > 0.5 && fill <= 1.0)
+    }
+    // fill replays from the batch members; batches hold <= BatchDocs docs
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, b) =>
+      assert(b.length <= Curation.BatchDocs)
+      assert(b.map(_._5).sorted.toSeq == (0L until b.length).toSeq)
+      val expect = b.map(_._2).sum.toDouble / (b.length * b.map(_._2).max)
+      b.foreach { case (_, _, _, _, _, _, fill) => assert(fill == expect) }
+    }
+  }
+
   test("packSequences: packs respect capacity and partition token mass") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Curation.packSequences(d).cache()
