@@ -178,6 +178,14 @@ object Curation {
   /** Docs per length-bucketed batch. */
   val BatchDocs = 16
 
+  /** md5 sub-shards per length band ([[lengthBatches]]). Bands follow the
+    * corpus's length distribution (log-normal in practice), so a band is
+    * NOT a unit of parallelism — the shard is. 8 shards bounds any one
+    * rank-window task to ≤ 1/8 of the largest band; at cluster scale the
+    * knob rises with executor count (it only re-cuts which arbitrary
+    * batch a document lands in, never the fill bound). */
+  val BatchShards = 8
+
   /** LENGTH-BUCKETED BATCHING — the padding-waste remedy a training data
     * loader runs when it can't pack ([[packSequences]]'s concatenation is
     * wrong for tasks that need document boundaries, e.g. contrastive or
@@ -188,22 +196,28 @@ object Curation {
     * batches. A batch pads every member to its own max length, so banding
     * bounds waste structurally: max/min token ratio within a band is < 2,
     * hence fill ratio > 0.5 before the shuffle even helps. Emits the
-    * batch index a loader consumes (doc → band/batch/slot) plus the
+    * batch index a loader consumes (doc → band/shard/batch/slot) plus the
     * per-batch padded-efficiency evidence (`fill_ratio` = one division of
     * exact integer window sums — the bit-reproducibility rule).
     *
-    * Shape at scale: one narrow scan, one shuffle on the ~60-key
-    * (band, batch) space for the rank windows — parallel ACROSS bands
-    * like the packing family; a single giant band would sub-shard by an
-    * md5 bucket exactly as [[Curation.packSequences]]'s source note
-    * prescribes. */
+    * Shape at scale: one narrow scan, one shuffle for the rank windows —
+    * partitioned by (band, shard), NOT band alone: real corpora
+    * concentrate most documents into 2–3 bands, and a band-only window
+    * would sort each giant band's full share of the corpus in ONE task.
+    * The [[BatchShards]]-way md5 sub-shard caps every window partition at
+    * band/8; batch identity is (band, shard, batch_seq) and batch ids
+    * were already arbitrary under the md5 shuffle, so the contract
+    * (fixed-size batches, fill > 0.5) is unchanged. */
   def lengthBatches(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("band"))
+    val w = Window.partitionBy(col("band"), col("shard"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val wb = Window.partitionBy(col("band"), col("batch_seq"))
+    val wb = Window.partitionBy(col("band"), col("shard"), col("batch_seq"))
     Tables.documents(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("band", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % BatchShards)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("batch_seq", expr(s"(rk - 1) div $BatchDocs"))
       .withColumn("pos_in_batch", (col("rk") - 1) % BatchDocs)
@@ -211,8 +225,9 @@ object Curation {
       .withColumn("fill_ratio",
         sum(col("n_tokens")).over(wb).cast("double") /
           (count(lit(1)).over(wb) * col("batch_max_tokens")).cast("double"))
-      .select(col("doc_id"), col("n_tokens"), col("band"), col("batch_seq"),
-        col("pos_in_batch"), col("batch_max_tokens"), col("fill_ratio"))
+      .select(col("doc_id"), col("n_tokens"), col("band"), col("shard"),
+        col("batch_seq"), col("pos_in_batch"), col("batch_max_tokens"),
+        col("fill_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -635,27 +650,30 @@ object Curation {
 
   val specs: Seq[QuerySpec] = Seq(
     // Length-bucketed batching: bit-length bands (integer-exact — no
-    // float log2), md5-ranked fixed-size batches, fill as one division
-    // of exact integer window aggregates.
+    // float log2), md5 sub-shards so no window partition exceeds a
+    // band/8 share of the corpus, md5-ranked fixed-size batches, fill
+    // as one division of exact integer window aggregates.
     withOracle("text_length_batches", lengthBatches,
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
          |b AS (SELECT doc_id, n_tokens,
-         |    CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS band FROM t),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY band
+         |    CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS band,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+         |      AS BIGINT) % $BatchShards AS shard FROM t),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY band, shard
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
          |    AS BIGINT) AS rk FROM b),
-         |g AS (SELECT doc_id, n_tokens, band,
+         |g AS (SELECT doc_id, n_tokens, band, shard,
          |    CAST((rk - 1) // $BatchDocs AS BIGINT) AS batch_seq,
          |    CAST((rk - 1) % $BatchDocs AS BIGINT) AS pos_in_batch
          |  FROM r)
-         |SELECT doc_id, n_tokens, band, batch_seq, pos_in_batch,
+         |SELECT doc_id, n_tokens, band, shard, batch_seq, pos_in_batch,
          |  CAST(MAX(n_tokens) OVER wb AS BIGINT) AS batch_max_tokens,
          |  CAST(SUM(n_tokens) OVER wb AS DOUBLE)
          |    / CAST(COUNT(*) OVER wb * MAX(n_tokens) OVER wb AS DOUBLE)
          |    AS fill_ratio
-         |FROM g WINDOW wb AS (PARTITION BY band, batch_seq)
+         |FROM g WINDOW wb AS (PARTITION BY band, shard, batch_seq)
          |ORDER BY doc_id""".stripMargin),
     withOracle("text_bloom_decontaminate",
       (s, dir) => bloomDecontaminate(Tables.documents(s, dir)),

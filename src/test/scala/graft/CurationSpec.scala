@@ -77,29 +77,42 @@ class CurationSpec extends SparkSpec {
 
   test("lengthBatches: bit-length bands bound padding waste structurally") {
     import graft.operators.Curation
-    val rows = Curation.lengthBatches(spark, sf).collect()
+    val df = Curation.lengthBatches(spark, sf)
+    val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getDouble(6)))
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
     val n = Tables.documents(spark, sf).count()
     // every doc indexed exactly once
     assert(rows.length == n)
     assert(rows.map(_._1).distinct.length == n)
-    rows.foreach { case (_, toks, band, _, pos, bmax, fill) =>
+    rows.foreach { case (_, toks, band, shard, _, pos, bmax, fill) =>
       // band = bit length - 1: token count in [2^band, 2^(band+1))
       assert(toks >= (1L << band) && toks < (1L << (band + 1)))
+      assert(shard >= 0 && shard < Curation.BatchShards)
       assert(pos >= 0 && pos < Curation.BatchDocs)
       assert(toks <= bmax)
       // max/min < 2 within a band => fill > 0.5 for EVERY batch, the
       // structural bound banding exists to provide
       assert(fill > 0.5 && fill <= 1.0)
     }
-    // fill replays from the batch members; batches hold <= BatchDocs docs
-    rows.groupBy(r => (r._3, r._4)).foreach { case (_, b) =>
+    // fill replays from the batch members; batches hold <= BatchDocs docs;
+    // batch identity is (band, shard, batch_seq)
+    rows.groupBy(r => (r._3, r._4, r._5)).foreach { case (_, b) =>
       assert(b.length <= Curation.BatchDocs)
-      assert(b.map(_._5).sorted.toSeq == (0L until b.length).toSeq)
+      assert(b.map(_._6).sorted.toSeq == (0L until b.length).toSeq)
       val expect = b.map(_._2).sum.toDouble / (b.length * b.map(_._2).max)
-      b.foreach { case (_, _, _, _, _, _, fill) => assert(fill == expect) }
+      b.foreach { case (_, _, _, _, _, _, _, fill) => assert(fill == expect) }
     }
+    // the md5 sub-shard is real parallelism, not a column: the dominant
+    // band spreads across every shard, so no rank-window partition holds a
+    // band's full corpus share (the single-task straggler this guards)
+    val byBand = rows.groupBy(_._3)
+    val (_, dominant) = byBand.maxBy(_._2.length)
+    assert(dominant.map(_._4).distinct.length == Curation.BatchShards)
+    // and the physical rank window really partitions on (band, shard)
+    val plan = df.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("row_number"))
+    assert(windowLines.exists(l => l.contains("band") && l.contains("shard")))
   }
 
   test("packSequences: packs respect capacity and partition token mass") {
