@@ -62,6 +62,14 @@ object StateCache {
 
   private val ownedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Completion marker written as the builder's LAST step. The hit-path
+    * probe verifies the marker, not just the root: a partially deleted
+    * state dir (root present, slice files gone) has no marker and
+    * rebuilds, instead of serving silently-empty reads. Underscore-
+    * prefixed so Hadoop/Spark directory listings ignore it (the _SUCCESS
+    * convention) even if a reader ever globs the state root itself. */
+  private val CompleteMarker = "_GRAFT_STATE_COMPLETE"
+
   /** State-dir form: the builder populates a fresh PINNED temp dir (a new
     * dir per attempt — see the throw-retry contract above); hits return
     * the built dir for read-only serving. Pinned, not scoped: the
@@ -69,22 +77,31 @@ object StateCache {
     * make manifest/serve queries return silently EMPTY results
     * (listSlices of a missing path is empty, not an error) — the r15
     * ADVICE medium finding. Belt-and-braces, every hit re-verifies the
-    * dir still exists on disk and rebuilds if something external removed
-    * it, so a stale cache can never serve from a void. */
+    * [[CompleteMarker]] still exists on disk and rebuilds if something
+    * external removed the dir OR any of its contents (the marker is
+    * written after the builder's final write, so its presence witnesses
+    * a build that ran to completion), so a stale cache can never serve
+    * from a void or a gutted dir. */
   def stateDir(corpusDir: String, key: String, prefix: String)(
       build: String => Unit): String = {
     var attempt = 0
     while (true) {
       val d = cached(corpusDir, key) {
         val dd = TempDirs.pinned(prefix)
-        try { build(dd); ownedDirs.add(dd); dd }
+        try {
+          build(dd)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(dd, CompleteMarker))
+          ownedDirs.add(dd); dd
+        }
         catch {
           // failed attempt: hand the half-written dir back to the
           // evictable pool instead of pinning garbage for the session
           case e: Throwable => TempDirs.unpin(dd); throw e
         }
       }
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))) return d
+      if (java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(d, CompleteMarker))) return d
       // Externally deleted: drop the stale entry and rebuild (bounded —
       // a builder that cannot produce a directory is a hard bug).
       entries.remove(entryKey(corpusDir, key))
@@ -95,8 +112,9 @@ object StateCache {
       TempDirs.unpin(d)
       attempt += 1
       if (attempt >= 3) throw new IllegalStateException(
-        s"StateCache: state dir for ($corpusDir, $key) vanished $attempt times — " +
-          "something is deleting live state out from under the cache")
+        s"StateCache: state dir for ($corpusDir, $key) vanished (or lost its " +
+          s"completion marker) $attempt times — something is deleting live " +
+          "state out from under the cache")
     }
     throw new IllegalStateException("unreachable")
   }

@@ -54,20 +54,22 @@ private[graft] class TempDirRegistry(cap: Int) {
   }
 
   /** Demote a pinned dir into the evictable registry (oldest-first slot):
-    * its contents stay readable until the cap crosses it or JVM exit. */
+    * its contents stay readable until the cap crosses it or JVM exit.
+    * Deliberately does NOT run the eviction loop: a bulk demotion
+    * (StateCache.clear() dropping many state dirs at once) running
+    * oldest-first eviction here could push still-in-use SCOPED dirs —
+    * live streaming checkpoints among them — over the cap and delete
+    * them mid-query. Eviction waits for the next [[scoped]] call, and
+    * demoted dirs enter at the OLDEST end of the queue: nothing
+    * references them once their cache entry is gone, so they are the
+    * right first candidates — live scoped dirs keep their seniority. */
   def unpin(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     val was = pinnedDirs.synchronized {
       val i = pinnedDirs.indexOf(p)
       if (i >= 0) { pinnedDirs.remove(i); true } else false
     }
-    if (was) created.synchronized {
-      created += p
-      while (created.size > cap) {
-        val oldest = created.remove(0)
-        try deleteRecursively(oldest) catch { case _: Exception => () }
-      }
-    }
+    if (was) created.synchronized { created.insert(0, p) }
   }
 
   /** Live pinned dirs (test hook). */

@@ -1273,7 +1273,13 @@ object RelationalExt {
       val ot = s"graft_bucketed_orders_$sfx"
       val lt = s"graft_bucketed_lineitem_$sfx"
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        // A rebuild for this corpus (e.g. a recreated catalog) abandons
+        // the previous pinned dir: DROP TABLE on external tables leaves
+        // the files behind, so unpin hands the old dir back to the
+        // evictable pool instead of growing pinned disk per rebuild.
+        bucketedDirs.remove(sfx).foreach(graft.TempDirs.unpin)
         val d = graft.TempDirs.pinned("graft_bucket")
+        bucketedDirs(sfx) = d
         s.sql(s"DROP TABLE IF EXISTS $ot")
         s.sql(s"DROP TABLE IF EXISTS $lt")
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
@@ -1290,6 +1296,11 @@ object RelationalExt {
     }
 
   private val bucketedTablesLock = new Object
+
+  /** Pinned layout dir per corpus suffix — guarded by
+    * [[bucketedTablesLock]]; lets a rebuild unpin its predecessor. */
+  private val bucketedDirs =
+    scala.collection.mutable.Map.empty[String, String]
 
   /** BUCKETED CO-LOCATED JOIN — the layout technique the scale audit
     * keeps promising ("bucket lineitem+orders on orderkey to delete

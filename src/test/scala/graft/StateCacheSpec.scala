@@ -50,6 +50,27 @@ class StateCacheSpec extends AnyFunSuite {
     StateCache.clear()
   }
 
+  test("a PARTIALLY deleted state dir (root kept, contents gone) is rebuilt") {
+    // the r16 ADVICE finding: a root-only existence probe still serves a
+    // gutted dir — the completion marker closes exactly that hole
+    var builds = 0
+    def get() = StateCache.stateDir("/corpusX", "spec-gutted", "graft_sc_spec") { d =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "slice-0.parquet"), "data".getBytes)
+    }
+    val d1 = get()
+    // delete the CONTENTS (marker included) but keep the root dir
+    java.nio.file.Files.list(java.nio.file.Paths.get(d1))
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(exists(d1))
+    val d2 = get()
+    assert(builds == 2)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d2, "slice-0.parquet")))
+    StateCache.clear()
+  }
+
   test("clear() demotes owned pinned dirs back to the evictable pool") {
     val before = TempDirs.pinnedCount
     val d = StateCache.stateDir("/corpusX", "spec-demote", "graft_sc_spec") { dd =>

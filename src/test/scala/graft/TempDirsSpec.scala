@@ -49,6 +49,30 @@ class TempDirsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(pinned)))
   }
 
+  test("bulk unpin never evicts live scoped dirs; demoted dirs evict first") {
+    // the r16 ADVICE finding: unpin running the eviction loop let a bulk
+    // StateCache.clear() push still-in-use scoped dirs (live streaming
+    // checkpoints) over the cap mid-query
+    val reg = new TempDirRegistry(cap = 4)
+    val live1 = reg.scoped("graft_tempdirs_live")
+    val live2 = reg.scoped("graft_tempdirs_live")
+    val pins = (1 to 4).map(_ => reg.pinned("graft_tempdirs_bulk"))
+    pins.foreach(reg.unpin) // bulk demotion (the clear() shape)
+    // no eviction ran at unpin time: both live scoped dirs AND all the
+    // demoted dirs remain on disk even though the registry is over cap
+    (Seq(live1, live2) ++ pins).foreach { d =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    }
+    // the next scoped() call evicts down to cap — taking DEMOTED dirs
+    // first (they are unreferenced once their cache entry is gone), so
+    // the live scoped dirs keep their seniority and survive
+    reg.scoped("graft_tempdirs_after")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live1)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live2)))
+    assert(pins.count(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d))) == 1)
+  }
+
   test("unpin of an unknown dir is a no-op (no phantom registration)") {
     val reg = new TempDirRegistry(cap = 2)
     val before = reg.liveCount
