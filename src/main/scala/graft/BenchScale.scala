@@ -87,7 +87,12 @@ object BenchScale {
     // the shard-then-merge build: two shard index jobs + the merge pass,
     // all linear-shaped (assign against frozen centroids, partitioned
     // writes, one live-read per shard at merge)
-    "sim_topk_ivf_merged")
+    "sim_topk_ivf_merged",
+    // round-17: the shared corpus-pair state's COLD build (VERDICT r16
+    // #7) — cold passes clear the StateCache, so this row measures the
+    // one PPJoin sweep that ten default-threshold dedup consumers then
+    // serve from; expected linear (prefix-bounded candidate join)
+    "dedup_threshold_sweep")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one
@@ -100,7 +105,11 @@ object BenchScale {
     "stream_ann_serve",
     // multi-vector serving: chunk-feature state prebuilt once per scale,
     // timed passes measure the per-batch featurize + MaxSim serve
-    "stream_li_serve")
+    "stream_li_serve",
+    // round-17: the production cascade — feature-vector IVF index
+    // prebuilt once per scale, timed passes measure the probe-pooled
+    // stage 1 + the bounded MaxSim rerank (VERDICT r16 #2)
+    "sim_li_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

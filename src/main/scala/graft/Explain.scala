@@ -34,7 +34,8 @@ object Explain {
         "text_classifier_calibration", "sim_range_search", "sim_leakage_split",
         "dedup_winnowing", "text_winnow_decontaminate", "dedup_joint_groups",
         "sim_hybrid_retrieve", "sim_hybrid_ivf", "sim_text_topk",
-        "sim_late_interaction", "sim_li_pruned",
+        "sim_late_interaction", "sim_li_pruned", "sim_li_ivf",
+        "text_length_batches",
         "text_feature_embedding", "text_quality_signals", "rel_agg_corr",
         "sim_topk_binary", "sim_topk_matryoshka", "sim_topk_multiprobe",
         "sim_serving_matrix", "rel_join_bucketed", "rel_zorder_layout",

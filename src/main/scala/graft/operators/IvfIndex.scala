@@ -184,6 +184,22 @@ object IvfIndex {
     * read needs no historical centroid state, only the slice filter. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       asOf: Long = Long.MaxValue): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    probedScores(spark, dir, queries, asOf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The probed (query_id, vec_id, score) candidate stream behind the
+    * persisted index's query verbs — factored from [[topK]] so cascades
+    * that need a WIDER pool (late interaction's stage 1) share the exact
+    * probe + partition-pruned scan + scoring, only the rank cutoff
+    * differing. */
+  private[operators] def probedScores(spark: SparkSession, dir: String,
+      queries: DataFrame, asOf: Long = Long.MaxValue): DataFrame = {
     val cents = loadCentroids(spark, dir)
     val probes = Similarity.rankedCells(
         queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
@@ -195,18 +211,32 @@ object IvfIndex {
     // not a data collect.
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
     postings(spark, dir, asOf)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Similarity.cos(col("qv"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Similarity.TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stage-1 candidate pool for retrieval cascades: the top-`n`
+    * probed-cosine candidates per query, served from a persisted index —
+    * the index-probe form of the pool the late-interaction cascade
+    * otherwise builds with a full corpus scan. At 10^9 documents stage 1
+    * dominates the cascade's cost, so riding the partition-pruned probes
+    * here is what makes the tier production-shaped. Takes the index dir
+    * and query frame explicitly: the LI cascade probes an index over the
+    * doc-grain FEATURE vectors (the very vectors its exact stage 1
+    * scans), not the unrelated dense-embedding index. */
+  private[operators] def cascadePool(s: SparkSession, idxDir: String,
+      queries: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    probedScores(s, idxDir, queries)
+      .withColumn("dr", row_number().over(w))
+      .filter(col("dr") <= n)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("score").as("doc_score"))
   }
 
   /** The standard query set of the sim_* family (vec_id < NumQueryVectors)

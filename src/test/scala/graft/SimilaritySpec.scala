@@ -577,6 +577,89 @@ class SimilaritySpec extends SparkSpec {
     assert(split == batch)
   }
 
+  test("ivf cascade: pool from the feature-vector index, shared rerank, recall floor") {
+    val rows = Similarity.lateInteractionIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // cascade shape: dense ranks 1..k per query, MaxSim score non-increasing
+    rows.groupBy(_._1).values.foreach { qr =>
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.reverse.toSeq)
+    }
+    // the pool's doc_score is the exact cosine of the doc FEATURE vectors
+    // (the IVF probe scores exactly over probed candidates), recomputed
+    // locally from the dense featurization
+    val fv = Similarity.docFeatureVectors(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosOf(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    rows.foreach { case (q, _, c, _, docScore) =>
+      assert(docScore == cosOf(fv(q), fv(c)))
+    }
+    // stage-2 scores agree with the full MaxSim scores where candidates
+    // overlap (the shared-tail-verbatim contract)
+    val full = Similarity.lateInteractionTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    rows.foreach { case (q, _, c, score, _) =>
+      full.get((q, c)).foreach(fs => assert(score == fs))
+    }
+    // recall vs the exact cascade: probing the SAME vectors the exact
+    // stage 1 scans, the index pool must retain most of the cascade's
+    // top-k (losses are true IVF probe misses, not a modality mismatch)
+    val casc = Similarity.lateInteractionPruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfSet = rows.map(r => (r._1, r._3)).toSet
+    val overlap = casc.count(ivfSet.contains).toDouble / casc.size
+    assert(overlap >= 0.5, s"ivf cascade recall vs exact cascade = $overlap")
+  }
+
+  test("li pool sweep: monotone recall, deployed width matches the recall audit") {
+    val rows = Similarity.liPoolSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      (Similarity.LiPoolSweepStep to Similarity.LiPoolSweepMax
+        by Similarity.LiPoolSweepStep).map(_.toLong).toSeq)
+    // wider pools can only add candidates => recall non-decreasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    rows.foreach { case (_, n, rec) =>
+      assert(rec == n.toDouble / (Similarity.NumQueryVectors * Similarity.TopK))
+    }
+    // at the deployed width the sweep's hit count IS the recall audit's
+    // total — the two readouts measure one quantity and cannot drift
+    val deployed = rows.find(_._1 == Similarity.LiPruneCandidates.toLong).get
+    val auditHits = Similarity.liRecall(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(deployed._2 == auditHits)
+  }
+
+  test("stream li index append: drained slices equal the batch build") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(Similarity.lateInteractionTopK(spark, sf))
+    val drained = rows(Similarity.streamLiAppendQuery(spark, sf))
+    assert(drained == batch)
+    // manual two-batch split through the append's exact slice code:
+    // chunk featurization is per-document deterministic, so ANY batching
+    // of the corpus drains to a state serving identical rows
+    val st = java.nio.file.Files.createTempDirectory("graft_li_append").toString
+    val docs = Tables.documents(spark, sf)
+    Similarity.appendLiSlice(docs.filter(col("doc_id") % 2 === 0), st, 0L)
+    Similarity.appendLiSlice(docs.filter(col("doc_id") % 2 === 1), st, 1L)
+    val qf = graft.operators.TextAnalysis.chunkFeatureCountsOf(
+      graft.operators.TextAnalysis.ragChunksOf(
+        docs.filter(col("doc_id") < Similarity.NumQueryVectors)))
+    val split = rows(Similarity.liServeOver(qf,
+      graft.operators.IndexFiles.readSlices(spark, s"$st/feats")))
+    assert(split == batch)
+  }
+
   test("hybrid retrieve: RRF replays from the arm ranks, both arms contribute") {
     val rows = Similarity.hybridRetrieve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
