@@ -97,4 +97,14 @@ class PcaSpec extends SparkSpec {
     val audit = Pca.pcaRecallQuery(spark, sf).collect()
     audit.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("persisted pca index serves the transient query's rows bit-for-bit") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // doubles round-trip parquet exactly, so the read-only serve over
+    // the written projection equals the train-and-serve path
+    val transient = rows(Pca.topKPcaQuery(spark, sf))
+    val persisted = rows(Pca.topKPcaPersisted(spark, sf))
+    assert(persisted == transient && persisted.nonEmpty)
+  }
 }
