@@ -2123,15 +2123,29 @@ object Similarity {
 
   /** The full late-interaction top-k oracle — shared verbatim by
     * sim_late_interaction and its streaming serve twin. */
-  private lazy val liTopKOracleSql: String =
+  private lazy val liTopKOracleSql: String = liTopKOracleFrom("")
+
+  /** The full-scan LI top-k oracle text over an optional candidate-side
+    * restriction (the [[liScoreCtes]] `extraJoin` hook) — one tail behind
+    * the full query, its streaming/append twins, AND the delete-verb
+    * oracle (which restricts candidates to the live set), so the ranking
+    * text cannot drift between the lifecycle verbs. */
+  private def liTopKOracleFrom(extraJoin: String): String =
     s"""WITH ${TextAnalysis.ragChunkCtes},
        |${TextAnalysis.chunkFeatureCountCtes},
-       |${liScoreCtes()}
+       |${liScoreCtes(extraJoin)}
        |SELECT query_id, rank, cand_id, score FROM (
        |  SELECT lsc.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
        |  FROM lsc) t2
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** The delete-verb oracle: the shared top-k text with the candidate
+    * side restricted to live docs — the [[liDeleteSet]] rule replayed as
+    * SQL. Tombstoned docs can neither be returned nor score; survivors
+    * rank exactly as in a state rebuilt without them. */
+  private lazy val liDeletedOracleSql: String = liTopKOracleFrom(
+    s"AND NOT (b.doc_id >= $NumQueryVectors AND b.doc_id % 7 = 3)")
 
   /** The doc-cosine stage-1 ranking CTEs (pd/pr over featureCountCtes'
     * `c`/`n` tables) — shared by the cascade oracle and the pool-sweep
@@ -2414,9 +2428,8 @@ object Similarity {
           .awaitTermination()
       }
     }
-    val qf = TextAnalysis.chunkFeatureCountsOf(TextAnalysis.ragChunksOf(
-      Tables.documents(spark, dir).filter(col("doc_id") < NumQueryVectors)))
-    liServeOver(qf, IndexFiles.readSlices(spark, s"$st/feats"))
+    liServeOver(liQueryFeatures(spark, dir),
+      IndexFiles.readSlices(spark, s"$st/feats"))
   }
 
   /** One maintenance micro-batch: chunk + featurize the arriving corpus
@@ -2427,6 +2440,126 @@ object Similarity {
       batchId: Long): Unit =
     TextAnalysis.chunkFeatureCountsOf(TextAnalysis.ragChunksOf(docs))
       .write.mode("overwrite").parquet(s"$stateDir/feats/b$batchId")
+
+  /** The standard query documents chunked + featurized — the query side
+    * every LI serve shares (the corpus side varies per verb). */
+  private def liQueryFeatures(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkFeatureCountsOf(TextAnalysis.ragChunksOf(
+      Tables.documents(s, dir).filter(col("doc_id") < NumQueryVectors)))
+
+  /** The deterministic forget-set of the LI delete lifecycle: every 7th
+    * corpus document (phase 3), query docs excluded so the query set
+    * stays servable — [[IvfIndex.deleteSet]]'s rule at document grain. */
+  private[graft] def liDeleteSet(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") >= NumQueryVectors && col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
+
+  /** The build + forget-every-7th chunk-feature lifecycle state shared
+    * (read-only) by the delete and as-of queries — identical mutation
+    * history, one build: the full corpus features land as slice b0, the
+    * [[liDeleteSet]] docs tombstone at slice 1 (document grain: one
+    * tombstone id kills every chunk row of that document). */
+  private def liDeletedState(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "li/feats_del7", "graft_lidel") { st =>
+      appendLiSlice(Tables.documents(s, dir), st, 0L)
+      IndexFiles.delete(liDeleteSet(Tables.documents(s, dir)), "doc_id",
+        s"$st/feats", s"$st/tombs", sliceId = 1L)
+      ()
+    }
+
+  /** Declared query — the DELETE verb on the chunk-feature state, fully
+    * oracle-checked: build, tombstone the [[liDeleteSet]], serve the
+    * standard query set over the live read. A deleted document's chunks
+    * can no longer score, so survivors rank exactly as in a state built
+    * without them — the differential the oracle computes by excluding
+    * the delete rule on the candidate side of the shared MaxSim text
+    * (pinned against a literal rebuild-without in SimilaritySpec). */
+  def liDeleted(s: SparkSession, dir: String): DataFrame = {
+    val st = liDeletedState(s, dir)
+    liServeOver(liQueryFeatures(s, dir),
+      IndexFiles.readLive(s, s"$st/feats", s"$st/tombs", "doc_id"))
+  }
+
+  /** Declared query — the LI index MANIFEST, completing the stats column
+    * of the index-lifecycle matrix for the multi-vector tier (IVF has
+    * `sim_index_stats`, text-LSH `dedup_index_stats`, media
+    * `mm_index_stats`): slice counts per state dir plus live doc/chunk
+    * and dead-id counts over the SAME build-then-forget lifecycle the
+    * delete/as-of serves run. ORACLE-GREEN for the established manifest
+    * reason: every number is signature-independent accounting — slice
+    * literals, the deterministic chunk geometry and the %7 delete rule —
+    * which DuckDB replays from the documents table via the shared chunk
+    * CTEs. If the delete verb wrote the wrong dir, or the live read
+    * stopped anti-joining tombstones, this query diverges. */
+  def liIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val st = liDeletedState(s, dir)
+    val feats = s"$st/feats"
+    val tombs = s"$st/tombs"
+    val nData = graft.streaming.StreamingDedup.listSlices(s, feats).size
+    val nTomb = graft.streaming.StreamingDedup.listSlices(s, tombs).size
+    IndexFiles.readLive(s, feats, tombs, "doc_id")
+      .agg(count_distinct(col("doc_id")).as("n_live_docs"),
+        count_distinct(col("doc_id"), col("chunk_id")).as("n_live_chunks"))
+      .crossJoin(IndexFiles.readSlices(s, tombs)
+        .agg(count_distinct(col("doc_id")).as("n_dead_ids")))
+      .select(lit(nData.toLong).as("n_data_slices"),
+        lit(nTomb.toLong).as("n_tombstone_slices"),
+        col("n_live_docs"), col("n_live_chunks"), col("n_dead_ids"))
+  }
+
+  /** The manifest's oracle: slice counts are the lifecycle's literals
+    * (one build slice, one tombstone), live docs/chunks replay the
+    * deterministic chunk geometry minus the delete rule, dead ids replay
+    * the rule itself over the documents table. */
+  private lazy val liIndexStatsOracleSql: String =
+    s"""WITH ${TextAnalysis.ragChunkCtes},
+       |${TextAnalysis.chunkFeatureCountCtes}
+       |SELECT CAST(1 AS BIGINT) AS n_data_slices,
+       |  CAST(1 AS BIGINT) AS n_tombstone_slices,
+       |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM rcc
+       |   WHERE NOT (doc_id >= $NumQueryVectors AND doc_id % 7 = 3))
+       |    AS n_live_docs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |     SELECT DISTINCT doc_id, chunk_id FROM rcc
+       |     WHERE NOT (doc_id >= $NumQueryVectors AND doc_id % 7 = 3)) t)
+       |    AS n_live_chunks,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |   WHERE doc_id >= $NumQueryVectors AND doc_id % 7 = 3)
+       |    AS n_dead_ids""".stripMargin
+
+  /** Declared query — AS-OF snapshot serving on the chunk-feature state:
+    * the SAME mutated state as [[liDeleted]], read at slice 0 — before
+    * the delete — so the LATER tombstone is invisible (its slice id
+    * postdates the snapshot) and the result is the untouched full-corpus
+    * query bit-for-bit: time travel, not filtering. Oracle text carried
+    * VERBATIM from sim_late_interaction. */
+  def liAsOf(s: SparkSession, dir: String): DataFrame = {
+    val st = liDeletedState(s, dir)
+    liServeOver(liQueryFeatures(s, dir),
+      IndexFiles.readLive(s, s"$st/feats", s"$st/tombs", "doc_id", asOf = 0L))
+  }
+
+  /** Declared query — COMPACTION on the chunk-feature state, hash-checked:
+    * build, delete, fold the tombstones into one physical c1 slice
+    * ([[IndexFiles.compactWithTombstones]]), serve. The fold must be
+    * invisible to readers, so the oracle is the DELETED text verbatim —
+    * a dropped live chunk, a resurrected dead one, or a duplicate from a
+    * crashed rename all diverge the hash. Its own state dir (not
+    * [[liDeletedState]]): compaction merges history past slice 0, which
+    * would destroy the as-of verb's snapshot. */
+  def liCompacted(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.StateCache.stateDir(dir, "li/feats_del7_compacted",
+        "graft_licomp") { st =>
+      appendLiSlice(Tables.documents(s, dir), st, 0L)
+      IndexFiles.delete(liDeleteSet(Tables.documents(s, dir)), "doc_id",
+        s"$st/feats", s"$st/tombs", sliceId = 1L)
+      IndexFiles.compactWithTombstones(s, s"$st/feats", s"$st/tombs",
+        upTo = 1L, "doc_id") { (merged, dst) =>
+          merged.write.mode("overwrite").parquet(dst) }
+    }
+    liServeOver(liQueryFeatures(s, dir),
+      IndexFiles.readLive(s, s"$st/feats", s"$st/tombs", "doc_id"))
+  }
 
   /** The standard LI serve: MaxSim the query chunk features against a
     * corpus chunk-feature frame, rank top-[[TopK]] per query — the tail
@@ -3152,6 +3285,22 @@ object Similarity {
     // and the batch oracle text carries VERBATIM.
     QuerySpec("stream_li_index_append", streamLiAppendQuery,
       Some(() => liTopKOracleSql)),
+    // The delete verb: candidates restricted to the live set — the
+    // shared MaxSim text with the deleteSet rule excluded on the
+    // candidate side (a full differential oracle, not a rows count).
+    withOracle("sim_li_deleted", liDeleted, liDeletedOracleSql),
+    // AS-OF snapshot on the SAME mutated state, read at slice 0: the
+    // later delete is invisible, so the untouched full-corpus oracle
+    // text carries verbatim — time travel, not filtering.
+    withOracle("sim_li_asof", liAsOf, liTopKOracleSql),
+    // Compaction folds tombstones into one physical slice; the fold must
+    // be invisible to readers, so the DELETED oracle text carries
+    // verbatim — hash-divergence catches any dropped/resurrected chunk.
+    withOracle("sim_li_compacted", liCompacted, liDeletedOracleSql),
+    // The manifest: slice accounting + live/dead counts, every number
+    // signature-independent and replayed by the oracle from the shared
+    // chunk CTEs + the delete rule.
+    withOracle("sim_li_index_stats", liIndexStats, liIndexStatsOracleSql),
     // Cascade recall audit: BOTH full query texts scoped as subqueries
     // (the curriculum/funnel convention — definitional equality with the
     // queries it audits; each text carries its own CTE scope, so nothing

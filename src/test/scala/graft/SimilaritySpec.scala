@@ -660,6 +660,45 @@ class SimilaritySpec extends SparkSpec {
     assert(split == batch)
   }
 
+  test("li lifecycle: delete hides tombstoned docs, as-of time-travels, compaction invisible") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val deleted = rows(Similarity.liDeleted(spark, sf))
+    assert(deleted.nonEmpty)
+    // tombstoned docs (every 7th, phase 3) can never be returned
+    assert(deleted.forall { case (_, _, c, _) =>
+      !(c >= Similarity.NumQueryVectors && c % 7 == 3) })
+    // ... and survivors rank exactly as in a state REBUILT without them:
+    // the delete verb is indistinguishable from never having indexed
+    val docs = Tables.documents(spark, sf)
+    val qf = graft.operators.TextAnalysis.chunkFeatureCountsOf(
+      graft.operators.TextAnalysis.ragChunksOf(
+        docs.filter(col("doc_id") < Similarity.NumQueryVectors)))
+    val rebuilt = rows(Similarity.liServeOver(qf,
+      graft.operators.TextAnalysis.chunkFeatureCountsOf(
+        graft.operators.TextAnalysis.ragChunksOf(docs.filter(
+          !(col("doc_id") >= Similarity.NumQueryVectors &&
+            col("doc_id") % 7 === 3))))))
+    assert(deleted == rebuilt)
+    // the delete actually removed something at this sf
+    val full = rows(Similarity.lateInteractionTopK(spark, sf))
+    assert(deleted != full)
+    // as-of slice 0 reads the pre-delete snapshot: the untouched
+    // full-corpus rows bit-for-bit (time travel, not filtering)
+    assert(rows(Similarity.liAsOf(spark, sf)) == full)
+    // tombstone-folding compaction is invisible to readers
+    assert(rows(Similarity.liCompacted(spark, sf)) == deleted)
+    // the manifest observes the same state: one build slice, one
+    // tombstone; live docs exclude exactly the dead ids
+    val stats = Similarity.liIndexStats(spark, sf).collect().head
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == 1L)
+    val nDead = docs.filter(col("doc_id") >= Similarity.NumQueryVectors &&
+      col("doc_id") % 7 === 3).count()
+    assert(stats.getLong(4) == nDead && nDead > 0)
+    assert(stats.getLong(3) >= stats.getLong(2)) // chunks >= docs
+  }
+
   test("hybrid retrieve: RRF replays from the arm ranks, both arms contribute") {
     val rows = Similarity.hybridRetrieve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
