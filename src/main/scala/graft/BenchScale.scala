@@ -116,7 +116,11 @@ object BenchScale {
     // round-17: PCA served read-only from the persisted (model,
     // projection) state — no moment pass, no Jacobi in the timed serve
     // (VERDICT r16 missing #3; retires the rig's last ≈linear default)
-    "sim_topk_pca_persisted")
+    "sim_topk_pca_persisted",
+    // round-17: the LI delete verb's serving path — the tombstone-aware
+    // live read (tagged anti-join) over prebuilt chunk-feature slices,
+    // the post-forget twin of stream_li_serve's 0.16 row
+    "sim_li_deleted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

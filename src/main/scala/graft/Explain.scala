@@ -35,6 +35,7 @@ object Explain {
         "dedup_winnowing", "text_winnow_decontaminate", "dedup_joint_groups",
         "sim_hybrid_retrieve", "sim_hybrid_ivf", "sim_text_topk",
         "sim_late_interaction", "sim_li_pruned", "sim_li_ivf",
+        "sim_li_deleted",
         "text_length_batches",
         "text_feature_embedding", "text_quality_signals", "rel_agg_corr",
         "sim_topk_binary", "sim_topk_matryoshka", "sim_topk_multiprobe",

@@ -2458,14 +2458,25 @@ object Similarity {
     * (read-only) by the delete and as-of queries — identical mutation
     * history, one build: the full corpus features land as slice b0, the
     * [[liDeleteSet]] docs tombstone at slice 1 (document grain: one
-    * tombstone id kills every chunk row of that document). */
+    * tombstone id kills every chunk row of that document). b0 copies the
+    * session's already-built [[liFeatureState]] rather than featurizing
+    * the corpus again — one chunk-featurization pass serves the whole
+    * verb matrix. */
   private def liDeletedState(s: SparkSession, dir: String): String =
     graft.StateCache.stateDir(dir, "li/feats_del7", "graft_lidel") { st =>
-      appendLiSlice(Tables.documents(s, dir), st, 0L)
+      writeLiBuildSlice(s, dir, st)
       IndexFiles.delete(liDeleteSet(Tables.documents(s, dir)), "doc_id",
         s"$st/feats", s"$st/tombs", sliceId = 1L)
       ()
     }
+
+  /** Land the corpus chunk features as build slice b0 of a lifecycle
+    * state — a parquet copy of the shared [[liFeatureState]], not a
+    * re-featurization. */
+  private def writeLiBuildSlice(s: SparkSession, dir: String,
+      st: String): Unit =
+    s.read.parquet(s"${liFeatureState(s, dir)}/feats")
+      .write.mode("overwrite").parquet(s"$st/feats/b0")
 
   /** Declared query — the DELETE verb on the chunk-feature state, fully
     * oracle-checked: build, tombstone the [[liDeleteSet]], serve the
@@ -2550,7 +2561,7 @@ object Similarity {
   def liCompacted(s: SparkSession, dir: String): DataFrame = {
     val st = graft.StateCache.stateDir(dir, "li/feats_del7_compacted",
         "graft_licomp") { st =>
-      appendLiSlice(Tables.documents(s, dir), st, 0L)
+      writeLiBuildSlice(s, dir, st)
       IndexFiles.delete(liDeleteSet(Tables.documents(s, dir)), "doc_id",
         s"$st/feats", s"$st/tombs", sliceId = 1L)
       IndexFiles.compactWithTombstones(s, s"$st/feats", s"$st/tombs",
