@@ -2147,6 +2147,25 @@ object Similarity {
   private lazy val liDeletedOracleSql: String = liTopKOracleFrom(
     s"AND NOT (b.doc_id >= $NumQueryVectors AND b.doc_id % 7 = 3)")
 
+  /** The recall-audit oracle over ANY cascade query text: both full
+    * texts scoped as subqueries (definitional equality with the queries
+    * they audit; each text carries its own CTE scope, so nothing can
+    * collide or drift), membership-joined per query — one audit text
+    * behind the exact and IVF cascade arms. */
+  private def liRecallOracleFrom(cascSql: String): String =
+    s"""WITH fullq AS (SELECT query_id, cand_id FROM ($liTopKOracleSql)),
+       |casc AS (SELECT query_id, cand_id FROM ($cascSql)),
+       |hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM fullq f JOIN casc c
+       |    ON c.query_id = f.query_id AND c.cand_id = f.cand_id
+       |  GROUP BY 1)
+       |SELECT d.doc_id AS query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK AS recall_at_k
+       |FROM documents d LEFT JOIN hits h ON h.query_id = d.doc_id
+       |WHERE d.doc_id < $NumQueryVectors
+       |ORDER BY query_id""".stripMargin
+
   /** The doc-cosine stage-1 ranking CTEs (pd/pr over featureCountCtes'
     * `c`/`n` tables) — shared by the cascade oracle and the pool-sweep
     * oracle so stage 1 cannot drift between the deployed pool and its
@@ -2296,11 +2315,27 @@ object Similarity {
     * The query spine comes straight from the corpus filter, not from
     * either ranking, so a query with zero positive candidates still
     * reports its (0, 0.0) row. */
-  def liRecall(s: SparkSession, dir: String): DataFrame = {
+  def liRecall(s: SparkSession, dir: String): DataFrame =
+    liRecallOver(s, dir, lateInteractionPruned(s, dir))
+
+  /** Declared query — the PRODUCTION cascade's recall audit: the same
+    * recall@k readout as [[liRecall]], measured against [[lateInteractionIvf]]
+    * — the dashboard number that pages when the INDEX-served stage 1
+    * (probe misses, stale centroids after heavy appends) starves the
+    * reranker, as opposed to the exact cascade's pool-width starvation.
+    * One audit shape, two cascade arms: both fully oracle-checked from
+    * the shared query texts. */
+  def liRecallIvf(s: SparkSession, dir: String): DataFrame =
+    liRecallOver(s, dir, lateInteractionIvf(s, dir))
+
+  /** recall@[[TopK]] per query of ANY cascade's top-k against the
+    * full-corpus MaxSim top-k — the audit body shared by the exact and
+    * IVF cascade arms. */
+  private def liRecallOver(s: SparkSession, dir: String,
+      casc0: DataFrame): DataFrame = {
     val full = lateInteractionTopK(s, dir)
       .select(col("query_id"), col("cand_id"))
-    val casc = lateInteractionPruned(s, dir)
-      .select(col("query_id"), col("cand_id"))
+    val casc = casc0.select(col("query_id"), col("cand_id"))
     val hits = full.join(casc, Seq("query_id", "cand_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     Tables.documents(s, dir)
@@ -3317,18 +3352,12 @@ object Similarity {
     // queries it audits; each text carries its own CTE scope, so nothing
     // can collide or drift), membership-joined per query.
     withOracle("sim_li_recall", liRecall,
-      s"""WITH fullq AS (SELECT query_id, cand_id FROM ($liTopKOracleSql)),
-         |casc AS (SELECT query_id, cand_id FROM ($liPrunedOracleSql)),
-         |hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-         |  FROM fullq f JOIN casc c
-         |    ON c.query_id = f.query_id AND c.cand_id = f.cand_id
-         |  GROUP BY 1)
-         |SELECT d.doc_id AS query_id,
-         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $TopK AS recall_at_k
-         |FROM documents d LEFT JOIN hits h ON h.query_id = d.doc_id
-         |WHERE d.doc_id < $NumQueryVectors
-         |ORDER BY query_id""".stripMargin),
+      liRecallOracleFrom(liPrunedOracleSql)),
+    // The production cascade's recall audit: the SAME audit text over
+    // the IVF-pooled arm — pages on probe-miss starvation rather than
+    // pool-width starvation.
+    withOracle("sim_li_recall_ivf", liRecallIvf,
+      liRecallOracleFrom(liIvfOracleSql)),
     withOracle("sim_hybrid_retrieve", hybridRetrieve, hybridOracleSql),
     // The streaming serve twin carries the batch oracle text VERBATIM:
     // hybridOver is per-query against a static corpus, so drained output

@@ -616,6 +616,19 @@ class SimilaritySpec extends SparkSpec {
     val ivfSet = rows.map(r => (r._1, r._3)).toSet
     val overlap = casc.count(ivfSet.contains).toDouble / casc.size
     assert(overlap >= 0.5, s"ivf cascade recall vs exact cascade = $overlap")
+    // the declared recall audit equals the membership overlap vs the
+    // full top-k recomputed here, per query
+    val fullTop = Similarity.lateInteractionTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recIvf = Similarity.liRecallIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(recIvf.map(_._1).toSet == fullTop.keySet)
+    recIvf.foreach { case (q, nh, rec) =>
+      val expect = fullTop(q).count(c => ivfSet.contains((q, c)))
+      assert(nh == expect)
+      assert(rec == nh.toDouble / Similarity.TopK)
+    }
   }
 
   test("li pool sweep: monotone recall, deployed width matches the recall audit") {
