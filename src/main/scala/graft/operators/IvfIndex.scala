@@ -361,6 +361,41 @@ object IvfIndex {
         col("n_live"), col("n_dead"))
   }
 
+  /** Re-train dashboard threshold: a max posting list more than 3× the
+    * mean means probe cost is dominated by hot cells — at fixed probe
+    * count the worst-case query scans `imbalance × (probes·N/K)` postings
+    * instead of the balanced budget, and the fix is a centroid re-train
+    * (k-means re-seeded on the drifted corpus), not more probes. */
+  val RetrainImbalance = 3.0
+
+  /** Declared query — the CELL-BALANCE audit, the maintenance dashboard
+    * behind the re-train decision: heavy appends assign NEW vectors
+    * against centroids trained on the bootstrap corpus, so distribution
+    * drift shows up as posting-list skew long before recall visibly
+    * degrades. One pass over the persisted postings (cell is the
+    * partition column — the scan reads directory names and counts), one
+    * tiny aggregate: populated cells, total vectors, min/max posting
+    * list, `imbalance` = max·cells/vectors (1.0 = perfectly balanced),
+    * and the `retrain` flag at [[RetrainImbalance]]. Fully oracle-checked:
+    * the recorded-centroid replay re-derives every cell population in
+    * SQL, so a wrong assignment, a dropped posting, or a miscounted cell
+    * diverges the hash. */
+  def cellBalanceQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = builtIndex(s, dir)
+    val pc = postings(s, idx).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+    pc.agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum(col("n")).cast("long").as("n_vectors"),
+        min(col("n")).cast("long").as("min_cell"),
+        max(col("n")).cast("long").as("max_cell"))
+      .withColumn("imbalance",
+        (col("max_cell") * col("n_cells")).cast("double") /
+          col("n_vectors").cast("double"))
+      .withColumn("retrain",
+        (col("imbalance") > RetrainImbalance).cast("long"))
+  }
+
   /** Declared query — streaming ANN serving, the serving twin of
     * [[Curation.streamDecontaminateQuery]]'s pattern: the index is built
     * ONCE from the static corpus; a micro-batch query stream is answered
@@ -464,6 +499,23 @@ object IvfIndex {
     // deleteSet tombstone rule on the candidate side for the delete verb.
     withOracle("sim_topk_ivf_persisted", topKIvfPersisted,
       Similarity.ivfTopKOracleSql()),
+    // The balance audit: cell populations re-derived from the recorded
+    // centroids; the imbalance division is one exact-integer product
+    // over one exact-integer sum, so the DOUBLE hashes bit-equal.
+    withOracle("sim_ivf_balance", cellBalanceQuery,
+      s"""WITH ${Similarity.ivfAssignCtes},
+         |pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM assigned GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  CAST(MIN(n) AS BIGINT) AS min_cell,
+         |  CAST(MAX(n) AS BIGINT) AS max_cell,
+         |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         |    AS imbalance,
+         |  CAST(CASE WHEN CAST(MAX(n) * COUNT(*) AS DOUBLE)
+         |      / CAST(SUM(n) AS DOUBLE) > $RetrainImbalance
+         |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |FROM pc""".stripMargin),
     withOracle("sim_topk_ivf_deleted", topKIvfDeleted,
       Similarity.ivfTopKOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
     withOracle("sim_topk_ivf_asof", topKIvfAsOf,

@@ -201,4 +201,19 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(emb.filter(col("vec_id") > top / 2), idx, sliceId = 1L) // replay
     assert(keyOf(IvfIndex.topK(spark, idx, q)) == batchBuilt)
   }
+
+  test("cell balance audit: counts cover the corpus, formula consistent") {
+    val r = IvfIndex.cellBalanceQuery(spark, sf).collect().head
+    val (nCells, nVecs) = (r.getLong(0), r.getLong(1))
+    val (minC, maxC) = (r.getLong(2), r.getLong(3))
+    val (imb, retrain) = (r.getDouble(4), r.getLong(5))
+    // every corpus vector is posted exactly once
+    assert(nVecs == Tables.embeddings(spark, sf).count())
+    assert(nCells > 0 && minC >= 1 && minC <= maxC)
+    // imbalance is exactly max·cells/vectors, >= 1 by construction, and
+    // the retrain flag is the threshold applied to it
+    assert(imb == maxC.toDouble * nCells / nVecs)
+    assert(imb >= 1.0)
+    assert(retrain == (if (imb > IvfIndex.RetrainImbalance) 1L else 0L))
+  }
 }
