@@ -380,8 +380,13 @@ object IvfIndex {
     * the recorded-centroid replay re-derives every cell population in
     * SQL, so a wrong assignment, a dropped posting, or a miscounted cell
     * diverges the hash. */
-  def cellBalanceQuery(s: SparkSession, dir: String): DataFrame = {
-    val idx = builtIndex(s, dir)
+  def cellBalanceQuery(s: SparkSession, dir: String): DataFrame =
+    cellBalanceOf(s, builtIndex(s, dir))
+
+  /** The audit body over ANY persisted index dir — factored so the
+    * drift spec can build a deliberately skewed index (spread bootstrap,
+    * then a hot-spot append) and pin that the flag actually fires. */
+  private[graft] def cellBalanceOf(s: SparkSession, idx: String): DataFrame = {
     val pc = postings(s, idx).groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
     pc.agg(

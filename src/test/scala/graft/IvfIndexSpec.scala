@@ -216,4 +216,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(imb >= 1.0)
     assert(retrain == (if (imb > IvfIndex.RetrainImbalance) 1L else 0L))
   }
+
+  test("cell balance audit fires on a drifted index") {
+    import spark.implicits._
+    // centroids trained on the spread bootstrap corpus, frozen; then a
+    // hot-spot append of many near-copies of one bootstrap vector — the
+    // exact drift pattern the audit exists to catch (all the new mass
+    // lands in one cell)
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val top = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val idx = TempDirs.scoped("graft_ivf_drift")
+    IvfIndex.init(emb, idx)
+    IvfIndex.append(emb, idx, sliceId = 0L)
+    val hot = emb.filter(col("vec_id") === Similarity.NumQueryVectors)
+      .head().getSeq[Float](1).toArray
+    val n = (emb.count() * 2).toInt
+    val hotDf = (1 to n)
+      .map(i => (top + i, hot.map(x => x + (i % 7) * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(hotDf, idx, sliceId = 1L)
+    val r = IvfIndex.cellBalanceOf(spark, idx).collect().head
+    assert(r.getLong(1) == emb.count() + n)
+    assert(r.getDouble(4) > IvfIndex.RetrainImbalance,
+      s"drifted imbalance = ${r.getDouble(4)}")
+    assert(r.getLong(5) == 1L)
+  }
 }
