@@ -120,7 +120,11 @@ object BenchScale {
     // round-17: the LI delete verb's serving path — the tombstone-aware
     // live read (tagged anti-join) over prebuilt chunk-feature slices,
     // the post-forget twin of stream_li_serve's 0.16 row
-    "sim_li_deleted")
+    "sim_li_deleted",
+    // round-17: the IVF cell-balance audit — a directory-name count over
+    // the cell-partitioned postings plus a 1-row aggregate; the
+    // maintenance dashboard must stay cheap enough to run per append
+    "sim_ivf_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,6 +27,7 @@ private[graft] class TempDirRegistry(cap: Int) {
       created += p
       while (created.size > cap) {
         val oldest = created.remove(0)
+        demoted -= oldest
         try deleteRecursively(oldest) catch { case _: Exception => () }
       }
     }
@@ -53,23 +54,38 @@ private[graft] class TempDirRegistry(cap: Int) {
     p.toString
   }
 
+  /** Dirs that entered the evictable registry via [[unpin]]: nothing
+    * references them once their cache entry is gone, so they are always
+    * safe to delete — unlike live SCOPED dirs, which may back lazy
+    * frames and streaming checkpoints. */
+  private val demoted = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+
   /** Demote a pinned dir into the evictable registry (oldest-first slot):
     * its contents stay readable until the cap crosses it or JVM exit.
-    * Deliberately does NOT run the eviction loop: a bulk demotion
-    * (StateCache.clear() dropping many state dirs at once) running
-    * oldest-first eviction here could push still-in-use SCOPED dirs —
+    * Eviction here is restricted to DEMOTED dirs: a bulk demotion
+    * (StateCache.clear() dropping many state dirs at once) running the
+    * unrestricted oldest-first loop could push still-in-use SCOPED dirs —
     * live streaming checkpoints among them — over the cap and delete
-    * them mid-query. Eviction waits for the next [[scoped]] call, and
-    * demoted dirs enter at the OLDEST end of the queue: nothing
-    * references them once their cache entry is gone, so they are the
-    * right first candidates — live scoped dirs keep their seniority. */
+    * them mid-query, but a demoted dir at the head is unreferenced by
+    * definition and deleting it immediately keeps a clear()-heavy
+    * session's disk bounded WITHOUT waiting for the next [[scoped]]
+    * call. A live scoped dir at the head stops the loop and keeps its
+    * seniority, exactly as before. */
   def unpin(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     val was = pinnedDirs.synchronized {
       val i = pinnedDirs.indexOf(p)
       if (i >= 0) { pinnedDirs.remove(i); true } else false
     }
-    if (was) created.synchronized { created.insert(0, p) }
+    if (was) created.synchronized {
+      created.insert(0, p)
+      demoted += p
+      while (created.size > cap && demoted.contains(created.head)) {
+        val oldest = created.remove(0)
+        demoted -= oldest
+        try deleteRecursively(oldest) catch { case _: Exception => () }
+      }
+    }
   }
 
   /** Live pinned dirs (test hook). */

@@ -390,7 +390,7 @@ object Pca {
     * deployable (an out-of-corpus query embeds against the recorded
     * mean+basis); the projected table is what serving scans — 4× fewer
     * bytes than the raw corpus at [[PcaDims]] = 16 of 64 dims. */
-  private def pcaIndex(s: SparkSession, dir: String): String =
+  private[graft] def pcaIndex(s: SparkSession, dir: String): String =
     graft.StateCache.stateDir(dir, "pca/index", "graft_pcaidx") { d =>
       import s.implicits._
       val (_, mean, _, basis) = trainBasis(s, dir)
@@ -412,6 +412,28 @@ object Pca {
     * cold-train diagnostic — this is the path a deployment serves. */
   def topKPcaPersisted(s: SparkSession, dir: String): DataFrame =
     topKPcaOver(s, dir, s.read.parquet(s"${pcaIndex(s, dir)}/proj"))
+
+  /** Read the persisted (mean, basis) back from the model table — the
+    * out-of-corpus embedder's entry point: project NEW vectors into the
+    * trained subspace without re-training. PcaSpec pins that a
+    * re-projection of the corpus from the LOADED model equals the
+    * persisted projection bit-for-bit, so the model table cannot drift
+    * from the projection it ships with. */
+  private[graft] def loadModel(s: SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]]) = {
+    val rows = s.read.parquet(s"${pcaIndex(s, dir)}/model").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val mean = rows(-1L)
+    val basis = (0 until rows.size - 1).map(i => rows(i.toLong)).toArray
+    (mean, basis)
+  }
+
+  /** Project a (vec_id, embedding) frame with an explicitly loaded
+    * model — [[loadModel]]'s consumer, factored so the drift pin drives
+    * the exact projection kernel the index build ran. */
+  private[graft] def projectWith(emb: DataFrame, mean: Array[Double],
+      basis: Array[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"), projectCol(mean, basis).as("pv"))
 
   /** The learned-subspace tier's recall audit, shared body. */
   def pcaRecallQuery(s: SparkSession, dir: String): DataFrame =

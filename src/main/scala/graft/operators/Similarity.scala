@@ -2328,12 +2328,23 @@ object Similarity {
   def liRecallIvf(s: SparkSession, dir: String): DataFrame =
     liRecallOver(s, dir, lateInteractionIvf(s, dir))
 
+  /** The full-corpus LI top-k SERVED from the shared chunk-feature
+    * state — row-identical to [[lateInteractionTopK]] (featurization is
+    * per-document deterministic; the serve twin pins the equality), used
+    * as the audits' baseline so the two recall dashboards and the pool
+    * sweep read the state the tier already built instead of each paying
+    * the inline corpus featurization the exact audit tier deliberately
+    * keeps as its scan-bound baseline. */
+  private def liTopKServed(s: SparkSession, dir: String): DataFrame =
+    liServeOver(liQueryFeatures(s, dir),
+      s.read.parquet(s"${liFeatureState(s, dir)}/feats"))
+
   /** recall@[[TopK]] per query of ANY cascade's top-k against the
     * full-corpus MaxSim top-k — the audit body shared by the exact and
     * IVF cascade arms. */
   private def liRecallOver(s: SparkSession, dir: String,
       casc0: DataFrame): DataFrame = {
-    val full = lateInteractionTopK(s, dir)
+    val full = liTopKServed(s, dir)
       .select(col("query_id"), col("cand_id"))
     val casc = casc0.select(col("query_id"), col("cand_id"))
     val hits = full.join(casc, Seq("query_id", "cand_id"), "left_semi")
@@ -2375,7 +2386,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("pool"), col("query_id"), col("cand_id"))
-    val fullTop = lateInteractionTopK(s, dir)
+    val fullTop = liTopKServed(s, dir)
       .select(col("query_id"), col("cand_id"))
     cascTop.join(fullTop, Seq("query_id", "cand_id"))
       .groupBy(col("pool")).agg(count(lit(1)).as("n_hits"))
@@ -2610,14 +2621,20 @@ object Similarity {
   /** The standard LI serve: MaxSim the query chunk features against a
     * corpus chunk-feature frame, rank top-[[TopK]] per query — the tail
     * shared by the streaming serve twin and the append verb. */
-  private[graft] def liServeOver(qf: DataFrame, cf: DataFrame): DataFrame = {
+  private[graft] def liServeOver(qf: DataFrame, cf: DataFrame): DataFrame =
+    liServeRows(qf, cf).orderBy(col("query_id"), col("rank"))
+
+  /** The serve WITHOUT the final global sort — the form the micro-batch
+    * writer lands (parquet carries no order and the drain reader sorts
+    * once on read-back, so a per-batch range exchange + sort would be
+    * pure waste). */
+  private def liServeRows(qf: DataFrame, cf: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     liScoresOver(qf, cf, None)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** One late-interaction serving micro-batch: chunk + featurize the
@@ -2627,7 +2644,7 @@ object Similarity {
     * stream's exact code. */
   private[graft] def serveLiBatch(spark: SparkSession, featsDir: String,
       queryDocs: DataFrame, out: String, batchId: Long): Unit =
-    liServeOver(
+    liServeRows(
       TextAnalysis.chunkFeatureCountsOf(TextAnalysis.ragChunksOf(queryDocs)),
       spark.read.parquet(s"$featsDir/feats"))
       .write.mode("overwrite").parquet(s"$out/b$batchId")

@@ -109,10 +109,30 @@ class CurationSpec extends SparkSpec {
     val byBand = rows.groupBy(_._3)
     val (_, dominant) = byBand.maxBy(_._2.length)
     assert(dominant.map(_._4).distinct.length == Curation.BatchShards)
-    // and the physical rank window really partitions on (band, shard)
-    val plan = df.queryExecution.executedPlan.toString
-    val windowLines = plan.linesIterator.filter(_.contains("row_number"))
-    assert(windowLines.exists(l => l.contains("band") && l.contains("shard")))
+    // and the physical rank window really partitions on (band, shard) —
+    // asserted on the WindowExec node's partitionSpec expressions, not a
+    // rendered plan line (string rendering truncates long specs under
+    // maxToStringFields and would silently stop pinning the sub-shard)
+    // collect() does not descend into AQE wrappers (AdaptiveSparkPlanExec
+    // and QueryStageExec hold their plans as fields, not children), so
+    // flatten through them explicitly
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val windowSpecs = flatten(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(windowSpecs.exists(spec =>
+      spec.exists(_.contains("band")) && spec.exists(_.contains("shard"))))
   }
 
   test("packSequences: packs respect capacity and partition token mass") {

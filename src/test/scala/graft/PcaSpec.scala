@@ -106,5 +106,17 @@ class PcaSpec extends SparkSpec {
     val transient = rows(Pca.topKPcaQuery(spark, sf))
     val persisted = rows(Pca.topKPcaPersisted(spark, sf))
     assert(persisted == transient && persisted.nonEmpty)
+    // the model table is a READABLE artifact, not dead weight: loading
+    // the persisted (mean, basis) back and re-projecting the corpus
+    // reproduces the shipped projection bit-for-bit — the out-of-corpus
+    // embedder contract, and a drift guard between model and projection
+    val (mean, basis) = Pca.loadModel(spark, sf)
+    val reproj = Pca.projectWith(
+        Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+        mean, basis)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val shipped = spark.read.parquet(s"${Pca.pcaIndex(spark, sf)}/proj")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(reproj == shipped && reproj.nonEmpty)
   }
 }
