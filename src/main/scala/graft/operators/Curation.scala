@@ -169,11 +169,13 @@ object Curation {
     * contributes — i.e. the index a data loader needs to materialize
     * packed contexts.
     *
-    * Packing is PER SOURCE (the window partition): real pipelines pack
-    * within a shard/domain so shards stay independently readable, and it
-    * is what keeps this parallel — the running sum is per-source, never a
-    * single global partition. At 100 TB the partition key would be the
-    * output shard id; same plan.
+    * Packing is PER SOURCE: real pipelines pack within a shard/domain so
+    * shards stay independently readable. The running sum itself is the
+    * [[withCumulativeTokens]] two-level prefix sum — per-(source, range
+    * sub-shard) windows plus a broadcast offset table — so no task ever
+    * scans a whole source (real corpora concentrate into a few giant
+    * sources; a per-source window partition would be a single-task
+    * cumulative sum at 100 TB).
     */
   /** Docs per length-bucketed batch. */
   val BatchDocs = 16
@@ -231,14 +233,67 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Range sub-shards per source for the packing prefix sum. Like
+    * [[BatchShards]] this is a parallelism knob, not a semantic one: any
+    * monotone-in-doc_id shard cut yields the SAME global cumulative sums,
+    * so raising it on a bigger cluster never moves a document between
+    * packs. */
+  val PackShards = 32
+
+  /** TWO-LEVEL PREFIX SUM — the global per-source running token sum in
+    * doc_id order, computed without any window partitioned on `source`
+    * alone (a source is a whole domain of the corpus; at 100 TB a
+    * source-wide running-sum window is a single-task cumulative sum by
+    * construction — the straggler class [[lengthBatches]]' shard fix
+    * retired). Classic shape: cut each source into [[PackShards]]
+    * contiguous doc_id ranges, run the cumulative sum WITHIN each range
+    * (window partitioned by (source, pshard) — bounded at ~1/PackShards
+    * of a source), total each range, exclusive-scan the ≤PackShards
+    * totals per source via a tiny theta self-join (no window at all), and
+    * broadcast the offset table back. `cum_end = local_end + shard_offset`
+    * is exactly `sum(tok) over (partition by source order by doc_id)` —
+    * bit-identical, so the packing oracles are untouched.
+    *
+    * The range cut comes from per-source (min, max) doc_id over the RAW
+    * corpus — column pruning reduces that pass to a two-column scan (no
+    * tokenization) — and balances when ids are ~uniform within a source
+    * (true for ingest-assigned monotone ids). Under adversarial id skew
+    * the boundary table swaps for sampled quantiles; same two-level
+    * shape, and any monotone cut leaves the output unchanged. */
+  private[graft] def withCumulativeTokens(docs: DataFrame, base: DataFrame,
+      tokCol: String): DataFrame = {
+    val bounds = docs.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
+    val sharded = base.join(broadcast(bounds), Seq("source"))
+      .withColumn("pshard", expr(
+        s"((doc_id - mn_doc) * $PackShards) div (mx_doc - mn_doc + 1)"))
+      .drop("mn_doc", "mx_doc")
+    val wLocal = Window.partitionBy(col("source"), col("pshard"))
+      .orderBy(col("doc_id"))
+    val local = sharded.withColumn("local_end", sum(col(tokCol)).over(wLocal))
+    // token counts are > 0 (callers filter), so each range's total is its
+    // max running sum — read off the window output, no second tokenize
+    val totals = local.groupBy(col("source"), col("pshard"))
+      .agg(max(col("local_end")).as("shard_sum"))
+    val offsets = totals.as("a").join(
+        totals.select(col("source").as("o_source"),
+          col("pshard").as("o_pshard"), col("shard_sum").as("o_sum")),
+        col("a.source") === col("o_source") &&
+          col("o_pshard") < col("a.pshard"), "left")
+      .groupBy(col("a.source"), col("a.pshard"))
+      .agg(coalesce(sum(col("o_sum")), lit(0L)).as("shard_offset"))
+    local.join(broadcast(offsets), Seq("source", "pshard"))
+      .withColumn("cum_end", col("local_end") + col("shard_offset"))
+      .withColumn("cum_start", col("cum_end") - col(tokCol))
+      .drop("local_end", "shard_offset", "pshard")
+  }
+
   def packSequences(docs: DataFrame): DataFrame = {
     val cap = lit(PackCapacity.toLong)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs
+    val base = docs
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+    withCumulativeTokens(docs, base, "n_tokens")
       .withColumn("pack_id0",
         explode(sequence(
           floor(col("cum_start") / cap).cast("int"),
@@ -264,21 +319,21 @@ object Curation {
     * attention-boundary-reset markers; a pack whose first tokens continue
     * a straddling document has no offset 0 in the list.
     *
-    * Shape at scale: the window pass reuses [[packSequences]]' per-source
-    * partition; the explode produces one row per token and the groupBy
-    * re-shuffles on (source, pack_id) — the id-ordered collect_list sort
-    * is per-pack (≤ [[PackCapacity]] elements), never global. Token ids
-    * join sorted as strings only inside the pack payload; counts stay
-    * integer, so the oracle replays bit-for-bit. */
+    * Shape at scale: the cumulative offsets come from the same
+    * [[withCumulativeTokens]] two-level prefix sum as [[packSequences]]
+    * (bounded per-(source, sub-shard) windows, never a source-wide one);
+    * the explode produces one row per token and the groupBy re-shuffles
+    * on (source, pack_id) — the id-ordered collect_list sort is per-pack
+    * (≤ [[PackCapacity]] elements), never global. Token ids join sorted
+    * as strings only inside the pack payload; counts stay integer, so
+    * the oracle replays bit-for-bit. */
   def packTokens(docs: DataFrame): DataFrame = {
     val cap = PackCapacity.toLong
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val toks = docs
+    val base = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") > 0)
-      .withColumn("cum_end", sum(col("n_tok")).over(w))
-      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+    val toks = withCumulativeTokens(docs, base, "n_tok")
       .select(col("source"), col("doc_id"), col("cum_start"),
         posexplode(col("toks")).as(Seq("pos", "tk")))
       .withColumn("gp", col("cum_start") + col("pos"))

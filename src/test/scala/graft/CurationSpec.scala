@@ -317,4 +317,68 @@ class CurationSpec extends SparkSpec {
     val again = Curation.trainShards(d).collect()
     assert(shards.toSeq == again.toSeq)
   }
+
+  // collect() does not descend into AQE wrappers; flatten explicitly
+  // (shared by the window-partition plan pins below and lengthBatches')
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: inner.flatMap(flattenPlan)
+  }
+
+  test("packing: two-level prefix sum replays the per-source running sum") {
+    // withCumulativeTokens promises cum_end == sum(tok) OVER (PARTITION BY
+    // source ORDER BY doc_id) bit-for-bit — the contract that lets the
+    // packing oracles stay a plain SQL window while the engine runs the
+    // sharded two-level shape. Checked on the real corpus, where sources
+    // interleave doc_ids and every sub-shard is non-trivially populated.
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, sf)
+    val base = d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val direct = base.withColumn("want_end",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("want_end"))
+    val twoLevel = Curation.withCumulativeTokens(d, base, "n_tokens")
+      .select(col("doc_id"), col("cum_end"), col("cum_start"), col("n_tokens"))
+    val joined = twoLevel.join(direct, Seq("doc_id")).cache()
+    try {
+      assert(joined.count() == base.count())
+      assert(joined.filter(col("cum_end") =!= col("want_end")).count() == 0)
+      assert(joined.filter(
+        col("cum_start") =!= col("cum_end") - col("n_tokens")).count() == 0)
+    } finally joined.unpersist()
+  }
+
+  test("packing: no window partitions on source alone (physical plan pin)") {
+    // the r17 `weak`: a window partitioned by source ALONE is a
+    // single-task cumulative sum over a whole source at 100 TB. Pinned on
+    // the WindowExec nodes' partitionSpec expressions (string rendering
+    // truncates under maxToStringFields), for both packing entry points
+    // and the trainer pipeline that composes them.
+    val d = graft.Tables.documents(spark, sf)
+    for (df <- Seq(Curation.packSequences(d), Curation.packTokens(d),
+        Curation.trainerPipeline(spark, sf))) {
+      val specs = flattenPlan(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.map(_.toString)
+      }
+      // the bounded per-(source, pshard) window is there...
+      assert(specs.exists(s =>
+        s.exists(_.contains("source")) && s.exists(_.contains("pshard"))))
+      // ...and no window partitions a whole source into one task
+      val offenders = specs.filter(s =>
+        s.exists(_.contains("source")) && !s.exists(_.contains("pshard")))
+      assert(offenders.isEmpty,
+        s"window partitioned on source alone: $offenders")
+    }
+  }
 }
