@@ -95,7 +95,21 @@ object BenchScale {
     // #7) — cold passes clear the StateCache, so this row measures the
     // one PPJoin sweep that ten default-threshold dedup consumers then
     // serve from; expected linear (prefix-bounded candidate join)
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // round-18 (VERDICT r17 #5): the bench's most expensive
+    // non-streaming query — three inverted-index passes with an
+    // anti-join append against the accumulated seen-shingle state.
+    // Batch count is FIXED (3) while batch size grows with the corpus,
+    // so the expected shape is linear: each pass is one shingle-keyed
+    // shuffle over its slice plus a join against state that is itself
+    // O(corpus).
+    "text_incremental_novelty",
+    // round-18 (VERDICT r17 #1): the packing family, post two-level
+    // prefix sum — one row per token through bounded per-(source,
+    // pshard) windows, then the (source, pack_id) re-shuffle; expected
+    // linear. The worst-case SKEW variant is the `_onesource`
+    // diagnostic below.
+    "text_pack_tokens")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one
@@ -186,6 +200,14 @@ object BenchScale {
             .count())) :+ ("sim_semantic_clusters_fixedgeo" ->
           ((d: String) => operators.Similarity
             .semanticClustersAt(spark, d, operators.Similarity.AnnBits)
+            .count())) :+ ("text_pack_tokens_onesource" ->
+          // round-18 skew diagnostic (VERDICT r17 #1): every document in
+          // ONE source — the exact corpus that made the old per-source
+          // running-sum window a single-task straggler. The two-level
+          // prefix sum's range sub-shards keep it parallel, so this row
+          // should track text_pack_tokens, not blow up at 10x.
+          ((d: String) => operators.Curation.packTokens(
+            Tables.documents(spark, d).withColumn("source", lit("all")))
             .count()))
       // Serving rows: prebuild once (untimed — populates the StateCache),
       // then every timed pass serves from the built index. Build rows:

@@ -401,6 +401,67 @@ object IvfIndex {
         (col("imbalance") > RetrainImbalance).cast("long"))
   }
 
+  /** [[graft.OracleLiterals]] key of the RE-TRAINED centroids. Separate
+    * from [[Similarity.IvfCentroidsKey]]: the retrain trains on the LIVE
+    * (post-delete) corpus, so sharing the serving key would let whichever
+    * query trained last poison the other tier's replay — the same
+    * isolation rule the dedup-sized codebook follows. */
+  private[graft] val RetrainCentroidsKey = "ivf_retrain_centroids"
+
+  /** RE-TRAIN the index — the remedy behind [[cellBalanceQuery]]'s
+    * `retrain` flag, completing the audit's "now what?" (VERDICT r17 #2):
+    * heavy appends against bootstrap-trained centroids skew the posting
+    * lists; the fix is fresh centroids over the corpus the index NOW
+    * holds. One rebuild-shaped pass (the [[ClusterIndex.rebucketIndex]]
+    * precedent): read the LIVE set of `oldDir` (tombstones folded — a
+    * forgotten vector cannot re-enter through the rebuild), train fresh
+    * centroids on it, build `newDir` as slice b0 against the new
+    * codebook, and CARRY the tombstone trail (the forget audit's n_dead
+    * evidence survives the rebuild, and a replayed pre-retrain append of
+    * a forgotten id stays dead). `oldDir` is untouched: its snapshots
+    * stay addressable for as-of reads; cutover is the serving owner's
+    * pointer swap.
+    *
+    * Shape at scale: the live read is the partition-pruned slice union
+    * every serve already pays, the train is the bounded driver sample
+    * ([[Similarity.learnCentroidsAt]]), and the build is one
+    * cell-partitioned write — linear, no pairwise term. Returns the
+    * fresh centroids. */
+  def retrain(spark: SparkSession, oldDir: String, newDir: String,
+      key: String = RetrainCentroidsKey): Seq[Array[Float]] = {
+    val live = postings(spark, oldDir)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val cents = Similarity.learnCentroidsAt(live,
+        Similarity.ivfServingCells(live.count()), key)
+      build(live, newDir, Some(cents))
+      val tombSlices = StreamingDedup.listSlices(spark, tombstonesDir(oldDir))
+      if (tombSlices.nonEmpty)
+        delete(IndexFiles.readSlices(spark, tombstonesDir(oldDir))
+          .select(col("vec_id")).distinct(), newDir)
+      cents
+    } finally live.unpersist()
+  }
+
+  /** The retrained twin of [[builtDeletedIndex]] — build, forget the
+    * [[deleteSet]], then [[retrain]] into a fresh index; built once per
+    * corpus per JVM. */
+  private def retrainedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivf/retrain_del7", "graft_ivfretrain") {
+      idx => retrain(s, builtDeletedIndex(s, dir), idx); ()
+    }
+
+  /** Declared query — the RETRAIN lifecycle end-to-end: build the
+    * persisted index, forget the [[deleteSet]], re-train over the live
+    * set, answer the standard query set from the RETRAINED index. Fully
+    * oracle-checked: the retrain records its fresh centroids under
+    * [[RetrainCentroidsKey]] and the oracle replays assignment, probes
+    * and the exact rerank over the live corpus — a retrain that leaked a
+    * tombstoned vector back in, dropped a live one, or served the stale
+    * codebook diverges the hash. */
+  def topKIvfRetrained(s: SparkSession, dir: String): DataFrame =
+    topK(s, retrainedIndex(s, dir), standardQueries(s, dir))
+
   /** Declared query — streaming ANN serving, the serving twin of
     * [[Curation.streamDecontaminateQuery]]'s pattern: the index is built
     * ONCE from the static corpus; a micro-batch query stream is answered
@@ -523,6 +584,21 @@ object IvfIndex {
          |FROM pc""".stripMargin),
     withOracle("sim_topk_ivf_deleted", topKIvfDeleted,
       Similarity.ivfTopKOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
+    // The retrain verb: the oracle replays assignment/probe/rerank over
+    // the LIVE corpus (deleteSet excluded at the source — the retrain
+    // folded the tombstones physically) against the FRESH centroids the
+    // retrain recorded under its own key.
+    withOracle("sim_ivf_retrain", topKIvfRetrained,
+      s"""WITH liveemb AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
+         |    AND vec_id % 7 = 3)),
+         |${Similarity.ivfScoredCtesOver("liveemb", RetrainCentroidsKey)}
+         |SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin),
     withOracle("sim_topk_ivf_asof", topKIvfAsOf,
       Similarity.ivfTopKOracleSql()),
     // Shard-then-merge: one codebook, two shard builds, one merge — the
