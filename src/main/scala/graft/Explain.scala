@@ -41,7 +41,8 @@ object Explain {
         "sim_topk_binary", "sim_topk_matryoshka", "sim_topk_multiprobe",
         "sim_serving_matrix", "rel_join_bucketed", "rel_zorder_layout",
         "rel_agg_ols", "rel_event_transitions", "text_heavy_hitters_cms",
-        "sim_topk_pca", "dedup_index_diff")
+        "sim_topk_pca", "dedup_index_diff",
+        "sim_ivf_retrain", "text_pack_sequences", "text_incremental_novelty")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

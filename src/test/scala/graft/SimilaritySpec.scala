@@ -610,12 +610,16 @@ class SimilaritySpec extends SparkSpec {
     }
     // recall vs the exact cascade: probing the SAME vectors the exact
     // stage 1 scans, the index pool must retain most of the cascade's
-    // top-k (losses are true IVF probe misses, not a modality mismatch)
+    // top-k (losses are true IVF probe misses, not a modality mismatch).
+    // Floor tightened from the r17 0.5 to the measured margin (0.8 on
+    // this corpus): a silent index regression — wrong probe budget,
+    // stale centroids, a broken partition filter — now pages instead of
+    // hiding under a loose floor.
     val casc = Similarity.lateInteractionPruned(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfSet = rows.map(r => (r._1, r._3)).toSet
     val overlap = casc.count(ivfSet.contains).toDouble / casc.size
-    assert(overlap >= 0.5, s"ivf cascade recall vs exact cascade = $overlap")
+    assert(overlap >= 0.7, s"ivf cascade recall vs exact cascade = $overlap")
     // the declared recall audit equals the membership overlap vs the
     // full top-k recomputed here, per query
     val fullTop = Similarity.lateInteractionTopK(spark, sf).collect()
@@ -629,6 +633,25 @@ class SimilaritySpec extends SparkSpec {
       assert(nh == expect)
       assert(rec == nh.toDouble / Similarity.TopK)
     }
+    // THE PRODUCTION CASCADE'S RECALL FLOOR AT THE DEPLOYED WIDTH
+    // (VERDICT r17 #4). Ceiling and cap, adjudicated: the pool sweep
+    // measures the EXACT cascade at the deployed width 25 at 0.84 —
+    // that is the pool-width ceiling, and the IVF arm can never beat it
+    // (same pool width, same reranker). The residual between the two
+    // arms is true probe misses: IvfProbes=4 of the feature-vector
+    // index's cells, measured 0.78 vs 0.84 here (0.70 at sf0.1 per the
+    // round-17 audit — probe misses grow with corpus diversity at fixed
+    // probe budget; the remedy is the probe sweep, not a wider pool).
+    // Pins: the mean floors at 0.7, and the probe-miss gap to the exact
+    // arm stays bounded — a regression in EITHER stage now fires the
+    // specific pin for it.
+    val ivfMean = recIvf.map(_._3).sum / recIvf.length
+    val exactMean = Similarity.liRecall(spark, sf).collect()
+      .map(_.getDouble(2)).sum / recIvf.length
+    assert(ivfMean >= 0.7, s"production cascade recall mean = $ivfMean")
+    assert(exactMean - ivfMean <= 0.15,
+      s"probe misses cost ${exactMean - ivfMean} recall vs the exact " +
+        "cascade — the index arm regressed independently of pool width")
   }
 
   test("li pool sweep: monotone recall, deployed width matches the recall audit") {
