@@ -245,44 +245,66 @@ object Curation {
     * alone (a source is a whole domain of the corpus; at 100 TB a
     * source-wide running-sum window is a single-task cumulative sum by
     * construction — the straggler class [[lengthBatches]]' shard fix
-    * retired). Classic shape: cut each source into [[PackShards]]
-    * contiguous doc_id ranges, run the cumulative sum WITHIN each range
-    * (window partitioned by (source, pshard) — bounded at ~1/PackShards
-    * of a source), total each range, exclusive-scan the ≤PackShards
-    * totals per source via a tiny theta self-join (no window at all), and
-    * broadcast the offset table back. `cum_end = local_end + shard_offset`
-    * is exactly `sum(tok) over (partition by source order by doc_id)` —
+    * retired). The canonical shape: cut each source into [[PackShards]]
+    * contiguous doc_id ranges, total each range with one map-side-combined
+    * aggregate, exclusive-scan the totals on the DRIVER, and broadcast the
+    * offset table back under a per-range cumulative-sum window (bounded at
+    * ~1/PackShards of a source). `cum_end = local_end + shard_offset` is
+    * exactly `sum(tok) over (partition by source order by doc_id)` —
     * bit-identical, so the packing oracles are untouched.
     *
-    * The range cut comes from per-source (min, max) doc_id over the RAW
-    * corpus — column pruning reduces that pass to a two-column scan (no
+    * Both driver round-trips are BOUNDED BY CONSTRUCTION, not by data: the
+    * range-boundary table is one row per source and the totals table at
+    * most |sources| × PackShards rows (the bounded-domain class of the
+    * 16-key shard manifest — sources are a domain enumeration, never a
+    * per-row key), and collecting them is what lets the corpus pay exactly
+    * ONE aggregate pass + ONE window pass; a lazy self-join form measured
+    * 2× here because Catalyst re-executes the un-cacheable totals subtree
+    * per join side. The boundary cut comes from per-source (min, max)
+    * doc_id — column pruning reduces that pass to a two-column scan (no
     * tokenization) — and balances when ids are ~uniform within a source
     * (true for ingest-assigned monotone ids). Under adversarial id skew
-    * the boundary table swaps for sampled quantiles; same two-level
-    * shape, and any monotone cut leaves the output unchanged. */
+    * the boundary table swaps for sampled quantiles; same two-level shape,
+    * and any monotone cut leaves the output unchanged. */
   private[graft] def withCumulativeTokens(docs: DataFrame, base: DataFrame,
       tokCol: String): DataFrame = {
-    val bounds = docs.groupBy(col("source"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = base.sparkSession
+    val boundRows = docs.groupBy(col("source"))
       .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
-    val sharded = base.join(broadcast(bounds), Seq("source"))
-      .withColumn("pshard", expr(
-        s"((doc_id - mn_doc) * $PackShards) div (mx_doc - mn_doc + 1)"))
-      .drop("mn_doc", "mx_doc")
+      .collect()
+    val srcField = docs.schema("source")
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*),
+      StructType(Seq(srcField, StructField("mn_doc", LongType),
+        StructField("mx_doc", LongType))))
+    def sharded(df: DataFrame): DataFrame =
+      df.join(broadcast(bounds), Seq("source"))
+        .withColumn("pshard", expr(
+          s"((doc_id - mn_doc) * $PackShards) div (mx_doc - mn_doc + 1)"))
+        .drop("mn_doc", "mx_doc")
+    val totals = sharded(base.select(col("source"), col("doc_id"), col(tokCol)))
+      .groupBy(col("source"), col("pshard"))
+      .agg(sum(col(tokCol)).as("shard_sum"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val offsetRows: Seq[Row] = totals.groupBy(_._1).iterator.flatMap {
+      case (src, rs) =>
+        var acc = 0L
+        rs.sortBy(_._2).map { case (_, sh, tot) =>
+          val off = acc; acc += tot; Row(src, sh, off)
+        }
+    }.toSeq
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(srcField, StructField("pshard", LongType),
+        StructField("shard_offset", LongType))))
     val wLocal = Window.partitionBy(col("source"), col("pshard"))
       .orderBy(col("doc_id"))
-    val local = sharded.withColumn("local_end", sum(col(tokCol)).over(wLocal))
-    // token counts are > 0 (callers filter), so each range's total is its
-    // max running sum — read off the window output, no second tokenize
-    val totals = local.groupBy(col("source"), col("pshard"))
-      .agg(max(col("local_end")).as("shard_sum"))
-    val offsets = totals.as("a").join(
-        totals.select(col("source").as("o_source"),
-          col("pshard").as("o_pshard"), col("shard_sum").as("o_sum")),
-        col("a.source") === col("o_source") &&
-          col("o_pshard") < col("a.pshard"), "left")
-      .groupBy(col("a.source"), col("a.pshard"))
-      .agg(coalesce(sum(col("o_sum")), lit(0L)).as("shard_offset"))
-    local.join(broadcast(offsets), Seq("source", "pshard"))
+    sharded(base)
+      .withColumn("local_end", sum(col(tokCol)).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "pshard"))
       .withColumn("cum_end", col("local_end") + col("shard_offset"))
       .withColumn("cum_start", col("cum_end") - col(tokCol))
       .drop("local_end", "shard_offset", "pshard")
@@ -606,9 +628,15 @@ object Curation {
     val clean = docs
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
       .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+    // The deduped corpus feeds three packing passes (range bounds, range
+    // totals, the ranked main pass): materialize it ONCE — the persisted-
+    // intermediate-table shape the dedup scale notes prescribe (at 100 TB
+    // this is the parquet checkpoint a real pipeline writes between the
+    // dedup and packing stages; localCheckpoint is its single-JVM form).
     val dd = chunkDedupCarry(clean, Seq("source"))
-    val packs = packSequences(dd.select(col("doc_id"), col("source"),
-      col("deduped_text").as("text")))
+      .select(col("doc_id"), col("source"), col("deduped_text").as("text"))
+      .localCheckpoint()
+    val packs = packSequences(dd)
     val shard = (conv(substring(md5(
       concat_ws(":", col("source"), col("pack_id"))), 1, 6), 16, 10)
       .cast("long") % NumShards).as("shard_id")
