@@ -620,7 +620,11 @@ object Curation {
     * map-side combine. Packs are sharded by md5(source:pack_id) so a
     * shard's packs are spread pseudo-randomly and any engine reproduces
     * the assignment. */
-  def trainerPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The decontaminate → chunk-dedup stage of [[trainerPipeline]] BEFORE
+    * its checkpoint — factored so the plan pin (ScaleSpec) asserts the
+    * anti-join shape of the plan the checkpoint materializes, which the
+    * final (post-checkpoint) query plan no longer contains. */
+  private[graft] def trainerCleanDeduped(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val confirmed = confirmedIds(fingerprints(docs))
     // is_eval is derivable from doc_id alone, so the clean corpus needs no
@@ -628,14 +632,17 @@ object Curation {
     val clean = docs
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
       .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+    chunkDedupCarry(clean, Seq("source"))
+      .select(col("doc_id"), col("source"), col("deduped_text").as("text"))
+  }
+
+  def trainerPipeline(s: SparkSession, dir: String): DataFrame = {
     // The deduped corpus feeds three packing passes (range bounds, range
     // totals, the ranked main pass): materialize it ONCE — the persisted-
     // intermediate-table shape the dedup scale notes prescribe (at 100 TB
     // this is the parquet checkpoint a real pipeline writes between the
     // dedup and packing stages; localCheckpoint is its single-JVM form).
-    val dd = chunkDedupCarry(clean, Seq("source"))
-      .select(col("doc_id"), col("source"), col("deduped_text").as("text"))
-      .localCheckpoint()
+    val dd = trainerCleanDeduped(s, dir).localCheckpoint()
     val packs = packSequences(dd)
     val shard = (conv(substring(md5(
       concat_ws(":", col("source"), col("pack_id"))), 1, 6), 16, 10)

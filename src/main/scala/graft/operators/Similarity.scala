@@ -489,13 +489,41 @@ object Similarity {
     * semantic neighborhoods are capped instead of letting one template
     * family dominate the training mix. Singleton clusters always keep
     * their vector; the output is the full corpus with the keep decision
-    * and each vector's in-cluster sample rank — one window over the
-    * cluster labels, no new shuffle beyond the clustering itself. */
+    * and each vector's in-cluster sample rank.
+    *
+    * Rank at scale: the output carries a rank for EVERY member (the keep
+    * flag alone would let a rank<=cap group-limit push down, but the
+    * sample rank is the declared readout), and at 100 TB one boilerplate
+    * template family can be a giant cluster — a cluster-partitioned rank
+    * window would sort that family in ONE task, the straggler class the
+    * packing fix ([[graft.operators.Curation.withCumulativeTokens]])
+    * retired. Same remedy, rank form: the md5 FIRST NIBBLE sub-shards
+    * each cluster 16 ways IN RANK ORDER (the hex prefix decides the md5
+    * string comparison, so shard order == md5 order), a local rank runs
+    * per (cluster, nibble), the ≤16 per-shard counts exclusive-scan
+    * through a tiny theta self-join (clusters are corpus-cardinality, so
+    * the offset table joins back co-partitioned with the rank window's
+    * own shuffle — never a driver collect or a cluster-only window), and
+    * global rank = local + offset, bit-identical to the single window. */
   def diverseSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    semanticClusters(s, dir)
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
+    val base = semanticClusters(s, dir)
+      .withColumn("m", md5(col("vec_id").cast("string")))
+      .withColumn("rshard", conv(substring(col("m"), 1, 1), 16, 10).cast("long"))
+    val counts = base.groupBy(col("cluster_id"), col("rshard"))
+      .agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a").join(
+        counts.select(col("cluster_id").as("o_cid"),
+          col("rshard").as("o_sh"), col("c").as("o_c")),
+        col("a.cluster_id") === col("o_cid") &&
+          col("o_sh") < col("a.rshard"), "left")
+      .groupBy(col("a.cluster_id"), col("a.rshard"))
+      .agg(coalesce(sum(col("o_c")), lit(0L)).as("rank_offset"))
+    val wLocal = Window.partitionBy(col("cluster_id"), col("rshard"))
+      .orderBy(col("m").asc, col("vec_id").asc)
+    base
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(offsets, Seq("cluster_id", "rshard"))
+      .withColumn("sample_rank", col("lr") + col("rank_offset"))
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         col("sample_rank"),
         (col("sample_rank") <= DiversityCap).cast("long").as("keep"))

@@ -298,11 +298,14 @@ class ScaleSpec extends SparkSpec {
   test("trainerPipeline plan: corpus side of decontamination never shuffles before the anti-join") {
     // The clean-corpus branch must be scan -> filter -> broadcast anti;
     // an Exchange under the anti-join's streamed side would mean the
-    // 100 TB side shuffles for decontamination.
+    // 100 TB side shuffles for decontamination. Pinned on the
+    // pre-checkpoint stage: trainerPipeline materializes this plan once
+    // (localCheckpoint) before the packing passes, so the final query
+    // plan no longer carries the anti-join.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = graft.operators.Curation
-      .trainerPipeline(spark, "/root/testdata/sf0.001")
+      .trainerCleanDeduped(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan
     val antiJoins = plan.collect {
       case j: BroadcastHashJoinExec

@@ -386,6 +386,41 @@ class SimilaritySpec extends SparkSpec {
     // cluster exceeds the budget
     if (byCluster.values.exists(_.length > Similarity.DiversityCap))
       assert(out.count(_._5 == 1L) < out.length)
+    // the two-level rank (md5-nibble sub-shards + offset join) replays
+    // the single cluster-partitioned window bit-for-bit...
+    val df = Similarity.diverseSample(spark, sf)
+    val direct = Similarity.semanticClusters(spark, sf)
+      .withColumn("want", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(org.apache.spark.sql.functions
+            .md5(col("vec_id").cast("string")).asc, col("vec_id").asc))
+        .cast("long"))
+      .select(col("vec_id"), col("want"))
+    assert(df.join(direct, "vec_id")
+      .filter(col("sample_rank") =!= col("want")).count() == 0)
+    // ...and the physical plan never partitions a rank window on the
+    // cluster label alone (a giant template-family cluster would be a
+    // single-task sort — the packing fix's hazard class, rank form)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val specs = flatten(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(specs.exists(s =>
+      s.exists(_.contains("cluster_id")) && s.exists(_.contains("rshard"))))
+    assert(!specs.exists(s =>
+      s.exists(_.contains("cluster_id")) && !s.exists(_.contains("rshard"))))
   }
 
   test("range search: exactly the pairs at or above the radius, per query") {
