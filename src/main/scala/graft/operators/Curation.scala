@@ -265,7 +265,15 @@ object Curation {
     * tokenization) — and balances when ids are ~uniform within a source
     * (true for ingest-assigned monotone ids). Under adversarial id skew
     * the boundary table swaps for sampled quantiles; same two-level shape,
-    * and any monotone cut leaves the output unchanged. */
+    * and any monotone cut leaves the output unchanged.
+    *
+    * CONSTRUCTION-TIME MATERIALIZATION: the collects run when the plan is
+    * BUILT, not when it executes — the trained-artifact convention
+    * ([[Similarity.learnCentroids]] and every lifecycle builder share it),
+    * with the same contract: the input must not change between plan
+    * construction and execution (a rewritten input dir would pair stale
+    * offsets with fresh data), and constructing the frame costs the two
+    * aggregate jobs even if the result is never executed. */
   private[graft] def withCumulativeTokens(docs: DataFrame, base: DataFrame,
       tokCol: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -279,8 +287,13 @@ object Curation {
       java.util.Arrays.asList(boundRows: _*),
       StructType(Seq(srcField, StructField("mn_doc", LongType),
         StructField("mx_doc", LongType))))
+    // Null-safe on source: groupBy keeps a NULL-source group (the old
+    // source-partitioned window packed those docs as their own
+    // partition), so the joins must not silently drop it — `<=>`, not
+    // the null-rejecting equi-join.
     def sharded(df: DataFrame): DataFrame =
-      df.join(broadcast(bounds), Seq("source"))
+      df.join(broadcast(bounds), df("source") <=> bounds("source"))
+        .drop(bounds("source"))
         .withColumn("pshard", expr(
           s"((doc_id - mn_doc) * $PackShards) div (mx_doc - mn_doc + 1)"))
         .drop("mn_doc", "mx_doc")
@@ -302,9 +315,12 @@ object Curation {
         StructField("shard_offset", LongType))))
     val wLocal = Window.partitionBy(col("source"), col("pshard"))
       .orderBy(col("doc_id"))
-    sharded(base)
+    val ranked = sharded(base)
       .withColumn("local_end", sum(col(tokCol)).over(wLocal))
-      .join(broadcast(offsets), Seq("source", "pshard"))
+    ranked
+      .join(broadcast(offsets), ranked("source") <=> offsets("source") &&
+        ranked("pshard") === offsets("pshard"))
+      .drop(offsets("source")).drop(offsets("pshard"))
       .withColumn("cum_end", col("local_end") + col("shard_offset"))
       .withColumn("cum_start", col("cum_end") - col(tokCol))
       .drop("local_end", "shard_offset", "pshard")

@@ -435,10 +435,17 @@ object IvfIndex {
       val cents = Similarity.learnCentroidsAt(live,
         Similarity.ivfServingCells(live.count()), key)
       build(live, newDir, Some(cents))
+      // Carry only the ids that are ACTUALLY dead in the old index: a
+      // vector deleted and later re-appended is live (its append slice
+      // postdates the tombstone), and blind-carrying its id would kill
+      // it here — the new tombstone slice postdates the rebuilt b0.
       val tombSlices = StreamingDedup.listSlices(spark, tombstonesDir(oldDir))
-      if (tombSlices.nonEmpty)
-        delete(IndexFiles.readSlices(spark, tombstonesDir(oldDir))
-          .select(col("vec_id")).distinct(), newDir)
+      if (tombSlices.nonEmpty) {
+        val dead = IndexFiles.readSlices(spark, tombstonesDir(oldDir))
+          .select(col("vec_id")).distinct()
+          .join(live.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        if (!dead.isEmpty) delete(dead, newDir)
+      }
       cents
     } finally live.unpersist()
   }

@@ -113,21 +113,7 @@ class CurationSpec extends SparkSpec {
     // asserted on the WindowExec node's partitionSpec expressions, not a
     // rendered plan line (string rendering truncates long specs under
     // maxToStringFields and would silently stop pinning the sub-shard)
-    // collect() does not descend into AQE wrappers (AdaptiveSparkPlanExec
-    // and QueryStageExec hold their plans as fields, not children), so
-    // flatten through them explicitly
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{
-        AdaptiveSparkPlanExec, QueryStageExec}
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => p.children
-      }
-      p +: inner.flatMap(flatten)
-    }
-    val windowSpecs = flatten(df.queryExecution.executedPlan).collect {
+    val windowSpecs = flattenPlan(df.queryExecution.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec =>
         w.partitionSpec.map(_.toString)
     }
@@ -316,20 +302,6 @@ class CurationSpec extends SparkSpec {
     // deterministic: a second run produces the identical manifest
     val again = Curation.trainShards(d).collect()
     assert(shards.toSeq == again.toSeq)
-  }
-
-  // collect() does not descend into AQE wrappers; flatten explicitly
-  // (shared by the window-partition plan pins below and lengthBatches')
-  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => p.children
-    }
-    p +: inner.flatMap(flattenPlan)
   }
 
   test("packing: two-level prefix sum replays the per-source running sum") {

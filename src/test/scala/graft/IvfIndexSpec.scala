@@ -280,6 +280,13 @@ class IvfIndexSpec extends SparkSpec {
     // resurrect it
     val dead = orig.filter(col("vec_id") % 10 === 4).select(col("vec_id"))
     IvfIndex.delete(dead, idx)
+    // ...and a deleted-then-RE-APPENDED set is live (its append slice
+    // postdates the tombstone) — the retrain must neither drop it nor
+    // carry its id into the new trail (a blind tombstone carry would
+    // kill it, since the carried slice postdates the rebuilt b0)
+    val revived = orig.filter(col("vec_id") % 10 === 6)
+    IvfIndex.delete(revived.select(col("vec_id")), idx)
+    IvfIndex.append(revived, idx)
     val before = IvfIndex.cellBalanceOf(spark, idx).collect().head
     assert(before.getDouble(4) > IvfIndex.RetrainImbalance,
       s"drift did not trip the audit: imbalance = ${before.getDouble(4)}")
@@ -305,6 +312,10 @@ class IvfIndexSpec extends SparkSpec {
         s"$fresh/tombstones").select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(carried == deadIds)
+    // the revived set survives the retrain and stays out of the trail
+    val revivedIds = revived.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(revivedIds.nonEmpty && revivedIds.subsetOf(liveNew.toSet))
+    assert(carried.intersect(revivedIds).isEmpty)
     // the old index is untouched — its pre-delete snapshot stays
     // addressable for as-of reads
     assert(IvfIndex.postings(spark, idx, asOf = 1L).count() ==

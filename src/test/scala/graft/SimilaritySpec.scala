@@ -402,18 +402,7 @@ class SimilaritySpec extends SparkSpec {
     // ...and the physical plan never partitions a rank window on the
     // cluster label alone (a giant template-family cluster would be a
     // single-task sort — the packing fix's hazard class, rank form)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{
-        AdaptiveSparkPlanExec, QueryStageExec}
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => p.children
-      }
-      p +: inner.flatMap(flatten)
-    }
-    val specs = flatten(df.queryExecution.executedPlan).collect {
+    val specs = flattenPlan(df.queryExecution.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec =>
         w.partitionSpec.map(_.toString)
     }
@@ -876,21 +865,14 @@ class SimilaritySpec extends SparkSpec {
       QueryStageExec}
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
       TakeOrderedAndProjectExec, SparkPlan}
-    // AQE wraps stages in leaf-like nodes TreeNode.collect cannot see
-    // through — flatten the executed tree by hand.
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    def boundedBelow(p: SparkPlan): Boolean = flatten(p).exists {
+    def boundedBelow(p: SparkPlan): Boolean = flattenPlan(p).exists {
       case _: GlobalLimitExec | _: LocalLimitExec |
            _: TakeOrderedAndProjectExec => true
       case _ => false
     }
     val topQ = Similarity.knnPagerankTopK(spark, sf)
     topQ.count()
-    val unpartitioned = flatten(topQ.queryExecution.executedPlan).collect {
+    val unpartitioned = flattenPlan(topQ.queryExecution.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
     assert(unpartitioned.nonEmpty, "expected the bounded rank window")
@@ -901,7 +883,7 @@ class SimilaritySpec extends SparkSpec {
     // ... and the full-corpus query plans NO unpartitioned window at all
     val fullQ = Similarity.knnPagerank(spark, sf)
     fullQ.count()
-    assert(flatten(fullQ.queryExecution.executedPlan).collect {
+    assert(flattenPlan(fullQ.queryExecution.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }.isEmpty, "full pagerank output must not globally sort via a window")
   }
@@ -911,23 +893,15 @@ class SimilaritySpec extends SparkSpec {
     // cells for the K ∝ N dedup codebook come from one codegen'd
     // projection per row — any Exchange or WindowExec here would mean
     // the N·K score explosion crept back in
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
-      QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => q +: flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
     val cb = Similarity.learnHierarchicalCentroids(emb, 16,
       "test_hier_plan_c", "test_hier_plan_l")
     val q = Similarity.hierAssignedCells(emb, cb)
     q.count()
-    val nodes = flatten(q.queryExecution.executedPlan)
+    val nodes = flattenPlan(q.queryExecution.executedPlan)
     assert(!nodes.exists(_.isInstanceOf[Exchange]),
       "two-level assignment must not shuffle")
     assert(!nodes.exists(_.isInstanceOf[WindowExec]),

@@ -22,4 +22,21 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Flatten a physical plan through the AQE wrappers: TreeNode.collect
+    * does not descend into AdaptiveSparkPlanExec/QueryStageExec (they
+    * hold their plans as fields, not children), so every plan pin
+    * flattens through them via this ONE helper — a new AQE node type
+    * gets handled here, not in per-suite copies. */
+  protected def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: inner.flatMap(flattenPlan)
+  }
 }
