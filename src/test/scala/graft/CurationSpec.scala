@@ -330,6 +330,70 @@ class CurationSpec extends SparkSpec {
     } finally joined.unpersist()
   }
 
+  test("packing: id spans near Long.MaxValue cut shards without overflow") {
+    // ADVICE r18: the old shard cut multiplied (doc_id - mn) by PackShards,
+    // overflowing Long for sources whose id span exceeds ~2^58 and silently
+    // breaking the monotone-cut invariant (wrong packs, no error). The
+    // width-based divide-then-multiply form never multiplies a data-sized
+    // value — sparse 64-bit ids pack correctly.
+    import org.apache.spark.sql.expressions.Window
+    val top = Long.MaxValue
+    val ids = Seq(0L, 1L, top / 3, top / 2, top - 2, top - 1)
+    val d = ids.zipWithIndex.map { case (id, i) =>
+      (id, "s", Seq.fill(i + 1)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val base = d.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val got = Curation.withCumulativeTokens(d, base, "n_tokens")
+      .select(col("doc_id"), col("cum_end")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ids.sorted.zipWithIndex.map { case (id, k) =>
+      id -> ids.sorted.take(k + 1).map(x => ids.indexOf(x) + 1L).sum
+    }.toMap
+    assert(got == want)
+    // ...and the packs built on top of it respect capacity
+    val packs = Curation.packSequences(d)
+    assert(packs.groupBy(col("pack_id")).agg(sum(col("n_in_pack")).as("t"))
+      .filter(col("t") > Curation.PackCapacity).count() == 0)
+  }
+
+  test("packing: stale offsets fail loudly instead of mis-packing") {
+    // ADVICE r18: the offset tables materialize at plan construction; if
+    // the input grows a source or an id outside the recorded ranges before
+    // execution, the executed plan must REFUSE, not silently drop or
+    // mis-pack those rows. Simulated by constructing against a `docs`
+    // frame narrower than the executed `base`.
+    val d = docs((1L, "s", "a b"), (2L, "s", "c d e"))
+    // unseen source at execution time
+    val widerSrc = docs((1L, "s", "a b"), (2L, "s", "c d e"),
+      (3L, "t", "x y")).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    def saysStale(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(c => Option(c.getMessage).exists(_.contains("stale")))
+    val e1 = intercept[Exception] {
+      Curation.withCumulativeTokens(d, widerSrc, "n_tokens").collect()
+    }
+    assert(saysStale(e1), s"wrong failure: $e1")
+    // The cached-offsets form of the same hazard: offsets ride the
+    // StateCache keyed by corpus dir; a REWRITTEN dir pairs the cached
+    // tables with a fresh frame. A doc_id outside its source's recorded
+    // range lands in a shard with no offset row — the second guard.
+    val dir = TempDirs.scoped("graft_curation_stale")
+    docs((1L, "s", "a b"), (2L, "s", "c d e")).write.mode("overwrite")
+      .parquet(dir)
+    val v1 = Curation.packSequences(spark.read.parquet(dir),
+      Some((dir, "staletest")))
+    assert(v1.count() > 0)
+    docs((1L, "s", "a b"), (1000L, "s", "x y")).write.mode("overwrite")
+      .parquet(dir)
+    val e2 = intercept[Exception] {
+      Curation.packSequences(spark.read.parquet(dir),
+        Some((dir, "staletest"))).collect()
+    }
+    assert(saysStale(e2), s"wrong failure: $e2")
+  }
+
   test("packing: no window partitions on source alone (physical plan pin)") {
     // the r17 `weak`: a window partitioned by source ALONE is a
     // single-task cumulative sum over a whole source at 100 TB. Pinned on
