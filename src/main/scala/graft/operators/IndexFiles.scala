@@ -13,6 +13,47 @@ import graft.streaming.StreamingDedup
   * delete semantics. */
 private[graft] object IndexFiles {
 
+  /** Name of the serving-pointer file under an alias dir. */
+  private val PointerFile = "current"
+
+  /** ATOMIC SERVING POINTER — the cutover primitive behind index
+    * retrains (VERDICT r18 #3): `aliasDir/current` holds the path of
+    * the live index dir, and serves resolve through it instead of a
+    * hard-coded dir, so "cutover" is one pointer swap rather than a
+    * convention. Written write-temp-then-rename (ATOMIC_MOVE — atomic
+    * on POSIX and HDFS; on an object store the equivalent is a
+    * conditional put of the manifest object): a concurrent reader sees
+    * either the old target or the new one in full, never a truncated
+    * path and never a missing pointer mid-swap. Single-writer by
+    * contract (the maintenance owner — the same party that runs
+    * retrain/compact); readers are unrestricted. The old target dir is
+    * untouched, so in-flight and as-of reads against it keep working
+    * after the swap; retiring it is a separate, later decision once its
+    * last snapshot reader is gone. */
+  def writePointer(aliasDir: String, target: String): Unit = {
+    val dir = java.nio.file.Paths.get(aliasDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("." + PointerFile + ".tmp")
+    java.nio.file.Files.write(tmp,
+      target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(PointerFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Resolve the serving pointer. Fails loudly on a missing alias — an
+    * unpointed alias is a deployment bug, not an empty index. */
+  def readPointer(aliasDir: String): String = {
+    val p = java.nio.file.Paths.get(aliasDir, PointerFile)
+    require(java.nio.file.Files.isRegularFile(p),
+      s"no serving pointer at $p — cutover never ran for this alias")
+    val target = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(target.nonEmpty, s"empty serving pointer at $p")
+    target
+  }
+
   /** Persist IVF centroids as (cell, centroid), overwriting. */
   def writeCentroids(spark: SparkSession, dir: String,
       cents: Seq[Array[Float]]): Unit = {

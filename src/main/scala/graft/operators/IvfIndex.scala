@@ -471,6 +471,32 @@ object IvfIndex {
     } finally live.unpersist()
   }
 
+  /** CUT SERVING OVER to `newDir` — the step that closes the retrain →
+    * serve loop (VERDICT r18 #3): [[retrain]] writes a fresh index and
+    * used to leave the swap as "the serving owner's pointer swap" by
+    * convention; this verb makes it code. Validates the target is a
+    * COMPLETE index first — loadable centroids AND at least one postings
+    * slice — so a serve can never race a half-written build into
+    * production (the refuse-loudly rule [[merge]] follows), then
+    * publishes via [[IndexFiles.writePointer]]'s write-then-rename.
+    * `oldDir` (whatever the alias pointed at before) is untouched: its
+    * in-flight serves and as-of snapshot reads keep working; retiring it
+    * is a separate decision after its last snapshot reader is gone.
+    * Index-layout-agnostic: the alias file stores a path, so the same
+    * verb cuts over [[IvfPqIndex]]/[[PqIndex]] dirs. */
+  def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit = {
+    val cents = loadCentroids(spark, newDir)
+    require(cents.nonEmpty, s"cutover refused: $newDir has no centroid table")
+    require(StreamingDedup.listSlices(spark, postingsDir(newDir)).nonEmpty,
+      s"cutover refused: $newDir has no postings slice — half-built index")
+    IndexFiles.writePointer(aliasDir, newDir)
+  }
+
+  /** The alias's current target — what a serving deployment resolves
+    * before every query batch. */
+  def resolveServing(aliasDir: String): String =
+    IndexFiles.readPointer(aliasDir)
+
   /** The retrained twin of [[builtDeletedIndex]] — build, forget the
     * [[deleteSet]], then [[retrain]] into a fresh index; built once per
     * corpus per JVM. */
@@ -489,6 +515,24 @@ object IvfIndex {
     * codebook diverges the hash. */
   def topKIvfRetrained(s: SparkSession, dir: String): DataFrame =
     topK(s, retrainedIndex(s, dir), standardQueries(s, dir))
+
+  /** Declared query — the CUTOVER lifecycle end-to-end: build, forget,
+    * retrain, [[cutover]] the serving alias to the retrained index, then
+    * answer the standard query set THROUGH the pointer
+    * ([[resolveServing]]) — the full maintenance loop a deployment runs
+    * (audit pages → retrain → atomic swap → serves follow), with the
+    * serve reading the alias rather than a hard-coded dir. Equals
+    * [[topKIvfRetrained]] row for row (the pointer resolves to the
+    * retrained index; pinned in IvfIndexSpec along with the
+    * half-built-refusal and re-point semantics), so the retrain's
+    * recorded-centroid oracle replays verbatim. */
+  def topKIvfCutover(s: SparkSession, dir: String): DataFrame = {
+    val alias = graft.StateCache.stateDir(dir, "ivf/cutover_alias",
+        "graft_ivfalias") { a =>
+      cutover(s, a, retrainedIndex(s, dir))
+    }
+    topK(s, resolveServing(alias), standardQueries(s, dir))
+  }
 
   /** Declared query — streaming ANN serving, the serving twin of
     * [[Curation.streamDecontaminateQuery]]'s pattern: the index is built
@@ -605,6 +649,21 @@ object IvfIndex {
     // folded the tombstones physically) against the FRESH centroids the
     // retrain recorded under its own key.
     withOracle("sim_ivf_retrain", topKIvfRetrained,
+      s"""WITH liveemb AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
+         |    AND vec_id % 7 = 3)),
+         |${Similarity.ivfScoredCtesOver("liveemb", RetrainCentroidsKey)}
+         |SELECT query_id, rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin),
+    // The cutover verb serves the retrained index through the alias, so
+    // the retrain replay text carries verbatim — a pointer that resolved
+    // to the wrong dir (stale, half-swapped, or unpointed) diverges (or
+    // fails loudly).
+    withOracle("sim_ivf_cutover", topKIvfCutover,
       s"""WITH liveemb AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
          |    AND vec_id % 7 = 3)),

@@ -242,6 +242,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(r.getLong(5) == 1L)
   }
 
+  test("cutover: pointer swap is atomic-by-rename, re-points, refuses half-built targets") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val idxA = TempDirs.scoped("graft_ivf_cut_a")
+    val idxB = TempDirs.scoped("graft_ivf_cut_b")
+    IvfIndex.build(emb, idxA)
+    // B = A minus the deleteSet, rebuilt (a stand-in for a retrain target)
+    IvfIndex.build(emb.join(IvfIndex.deleteSet(emb), Seq("vec_id"),
+      "left_anti"), idxB)
+    val alias = TempDirs.scoped("graft_ivf_cut_alias")
+    // unpointed alias fails loudly, not silently empty
+    intercept[Exception] { IvfIndex.resolveServing(alias) }
+    // point at A; serve through the pointer == serve A directly
+    IvfIndex.cutover(spark, alias, idxA)
+    assert(IvfIndex.resolveServing(alias) == idxA)
+    val servedA = IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(servedA == IvfIndex.topK(spark, idxA, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // RE-POINT at B (the retrain cutover): the swap replaces atomically,
+    // serves follow, and no temp residue is left behind
+    IvfIndex.cutover(spark, alias, idxB)
+    assert(IvfIndex.resolveServing(alias) == idxB)
+    val servedB = IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(servedB != servedA)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(alias, ".current.tmp")),
+      "cutover left its temp file behind — the rename did not happen")
+    // the pointer file holds the full target path (a reader never sees a
+    // prefix: rename publishes the complete temp file or nothing)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(alias, "current")),
+      java.nio.charset.StandardCharsets.UTF_8) == idxB)
+    // the OLD target dir is untouched by the swap — still serves directly
+    assert(IvfIndex.topK(spark, idxA, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == servedA)
+    // half-built targets are refused: centroids but no postings slice
+    val half = TempDirs.scoped("graft_ivf_cut_half")
+    IvfIndex.init(emb, half)
+    intercept[Exception] { IvfIndex.cutover(spark, alias, half) }
+    // ...and a refused cutover leaves the pointer on the live index
+    assert(IvfIndex.resolveServing(alias) == idxB)
+  }
+
   // Drift-rig pins as NAMED constants with the measured values recorded
   // (VERDICT r18 #6, the SimilaritySpec recall-pin convention): on this
   // rig the drifted imbalance MEASURES 9.05 and the retrained one 1.26.
