@@ -106,6 +106,12 @@ private[graft] class TempDirRegistry(cap: Int) {
     }
   }
 
+  /** Recursive delete for owners retiring their own state dirs (the
+    * index-retirement verb) — the same best-effort walker the cleanup
+    * hook uses. */
+  private[graft] def deleteTree(dir: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(dir))
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(root)) {

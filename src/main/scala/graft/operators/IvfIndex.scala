@@ -497,6 +497,24 @@ object IvfIndex {
   def resolveServing(aliasDir: String): String =
     IndexFiles.readPointer(aliasDir)
 
+  /** RETIRE a replaced index dir — the END of the cutover loop: after
+    * [[cutover]] repoints the alias, the old dir stays on disk for
+    * in-flight queries and as-of snapshot readers; once the serving
+    * owner decides its last snapshot reader is gone (a retention
+    * policy, like the compaction verbs' — the slice machinery keeps no
+    * refcounts), this verb deletes it. The one catastrophic mistake —
+    * deleting the index the alias STILL SERVES — is refused loudly,
+    * with paths compared normalized so a relative-vs-absolute spelling
+    * cannot sneak past the guard. */
+  def retire(spark: SparkSession, aliasDir: String, oldDir: String): Unit = {
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(norm(resolveServing(aliasDir)) != norm(oldDir),
+      s"retire refused: the serving alias still points at $oldDir — " +
+        "cutover first")
+    graft.TempDirs.deleteTree(oldDir)
+  }
+
   /** The retrained twin of [[builtDeletedIndex]] — build, forget the
     * [[deleteSet]], then [[retrain]] into a fresh index; built once per
     * corpus per JVM. */

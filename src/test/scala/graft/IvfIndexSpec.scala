@@ -288,6 +288,18 @@ class IvfIndexSpec extends SparkSpec {
     intercept[Exception] { IvfIndex.cutover(spark, alias, half) }
     // ...and a refused cutover leaves the pointer on the live index
     assert(IvfIndex.resolveServing(alias) == idxB)
+    // retirement: the replaced dir deletes once the alias moved on, but
+    // the one catastrophic mistake — retiring the dir the alias STILL
+    // serves — is refused and leaves the live index untouched
+    intercept[Exception] { IvfIndex.retire(spark, alias, idxB) }
+    assert(IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
+      .collect().nonEmpty)
+    IvfIndex.retire(spark, alias, idxA)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxA)))
+    // serving through the alias is unaffected by the retirement
+    assert(IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == servedB)
   }
 
   // Drift-rig pins as NAMED constants with the measured values recorded
