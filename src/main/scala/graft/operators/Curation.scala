@@ -284,14 +284,16 @@ object Curation {
     *     builds — reads the cached tables. Declared entry points whose
     *     input is a pure function of the corpus dir pass it; ad-hoc
     *     frames default to uncached construction-time collects.
-    *   - the executed plan RE-ASSERTS the offsets' domain: both joins are
-    *     left + assert_true(non-null), so a doc whose source the bounds
-    *     table never saw, or whose doc_id falls outside its source's
-    *     recorded range (⇒ a shard with no offset row), fails the query
-    *     loudly instead of silently dropping or mis-packing. An in-place
-    *     rewrite that preserves every (source, id-range, shard) domain is
-    *     the one stale case the guard cannot see — the documented
-    *     construction contract covers it. */
+    *   - the executed plan RE-ASSERTS the offsets' domain: the bounds
+    *     join checks source membership AND that every doc_id lies inside
+    *     its source's recorded [mn, mx] range (an id just outside the
+    *     span truncates into shard 0 or the last shard and would
+    *     otherwise mis-pack silently on a valid offset row), and the
+    *     offsets join asserts a row exists for the (source, shard) —
+    *     a previously-empty shard gaining docs. Both fail loudly. An
+    *     in-place rewrite that preserves every (source, id-range, shard)
+    *     domain is the one stale case the guards cannot see — the
+    *     documented construction contract covers it. */
   private[graft] def withCumulativeTokens(docs: DataFrame, base: DataFrame,
       tokCol: String, cacheKey: Option[(String, String)] = None): DataFrame = {
     import org.apache.spark.sql.Row
@@ -314,13 +316,21 @@ object Curation {
     // partition), so the joins must not silently drop it — `<=>`, not
     // the null-rejecting equi-join. LEFT + assert: see the staleness
     // guard above.
+    // The guard must check the RANGE, not just source membership: an id
+    // outside [mn, mx] by less than one shard width still TRUNCATES into
+    // shard 0 (SQL div rounds toward zero for the negative offset) or
+    // the last shard, lands on a valid offset row, and would mis-pack
+    // silently — only ids far outside the span would miss the offsets
+    // join on their own.
     def sharded(df: DataFrame, bounds: DataFrame): DataFrame =
       df.join(broadcast(bounds), df("source") <=> bounds("source"), "left")
         .drop(bounds.col("source"))
         .withColumn("pshard",
-          when(assert_true(col("mn_doc").isNotNull,
+          when(assert_true(col("mn_doc").isNotNull &&
+              col("doc_id").between(col("mn_doc"), col("mx_doc")),
             concat(lit("withCumulativeTokens: offsets are stale — source "),
               coalesce(col("source").cast("string"), lit("NULL")),
+              lit(" or doc "), col("doc_id"),
               lit(" appeared after plan construction"))).isNull,
             expr(shardExpr)))
         .drop("mn_doc", "mx_doc")

@@ -422,6 +422,31 @@ object IvfIndex {
        |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
        |FROM pc""".stripMargin
 
+  /** The LIVE corpus as a CTE — the [[deleteSet]] rule negated as a
+    * corpus restriction, shared by the retrain/cutover oracles here and
+    * the IVFPQ retrain oracle so the three replays cannot drift on
+    * which corpus "live" means. */
+  private[operators] def liveEmbCteSql: String =
+    s"""liveemb AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
+       |    AND vec_id % 7 = 3))""".stripMargin
+
+  /** The retrain replay's full top-k oracle text — assignment, probes
+    * and exact rerank over the live corpus against the fresh centroids
+    * recorded under [[RetrainCentroidsKey]]. Shared VERBATIM by
+    * sim_ivf_retrain and sim_ivf_cutover (the cutover serves the
+    * retrained index through the pointer), so the two rows cannot
+    * drift. */
+  private def retrainOracleSql: String =
+    s"""WITH $liveEmbCteSql,
+       |${Similarity.ivfScoredCtesOver("liveemb", RetrainCentroidsKey)}
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
   /** [[graft.OracleLiterals]] key of the RE-TRAINED centroids. Separate
     * from [[Similarity.IvfCentroidsKey]]: the retrain trains on the LIVE
     * (post-delete) corpus, so sharing the serving key would let whichever
@@ -482,8 +507,12 @@ object IvfIndex {
     * `oldDir` (whatever the alias pointed at before) is untouched: its
     * in-flight serves and as-of snapshot reads keep working; retiring it
     * is a separate decision after its last snapshot reader is gone.
-    * Index-layout-agnostic: the alias file stores a path, so the same
-    * verb cuts over [[IvfPqIndex]]/[[PqIndex]] dirs. */
+    * The POINTER is layout-agnostic (it stores a path) and this verb's
+    * completeness check reads the centroids/ + postings/ layout, which
+    * [[IvfPqIndex]] shares — so the same verb cuts over compressed
+    * indexes too. [[PqIndex]]'s layout differs (codes/ + codebooks/, no
+    * centroids table): cutting one over is [[IndexFiles.writePointer]]
+    * plus that layout's own completeness probe, not this verb. */
   def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit = {
     val cents = loadCentroids(spark, newDir)
     require(cents.nonEmpty, s"cutover refused: $newDir has no centroid table")
@@ -506,7 +535,7 @@ object IvfIndex {
     * deleting the index the alias STILL SERVES — is refused loudly,
     * with paths compared normalized so a relative-vs-absolute spelling
     * cannot sneak past the guard. */
-  def retire(spark: SparkSession, aliasDir: String, oldDir: String): Unit = {
+  def retire(aliasDir: String, oldDir: String): Unit = {
     def norm(p: String) =
       java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
     require(norm(resolveServing(aliasDir)) != norm(oldDir),
@@ -666,32 +695,12 @@ object IvfIndex {
     // the LIVE corpus (deleteSet excluded at the source — the retrain
     // folded the tombstones physically) against the FRESH centroids the
     // retrain recorded under its own key.
-    withOracle("sim_ivf_retrain", topKIvfRetrained,
-      s"""WITH liveemb AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
-         |    AND vec_id % 7 = 3)),
-         |${Similarity.ivfScoredCtesOver("liveemb", RetrainCentroidsKey)}
-         |SELECT query_id, rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
-         |  FROM scored) t
-         |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_ivf_retrain", topKIvfRetrained, retrainOracleSql),
     // The cutover verb serves the retrained index through the alias, so
     // the retrain replay text carries verbatim — a pointer that resolved
     // to the wrong dir (stale, half-swapped, or unpointed) diverges (or
     // fails loudly).
-    withOracle("sim_ivf_cutover", topKIvfCutover,
-      s"""WITH liveemb AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
-         |    AND vec_id % 7 = 3)),
-         |${Similarity.ivfScoredCtesOver("liveemb", RetrainCentroidsKey)}
-         |SELECT query_id, rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
-         |  FROM scored) t
-         |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin),
+    withOracle("sim_ivf_cutover", topKIvfCutover, retrainOracleSql),
     withOracle("sim_topk_ivf_asof", topKIvfAsOf,
       Similarity.ivfTopKOracleSql()),
     // Shard-then-merge: one codebook, two shard builds, one merge — the

@@ -169,20 +169,26 @@ object IvfPqIndex {
     * centroids and codebooks); determinism, append==rebuild, partition
     * pruning, and a measured recall floor vs exact are pinned in
     * IvfPqIndexSpec. */
-  def topKIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
+  /** The corpus frame every declared query serves from and reranks
+    * against. */
+  private def corpusOf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+  /** The standard query set of the sim_* family, the [[IvfIndex]]
+    * convention. */
+  private def standardQueries(s: SparkSession, dir: String): DataFrame =
+    corpusOf(s, dir).filter(col("vec_id") < Similarity.NumQueryVectors)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    topK(s, builtIndex(s, dir), queries, emb)
-  }
+
+  def topKIvfPqPersisted(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtIndex(s, dir), standardQueries(s, dir), corpusOf(s, dir))
 
   /** The untouched built index, once per corpus per JVM
     * ([[graft.StateCache]]), served read-only by the persisted query and
     * the balance audit. */
   private def builtIndex(s: SparkSession, dir: String): String =
     graft.StateCache.stateDir(dir, "ivfpq/build", "graft_ivfpqidx") { idx =>
-      build(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        idx)
+      build(corpusOf(s, dir), idx)
     }
 
   /** Declared query — the DELETE lifecycle on the compressed index:
@@ -192,13 +198,9 @@ object IvfPqIndex {
     * ranks exactly as in an index rebuilt on the survivors with the SAME
     * frozen centroids+codebooks (pinned in IvfPqIndexSpec). ROWS-ONLY:
     * data-trained geometry, like every persisted-index query. */
-  def topKIvfPqDeleted(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val idx = builtDeletedIndex(s, dir)
-    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    topK(s, idx, queries, emb)
-  }
+  def topKIvfPqDeleted(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtDeletedIndex(s, dir), standardQueries(s, dir),
+      corpusOf(s, dir))
 
   /** The build + forget-every-7th lifecycle state shared (read-only) by
     * the delete and as-of queries ([[graft.StateCache]]). */
@@ -217,13 +219,9 @@ object IvfPqIndex {
     * the pre-delete state, exactly what [[topKIvfPqPersisted]] serves on
     * an untouched index (pinned in IvfPqIndexSpec). Frozen geometry means
     * a snapshot needs only the slice filter. ROWS-ONLY. */
-  def topKIvfPqAsOf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val idx = builtDeletedIndex(s, dir)
-    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    topK(s, idx, queries, emb, asOf = 0L)
-  }
+  def topKIvfPqAsOf(s: SparkSession, dir: String): DataFrame =
+    topK(s, builtDeletedIndex(s, dir), standardQueries(s, dir),
+      corpusOf(s, dir), asOf = 0L)
 
   /** Declared query — the CELL-BALANCE audit on the COMPRESSED index:
     * [[IvfIndex.cellBalanceOf]] runs over any cell-partitioned postings
@@ -307,9 +305,7 @@ object IvfPqIndex {
     * corpus per JVM. */
   private def retrainedIndex(s: SparkSession, dir: String): String =
     graft.StateCache.stateDir(dir, "ivfpq/retrain_del7", "graft_ivfpqrt") {
-      idx =>
-        retrain(s, builtDeletedIndex(s, dir), idx,
-          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      idx => retrain(s, builtDeletedIndex(s, dir), idx, corpusOf(s, dir))
     }
 
   /** Declared query — the RETRAIN lifecycle on the compressed index:
@@ -321,12 +317,8 @@ object IvfPqIndex {
     * rerank over the live corpus — a retrain that leaked a tombstoned
     * vector back in, dropped a live one, or served any stale artifact
     * diverges the hash. */
-  def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    topK(s, retrainedIndex(s, dir), queries, emb)
-  }
+  def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame =
+    topK(s, retrainedIndex(s, dir), standardQueries(s, dir), corpusOf(s, dir))
 
   import graft.QuerySpec.withOracle
 
@@ -426,9 +418,7 @@ object IvfPqIndex {
     // retrain recorded under its own keys.
     withOracle("sim_ivfpq_retrain", topKIvfPqRetrained,
       ivfPqOracleSqlFrom(
-        s"""liveemb AS (SELECT vec_id, embedding FROM embeddings
-           |  WHERE NOT (vec_id >= ${Similarity.NumQueryVectors}
-           |    AND vec_id % 7 = 3)),
+        s"""${IvfIndex.liveEmbCteSql},
            |${Similarity.ivfAssignCtesOver("liveemb", RetrainCentroidsKey)}""".stripMargin,
         RetrainNCentsKey, RetrainCodebooksKey)))
 }

@@ -392,6 +392,22 @@ class CurationSpec extends SparkSpec {
         Some((dir, "staletest"))).collect()
     }
     assert(saysStale(e2), s"wrong failure: $e2")
+    // The adversarial form (review finding): an id BELOW mn by less than
+    // one shard width TRUNCATES into shard 0 (SQL div rounds toward
+    // zero) and lands on a valid offset row — only an explicit range
+    // check catches it. ids 1..100 → width 4; doc 0 → (0-1) div 4 = 0.
+    val dir2 = TempDirs.scoped("graft_curation_stale2")
+    (1L to 100L).map(i => (i, "s", "w " * 3)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(dir2)
+    assert(Curation.packSequences(spark.read.parquet(dir2),
+      Some((dir2, "staletest2"))).count() > 0)
+    (0L to 100L).map(i => (i, "s", "w " * 3)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(dir2)
+    val e3 = intercept[Exception] {
+      Curation.packSequences(spark.read.parquet(dir2),
+        Some((dir2, "staletest2"))).collect()
+    }
+    assert(saysStale(e3), s"wrong failure: $e3")
   }
 
   test("packing: no window partitions on source alone (physical plan pin)") {

@@ -291,10 +291,10 @@ class IvfIndexSpec extends SparkSpec {
     // retirement: the replaced dir deletes once the alias moved on, but
     // the one catastrophic mistake — retiring the dir the alias STILL
     // serves — is refused and leaves the live index untouched
-    intercept[Exception] { IvfIndex.retire(spark, alias, idxB) }
+    intercept[Exception] { IvfIndex.retire(alias, idxB) }
     assert(IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
       .collect().nonEmpty)
-    IvfIndex.retire(spark, alias, idxA)
+    IvfIndex.retire(alias, idxA)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxA)))
     // serving through the alias is unaffected by the retirement
     assert(IvfIndex.topK(spark, IvfIndex.resolveServing(alias), q)
