@@ -320,6 +320,119 @@ object IvfPqIndex {
   def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame =
     topK(s, retrainedIndex(s, dir), standardQueries(s, dir), corpusOf(s, dir))
 
+  /** IVFPQ PROBE SWEEP — the calibration table behind the
+    * [[IvfPqProbes]] = 6 default (the compressed twin of
+    * `sim_probe_sweep`; until now the budget was argued from the FAISS
+    * nprobe trade, not measured as a declared query): recall@
+    * [[Similarity.TopK]] vs the exact ranking for EVERY probe budget
+    * 1..2·[[IvfPqProbes]], each budget running the FULL compressed
+    * pipeline — ADC rank over the probed coded postings, top
+    * [[IvfPqRerank]] exact re-rank — so the table prices exactly what
+    * the serving path pays. One postings scan: the budget dimension is
+    * a tiny literal table crossed against the per-(query, cell-rank)
+    * ADC stream, never a per-budget rescan. Served from the persisted
+    * built index ([[graft.StateCache]]). Fully oracle-checked via the
+    * recorded-artifact replay; IvfPqIndexSpec pins monotone
+    * non-decreasing recall and agreement with the deployed budget's
+    * serving recall. */
+  def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = builtIndex(s, dir)
+    val cents = loadCentroids(s, idx)
+    val queries = standardQueries(s, dir)
+    val maxProbes = 2 * IvfPqProbes
+    val probes = Similarity.rankedCells(
+        queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+        cents)
+      .filter(col("pr") <= maxProbes)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("cell_score").as("adc_base"), col("pr").as("cell_rank"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val queryLuts = Similarity.pqQueryLuts(queries, loadCodebooks(s, idx))
+    val budgets = (1 to maxProbes).map(_.toLong).toDF("probes")
+    val adc = postings(s, idx)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queryLuts), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("cell_rank"),
+        (col("adc_base") + Similarity.adcScore).as("adc"))
+      .join(broadcast(budgets), col("cell_rank") <= col("probes"))
+    val wAdc = Window.partitionBy(col("query_id"), col("probes"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = adc.withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= IvfPqRerank)
+      .select(col("probes"), col("query_id"), col("qv"), col("vec_id"))
+    val wRank = Window.partitionBy(col("query_id"), col("probes"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val top = corpusOf(s, dir).join(broadcast(cand), Seq("vec_id"))
+      .select(col("probes"), col("query_id"), col("vec_id"),
+        Similarity.cos(col("qv"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("probes"), col("query_id"), col("vec_id"))
+    val exact = Similarity.topKExact(s, dir)
+      .select(col("query_id"), col("vec_id"))
+    top.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
+      .select(col("probes"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (Similarity.NumQueryVectors * Similarity.TopK)).as("recall_at_k"))
+      .orderBy(col("probes"))
+  }
+
+  /** The sweep's oracle: the shared residual-code CTEs, the probe set
+    * kept WITH its cell rank, the ADC per candidate crossed against the
+    * budget table, the per-(query, budget) ADC cut at [[IvfPqRerank]],
+    * the exact re-rank per budget, and the membership join against the
+    * exact top-k. */
+  private def probeSweepOracleSql: String = {
+    val maxProbes = 2 * IvfPqProbes
+    s"""WITH ${Similarity.ivfAssignCtes},
+       |${residualCodeCtes(Similarity.IvfPqNCentsKey,
+          Similarity.IvfPqCodebooksKey)},
+       |${Similarity.exactTopKCteSql},
+       |spprobes AS (SELECT vec_id AS query_id, cell, cs AS adc_base,
+       |    pr AS cell_rank
+       |  FROM arank
+       |  WHERE vec_id < ${Similarity.NumQueryVectors} AND pr <= $maxProbes),
+       |sadcs AS (SELECT p.query_id, a.vec_id, p.cell_rank,
+       |    p.adc_base + list_sum(list(l.l ORDER BY l.s0 ASC)) AS adc
+       |  FROM spprobes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id
+       |  JOIN rcodes c ON c.vec_id = a.vec_id
+       |  JOIN qlut l ON l.query_id = p.query_id
+       |    AND l.s0 = c.s0 AND l.j = c.j
+       |  GROUP BY 1, 2, 3, p.adc_base),
+       |budgets AS (SELECT UNNEST(generate_series(1, $maxProbes)) AS probes),
+       |scand AS (SELECT probes, query_id, vec_id FROM (
+       |    SELECT b.probes, s.query_id, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id, b.probes
+       |        ORDER BY s.adc DESC, s.vec_id ASC) AS ar
+       |    FROM sadcs s JOIN budgets b ON s.cell_rank <= b.probes) t
+       |  WHERE ar <= $IvfPqRerank),
+       |srank AS (SELECT c.probes, c.query_id, c.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id, c.probes
+       |      ORDER BY ${Similarity.cosSql("q.embedding", "v.embedding")} DESC,
+       |        c.vec_id ASC) AS rank
+       |  FROM scand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings v ON v.vec_id = c.vec_id),
+       |itop AS (SELECT probes, query_id, vec_id FROM srank
+       |  WHERE rank <= ${Similarity.TopK})
+       |SELECT probes, n_hits,
+       |  CAST(n_hits AS DOUBLE)
+       |    / ${Similarity.NumQueryVectors * Similarity.TopK} AS recall_at_k
+       |FROM (
+       |  SELECT i.probes, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM itop i JOIN ex e
+       |    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+       |  GROUP BY 1) t
+       |ORDER BY probes""".stripMargin
+  }
+
   import graft.QuerySpec.withOracle
 
   /** Oracle CTEs replaying the residual-PQ lifecycle against the three
@@ -342,11 +455,38 @@ object IvfPqIndex {
     * unconditionally: every id the live CTEs emit exists there, and the
     * extra rows never join. */
   private def ivfPqOracleSqlFrom(assignCtes: String, ncKey: String,
-      cbKey: String, exclude: String = ""): String = {
+      cbKey: String, exclude: String = ""): String =
+    s"""WITH $assignCtes,
+       |${residualCodeCtes(ncKey, cbKey)},
+       |pprobes AS (SELECT vec_id AS query_id, cell, cs AS adc_base
+       |  FROM arank
+       |  WHERE vec_id < ${Similarity.NumQueryVectors} AND pr <= $IvfPqProbes),
+       |adcs AS (SELECT p.query_id, a.vec_id, p.adc_base,
+       |    list_sum(list(l.l ORDER BY l.s0 ASC)) AS lsum
+       |  FROM pprobes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id$exclude
+       |  JOIN rcodes c ON c.vec_id = a.vec_id
+       |  JOIN qlut l ON l.query_id = p.query_id
+       |    AND l.s0 = c.s0 AND l.j = c.j
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_base + lsum DESC, vec_id ASC) AS ar
+       |    FROM adcs) t
+       |  WHERE ar <= $IvfPqRerank),
+       |${Similarity.annScoredTailSql}""".stripMargin
+
+  /** The residual-encode CTEs shared by the serving replay and the
+    * probe-sweep replay: the recorded geometry (ncents, rcb), per-vector
+    * norms (vn), the residual L2 distances and argmin codes
+    * (rdists/rcodes — the [[graft.functions.GraftExpressions.PqEncodeResidual]]
+    * fold), and the per-query LUTs (qlut). */
+  private def residualCodeCtes(ncKey: String, cbKey: String): String = {
     val sub = s"(len(v.embedding) // ${Similarity.PqSubspaces})"
     val qsub = s"(len(q.embedding) // ${Similarity.PqSubspaces})"
-    s"""WITH $assignCtes,
-       |ncents(ncell, ncv) AS (VALUES
+    s"""ncents(ncell, ncv) AS (VALUES
        |    ${graft.OracleLiterals.get(ncKey)}),
        |rcb(s0, j, cv) AS (VALUES
        |    ${graft.OracleLiterals.get(cbKey)}),
@@ -370,31 +510,12 @@ object IvfPqIndex {
        |rcodes AS (SELECT vec_id, s0, j FROM (
        |    SELECT vec_id, s0, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s0
        |      ORDER BY d ASC, j ASC) AS rn FROM rdists) t WHERE rn = 1),
-       |pprobes AS (SELECT vec_id AS query_id, cell, cs AS adc_base
-       |  FROM arank
-       |  WHERE vec_id < ${Similarity.NumQueryVectors} AND pr <= $IvfPqProbes),
        |qlut AS (SELECT q.vec_id AS query_id, b.s0, b.j,
        |    list_sum(list_transform(list_zip(
        |      q.embedding[b.s0 * $qsub + 1 : (b.s0 + 1) * $qsub], b.cv),
        |      p -> CAST(p[1] AS DOUBLE) / q.n * p[2])) AS l
        |  FROM vn q CROSS JOIN rcb b
-       |  WHERE q.vec_id < ${Similarity.NumQueryVectors}),
-       |adcs AS (SELECT p.query_id, a.vec_id, p.adc_base,
-       |    list_sum(list(l.l ORDER BY l.s0 ASC)) AS lsum
-       |  FROM pprobes p
-       |  JOIN assigned a ON a.cell = p.cell
-       |    AND a.vec_id <> p.query_id$exclude
-       |  JOIN rcodes c ON c.vec_id = a.vec_id
-       |  JOIN qlut l ON l.query_id = p.query_id
-       |    AND l.s0 = c.s0 AND l.j = c.j
-       |  GROUP BY 1, 2, 3),
-       |cand AS (SELECT query_id, vec_id FROM (
-       |    SELECT query_id, vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY adc_base + lsum DESC, vec_id ASC) AS ar
-       |    FROM adcs) t
-       |  WHERE ar <= $IvfPqRerank),
-       |${Similarity.annScoredTailSql}""".stripMargin
+       |  WHERE q.vec_id < ${Similarity.NumQueryVectors})""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -412,6 +533,9 @@ object IvfPqIndex {
     // plain-IVF text verbatim — but the engine reads the IVFPQ postings.
     withOracle("sim_ivfpq_balance", cellBalanceQuery,
       IvfIndex.cellBalanceOracleSql(Similarity.ivfAssignCtes)),
+    // The probe-budget calibration table — one postings scan, the
+    // budget dimension a 12-row literal cross.
+    withOracle("sim_ivfpq_probe_sweep", probeSweep, probeSweepOracleSql),
     // The retrain verb: assignment/encode/ADC/rerank replayed over the
     // LIVE corpus (deleteSet excluded at the source — the retrain folded
     // the tombstones physically) against the three FRESH artifacts the

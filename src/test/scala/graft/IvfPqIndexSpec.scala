@@ -230,6 +230,50 @@ class IvfPqIndexSpec extends SparkSpec {
       orig.count() + drifted.count())
   }
 
+  test("probe sweep: recall rises to the deployed knee, row matches the serving path") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = IvfPqIndex.probeSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    rows.foreach { case (p, h, r) => info(s"probes=$p n_hits=$h recall=$r") }
+    assert(rows.map(_._1).toSeq ==
+      (1L to 2L * IvfPqIndex.IvfPqProbes).toSeq)
+    // Widening probes is NOT monotone end-to-end at a FIXED rerank
+    // budget (measured: 0.72 0.76 0.82 0.86 0.88 0.92 | 0.90 0.90 0.92
+    // 0.90 0.90 0.90 — the curve dips past the knee): extra ADC
+    // candidates from marginal cells displace true neighbors from the
+    // fixed top-[[IvfPqIndex.IvfPqRerank]] ADC cut — exactly the
+    // probe/rerank interaction this calibration table exists to show.
+    // The honest pins: recall is monotone non-decreasing UP TO the
+    // deployed budget (each added probe pays for itself on the way to
+    // the knee), and the deployed budget sits at the sweep's MAXIMUM on
+    // this corpus (the knee the 6-probe default was chosen for).
+    val upToDeployed = rows.takeWhile(_._1 <= IvfPqIndex.IvfPqProbes)
+    upToDeployed.sliding(2).foreach { case Array((_, _, a), (p, _, b)) =>
+      assert(b >= a - 1e-9,
+        s"recall inversion BEFORE the deployed budget at probes=$p: $a -> $b")
+    }
+    val atOne = rows.head._3
+    val atDeployed = rows.find(_._1 == IvfPqIndex.IvfPqProbes).get._3
+    assert(atDeployed > atOne,
+      s"widening probes to the deployed budget did not help: $atOne -> $atDeployed")
+    assert(rows.map(_._3).max <= atDeployed + 1e-9,
+      s"deployed budget ${IvfPqIndex.IvfPqProbes} is not at the sweep's " +
+        s"maximum: ${rows.map(r => r._1 -> r._3).mkString(", ")}")
+    // the deployed budget's row equals the serving path's measured
+    // recall: the sweep prices exactly what topKIvfPqPersisted pays
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.topKExact(spark, dir))
+    val served = resultSet(IvfPqIndex.topKIvfPqPersisted(spark, dir))
+    val servedRecall = (exact intersect served).size.toDouble / exact.size
+    val sweepAtDeployed = rows.find(_._1 == IvfPqIndex.IvfPqProbes).get._3
+    assert(math.abs(sweepAtDeployed - servedRecall) < 1e-9,
+      s"sweep row at ${IvfPqIndex.IvfPqProbes} probes = $sweepAtDeployed, " +
+        s"serving recall = $servedRecall")
+  }
+
   test("recall@k vs exact top-k is measured and above the floor") {
     // Residual encoding plus the composed index's own probe/rerank budget
     // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the
