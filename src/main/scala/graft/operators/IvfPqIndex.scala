@@ -320,6 +320,25 @@ object IvfPqIndex {
   def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame =
     topK(s, retrainedIndex(s, dir), standardQueries(s, dir), corpusOf(s, dir))
 
+  /** Declared query — the CUTOVER lifecycle on the COMPRESSED index:
+    * build, forget, retrain (fresh centroids AND codebooks), swap the
+    * serving alias atomically ([[IvfIndex.cutover]] — the verb is
+    * shared: IVFPQ keeps the same centroids/ + postings/ layout its
+    * completeness check validates), then answer the standard query set
+    * THROUGH the pointer. The full maintenance loop for the index a
+    * 100 TB deployment actually runs, with the serve reading the alias
+    * rather than a hard-coded dir; equals [[topKIvfPqRetrained]] row
+    * for row, so the retrain's recorded-artifact oracle replays
+    * verbatim. */
+  def topKIvfPqCutover(s: SparkSession, dir: String): DataFrame = {
+    val alias = graft.StateCache.stateDir(dir, "ivfpq/cutover_alias",
+        "graft_ivfpqalias") { a =>
+      IvfIndex.cutover(s, a, retrainedIndex(s, dir))
+    }
+    topK(s, IvfIndex.resolveServing(alias), standardQueries(s, dir),
+      corpusOf(s, dir))
+  }
+
   /** IVFPQ PROBE SWEEP — the calibration table behind the
     * [[IvfPqProbes]] = 6 default (the compressed twin of
     * `sim_probe_sweep`; until now the budget was argued from the FAISS
@@ -540,9 +559,17 @@ object IvfPqIndex {
     // LIVE corpus (deleteSet excluded at the source — the retrain folded
     // the tombstones physically) against the three FRESH artifacts the
     // retrain recorded under its own keys.
-    withOracle("sim_ivfpq_retrain", topKIvfPqRetrained,
-      ivfPqOracleSqlFrom(
-        s"""${IvfIndex.liveEmbCteSql},
-           |${Similarity.ivfAssignCtesOver("liveemb", RetrainCentroidsKey)}""".stripMargin,
-        RetrainNCentsKey, RetrainCodebooksKey)))
+    withOracle("sim_ivfpq_retrain", topKIvfPqRetrained, retrainOracleSql),
+    // The compressed cutover serves the retrained index through the
+    // alias, so the retrain replay text carries verbatim (the
+    // sim_ivf_cutover convention).
+    withOracle("sim_ivfpq_cutover", topKIvfPqCutover, retrainOracleSql))
+
+  /** The compressed retrain's replay — shared verbatim by the retrain
+    * and cutover rows so the two cannot drift. */
+  private def retrainOracleSql: String =
+    ivfPqOracleSqlFrom(
+      s"""${IvfIndex.liveEmbCteSql},
+         |${Similarity.ivfAssignCtesOver("liveemb", RetrainCentroidsKey)}""".stripMargin,
+      RetrainNCentsKey, RetrainCodebooksKey)
 }
