@@ -274,6 +274,17 @@ class IvfPqIndexSpec extends SparkSpec {
         s"serving recall = $servedRecall")
   }
 
+  test("cutover serves the retrained compressed index through the pointer") {
+    // The declared sim_ivfpq_cutover row equals the retrain row for row:
+    // the alias resolves to the retrained index, so a pointer that
+    // resolved anywhere else (stale, half-swapped, unpointed) diverges.
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(keys(IvfPqIndex.topKIvfPqCutover(spark, sf)) ==
+      keys(IvfPqIndex.topKIvfPqRetrained(spark, sf)))
+  }
+
   test("recall@k vs exact top-k is measured and above the floor") {
     // Residual encoding plus the composed index's own probe/rerank budget
     // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the
