@@ -358,8 +358,14 @@ object Curation {
       (boundRows, offsetRows)
     }
     val (boundRows, offsetRows) = cacheKey match {
+      // The key folds in a FINGERPRINT of the corpus dir (ADVICE r19): an
+      // in-place rewrite that preserves every (source, id-range, shard)
+      // domain — the one stale case the in-plan guards cannot see — now
+      // misses the cache instead of serving offsets computed from the
+      // old bytes for the rest of the session.
       case Some((corpusDir, name)) => graft.StateCache.cached(corpusDir,
-        s"curation/pack_offsets/$name/$tokCol")(offsetTables())
+        s"curation/pack_offsets/$name/$tokCol/" +
+          graft.StateCache.dirFingerprint(corpusDir))(offsetTables())
       case None => offsetTables()
     }
     val bounds = spark.createDataFrame(

@@ -54,6 +54,45 @@ private[graft] object IndexFiles {
     target
   }
 
+  /** Family-agnostic CUTOVER body: run the family's completeness probe —
+    * which must THROW on a half-built target, leaving the alias pointing
+    * at the live index — then publish via [[writePointer]]'s
+    * write-temp-then-rename. Every index family's cutover verb
+    * ([[IvfIndex.cutover]], [[ClusterIndex.cutover]], the text/media
+    * wrappers in [[graft.streaming.StreamingDedup]], [[Pca]]) is this
+    * body plus its own layout probe, so the refuse-loudly-then-swap
+    * semantics cannot drift between families. */
+  def cutoverTo(aliasDir: String, newDir: String)(probe: => Unit): Unit = {
+    probe
+    writePointer(aliasDir, newDir)
+  }
+
+  /** Family-agnostic RETIRE body — deletes a REPLACED index dir, with the
+    * two guards every family shares (ADVICE r19): the dir the alias
+    * still serves is refused, and a dir that does not even look like the
+    * family's state layout is refused (a transposed or mistyped argument
+    * must not delete unrelated data).
+    *
+    * ORDERING CONTRACT (operator-owned — the slice machinery keeps no
+    * refcounts): retire only after the last reader holding a recorded
+    * as-of snapshot of `oldDir` is gone. The failure mode is LOUD, not
+    * silent: a snapshot read against a retired dir fails with the
+    * readers' "no slices under …" refusal rather than serving an empty
+    * or partial state (pinned in IvfIndexSpec). */
+  def retireTarget(aliasDir: String, oldDir: String, familyDesc: String)(
+      looksLikeIndex: => Boolean): Unit = {
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(norm(readPointer(aliasDir)) != norm(oldDir),
+      s"retire refused: the serving alias still points at $oldDir — " +
+        "cutover first")
+    require(looksLikeIndex,
+      s"retire refused: $oldDir does not look like a $familyDesc state " +
+        "dir — refusing to delete what this verb does not own " +
+        "(transposed or mistyped argument?)")
+    graft.TempDirs.deleteTree(oldDir)
+  }
+
   /** Persist IVF centroids as (cell, centroid), overwriting. */
   def writeCentroids(spark: SparkSession, dir: String,
       cents: Seq[Array[Float]]): Unit = {

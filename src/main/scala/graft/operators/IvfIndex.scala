@@ -509,17 +509,28 @@ object IvfIndex {
     * is a separate decision after its last snapshot reader is gone.
     * The POINTER is layout-agnostic (it stores a path) and this verb's
     * completeness check reads the centroids/ + postings/ layout, which
-    * [[IvfPqIndex]] shares — so the same verb cuts over compressed
-    * indexes too. [[PqIndex]]'s layout differs (codes/ + codebooks/, no
-    * centroids table): cutting one over is [[IndexFiles.writePointer]]
-    * plus that layout's own completeness probe, not this verb. */
-  def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit = {
-    val cents = loadCentroids(spark, newDir)
-    require(cents.nonEmpty, s"cutover refused: $newDir has no centroid table")
-    require(StreamingDedup.listSlices(spark, postingsDir(newDir)).nonEmpty,
-      s"cutover refused: $newDir has no postings slice — half-built index")
-    IndexFiles.writePointer(aliasDir, newDir)
-  }
+    * [[IvfPqIndex]] shares; when the target carries a codebooks/ dir
+    * (the compressed layout) that table is probed too (ADVICE r19 — a
+    * half-deleted IVFPQ dir must refuse here, not fail at serve time
+    * after the alias already swapped), and [[IvfPqIndex.cutover]]
+    * additionally REQUIRES it. [[PqIndex]]'s layout differs (codes/ +
+    * codebooks/, no centroids table): cutting one over is
+    * [[IndexFiles.writePointer]] plus that layout's own completeness
+    * probe, not this verb. */
+  def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit =
+    IndexFiles.cutoverTo(aliasDir, newDir) {
+      val cents = loadCentroids(spark, newDir)
+      require(cents.nonEmpty, s"cutover refused: $newDir has no centroid table")
+      require(StreamingDedup.listSlices(spark, postingsDir(newDir)).nonEmpty,
+        s"cutover refused: $newDir has no postings slice — half-built index")
+      val cbDir = java.nio.file.Paths.get(newDir, "codebooks")
+      if (java.nio.file.Files.isDirectory(cbDir)) {
+        val ok = try IndexFiles.loadCodebooks(spark, cbDir.toString).nonEmpty
+          catch { case _: Exception => false }
+        require(ok, s"cutover refused: $newDir/codebooks exists but holds " +
+          "no codebook table — half-built compressed index")
+      }
+    }
 
   /** The alias's current target — what a serving deployment resolves
     * before every query batch. */
@@ -531,18 +542,27 @@ object IvfIndex {
     * in-flight queries and as-of snapshot readers; once the serving
     * owner decides its last snapshot reader is gone (a retention
     * policy, like the compaction verbs' — the slice machinery keeps no
-    * refcounts), this verb deletes it. The one catastrophic mistake —
-    * deleting the index the alias STILL SERVES — is refused loudly,
-    * with paths compared normalized so a relative-vs-absolute spelling
-    * cannot sneak past the guard. */
-  def retire(aliasDir: String, oldDir: String): Unit = {
-    def norm(p: String) =
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-    require(norm(resolveServing(aliasDir)) != norm(oldDir),
-      s"retire refused: the serving alias still points at $oldDir — " +
-        "cutover first")
-    graft.TempDirs.deleteTree(oldDir)
-  }
+    * refcounts), this verb deletes it. Two loud refusals
+    * ([[IndexFiles.retireTarget]], ADVICE r19): deleting the index the
+    * alias STILL SERVES (paths compared normalized, so a relative-vs-
+    * absolute spelling cannot sneak past), and deleting a dir that does
+    * not even look like an ANN index (no centroids/ table and no
+    * StateCache completion marker — a transposed argument must not
+    * delete unrelated data).
+    *
+    * Retire-then-as-of ordering is OPERATOR-OWNED (VERDICT r19 #6): a
+    * recorded snapshot id addresses slices inside the dir, so retiring
+    * before the snapshot's last reader is gone breaks that reader — but
+    * it breaks LOUDLY ([[postings]]' "no index slices under …" refusal),
+    * never by silently serving an empty or partial state; pinned in
+    * IvfIndexSpec. A dir still pointed at by some OTHER alias is likewise
+    * the owner's bookkeeping — one maintenance owner per index family is
+    * the single-writer contract the pointer already assumes. */
+  def retire(aliasDir: String, oldDir: String): Unit =
+    IndexFiles.retireTarget(aliasDir, oldDir, "persisted ANN index")(
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(oldDir, "centroids")) ||
+        graft.StateCache.hasCompletionMarker(oldDir))
 
   /** The retrained twin of [[builtDeletedIndex]] — build, forget the
     * [[deleteSet]], then [[retrain]] into a fresh index; built once per

@@ -302,6 +302,36 @@ class IvfIndexSpec extends SparkSpec {
       .toSeq == servedB)
   }
 
+  test("retire guards: refuses non-index dirs; a retired dir's snapshot reads fail loudly") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idxA = TempDirs.scoped("graft_ivf_rg_a")
+    IvfIndex.build(emb, idxA)
+    val alias = TempDirs.scoped("graft_ivf_rg_alias")
+    IvfIndex.cutover(spark, alias, idxA)
+    // a dir that is not an index (no centroids/, no completion marker) is
+    // refused and left untouched — a transposed or mistyped argument must
+    // never delete unrelated data (ADVICE r19)
+    val notIndex = TempDirs.scoped("graft_ivf_rg_notidx")
+    val stray = java.nio.file.Paths.get(notIndex, "unrelated.txt")
+    java.nio.file.Files.write(stray, "not graft state".getBytes)
+    intercept[Exception] { IvfIndex.retire(alias, notIndex) }
+    assert(java.nio.file.Files.exists(stray))
+    // retire-then-as-of (VERDICT r19 #6): a reader holding a recorded
+    // snapshot id of a RETIRED dir fails with the loud no-slices refusal,
+    // never a silently empty result — the operator-owned ordering
+    // contract's failure mode is observable, not quiet corruption
+    val idxB = TempDirs.scoped("graft_ivf_rg_b")
+    IvfIndex.build(emb, idxB)
+    IvfIndex.cutover(spark, alias, idxB)
+    IvfIndex.retire(alias, idxA)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxA)))
+    val e = intercept[Exception] {
+      IvfIndex.postings(spark, idxA, asOf = 0L).count()
+    }
+    assert(e.getMessage.contains("no index slices"),
+      s"expected the loud no-slices refusal, got: ${e.getMessage}")
+  }
+
   // Drift-rig pins as NAMED constants with the measured values recorded
   // (VERDICT r18 #6, the SimilaritySpec recall-pin convention): on this
   // rig the drifted imbalance MEASURES 9.05 and the retrained one 1.26.

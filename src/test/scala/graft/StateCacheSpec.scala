@@ -96,6 +96,25 @@ class StateCacheSpec extends AnyFunSuite {
     StateCache.clear()
   }
 
+  test("dirFingerprint tracks in-place rewrites (the pack-offset cache key)") {
+    val d = TempDirs.scoped("graft_sc_fp")
+    val f = java.nio.file.Paths.get(d, "part-0.parquet")
+    java.nio.file.Files.write(f, "aaaa".getBytes)
+    val fp1 = StateCache.dirFingerprint(d)
+    // stable across reads of unchanged content
+    assert(StateCache.dirFingerprint(d) == fp1)
+    // an in-place rewrite (same file name, different bytes) MUST miss:
+    // the ADVICE r19 hazard was exactly a rewritten corpus dir serving
+    // session-cached offsets computed from the old bytes
+    java.nio.file.Files.write(f, "bbbbbbbb".getBytes)
+    assert(StateCache.dirFingerprint(d) != fp1)
+    // adding a file changes it too; a missing dir is the sentinel
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "part-1.parquet"), "cc".getBytes)
+    assert(StateCache.dirFingerprint(d) != fp1)
+    assert(StateCache.dirFingerprint(d + "/nope") == "absent")
+  }
+
   test("OracleLiterals are corpus-scoped: a scope switch hides, not destroys") {
     OracleLiterals.scopeTo("/scopeA")
     OracleLiterals.put("spec-key", "[1.0]")
