@@ -320,11 +320,27 @@ object IvfPqIndex {
   def topKIvfPqRetrained(s: SparkSession, dir: String): DataFrame =
     topK(s, retrainedIndex(s, dir), standardQueries(s, dir), corpusOf(s, dir))
 
+  /** The compressed layout's own CUTOVER verb: the shared
+    * [[IvfIndex.cutover]] probe (centroids + postings, and the
+    * conditional codebooks check when the dir exists) plus a HARD
+    * codebooks requirement — a target whose codebooks/ dir vanished
+    * ENTIRELY would pass the generic probe and only fail at serve time,
+    * after the alias already swapped (ADVICE r19); this wrapper refuses
+    * it up front, so the refuse-loudly guarantee holds for the
+    * compressed layout unconditionally. */
+  def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit = {
+    val ok = try loadCodebooks(spark, newDir).nonEmpty
+      catch { case _: Exception => false }
+    require(ok, s"cutover refused: $newDir has no codebooks table — " +
+      "not a complete IVFPQ index")
+    IvfIndex.cutover(spark, aliasDir, newDir)
+  }
+
   /** Declared query — the CUTOVER lifecycle on the COMPRESSED index:
     * build, forget, retrain (fresh centroids AND codebooks), swap the
-    * serving alias atomically ([[IvfIndex.cutover]] — the verb is
-    * shared: IVFPQ keeps the same centroids/ + postings/ layout its
-    * completeness check validates), then answer the standard query set
+    * serving alias atomically ([[cutover]] — the shared pointer verb
+    * behind [[IvfIndex.cutover]] plus the compressed layout's hard
+    * codebooks probe), then answer the standard query set
     * THROUGH the pointer. The full maintenance loop for the index a
     * 100 TB deployment actually runs, with the serve reading the alias
     * rather than a hard-coded dir; equals [[topKIvfPqRetrained]] row
@@ -333,7 +349,7 @@ object IvfPqIndex {
   def topKIvfPqCutover(s: SparkSession, dir: String): DataFrame = {
     val alias = graft.StateCache.stateDir(dir, "ivfpq/cutover_alias",
         "graft_ivfpqalias") { a =>
-      IvfIndex.cutover(s, a, retrainedIndex(s, dir))
+      cutover(s, a, retrainedIndex(s, dir))
     }
     topK(s, IvfIndex.resolveServing(alias), standardQueries(s, dir),
       corpusOf(s, dir))
@@ -350,55 +366,48 @@ object IvfPqIndex {
     * the serving path pays. One postings scan: the budget dimension is
     * a tiny literal table crossed against the per-(query, cell-rank)
     * ADC stream, never a per-budget rescan. Served from the persisted
-    * built index ([[graft.StateCache]]). Fully oracle-checked via the
+    * built index ([[graft.StateCache]]); the probe ranking, budget
+    * cross and recall arithmetic are the SHARED
+    * [[Similarity.probeSweepOver]] body (VERDICT r19 #5 — only the ADC
+    * scoring arm is this tier's own). Fully oracle-checked via the
     * recorded-artifact replay; IvfPqIndexSpec pins monotone
     * non-decreasing recall and agreement with the deployed budget's
     * serving recall. */
   def probeSweep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val idx = builtIndex(s, dir)
     val cents = loadCentroids(s, idx)
     val queries = standardQueries(s, dir)
-    val maxProbes = 2 * IvfPqProbes
-    val probes = Similarity.rankedCells(
-        queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
-        cents)
-      .filter(col("pr") <= maxProbes)
-      .select(col("vec_id").as("query_id"), col("cell"),
-        col("cell_score").as("adc_base"), col("pr").as("cell_rank"))
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
     val queryLuts = Similarity.pqQueryLuts(queries, loadCodebooks(s, idx))
-    val budgets = (1 to maxProbes).map(_.toLong).toDF("probes")
-    val adc = postings(s, idx)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(queryLuts), Seq("query_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("cell_rank"),
-        (col("adc_base") + Similarity.adcScore).as("adc"))
-      .join(broadcast(budgets), col("cell_rank") <= col("probes"))
-    val wAdc = Window.partitionBy(col("query_id"), col("probes"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val cand = adc.withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= IvfPqRerank)
-      .select(col("probes"), col("query_id"), col("qv"), col("vec_id"))
-    val wRank = Window.partitionBy(col("query_id"), col("probes"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    val top = corpusOf(s, dir).join(broadcast(cand), Seq("vec_id"))
-      .select(col("probes"), col("query_id"), col("vec_id"),
-        Similarity.cos(col("qv"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= Similarity.TopK)
-      .select(col("probes"), col("query_id"), col("vec_id"))
-    val exact = Similarity.topKExact(s, dir)
-      .select(col("query_id"), col("vec_id"))
-    top.join(exact, Seq("query_id", "vec_id"))
-      .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
-      .select(col("probes"), col("n_hits"),
-        (col("n_hits").cast("double") /
-          (Similarity.NumQueryVectors * Similarity.TopK)).as("recall_at_k"))
-      .orderBy(col("probes"))
+    Similarity.probeSweepOver(s, dir, queries, cents, 2 * IvfPqProbes) {
+      (probes0, budgets) =>
+        // qv rides queryLuts on this tier (the per-query LUT join the ADC
+        // needs anyway) — drop the shared frame's copy so the join stays
+        // unambiguous
+        val probes = probes0.drop("qv")
+        val probedCells = probes.select(col("cell")).distinct()
+          .collect().map(_.getInt(0))
+        val adc = postings(s, idx)
+          .filter(col("cell").isin(probedCells.map(Int.box): _*))
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(queryLuts), Seq("query_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qv"), col("vec_id"), col("cell_rank"),
+            (col("adc_base") + Similarity.adcScore).as("adc"))
+          .join(budgets, col("cell_rank") <= col("probes"))
+        val wAdc = Window.partitionBy(col("query_id"), col("probes"))
+          .orderBy(col("adc").desc, col("vec_id").asc)
+        val cand = adc.withColumn("ar", row_number().over(wAdc))
+          .filter(col("ar") <= IvfPqRerank)
+          .select(col("probes"), col("query_id"), col("qv"), col("vec_id"))
+        val wRank = Window.partitionBy(col("query_id"), col("probes"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        corpusOf(s, dir).join(broadcast(cand), Seq("vec_id"))
+          .select(col("probes"), col("query_id"), col("vec_id"),
+            Similarity.cos(col("qv"), col("embedding")).as("score"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= Similarity.TopK)
+          .select(col("probes"), col("query_id"), col("vec_id"))
+    }
   }
 
   /** The sweep's oracle: the shared residual-code CTEs, the probe set

@@ -1249,47 +1249,67 @@ object Similarity {
     scored.withColumn("pr", row_number().over(wCell))
   }
 
-  /** IVF PROBE SWEEP — the tuning table an index operator reads before
-    * fixing the probe budget (the ANN twin of `dedup_threshold_sweep`):
-    * recall@[[TopK]] vs the exact ranking for EVERY probe budget
-    * 1..2·[[IvfProbes]], from ONE cell-assignment pass. The probe-budget
-    * dimension is a tiny literal table crossed against the per-(query,
-    * cell-rank) candidates, so Spark plans a single scan + one window per
-    * budget level — never a per-budget rescan of the corpus; recall is a
-    * ratio of integer hit counts. Fully oracle-checked (recorded-centroid
-    * replay); `SimilaritySpec` pins monotone non-decreasing recall and
-    * agreement with [[topKIvf]] at the deployed budget. */
-  def probeSweep(s: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the probe-budget calibration sweeps (VERDICT r19
+    * #5): rank the query set's cells ONCE to `maxProbes` (the corpus
+    * never pays the per-cell rank window), cross the tiny budget literal
+    * table, hand the per-tier scoring arm the probe frame, and grade
+    * each budget's top-k against the exact ranking. The IVF and IVFPQ
+    * sweeps differ ONLY in `arm` — everything that could drift between
+    * the two calibration tables (probe ranking, budget cross, recall
+    * arithmetic) lives here once. `arm` receives the probe frame
+    * (query_id, qv, cell, adc_base, cell_rank) and the broadcast
+    * (probes) budget table, and returns the per-(budget, query) top-k
+    * as (probes, query_id, vec_id) — one scan of its tier's candidate
+    * stream with the budget as a literal cross, never a per-budget
+    * rescan. */
+  private[operators] def probeSweepOver(s: SparkSession, dir: String,
+      queries: DataFrame, cents: Seq[Array[Float]], maxProbes: Int)(
+      arm: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = learnCentroids(emb)
-    val assigned = assignedCells(emb, cents)
-    val maxProbes = 2 * IvfProbes
-    // probe ranking only over the bounded query set — the corpus never
-    // pays the per-cell rank window
     val probes = rankedCells(
-        emb.filter(col("vec_id") < NumQueryVectors), cents)
+        queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+        cents)
       .filter(col("pr") <= maxProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cell"), col("pr").as("cell_rank"))
+        col("cell"), col("cell_score").as("adc_base"),
+        col("pr").as("cell_rank"))
     val budgets = (1 to maxProbes).map(_.toLong).toDF("probes")
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("cell_rank"), col("vec_id"),
-        cos(col("qv"), col("embedding")).as("score"))
-      .join(broadcast(budgets), col("cell_rank") <= col("probes"))
-    val w = Window.partitionBy(col("query_id"), col("probes"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    val ivfTop = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probes"), col("query_id"), col("vec_id"))
+    val top = arm(probes, broadcast(budgets))
     val exactTop = topKExact(s, dir).select(col("query_id"), col("vec_id"))
-    ivfTop.join(exactTop, Seq("query_id", "vec_id"))
+    top.join(exactTop, Seq("query_id", "vec_id"))
       .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
       .select(col("probes"), col("n_hits"),
         (col("n_hits").cast("double") / (NumQueryVectors * TopK))
           .as("recall_at_k"))
       .orderBy(col("probes"))
+  }
+
+  /** IVF PROBE SWEEP — the tuning table an index operator reads before
+    * fixing the probe budget (the ANN twin of `dedup_threshold_sweep`):
+    * recall@[[TopK]] vs the exact ranking for EVERY probe budget
+    * 1..2·[[IvfProbes]], from ONE cell-assignment pass — the shared
+    * [[probeSweepOver]] body with the plain tier's exact-cosine arm.
+    * Fully oracle-checked (recorded-centroid replay); `SimilaritySpec`
+    * pins monotone non-decreasing recall and agreement with [[topKIvf]]
+    * at the deployed budget. */
+  def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = learnCentroids(emb)
+    val assigned = assignedCells(emb, cents)
+    val queries = emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    probeSweepOver(s, dir, queries, cents, 2 * IvfProbes) { (probes, budgets) =>
+      val scored = assigned.join(broadcast(probes.drop("adc_base")), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell_rank"), col("vec_id"),
+          cos(col("qv"), col("embedding")).as("score"))
+        .join(budgets, col("cell_rank") <= col("probes"))
+      val w = Window.partitionBy(col("query_id"), col("probes"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("probes"), col("query_id"), col("vec_id"))
+    }
   }
 
   /** Approximate top-k via IVF: corpus vectors are assigned to their
@@ -2123,13 +2143,10 @@ object Similarity {
     * at |queries|×25 candidates. Fully oracle-checked: the recorded-
     * centroid replay generates the pool over the SQL-rebuilt feature
     * vectors, the shared MaxSim CTEs rerank it. */
-  def lateInteractionIvf(s: SparkSession, dir: String): DataFrame = {
-    val queries = docFeatureVectors(s, dir)
-      .filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+  def lateInteractionIvf(s: SparkSession, dir: String): DataFrame =
     liCascadeOver(s, dir,
-      IvfIndex.cascadePool(s, liIvfIndex(s, dir), queries, LiPruneCandidates))
-  }
+      IvfIndex.cascadePool(s, liIvfIndex(s, dir), liIvfQueries(s, dir),
+        LiPruneCandidates))
 
   /** [[graft.OracleLiterals]] key of the LI cascade index's frozen
     * centroids — its own key (the [[IvfCentroidsKey]] rule): this index
@@ -2167,6 +2184,81 @@ object Similarity {
     * and the recorded-centroid replay re-derives every cell population. */
   def liBalanceQuery(s: SparkSession, dir: String): DataFrame =
     IvfIndex.cellBalanceOf(s, liIvfIndex(s, dir))
+
+  /** [[graft.OracleLiterals]] key of the cascade index's RETRAINED
+    * centroids — its own key (the [[IvfIndex.RetrainCentroidsKey]]
+    * isolation rule): the retrain trains over the LIVE feature-vector
+    * corpus, so sharing any serving key would let whichever query
+    * trained last poison the other replay. */
+  private[operators] val LiIvfRetrainKey = "li_ivf_retrain_centroids"
+
+  /** The build + forget-every-7th + RETRAIN lifecycle on the cascade's
+    * stage-1 feature-vector index — the remedy behind [[liBalanceQuery]]'s
+    * page (VERDICT r19 #3: the audit existed, the verb did not). The
+    * index is a plain [[IvfIndex]] over [[docFeatureVectors]], so
+    * [[IvfIndex.retrain]] generalizes verbatim: read the live postings
+    * (tombstones folded), train fresh centroids on them, rebuild, carry
+    * the dead-id trail. Built once per corpus per JVM; shared read-only
+    * by the retrain and cutover rows. */
+  private def liIvfRetrainedIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "li/ivf_feats_rt_del7", "graft_liivfrt") {
+      idx =>
+        val femb = docFeatureVectors(s, dir).persist()
+        try {
+          val old = graft.TempDirs.scoped("graft_liivfrt_old")
+          // same corpus + same serving ladder as liIvfIndex ⇒ the same
+          // deterministic centroids; recording under the shared build key
+          // re-records the identical literal (never a poisoned replay)
+          val cents = learnCentroidsAt(femb,
+            ivfServingCells(femb.count()), LiIvfCentroidsKey)
+          IvfIndex.build(femb, old, Some(cents))
+          IvfIndex.delete(IvfIndex.deleteSet(femb), old)
+          IvfIndex.retrain(s, old, idx, LiIvfRetrainKey)
+          ()
+        } finally { femb.unpersist(); () }
+    }
+
+  /** The standard cascade query frame (doc-grain feature vectors of the
+    * query documents) — shared by the IVF-pooled cascade and its
+    * retrain/cutover lifecycle twins. */
+  private def liIvfQueries(s: SparkSession, dir: String): DataFrame =
+    docFeatureVectors(s, dir)
+      .filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Declared query — the RETRAIN lifecycle on the cascade's stage-1
+    * index end-to-end: build the feature-vector IVF, forget every 7th
+    * doc (the shared delete-set rule — a curation drop that starves no
+    * one silently), re-train fresh centroids over the live set, then
+    * serve the FULL cascade with stage 1 pooled from the retrained
+    * index — stage 2 and the ranking are [[liCascadeOver]] verbatim, so
+    * only the candidate generator changed. Fully oracle-checked: the
+    * fresh centroids record under [[LiIvfRetrainKey]] and the replay
+    * re-derives pool, MaxSim and ranking over the live feature vectors;
+    * a retrain that leaked a tombstoned doc back into the pool, dropped
+    * a live one, or served stale centroids diverges the hash. */
+  def lateInteractionIvfRetrained(s: SparkSession, dir: String): DataFrame =
+    liCascadeOver(s, dir,
+      IvfIndex.cascadePool(s, liIvfRetrainedIndex(s, dir),
+        liIvfQueries(s, dir), LiPruneCandidates))
+
+  /** Declared query — the CUTOVER lifecycle on the cascade's stage-1
+    * index: build, forget, retrain, swap the serving alias atomically
+    * ([[IvfIndex.cutover]] — the stage-1 index is a plain IVF layout),
+    * then serve the cascade THROUGH the pointer. Closes the audit →
+    * retrain → atomic swap → serves-follow loop for the LAST IVF-backed
+    * tier (dense and compressed got theirs in r19). Equals
+    * [[lateInteractionIvfRetrained]] row for row (pinned in
+    * SimilaritySpec), so the retrain replay text carries verbatim. */
+  def lateInteractionIvfCutover(s: SparkSession, dir: String): DataFrame = {
+    val alias = graft.StateCache.stateDir(dir, "li/ivf_cutover_alias",
+        "graft_lialias") { a =>
+      IvfIndex.cutover(s, a, liIvfRetrainedIndex(s, dir))
+    }
+    liCascadeOver(s, dir,
+      IvfIndex.cascadePool(s, IvfIndex.resolveServing(alias),
+        liIvfQueries(s, dir), LiPruneCandidates))
+  }
 
   /** The doc-grain feature vectors DENSE, as an embeddings-shaped frame
     * (vec_id, embedding: array<float>): [[TextAnalysis.featureCountsOf]]'s
@@ -2279,6 +2371,26 @@ object Similarity {
     s"""WITH ${TextAnalysis.featureCountCtes},
        |$liFeatureVectorCtes,
        |${ivfScoredCtesOver("femb", LiIvfCentroidsKey)},
+       |pruned AS (SELECT query_id, vec_id AS cand_id, doc_score FROM (
+       |    SELECT query_id, vec_id, score AS doc_score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id ASC) AS dr
+       |    FROM scored) t0
+       |  WHERE dr <= $LiPruneCandidates)""".stripMargin)
+
+  /** The LI retrain/cutover replay: the feature vectors rebuilt in SQL,
+    * restricted to the LIVE docs (the delete-set rule negated — the
+    * retrain folded the tombstones physically), ranked against the FRESH
+    * centroids recorded under [[LiIvfRetrainKey]], then the shared
+    * cascade tail. Shared VERBATIM by sim_li_retrain and sim_li_cutover
+    * (the cutover serves the retrained index through the alias), the
+    * sim_ivf_retrain convention. */
+  private def liIvfRetrainOracleSql: String = liCascadeOracleFrom(
+    s"""WITH ${TextAnalysis.featureCountCtes},
+       |$liFeatureVectorCtes,
+       |lfemb AS (SELECT vec_id, embedding FROM femb
+       |  WHERE NOT (vec_id >= $NumQueryVectors AND vec_id % 7 = 3)),
+       |${ivfScoredCtesOver("lfemb", LiIvfRetrainKey)},
        |pruned AS (SELECT query_id, vec_id AS cand_id, doc_score FROM (
        |    SELECT query_id, vec_id, score AS doc_score,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3414,6 +3526,14 @@ object Similarity {
         s"""${TextAnalysis.featureCountCtes},
            |$liFeatureVectorCtes,
            |${ivfAssignCtesOver("femb", LiIvfCentroidsKey)}""".stripMargin)),
+    // The balance audit's remedy + swap on the cascade's stage-1 index
+    // (VERDICT r19 #3): retrain over the live feature vectors, serve the
+    // full cascade from the retrained index — and through the atomic
+    // alias. One replay text behind both rows.
+    withOracle("sim_li_retrain", lateInteractionIvfRetrained,
+      liIvfRetrainOracleSql),
+    withOracle("sim_li_cutover", lateInteractionIvfCutover,
+      liIvfRetrainOracleSql),
     // The append lifecycle twin: chunk featurization is per-document
     // deterministic, so the drained slice state equals the batch build
     // and the batch oracle text carries VERBATIM.

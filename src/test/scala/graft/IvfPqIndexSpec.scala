@@ -285,6 +285,37 @@ class IvfPqIndexSpec extends SparkSpec {
       keys(IvfPqIndex.topKIvfPqRetrained(spark, sf)))
   }
 
+  test("compressed cutover refuses targets whose codebooks are missing or gutted") {
+    // ADVICE r19: the refuse-loudly guarantee must hold for the
+    // compressed layout — a target that lost its codebooks (entirely, or
+    // the dir kept but the table gone) must refuse at cutover, not fail
+    // at serve time after the alias already swapped.
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val alias = TempDirs.scoped("graft_ivfpq_cb_alias")
+    // (a) codebooks/ absent entirely: a plain-IVF dir passes the generic
+    // probe by design, but the compressed verb requires the table
+    val plainIvf = TempDirs.scoped("graft_ivfpq_cb_plain")
+    IvfIndex.build(emb, plainIvf)
+    intercept[Exception] { IvfPqIndex.cutover(spark, alias, plainIvf) }
+    intercept[Exception] { IvfIndex.resolveServing(alias) } // still unpointed
+    // (b) codebooks/ present but gutted: now even the GENERIC verb
+    // refuses (the conditional codebooks probe), and a refused cutover
+    // leaves the pointer where it was
+    val full = TempDirs.scoped("graft_ivfpq_cb_full")
+    IvfPqIndex.build(emb, full)
+    IvfPqIndex.cutover(spark, alias, full) // complete index: accepted
+    assert(IvfIndex.resolveServing(alias) == full)
+    val gutted = TempDirs.scoped("graft_ivfpq_cb_gut")
+    IvfPqIndex.build(emb, gutted)
+    val cbDir = java.nio.file.Paths.get(gutted, "codebooks")
+    java.nio.file.Files.list(cbDir)
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    intercept[Exception] { IvfIndex.cutover(spark, alias, gutted) }
+    intercept[Exception] { IvfPqIndex.cutover(spark, alias, gutted) }
+    assert(IvfIndex.resolveServing(alias) == full)
+  }
+
   test("recall@k vs exact top-k is measured and above the floor") {
     // Residual encoding plus the composed index's own probe/rerank budget
     // ([[IvfPqIndex.IvfPqProbes]]/[[IvfPqIndex.IvfPqRerank]]) put the

@@ -685,6 +685,26 @@ class SimilaritySpec extends SparkSpec {
         "cascade — the index arm regressed independently of pool width")
   }
 
+  test("li stage-1 retrain + cutover: alias serves the retrained cascade, " +
+      "tombstoned docs never pool") {
+    // The audit's remedy on the cascade's candidate generator (VERDICT
+    // r19 #3): the retrained index holds only live docs, so no
+    // tombstoned doc may appear anywhere in the served ranking …
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rt = Similarity.lateInteractionIvfRetrained(spark, sf)
+    val rtKeys = keys(rt)
+    assert(rtKeys.nonEmpty)
+    rtKeys.foreach { case (_, _, c) =>
+      assert(!(c >= Similarity.NumQueryVectors && c % 7 == 3),
+        s"tombstoned doc $c leaked back through the retrain")
+    }
+    // … and the cutover row serves the SAME retrained index through the
+    // atomic pointer — equal row for row, the sim_ivf_cutover contract.
+    assert(keys(Similarity.lateInteractionIvfCutover(spark, sf)) == rtKeys)
+  }
+
   test("li pool sweep: monotone recall, deployed width matches the recall audit") {
     val rows = Similarity.liPoolSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
