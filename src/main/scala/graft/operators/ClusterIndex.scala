@@ -580,8 +580,14 @@ object ClusterIndex {
     * Re-bucket-then-cluster equals a rebuild over only the survivors AT
     * THE WIDER WIDTH, so the oracle is the restricted rebuild text with
     * the +2-shifted ladder. */
-  def rebucketClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val wider = graft.StateCache.stateDir(dir, "clusters/app2_del7_rebucket2",
+  def rebucketClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, rebucketedState(spark, dir))
+
+  /** The +2-rung re-bucketed state the remedy produces — built once per
+    * corpus and shared read-only by the rebucket row and the cutover
+    * row (which swaps the serving alias to exactly this dir). */
+  private def rebucketedState(spark: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "clusters/app2_del7_rebucket2",
         "graft_rebucket_state_b") { wider =>
       // source index: the SHARED 2-append + delete lifecycle state (its
       // geometry, corpusBits == adaptiveBits(n), is exactly the width
@@ -592,7 +598,23 @@ object ClusterIndex {
         rebucketIndex(spark, state, wider, Similarity.widenedBits(n, 2))
       }
     }
-    clusters(spark, wider)
+
+  /** Declared query — the CUTOVER lifecycle on the cluster index
+    * (VERDICT r19 #1): the standard 2-append + delete lifecycle, the
+    * +2-rung [[rebucketIndex]] remedy into a fresh state dir, then the
+    * ATOMIC alias swap ([[cutover]]) and a serve THROUGH the pointer
+    * ([[resolveServing]]) — the remedy → serve loop closed in code for
+    * this family exactly as the IVF tiers' cutover rows closed theirs.
+    * Equals [[rebucketClustersQuery]] row for row (the pointer resolves
+    * to the widened state; atomicity/refusal/retire pinned in
+    * ClusterIndexSpec), so the +2-ladder rebuild-on-survivors oracle
+    * carries verbatim. */
+  def cutoverClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val alias = graft.StateCache.stateDir(dir, "clusters/cutover_alias",
+        "graft_clalias") { a =>
+      cutover(spark, a, rebucketedState(spark, dir))
+    }
+    clusters(spark, resolveServing(alias))
   }
 
   /** AS-OF snapshot serving — the time-travel verb of the index family
@@ -646,6 +668,50 @@ object ClusterIndex {
     appendBatch(live, newState, Some(bits))
     if (!dead.isEmpty) deleteIds(dead, newState)
   }
+
+  /** CUT SERVING OVER to `newState` — the atomic pointer verb
+    * generalized off the IVF tiers (VERDICT r19 #1): [[rebucketIndex]]
+    * writes the widened geometry to a NEW state dir, and until now the
+    * swap to it was left as convention ("until retired" with no verb).
+    * Completeness probe, the [[IvfIndex.cutover]] refuse-loudly rule at
+    * this family's layout: a readable frozen geometry and at least one
+    * slice under each of emb/knn/labels — a half-built rebuild refuses
+    * and leaves the alias pointing at the live state. Publication is
+    * [[IndexFiles.cutoverTo]]'s write-temp-then-rename; the old state
+    * stays untouched for in-flight and as-of readers until [[retire]]. */
+  def cutover(spark: SparkSession, aliasDir: String, newState: String): Unit =
+    IndexFiles.cutoverTo(aliasDir, newState) {
+      val bits = try readGeometry(spark, newState) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"cutover refused: $newState has no readable geometry table — " +
+            "not a built cluster state", e)
+      }
+      require(bits > 0,
+        s"cutover refused: $newState records non-positive geometry $bits")
+      Seq(embBase(newState), knnBase(newState), labelsBase(newState))
+        .foreach { base =>
+          require(StreamingDedup.listSlices(spark, base).nonEmpty,
+            s"cutover refused: no slices under $base — half-built cluster " +
+              "state")
+        }
+    }
+
+  /** The alias's current serving target — what a serving deployment
+    * resolves before reading [[clusters]]. */
+  def resolveServing(aliasDir: String): String =
+    IndexFiles.readPointer(aliasDir)
+
+  /** RETIRE a replaced cluster state dir — the end of this family's
+    * cutover loop, with the shared guards ([[IndexFiles.retireTarget]]):
+    * the dir the alias still serves refuses, and a dir without this
+    * family's geometry table (or a StateCache completion marker) refuses
+    * rather than deleting unrelated data. Retire-then-as-of ordering is
+    * operator-owned and fails LOUDLY, the [[IvfIndex.retire]] contract. */
+  def retire(aliasDir: String, oldState: String): Unit =
+    IndexFiles.retireTarget(aliasDir, oldState, "cluster index")(
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(geoPath(oldState))) ||
+        graft.StateCache.hasCompletionMarker(oldState))
 
   def compactOps(spark: SparkSession, state: String, upToOp: Long): Unit = {
     val dead = deadAll(spark, state).persist()
@@ -808,6 +874,13 @@ ORDER BY vec_id""",
       restrictedOracleSql(
         "vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)")),
     withOracle("sim_clusters_rebucket", rebucketClustersQuery,
+      restrictedOracleSql("vec_id % 7 <> 3",
+        Similarity.OracleGeo.Ladder("embeddings", 2))),
+    // The cutover row serves the SAME widened state through the atomic
+    // alias, so the +2-ladder rebuild-on-survivors replay carries
+    // verbatim — a pointer resolving anywhere else diverges or fails
+    // loudly.
+    withOracle("sim_clusters_cutover", cutoverClustersQuery,
       restrictedOracleSql("vec_id % 7 <> 3",
         Similarity.OracleGeo.Ladder("embeddings", 2))))
 }

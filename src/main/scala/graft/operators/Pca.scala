@@ -186,32 +186,66 @@ object Pca {
       val (n, mean, gram) = moments(emb)
       val (evals, evecs) = jacobiEigen(covariance(n, mean, gram))
       val basis = evecs.take(PcaDims)
-      graft.OracleLiterals.put(PcaMeanKey, graft.OracleLiterals.vec(mean.toSeq))
-      graft.OracleLiterals.put(PcaBasisKey,
-        basis.zipWithIndex.map { case (b, c) =>
-          s"($c, ${graft.OracleLiterals.vec(b.toSeq)})"
-        }.mkString(",\n    "))
+      putBasisLiterals(PcaMeanKey, PcaBasisKey, mean, basis)
       (n, mean, evals, basis)
     }
+
+  private def putBasisLiterals(meanKey: String, basisKey: String,
+      mean: Array[Double], basis: Array[Array[Double]]): Unit = {
+    graft.OracleLiterals.put(meanKey, graft.OracleLiterals.vec(mean.toSeq))
+    graft.OracleLiterals.put(basisKey,
+      basis.zipWithIndex.map { case (b, c) =>
+        s"($c, ${graft.OracleLiterals.vec(b.toSeq)})"
+      }.mkString(",\n    "))
+  }
 
   private[operators] val PcaMeanKey = "pca_mean"
   private[operators] val PcaBasisKey = "pca_basis"
 
-  /** Oracle CTEs replaying the projection against the recorded artifact:
+  /** Keys of the FRESH-trained (mean, basis) the drift audit and the
+    * retrain record — separate from the serving keys (the
+    * [[IvfIndex.RetrainCentroidsKey]] isolation rule), even though on a
+    * never-appended corpus the deterministic train makes the values
+    * identical. */
+  private[operators] val PcaFreshMeanKey = "pca_fresh_mean"
+  private[operators] val PcaFreshBasisKey = "pca_fresh_basis"
+
+  /** A FRESH basis over the corpus as it exists NOW — what the persisted
+    * artifact would be if retrained today; the drift audit's comparison
+    * arm and the retrain verb's training step (one train, cached, both
+    * rows read it). Records its artifact under the fresh keys. */
+  private def freshBasis(s: SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]]) =
+    graft.StateCache.cached(dir, "pca/fresh_basis") {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (n, mean, gram) = moments(emb)
+      val (_, evecs) = jacobiEigen(covariance(n, mean, gram))
+      val basis = evecs.take(PcaDims)
+      putBasisLiterals(PcaFreshMeanKey, PcaFreshBasisKey, mean, basis)
+      (mean, basis)
+    }
+
+  /** Oracle CTEs replaying the projection against a recorded artifact:
     * per-(vector, component) centered dots (`yc` — the SQL twin of the
     * [[graft.functions.GraftExpressions.PcaProject]] kernel, same
     * sequential fold), the component-ordered projection list, and the
-    * centered squared norm. */
-  private def pcaProjCtes: String =
-    s"""mu(mv) AS (VALUES (${graft.OracleLiterals.get(PcaMeanKey)})),
-       |bas(component, bv) AS (VALUES
-       |    ${graft.OracleLiterals.get(PcaBasisKey)}),
-       |yc AS (SELECT e.vec_id, b.component,
+    * centered squared norm. Parameterized by artifact keys and a CTE
+    * suffix so the drift audit can replay the SERVED and the FRESH
+    * artifact inside one text. */
+  private def pcaProjCtesFrom(meanKey: String, basisKey: String,
+      sfx: String): String =
+    s"""mu$sfx(mv) AS (VALUES (${graft.OracleLiterals.get(meanKey)})),
+       |bas$sfx(component, bv) AS (VALUES
+       |    ${graft.OracleLiterals.get(basisKey)}),
+       |yc$sfx AS (SELECT e.vec_id, b.component,
        |    list_sum(list_transform(list_zip(e.embedding, mu.mv, b.bv),
        |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * p[3])) AS y
-       |  FROM embeddings e, mu, bas b),
-       |proj AS (SELECT vec_id, list(y ORDER BY component ASC) AS pv
-       |  FROM yc GROUP BY vec_id)""".stripMargin
+       |  FROM embeddings e, mu$sfx mu, bas$sfx b),
+       |proj$sfx AS (SELECT vec_id, list(y ORDER BY component ASC) AS pv
+       |  FROM yc$sfx GROUP BY vec_id)""".stripMargin
+
+  private def pcaProjCtes: String =
+    pcaProjCtesFrom(PcaMeanKey, PcaBasisKey, "")
 
   private def pcaProjectOracleSql: String =
     s"""WITH $pcaProjCtes,
@@ -231,7 +265,14 @@ object Pca {
        |ORDER BY p.vec_id""".stripMargin
 
   private def topKPcaOracleCtes: String =
-    s"""$pcaProjCtes,
+    topKPcaOracleCtesFrom(PcaMeanKey, PcaBasisKey)
+
+  /** The serving-tail replay over ANY recorded (mean, basis) artifact —
+    * the persisted row replays the served keys, the cutover row the
+    * fresh ones the retrain recorded. */
+  private def topKPcaOracleCtesFrom(meanKey: String,
+      basisKey: String): String =
+    s"""${pcaProjCtesFrom(meanKey, basisKey, "")},
        |qp AS (SELECT vec_id AS query_id, pv AS qpv FROM proj
        |  WHERE vec_id < ${Similarity.NumQueryVectors}),
        |sl AS (SELECT query_id, vec_id, proj_score FROM (
@@ -262,6 +303,43 @@ object Pca {
     s"""WITH $topKPcaOracleCtes,
        |${Similarity.exactTopKCteSql},
        |${Similarity.recallTailSql("pk")}""".stripMargin
+
+  /** The drift audit's replay: both arms' recorded artifacts project
+    * the corpus in SQL, per-row norms land as the same rounded
+    * micro-unit integers, BIGINT sums widen to HUGEINT (Spark:
+    * DECIMAL(38,0)) — both exact — and the shares/headroom are the
+    * identical final double formulas. */
+  private def pcaDriftOracleSql: String = {
+    def normMicros(listExpr: String) =
+      s"CAST(ROUND($listExpr * 1e6) AS BIGINT)"
+    val projSq = normMicros("list_sum(list_transform(pv, y -> y * y))")
+    def cnsCte(name: String, muTable: String) =
+      s"""$name AS (SELECT e.vec_id,
+         |    ${normMicros(
+               """list_sum(list_transform(list_zip(e.embedding, mu.mv),
+                 |      p -> (CAST(p[1] AS DOUBLE) - p[2])
+                 |        * (CAST(p[1] AS DOUBLE) - p[2])))""".stripMargin)} AS c
+         |  FROM embeddings e, $muTable mu)""".stripMargin
+    s"""WITH ${pcaProjCtesFrom(PcaMeanKey, PcaBasisKey, "")},
+       |${pcaProjCtesFrom(PcaFreshMeanKey, PcaFreshBasisKey, "f")},
+       |${cnsCte("cns", "mu")},
+       |${cnsCte("cnsf", "muf")},
+       |tot AS (SELECT
+       |    (SELECT SUM($projSq) FROM proj) AS psv,
+       |    (SELECT SUM(c) FROM cns) AS csv,
+       |    (SELECT SUM($projSq) FROM projf) AS pfv,
+       |    (SELECT SUM(c) FROM cnsf) AS cfv)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       |  CAST(psv AS DOUBLE) / CAST(csv AS DOUBLE) AS served_var_share,
+       |  CAST(pfv AS DOUBLE) / CAST(cfv AS DOUBLE) AS fresh_var_share,
+       |  (CAST(pfv AS DOUBLE) / CAST(cfv AS DOUBLE))
+       |    / (CAST(psv AS DOUBLE) / CAST(csv AS DOUBLE)) AS drift_headroom,
+       |  CAST(CASE WHEN (CAST(pfv AS DOUBLE) / CAST(cfv AS DOUBLE))
+       |      / (CAST(psv AS DOUBLE) / CAST(csv AS DOUBLE))
+       |      > $PcaRetrainHeadroom
+       |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |FROM tot""".stripMargin
+  }
 
   /** Declared query — the VARIANCE LADDER: per component, eigenvalue,
     * variance share, and the cumulative share — the table a corpus
@@ -392,16 +470,24 @@ object Pca {
     * bytes than the raw corpus at [[PcaDims]] = 16 of 64 dims. */
   private[graft] def pcaIndex(s: SparkSession, dir: String): String =
     graft.StateCache.stateDir(dir, "pca/index", "graft_pcaidx") { d =>
-      import s.implicits._
       val (_, mean, _, basis) = trainBasis(s, dir)
-      (Seq((-1L, mean.toSeq)) ++
-        basis.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
-        .toDF("component", "vector")
-        .write.parquet(s"$d/model")
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .select(col("vec_id"), projectCol(mean, basis).as("pv"))
-        .write.parquet(s"$d/proj")
+      writeIndex(s, dir, d, mean, basis)
     }
+
+  /** One persisted-index writer behind the build and the retrain: the
+    * trained (mean, basis) as the model table, the projected corpus as
+    * the serving table. */
+  private def writeIndex(s: SparkSession, dir: String, d: String,
+      mean: Array[Double], basis: Array[Array[Double]]): Unit = {
+    import s.implicits._
+    (Seq((-1L, mean.toSeq)) ++
+      basis.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
+      .toDF("component", "vector")
+      .write.parquet(s"$d/model")
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), projectCol(mean, basis).as("pv"))
+      .write.parquet(s"$d/proj")
+  }
 
   /** Declared query — top-k served READ-ONLY from the persisted PCA
     * index: no moment pass, no Jacobi, just a scan of the 16-dim
@@ -420,8 +506,15 @@ object Pca {
     * persisted projection bit-for-bit, so the model table cannot drift
     * from the projection it ships with. */
   private[graft] def loadModel(s: SparkSession,
-      dir: String): (Array[Double], Array[Array[Double]]) = {
-    val rows = s.read.parquet(s"${pcaIndex(s, dir)}/model").collect()
+      dir: String): (Array[Double], Array[Array[Double]]) =
+    loadModelFrom(s, pcaIndex(s, dir))
+
+  /** The model table of an EXPLICIT index dir — the [[loadModel]] body,
+    * factored so the cutover probe and the retrained index's readers
+    * drive the exact loader serving uses. */
+  private def loadModelFrom(s: SparkSession,
+      idx: String): (Array[Double], Array[Array[Double]]) = {
+    val rows = s.read.parquet(s"$idx/model").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val mean = rows(-1L)
     val basis = (0 until rows.size - 1).map(i => rows(i.toLong)).toArray
@@ -438,6 +531,131 @@ object Pca {
   /** The learned-subspace tier's recall audit, shared body. */
   def pcaRecallQuery(s: SparkSession, dir: String): DataFrame =
     Similarity.recallVsExact(s, dir, topKPcaQuery(s, dir))
+
+  // -------------------------------------------------------------------
+  // THE DRIFT LOOP (VERDICT r19 #2): PCA was the last trained serving
+  // artifact without one. An appended corpus keeps projecting through
+  // the persisted basis forever, and basis drift degrades sim_pca_recall
+  // with no audit to page and no retrain verb to run — exactly the gap
+  // the IVF tier closed in r17/r18. The loop here is the same triple:
+  // audit (captured-variance headroom), retrain (fresh basis + projected
+  // table into a NEW dir), cutover (the shared atomic pointer).
+
+  /** Retrain page threshold on `drift_headroom` = fresh/served captured
+    * variance: a fresh basis capturing >5% more of the live corpus's
+    * variance than the serving one means the subspace has rotated away
+    * from the data — recall is decaying for a model-capacity reason no
+    * probe/shortlist budget can buy back. */
+  val PcaRetrainHeadroom = 1.05
+
+  /** Fraction of the LIVE corpus's centered variance a (mean, basis)
+    * captures — one pass, reproducible by construction: the per-row
+    * projected norm² and centered norm² are the audited serving
+    * kernels, each row's value lands as a ROUNDED micro-unit integer
+    * (the projection_micros / cents() recipe — the engine-parity-proven
+    * representation; a raw double→decimal cast rounds differently per
+    * engine), and the integer totals fold exactly (DECIMAL(38,0) sums —
+    * the corr-moments monoid) before ONE final double division. ANY
+    * partitioning, any engine: the bit-identical ratio. */
+  private[graft] def varShareOver(emb: DataFrame, mean: Array[Double],
+      basis: Array[Array[Double]], outCol: String): DataFrame = {
+    val d38 = DataTypes.createDecimalType(38, 0)
+    val projNormSq = aggregate(
+      transform(projectCol(mean, basis), x => x * x), lit(0.0), (a, b) => a + b)
+    val cns =
+      graft.functions.GraftExpressions.centeredNormSq(col("embedding"), mean)
+    emb.select(
+        round(projNormSq * lit(1e6)).cast("long").cast(d38).as("p"),
+        round(cns * lit(1e6)).cast("long").cast(d38).as("c"))
+      .agg(sum(col("p")).as("ps"), sum(col("c")).as("cs"))
+      .select((col("ps").cast("double") / col("cs").cast("double"))
+        .as(outCol))
+  }
+
+  /** Declared query — the DRIFT AUDIT on the persisted PCA index: the
+    * explained-variance share of the live corpus under the SERVED
+    * (persisted) basis vs under a FRESH-trained one, their ratio as
+    * `drift_headroom`, and the `retrain` page at
+    * [[PcaRetrainHeadroom]] — the dashboard row that tells a serving
+    * owner the subspace rotated out from under the projection (on the
+    * never-appended declared corpus the two arms train identically, so
+    * headroom is exactly 1.0 and the flag stays down; PcaSpec pins that
+    * a drifted corpus fires it and the retrain restores capture). Fully
+    * oracle-checked: both arms replay their recorded artifacts, the
+    * decimal totals fold bit-equal in any engine. */
+  def pcaDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val (mean, basis) = loadModel(s, dir)
+    val (fMean, fBasis) = freshBasis(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(varShareOver(emb, mean, basis, "served_var_share"))
+      .crossJoin(varShareOver(emb, fMean, fBasis, "fresh_var_share"))
+      .withColumn("drift_headroom",
+        col("fresh_var_share") / col("served_var_share"))
+      .withColumn("retrain",
+        (col("drift_headroom") > PcaRetrainHeadroom).cast("long"))
+  }
+
+  /** The RETRAINED persisted index — the audit's remedy: a fresh basis
+    * over the corpus as it exists NOW ([[freshBasis]] — the exact train
+    * the audit's comparison arm priced), written as a complete NEW index
+    * dir (model + projected table) while the serving dir stays
+    * untouched for in-flight readers; the swap is [[cutover]]. */
+  private def retrainedPcaIndex(s: SparkSession, dir: String): String =
+    graft.StateCache.stateDir(dir, "pca/index_retrained", "graft_pcart") { d =>
+      val (mean, basis) = freshBasis(s, dir)
+      writeIndex(s, dir, d, mean, basis)
+    }
+
+  /** CUT SERVING OVER to a retrained PCA index — the shared atomic
+    * pointer at this family's layout ([[IndexFiles.cutoverTo]]):
+    * completeness probe = the model table loads with the mean row plus
+    * exactly [[PcaDims]] basis rows AND the projected table holds rows;
+    * a half-built retrain refuses loudly with the alias left on the
+    * live index. */
+  def cutover(s: SparkSession, aliasDir: String, newIdx: String): Unit =
+    IndexFiles.cutoverTo(aliasDir, newIdx) {
+      val ok = try {
+        val (mean, basis) = loadModelFrom(s, newIdx)
+        mean.nonEmpty && basis.length == PcaDims &&
+          basis.forall(_.length == mean.length) &&
+          !s.read.parquet(s"$newIdx/proj").isEmpty
+      } catch { case _: Exception => false }
+      require(ok, s"cutover refused: $newIdx is not a complete PCA index " +
+        s"(model with mean + $PcaDims basis rows, non-empty projection)")
+    }
+
+  /** The alias's current serving target. */
+  def resolveServing(aliasDir: String): String =
+    IndexFiles.readPointer(aliasDir)
+
+  /** RETIRE a replaced PCA index dir — the shared guards
+    * ([[IndexFiles.retireTarget]]): refuses the dir the alias still
+    * serves and anything without this family's model table (or a
+    * StateCache completion marker). */
+  def retire(aliasDir: String, oldIdx: String): Unit =
+    IndexFiles.retireTarget(aliasDir, oldIdx, "PCA index")(
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(oldIdx, "model")) ||
+        graft.StateCache.hasCompletionMarker(oldIdx))
+
+  /** Declared query — the CUTOVER lifecycle on the PCA tier: retrain
+    * into a fresh index dir, swap the serving alias atomically, serve
+    * top-k READ-ONLY through the pointer — closing retrain → serve for
+    * the last trained serving artifact (the sim_ivf_cutover shape).
+    * Fully oracle-checked against the FRESH artifact the retrain
+    * recorded: the serving-tail replay with the fresh keys — a pointer
+    * resolving to the stale index would still hash-match only because
+    * the never-appended corpus trains identically, so PcaSpec
+    * additionally pins the pointer's target and the refusal paths. */
+  def topKPcaCutover(s: SparkSession, dir: String): DataFrame = {
+    val alias = graft.StateCache.stateDir(dir, "pca/cutover_alias",
+        "graft_pcaalias") { a =>
+      cutover(s, a, retrainedPcaIndex(s, dir))
+    }
+    topKPcaOver(s, dir,
+      s.read.parquet(s"${resolveServing(alias)}/proj"))
+  }
 
   /** Declared query — projection AT INGEST: the basis is trained ONCE
     * from the static corpus, then each arriving micro-batch projects
@@ -489,6 +707,17 @@ object Pca {
     // written (model, projection) state — same oracle text verbatim.
     withOracle("sim_topk_pca_persisted", topKPcaPersisted, topKPcaOracleSql),
     withOracle("sim_pca_recall", pcaRecallQuery, pcaRecallOracleSql),
+    // The drift loop (VERDICT r19 #2): audit — both arms' recorded
+    // artifacts replayed, integer-micro totals, the exact final
+    // formulas …
+    withOracle("sim_pca_drift", pcaDriftQuery, pcaDriftOracleSql),
+    // … and the remedy + swap: the retrained index served THROUGH the
+    // atomic alias, replayed against the FRESH artifact the retrain
+    // recorded.
+    withOracle("sim_pca_cutover", topKPcaCutover,
+      s"""WITH ${topKPcaOracleCtesFrom(PcaFreshMeanKey, PcaFreshBasisKey)}
+         |SELECT query_id, rank, vec_id, proj_score, score FROM pk
+         |ORDER BY query_id, rank""".stripMargin),
     withOracle("stream_pca_project", streamProjectQuery,
       pcaProjectOracleSql))
 }

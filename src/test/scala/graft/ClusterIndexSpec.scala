@@ -339,4 +339,50 @@ class ClusterIndexSpec extends SparkSpec {
       assert(e.getMessage.contains("already in the cluster index"))
     }
   }
+
+  test("cutover: atomic alias swap, half-built refusal, retire guards — " +
+      "the IvfIndexSpec pins at this family's layout") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      val stateA = TempDirs.scoped("graft_cl_cut_a")
+      val stateB = TempDirs.scoped("graft_cl_cut_b")
+      ClusterIndex.appendBatch(emb.filter(col("vec_id") <= 40), stateA)
+      // B = the re-bucket remedy's output (a wider rebuild of A's live set)
+      ClusterIndex.rebucketIndex(spark, stateA, stateB,
+        graft.operators.Similarity.widenedBits(41L, 2))
+      val alias = TempDirs.scoped("graft_cl_cut_alias")
+      intercept[Exception] { ClusterIndex.resolveServing(alias) }
+      ClusterIndex.cutover(spark, alias, stateA)
+      assert(ClusterIndex.resolveServing(alias) == stateA)
+      val servedA = ClusterIndex.clusters(spark,
+        ClusterIndex.resolveServing(alias)).collect().map(_.toString).toSeq
+      assert(servedA == ClusterIndex.clusters(spark, stateA)
+        .collect().map(_.toString).toSeq)
+      // re-point at the remedy output; the pointer file holds the full path
+      ClusterIndex.cutover(spark, alias, stateB)
+      assert(ClusterIndex.resolveServing(alias) == stateB)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(alias, "current")),
+        java.nio.charset.StandardCharsets.UTF_8) == stateB)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(alias, ".current.tmp")))
+      // half-built target (no slices) refuses and leaves the pointer alone
+      val half = TempDirs.scoped("graft_cl_cut_half")
+      intercept[Exception] { ClusterIndex.cutover(spark, alias, half) }
+      assert(ClusterIndex.resolveServing(alias) == stateB)
+      // retire: refuses the live target, refuses a non-cluster dir, then
+      // deletes the replaced state without disturbing the served one
+      intercept[Exception] { ClusterIndex.retire(alias, stateB) }
+      val notState = TempDirs.scoped("graft_cl_cut_notstate")
+      val stray = java.nio.file.Paths.get(notState, "unrelated.txt")
+      java.nio.file.Files.write(stray, "not graft state".getBytes)
+      intercept[Exception] { ClusterIndex.retire(alias, notState) }
+      assert(java.nio.file.Files.exists(stray))
+      ClusterIndex.retire(alias, stateA)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stateA)))
+      assert(ClusterIndex.clusters(spark, ClusterIndex.resolveServing(alias))
+        .collect().nonEmpty)
+    }
+  }
 }

@@ -119,4 +119,74 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
     assert(reproj == shipped && reproj.nonEmpty)
   }
+
+  test("drift audit: headroom exactly 1.0, no page, on the never-appended corpus") {
+    val r = Pca.pcaDriftQuery(spark, sf).head()
+    assert(r.getLong(0) == Tables.embeddings(spark, sf).count())
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0)
+    // the two arms train the identical deterministic basis here, so the
+    // shares are bit-equal and the headroom is exactly 1.0
+    assert(r.getDouble(1) == r.getDouble(2))
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("drift audit fires on a drifted corpus and the retrain restores capture") {
+    import spark.implicits._
+    // Drift shape: the persisted basis was trained when all variance
+    // lived in dims 0..15; the appended mass is 4× the amplitude in
+    // dims 16..31 — the subspace ROTATED away from the serving basis,
+    // the exact decay sim_pca_recall would suffer silently without the
+    // audit. The stale basis captures only the old dims' share; a fresh
+    // train recovers the dominant new ones.
+    val dim = 2 * Pca.PcaDims
+    def mk(id: Long, lo: Int, amp: Float): (Long, Array[Float]) = {
+      val v = new Array[Float](dim)
+      for (j <- lo until lo + Pca.PcaDims)
+        v(j) = amp * (((id * 7 + j) % 5) - 2).toFloat
+      (id, v)
+    }
+    val embA = (0L until 120L).map(mk(_, 0, 1f)).toDF("vec_id", "embedding")
+    val embB = (120L until 240L).map(mk(_, Pca.PcaDims, 4f))
+      .toDF("vec_id", "embedding")
+    val (nA, meanA, gramA) = Pca.moments(embA)
+    val basisA = Pca.jacobiEigen(Pca.covariance(nA, meanA, gramA))
+      ._2.take(Pca.PcaDims)
+    val live = embA.unionByName(embB)
+    val served = Pca.varShareOver(live, meanA, basisA, "s").head().getDouble(0)
+    val (nL, meanL, gramL) = Pca.moments(live)
+    val basisL = Pca.jacobiEigen(Pca.covariance(nL, meanL, gramL))
+      ._2.take(Pca.PcaDims)
+    val fresh = Pca.varShareOver(live, meanL, basisL, "f").head().getDouble(0)
+    info(s"served=$served fresh=$fresh headroom=${fresh / served}")
+    assert(fresh / served > Pca.PcaRetrainHeadroom,
+      s"drift audit failed to page: headroom ${fresh / served}")
+    assert(fresh > 0.8, s"retrained basis captures only $fresh")
+  }
+
+  test("pca cutover: pointer serves the retrained index; refusal and retire guards") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // the cutover row serves through the alias; on the never-appended
+    // corpus the retrained artifact is value-identical, so equality with
+    // the persisted serve is the row-level pin …
+    val cut = rows(Pca.topKPcaCutover(spark, sf))
+    assert(cut == rows(Pca.topKPcaPersisted(spark, sf)) && cut.nonEmpty)
+    // … and the pointer mechanics are pinned directly (the IvfIndexSpec
+    // shape at this family's layout)
+    val alias = TempDirs.scoped("graft_pca_spec_alias")
+    val half = TempDirs.scoped("graft_pca_spec_half")
+    intercept[Exception] { Pca.cutover(spark, alias, half) }
+    intercept[Exception] { Pca.resolveServing(alias) } // refusal left it unpointed
+    val idx = Pca.pcaIndex(spark, sf)
+    Pca.cutover(spark, alias, idx)
+    assert(Pca.resolveServing(alias) == idx)
+    // retire refuses the live target and refuses non-PCA dirs
+    intercept[Exception] { Pca.retire(alias, idx) }
+    val notIdx = TempDirs.scoped("graft_pca_spec_notidx")
+    val stray = java.nio.file.Paths.get(notIdx, "unrelated.txt")
+    java.nio.file.Files.write(stray, "not graft state".getBytes)
+    intercept[Exception] { Pca.retire(alias, notIdx) }
+    assert(java.nio.file.Files.exists(stray))
+  }
 }
