@@ -771,6 +771,40 @@ object Multimodal {
       ()
     }
 
+  /** Declared query — REBUILD → CUTOVER → serve-through-pointer on the
+    * media index ([[graft.streaming.StreamingDedup.serveCutoverQuery]]'s
+    * media twin, VERDICT r19 #1): rebuild the phash index over the LIVE
+    * train assets (banded fingerprints — seeded, data-independent
+    * geometry, so rebuild needs no retraining), swap the serving alias
+    * atomically, serve the eval split THROUGH the pointer.
+    * Rebuild-on-survivors ≡ tombstone-filtered serving, so the oracle is
+    * mm_serve_deleted's cross-split text verbatim. */
+  def mmServeCutoverQuery(s: SparkSession, dir: String): DataFrame = {
+    val isEval = substring(md5(col("media_id").cast("string")), 1, 1) === "0"
+    val hashes = phashTableOf(Tables.documents(s, dir))
+    val alias = graft.StateCache.stateDir(dir, "mmidx/cutover_alias",
+        "graft_mmcut_alias") { a =>
+      val rebuilt = graft.StateCache.stateDir(dir, "mmidx/rebuilt_live",
+          "graft_mmcut_idx") { idx =>
+        val sink = graft.TempDirs.scoped("graft_mmcut_sink")
+        graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+          graft.streaming.StreamingDedup.appendMediaBatch(
+            hashes.filter(!isEval && col("media_id") % 5 =!= 2), idx, sink)
+            .count()
+          ()
+        }
+      }
+      graft.streaming.StreamingDedup.cutoverIndex(s, a, rebuilt)
+    }
+    val out = graft.TempDirs.scoped("graft_mmcut_out")
+    graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(s) {
+      graft.streaming.StreamingDedup.serveMediaBatch(hashes.filter(isEval),
+        graft.streaming.StreamingDedup.resolveServing(alias), out, 0L)
+    }
+    s.read.parquet(s"$out/b0")
+      .orderBy(col("query_media"), col("match_media"))
+  }
+
   /** Declared query — AS-OF snapshot serving on the media index
     * ([[graft.streaming.StreamingDedup.serveAsOfQuery]]'s media twin):
     * the train split lands as TWO id-ordered slices, a delete tombstones
@@ -1129,6 +1163,19 @@ object Multimodal {
          |ORDER BY query_media, match_media""".stripMargin),
     // The forget verb replayed as one predicate on the match side.
     withOracle("mm_serve_deleted", mmServeDeletedQuery,
+      s"""$phashOracleCtes,
+         |q AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT media_id, phash FROM ph
+         |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) <> '0')
+         |SELECT q.media_id AS query_media, tr.media_id AS match_media,
+         |  CAST(bit_count(xor(q.phash, tr.phash)) AS BIGINT) AS hamming
+         |FROM q JOIN tr ON bit_count(xor(q.phash, tr.phash)) <= $PhashMaxHamming
+         |WHERE tr.media_id % 5 <> 2
+         |ORDER BY query_media, match_media""".stripMargin),
+    // Rebuild-on-survivors served through the atomic alias ≡ the
+    // tombstone-filtered serve — mm_serve_deleted's replay verbatim.
+    withOracle("mm_serve_cutover", mmServeCutoverQuery,
       s"""$phashOracleCtes,
          |q AS (SELECT media_id, phash FROM ph
          |  WHERE substr(md5(CAST(media_id AS VARCHAR)), 1, 1) = '0'),

@@ -547,6 +547,20 @@ object StreamQueries {
          |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
          |  AND NOT (m % 5 = 2)
          |ORDER BY query_doc, match_doc""".stripMargin),
+    // Rebuild the index over the live train docs, swap the serving alias
+    // atomically, serve through the pointer (VERDICT r19 #1):
+    // rebuild-on-survivors ≡ the tombstone-filtered serve, so the
+    // dedup_serve_deleted replay carries verbatim.
+    withOracle("dedup_serve_cutover", StreamingDedup.serveCutoverQuery,
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCte},
+         |sym AS (SELECT doc_a AS q, doc_b AS m, jaccard FROM jp
+         |        UNION ALL SELECT doc_b AS q, doc_a AS m, jaccard FROM jp)
+         |SELECT q AS query_doc, m AS match_doc, jaccard
+         |FROM sym
+         |WHERE substr(md5(CAST(q AS VARCHAR)), 1, 1) = '0'
+         |  AND substr(md5(CAST(m AS VARCHAR)), 1, 1) <> '0'
+         |  AND NOT (m % 5 = 2)
+         |ORDER BY query_doc, match_doc""".stripMargin),
     // Embedding twin: survivors of the streaming LSH dedup = vectors that
     // are not the larger side of any CAPPED-WITNESS verified pair — the
     // saturation cap (EmbeddingBucketCap, the embedding tier's scale

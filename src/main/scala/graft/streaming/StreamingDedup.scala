@@ -734,6 +734,79 @@ object StreamingDedup {
       .orderBy(col("query_doc"), col("match_doc"))
   }
 
+  /** CUTOVER the serving alias for a banded-LSH index (text and media —
+    * same bands/sets/tombstones layout) — the atomic pointer verb
+    * generalized off the IVF tiers (VERDICT r19 #1: these families'
+    * serve paths hardcoded the state dir). Completeness probe at this
+    * layout: at least one bands slice AND one sets slice — a half-built
+    * rebuild refuses loudly with the alias left on the live index.
+    * Publication is [[graft.operators.IndexFiles.cutoverTo]]'s
+    * write-temp-then-rename; the old state stays untouched for
+    * in-flight and as-of readers until [[retireIndex]]. */
+  def cutoverIndex(spark: SparkSession, aliasDir: String,
+      newState: String): Unit =
+    graft.operators.IndexFiles.cutoverTo(aliasDir, newState) {
+      Seq("bands", "sets").foreach { sub =>
+        require(listSlices(spark, s"$newState/$sub").nonEmpty,
+          s"cutover refused: no slices under $newState/$sub — half-built " +
+            "LSH index")
+      }
+    }
+
+  /** The alias's current serving target. */
+  def resolveServing(aliasDir: String): String =
+    graft.operators.IndexFiles.readPointer(aliasDir)
+
+  /** RETIRE a replaced LSH index state dir — the shared guards
+    * ([[graft.operators.IndexFiles.retireTarget]]): refuses the dir the
+    * alias still serves, refuses anything without this family's bands
+    * subdir (or a StateCache completion marker). Retire-then-as-of
+    * ordering is operator-owned and fails loudly, the
+    * [[graft.operators.IvfIndex.retire]] contract. */
+  def retireIndex(aliasDir: String, oldState: String): Unit =
+    graft.operators.IndexFiles.retireTarget(aliasDir, oldState, "LSH index")(
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(oldState, "bands")) ||
+        graft.StateCache.hasCompletionMarker(oldState))
+
+  /** Declared query — REBUILD → CUTOVER → serve-through-pointer on the
+    * text LSH index (VERDICT r19 #1, closing the non-IVF families'
+    * "remedy produced a second dir" gap): the standard train +
+    * forget-%5 lifecycle leaves an index whose tombstone anti-join
+    * every serve pays; the maintenance rebuild writes a fresh index
+    * over the LIVE train docs (LSH geometry is seeded and
+    * data-independent, so a rebuild needs no retraining — it is this
+    * family's compaction-into-a-new-dir), [[cutoverIndex]] swaps the
+    * serving alias atomically, and the eval split is served THROUGH the
+    * pointer ([[resolveServing]]). Rebuild-on-survivors ≡
+    * tombstone-filtered serving, so the oracle is dedup_serve_deleted's
+    * cross-split text verbatim — a pointer resolving to a stale or
+    * half-built dir diverges or fails loudly. */
+  def serveCutoverQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val alias = graft.StateCache.stateDir(dir, "txtidx/cutover_alias",
+        "graft_tcut_alias") { a =>
+      val rebuilt = graft.StateCache.stateDir(dir, "txtidx/rebuilt_live",
+          "graft_tcut_idx") { idx =>
+        val sink = graft.TempDirs.scoped("graft_tcut_sink")
+        MicroBatchPipeline.withBatchSizedShuffle(spark) {
+          appendBatch(docs.filter(!isEval && col("doc_id") % 5 =!= 2), idx,
+            sink).count()
+          ()
+        }
+      }
+      cutoverIndex(spark, a, rebuilt)
+    }
+    val out = graft.TempDirs.scoped("graft_tcut_out")
+    MicroBatchPipeline.withBatchSizedShuffle(spark) {
+      serveTextBatch(docs.filter(isEval), resolveServing(alias), out, 0L,
+        Dedup.JaccardThreshold, DefaultBucketCap)
+    }
+    spark.read.parquet(s"$out/b0")
+      .orderBy(col("query_doc"), col("match_doc"))
+  }
+
   /** Declared query — SNAPSHOT DIFF, the "what changed between these
     * two index versions" ops verb that completes the as-of family: a
     * reader that pinned itself to a snapshot eventually asks what it
