@@ -42,7 +42,10 @@ object Explain {
         "sim_serving_matrix", "rel_join_bucketed", "rel_zorder_layout",
         "rel_agg_ols", "rel_event_transitions", "text_heavy_hitters_cms",
         "sim_topk_pca", "dedup_index_diff",
-        "sim_ivf_retrain", "text_pack_sequences", "text_incremental_novelty")
+        "sim_ivf_retrain", "text_pack_sequences", "text_incremental_novelty",
+        "sim_ivfpq_retrain", "sim_ivfpq_probe_sweep", "sim_li_retrain",
+        "sim_pca_drift", "sim_pca_cutover", "sim_clusters_cutover",
+        "dedup_serve_cutover", "mm_serve_cutover")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
