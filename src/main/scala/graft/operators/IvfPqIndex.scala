@@ -322,17 +322,19 @@ object IvfPqIndex {
 
   /** The compressed layout's own CUTOVER verb: the shared
     * [[IvfIndex.cutover]] probe (centroids + postings, and the
-    * conditional codebooks check when the dir exists) plus a HARD
-    * codebooks requirement — a target whose codebooks/ dir vanished
+    * conditional codebooks-table check when the dir exists) plus a HARD
+    * codebooks-dir requirement — a target whose codebooks/ dir vanished
     * ENTIRELY would pass the generic probe and only fail at serve time,
     * after the alias already swapped (ADVICE r19); this wrapper refuses
-    * it up front, so the refuse-loudly guarantee holds for the
-    * compressed layout unconditionally. */
+    * it up front. The existence check here is a cheap stat: the TABLE
+    * itself is validated by the generic verb's conditional probe (which
+    * fires exactly because the dir exists), so the codebooks parquet is
+    * read once per cutover, not twice. */
   def cutover(spark: SparkSession, aliasDir: String, newDir: String): Unit = {
-    val ok = try loadCodebooks(spark, newDir).nonEmpty
-      catch { case _: Exception => false }
-    require(ok, s"cutover refused: $newDir has no codebooks table — " +
-      "not a complete IVFPQ index")
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(newDir, "codebooks")),
+      s"cutover refused: $newDir has no codebooks dir — " +
+        "not a complete IVFPQ index")
     IvfIndex.cutover(spark, aliasDir, newDir)
   }
 

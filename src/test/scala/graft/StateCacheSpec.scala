@@ -115,6 +115,30 @@ class StateCacheSpec extends AnyFunSuite {
     assert(StateCache.dirFingerprint(d + "/nope") == "absent")
   }
 
+  test("dirFingerprint: per-entry terminator prevents digit-absorption collisions") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    def mk(files: Seq[(String, Int, Long)]): String = {
+      val d = TempDirs.scoped("graft_sc_fpcol")
+      files.foreach { case (n, size, mt) =>
+        val p = Paths.get(d, n)
+        Files.write(p, Array.fill[Byte](size)('a'))
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mt))
+      }
+      StateCache.dirFingerprint(d)
+    }
+    // Without a terminator after each (path, size, mtime) entry, the
+    // first entry's trailing mtime digits absorb the second entry's
+    // leading path digit and these two DIFFERENT states concatenate to
+    // the identical digest input ("1x·1·2" + "3y·4·5" == "1x·1·23" +
+    // "y·4·5" in sorted order) — a false cache hit on exactly the
+    // in-place rewrite the fingerprint exists to catch.
+    val a = mk(Seq(("1x", 1, 2L), ("3y", 4, 5L)))
+    val b = mk(Seq(("1x", 1, 23L), ("y", 4, 5L)))
+    assert(a != b,
+      "digit-absorption collision: two different dir states fingerprint equal")
+  }
+
   test("OracleLiterals are corpus-scoped: a scope switch hides, not destroys") {
     OracleLiterals.scopeTo("/scopeA")
     OracleLiterals.put("spec-key", "[1.0]")
