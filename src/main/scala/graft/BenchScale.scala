@@ -114,7 +114,19 @@ object BenchScale {
     // cold passes measure build + forget + the retrain rebuild (live
     // read joined to the corpus for full vectors, bounded driver trains,
     // one cell-partitioned write); expected linear, no pairwise term.
-    "sim_ivfpq_retrain")
+    "sim_ivfpq_retrain",
+    // round-20 (VERDICT r19 #3): the cascade stage-1 drift remedy —
+    // cold passes measure the feature-vector featurize + build + forget
+    // + retrain + the bounded cascade serve; expected linear (one
+    // featurization pass, bounded driver train, cell-partitioned write,
+    // |queries|-bounded rerank).
+    "sim_li_retrain",
+    // round-20 (VERDICT r19 #1): the LSH families' remedy — rebuild the
+    // text index over the live train split, atomic cutover, serve the
+    // eval split through the pointer; expected to track
+    // dedup_serve_deleted (same banded candidate scheme, one
+    // rebuild-append pass instead of the tombstone anti-join).
+    "dedup_serve_cutover")
 
   /** SERVING-path families (VERDICT r14 #5): the per-query read cost of
     * the persisted indexes, measured separately from their builds — one
@@ -148,7 +160,16 @@ object BenchScale {
     // compressed index's postings and the LI cascade's stage-1
     // feature-vector index — the all-tier drift dashboard rows
     "sim_ivfpq_balance",
-    "sim_li_balance")
+    "sim_li_balance",
+    // round-20: the widened cluster state served THROUGH the atomic
+    // pointer (state prebuilt once per scale — the timed pass is the
+    // pointer read + the latest-wins label fold), the media index's
+    // rebuild-then-cutover serve, and the PCA drift audit (two
+    // integer-micro variance passes over the corpus against the cached
+    // basis pair — the per-append dashboard row, must stay ~linear).
+    "sim_clusters_cutover",
+    "mm_serve_cutover",
+    "sim_pca_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

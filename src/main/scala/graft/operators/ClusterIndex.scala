@@ -659,7 +659,9 @@ object ClusterIndex {
     * the [[Similarity.geometryAudit]] row shows. The permanent delete
     * record carries over — a tombstoned id must stay un-appendable in
     * the re-bucketed index too (the forget-audit contract) — and the
-    * old state is left untouched for as-of reads until retired. */
+    * old state is left untouched for as-of reads until [[retire]]d
+    * (serving swaps to the new state via [[cutover]]'s atomic
+    * pointer). */
   def rebucketIndex(spark: SparkSession, oldState: String,
       newState: String, bits: Int): Unit = {
     val dead = deadAll(spark, oldState).localCheckpoint(true)
