@@ -161,8 +161,15 @@ object Similarity {
     * the ANN, binary and matryoshka audits so the metric definition
     * cannot drift between serving tiers. */
   private[operators] def recallVsExact(s: SparkSession, dir: String,
-      approx: DataFrame): DataFrame = {
-    val exact = topKExact(s, dir).select(col("query_id"), col("vec_id"))
+      approx: DataFrame): DataFrame =
+    recallVsBaseline(s, dir,
+      topKExact(s, dir).select(col("query_id"), col("vec_id")), approx)
+
+  /** [[recallVsExact]] against an already-built exact baseline — lets a
+    * multi-tier audit (the serving matrix) pay the exact ranking once
+    * instead of once per tier. */
+  private def recallVsBaseline(s: SparkSession, dir: String,
+      exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.join(approx.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
@@ -769,8 +776,16 @@ object Similarity {
     * standalone audit's total, so the two can never drift. */
   def servingMatrixQuery(s: SparkSession, dir: String): DataFrame = {
     val denom = (NumQueryVectors * TopK).toLong
+    // One exact ranking for all six tiers: each row's audit joins against
+    // the same baseline, and DataFrame plans don't dedupe identical
+    // subtrees — unshared, the corpus-scan + rank window behind
+    // [[topKExact]] executed six times per matrix read. The baseline is
+    // |queries|×TopK rows, so an eager localCheckpoint materializes it
+    // once and every tier joins the in-memory copy.
+    val exact = topKExact(s, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
     def row(name: String, approx: DataFrame): DataFrame =
-      recallVsExact(s, dir, approx)
+      recallVsBaseline(s, dir, exact, approx)
         .agg(coalesce(sum(col("n_hits")), lit(0L)).as("n_hits"))
         .select(lit(name).as("tier"), lit(denom).as("n_exact"),
           col("n_hits"),
@@ -778,7 +793,7 @@ object Similarity {
     row("ann_lsh", topKAnn(s, dir))
       .unionByName(row("ann_multiprobe", topKMultiprobe(s, dir)))
       .unionByName(row("binary", EmbeddingOps.topKBinary(s, dir)))
-      .unionByName(row("exact", topKExact(s, dir)))
+      .unionByName(row("exact", exact))
       .unionByName(row("int8", EmbeddingOps.topKInt8(s, dir)))
       .unionByName(row("matryoshka", EmbeddingOps.topKMatryoshka(s, dir)))
       .orderBy(col("tier"))
@@ -2112,6 +2127,12 @@ object Similarity {
     * one-pass featurization by design — it is the scan-bound baseline). */
   private def liCascadeOver(s: SparkSession, dir: String,
       pool: DataFrame): DataFrame = {
+    // The pool feeds three consumers (the stage-2 candidate restriction's
+    // doc-level and pair-level semi-joins, and the outer left join);
+    // physical-plan exchange reuse dedupes the copies' shuffles, so no
+    // materialization is needed (an eager localCheckpoint here was
+    // measured SLOWER — it serializes the pool build into its own job
+    // ahead of the cascade instead of sharing stages inside it).
     val cc = s.read.parquet(s"${liFeatureState(s, dir)}/feats")
     val sc = liScoresOver(cc.filter(col("doc_id") < NumQueryVectors), cc,
       Some(pool.select(col("query_id"), col("cand_id"))))
@@ -2858,7 +2879,20 @@ object Similarity {
     val q = qf.withColumn("sq_q", sq)
       .select(col("doc_id").as("query_id"), col("chunk_id").as("qc"),
         col("dim"), col("signed_count").as("cq"), col("sq_q"))
-    val joined = cf.withColumn("sq_c", sq)
+    // Candidate restriction happens at DOC grain BEFORE the norm window
+    // and the dim equi-join — this is what makes the cascade's claimed
+    // shape real: stage 2 touches only the ≤ |queries|×pool candidate
+    // documents' chunk rows, not the corpus. (Restricting by whole doc
+    // keeps every chunk and dim of a candidate, so the window norms are
+    // unchanged; the pair-level semi-join below still enforces WHICH
+    // queries each candidate is scored for.) Previously the pair filter
+    // sat AFTER the corpus-wide dim join, so every serve paid a
+    // corpus-sized norm exchange and dim explode that the pool then
+    // threw away — at 10^9 docs that factor is corpus/|pool|.
+    val cfRestricted = candidates.fold(cf)(cset =>
+      cf.join(broadcast(cset.select(col("cand_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi"))
+    val joined = cfRestricted.withColumn("sq_c", sq)
       .select(col("doc_id").as("cand_id"), col("chunk_id").as("dc"),
         col("dim"), col("signed_count").as("cd"), col("sq_c"))
       .join(broadcast(q), Seq("dim"))

@@ -45,24 +45,44 @@ object Sketches {
     docs.select(explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) > 0)
 
+  /** Exact per-token counts of a token frame — the vocabulary-sized
+    * reduction both the grid and the exact top-k are functions of. */
+  private[graft] def tokenCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+
   /** The sketch grid over any token frame: (row, bucket, c) — at most
-    * d·w rows out of a corpus-sized stream, built by one map-side-
-    * combined groupBy (the d-way explode multiplies rows BEFORE the
-    * combine, so shuffle volume is the grid, not the stream). */
+    * d·w rows out of a corpus-sized stream. Built in two reductions:
+    * tokens collapse to exact per-token counts FIRST (one map-side-
+    * combined groupBy on the raw token), then the d md5 bucket hashes
+    * are computed once per DISTINCT token and the counts re-aggregate
+    * into cells. Cell values are identical (a cell is Σ over tokens of
+    * that token's count), but the d-per-occurrence md5s — the sketch's
+    * dominant per-row cost — drop to d-per-vocabulary-entry, and the
+    * d-way explode multiplies the vocabulary, not the stream. */
   private[graft] def cmsGrid(toks: DataFrame): DataFrame =
-    toks.select(col("t"),
+    gridOfCounts(tokenCounts(toks))
+
+  /** The cell re-aggregation over a (t, n) count table. */
+  private def gridOfCounts(tc: DataFrame): DataFrame =
+    tc.select(col("t"), col("n"),
         explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row"))
-      .select(col("row"), bucket(col("row"), col("t")).as("bucket"))
+      .select(col("row"), bucket(col("row"), col("t")).as("bucket"), col("n"))
       .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("n")).as("c"))
 
   /** Estimate the exact top-k tokens against a sketch grid and report
     * the guaranteed-nonnegative overestimate. The top-k frame is tiny,
     * so its d probes broadcast against the ≤ d·w-row grid. */
   private[graft] def heavyHittersOver(toks: DataFrame,
+      grid: DataFrame): DataFrame =
+    heavyHittersOverCounts(tokenCounts(toks), grid)
+
+  /** [[heavyHittersOver]] when the exact token counts are already in
+    * hand — lets one token reduction feed both the grid build and the
+    * exact top-k instead of tokenizing the corpus twice. */
+  private[graft] def heavyHittersOverCounts(tc: DataFrame,
       grid: DataFrame): DataFrame = {
-    val exact = toks.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_exact"))
+    val exact = tc.select(col("t"), col("n").as("n_exact"))
       .orderBy(col("n_exact").desc, col("t").asc)
       .limit(CmsTopTokens)
     val probes = exact.select(col("t"), col("n_exact"),
@@ -78,10 +98,15 @@ object Sketches {
   }
 
   /** Declared query — heavy hitters through the sketch, audited against
-    * exact counts. */
+    * exact counts. The corpus is tokenized and count-reduced ONCE; the
+    * vocabulary-sized count table (eagerly checkpointed — DataFrame
+    * plans don't dedupe identical subtrees, so the grid arm and the
+    * exact arm would each re-run the tokenize + reduce) then feeds both
+    * the sketch build and the exact top-k. */
   def heavyHittersQuery(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokenStream(Tables.documents(s, dir))
-    heavyHittersOver(toks, cmsGrid(toks))
+    val tc = tokenCounts(tokenStream(Tables.documents(s, dir)))
+      .localCheckpoint(true)
+    heavyHittersOverCounts(tc, gridOfCounts(tc))
   }
 
   /** Declared query — the sketch built IN-STREAM: each micro-batch

@@ -627,9 +627,19 @@ object TextAnalysis {
         if (i == 0) spark.emptyDataFrame.withColumn("g", lit("")).limit(0)
           .select(col("g"))
         else spark.read.parquet((0 until i).map(j => s"$state/b$j"): _*)
-      val firstHere = grams.groupBy(col("g"))
+          .select(col("g"))
+      // The batch's NEW shingles with their within-batch first owner.
+      // This IS the state append: its g-set equals the old separate
+      // distinct + anti-join pass by construction (distinct grams of
+      // the batch minus everything seen), so landing it once serves
+      // both the scoring join (read back below — a KB-scale parquet
+      // read instead of a third tokenize + shuffle pass over the
+      // batch) and every later batch's seen-set.
+      grams.groupBy(col("g"))
         .agg(min(col("doc_id")).as("first_doc"))
         .join(seen, Seq("g"), "left_anti")
+        .write.mode("overwrite").parquet(s"$state/b$i")
+      val firstHere = spark.read.parquet(s"$state/b$i")
       grams
         .join(firstHere, Seq("g"), "left")
         .groupBy(col("doc_id"))
@@ -640,9 +650,6 @@ object TextAnalysis {
           (col("n_novel").cast("double") / col("n_grams"))
             .as("novelty_ratio"))
         .write.mode("overwrite").parquet(s"$out/b$i")
-      grams.select(col("g")).distinct()
-        .join(seen, Seq("g"), "left_anti")
-        .write.mode("overwrite").parquet(s"$state/b$i")
       lo = hi
     }
     spark.read.parquet(s"$out/b*").orderBy(col("doc_id"))
