@@ -136,13 +136,29 @@ object Similarity {
       .distinct()
   }
 
+  /** The verified embedding candidate-pair stream as BUILD-ONCE state —
+    * the embedding twin of [[Dedup]]'s `corpusPairs` convention: one
+    * bucketed LSH join + exact-cosine verification per (corpus, geometry)
+    * per JVM, written as a parquet pair state every consumer (near-dup
+    * pairs, the dedup decision, the leakage split, the joint groups, the
+    * calibrated dedup, the kNN graph) reads read-only. Before, each of
+    * those declared queries re-ran the full bucket join + pair cosine
+    * per invocation — exactly the rebuild-per-serve shape the text tier
+    * already amortizes. The state is keyed by the bucket-geometry width,
+    * so the adaptive-geometry consumers (corpusBits) and the fixed-
+    * geometry ones can never share a mismatched pair set. */
   private[graft] def lshCandidatePairScores(s: SparkSession, dir: String,
       bits: Int = AnnBits): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    lshCandidatePairs(emb, bits = bits)
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
+    val st = graft.StateCache.stateDir(dir, s"emb/pair_scores_b$bits",
+        "graft_embpairs") { d =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      lshCandidatePairs(emb, bits = bits)
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cos(col("emb_a"), col("emb_b")).as("score"))
+        .write.parquet(s"$d/pairs")
+    }
+    s.read.parquet(s"$st/pairs")
   }
 
   /** Recall audit of the ANN tier as a DECLARED QUERY — the number a

@@ -870,8 +870,7 @@ object TextAnalysis {
     val outDir = graft.TempDirs.scoped("graft_slm_out")
     val ckpt = graft.TempDirs.scoped("graft_slm_ckpt")
     val staticDocs = Tables.documents(spark, dir)
-    val (c1, c2, c3) = lmCounts(staticDocs)
-    val frozen = Seq(c1, c2, c3).map(_.persist())
+    val frozen = scorerCounts(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -880,15 +879,44 @@ object TextAnalysis {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          lmScoreOver(batch.toDF(), frozen(0), frozen(1), frozen(2))
+          lmScoreOver(batch.toDF(), frozen("c1"), frozen("c2"), frozen("c3"))
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           ()
         }
         .start()
         .awaitTermination()
     }
-    frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
+  }
+
+  /** The FROZEN scorer count tables behind the four streaming scoring
+    * twins (LM trigram counts, contrastive classifier counts, DSIR
+    * bucket counts) — trained once per corpus per JVM into
+    * [[graft.StateCache]] parquet state and served read-only by every
+    * drain. This is exactly the "trained ONCE from the static corpus"
+    * contract the twins' docstrings declare, amortized the way every
+    * other trained artifact already is (the liFeatureState precedent);
+    * before, each invocation re-ran all the training aggregations inside
+    * its own drain (7 pipelines for the quality vector), billing every
+    * serve for a build production performs once. The tables are
+    * deterministic functions of the corpus, so the drained rows are
+    * identical either way — the batch text_* scoring queries keep their
+    * inline one-pass training by design (they are the scan-bound audit
+    * tier). */
+  private def scorerCounts(s: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    val st = graft.StateCache.stateDir(dir, "text/scorer_counts",
+        "graft_scorecnt") { d =>
+      val docs = Tables.documents(s, dir)
+      val (c1, c2, c3) = lmCounts(docs)
+      val (cPos, cNeg) = classifierCounts(docs)
+      val (cTgt, cRaw) = dsirCounts(docs)
+      Seq("c1" -> c1, "c2" -> c2, "c3" -> c3, "cpos" -> cPos,
+        "cneg" -> cNeg, "ctgt" -> cTgt, "craw" -> cRaw)
+        .foreach { case (n, df) => df.write.parquet(s"$d/$n") }
+    }
+    Seq("c1", "c2", "c3", "cpos", "cneg", "ctgt", "craw")
+      .map(n => n -> s.read.parquet(s"$st/$n")).toMap
   }
 
   /** Fixed clf_score cuts bounding the curriculum's quality bands (band =
@@ -957,8 +985,7 @@ object TextAnalysis {
     val outDir = graft.TempDirs.scoped("graft_sclf_out")
     val ckpt = graft.TempDirs.scoped("graft_sclf_ckpt")
     val staticDocs = Tables.documents(spark, dir)
-    val (cPos, cNeg) = classifierCounts(staticDocs)
-    val frozen = Seq(cPos, cNeg).map(_.persist())
+    val frozen = scorerCounts(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -967,14 +994,13 @@ object TextAnalysis {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          classifierScoreOver(batch.toDF(), frozen(0), frozen(1))
+          classifierScoreOver(batch.toDF(), frozen("cpos"), frozen("cneg"))
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           ()
         }
         .start()
         .awaitTermination()
     }
-    frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
@@ -1158,10 +1184,7 @@ object TextAnalysis {
     val outDir = graft.TempDirs.scoped("graft_sqsig_out")
     val ckpt = graft.TempDirs.scoped("graft_sqsig_ckpt")
     val staticDocs = Tables.documents(spark, dir)
-    val (c1, c2, c3) = lmCounts(staticDocs)
-    val (cPos, cNeg) = classifierCounts(staticDocs)
-    val (cTgt, cRaw) = dsirCounts(staticDocs)
-    val frozen = Seq(c1, c2, c3, cPos, cNeg, cTgt, cRaw).map(_.persist())
+    val frozen = scorerCounts(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -1174,12 +1197,12 @@ object TextAnalysis {
           b.select(col("doc_id"))
             .join(QualityGate.gopherFlags(b)
               .select(col("doc_id"), col("keep")), "doc_id")
-            .join(lmScoreOver(b, c1, c2, c3)
+            .join(lmScoreOver(b, frozen("c1"), frozen("c2"), frozen("c3"))
               .select(col("doc_id"), col("hit_rate"), col("lm_score")),
               "doc_id")
-            .join(classifierScoreOver(b, cPos, cNeg)
+            .join(classifierScoreOver(b, frozen("cpos"), frozen("cneg"))
               .select(col("doc_id"), col("clf_score")), "doc_id")
-            .join(dsirWeightsOver(b, cTgt, cRaw)
+            .join(dsirWeightsOver(b, frozen("ctgt"), frozen("craw"))
               .select(col("doc_id"), col("dsir_weight")), "doc_id")
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           ()
@@ -1187,7 +1210,6 @@ object TextAnalysis {
         .start()
         .awaitTermination()
     }
-    frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 
@@ -1235,8 +1257,7 @@ object TextAnalysis {
     val outDir = graft.TempDirs.scoped("graft_sdsir_out")
     val ckpt = graft.TempDirs.scoped("graft_sdsir_ckpt")
     val staticDocs = Tables.documents(spark, dir)
-    val (cTgt, cRaw) = dsirCounts(staticDocs)
-    val frozen = Seq(cTgt, cRaw).map(_.persist())
+    val frozen = scorerCounts(spark, dir)
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -1245,14 +1266,13 @@ object TextAnalysis {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          dsirWeightsOver(batch.toDF(), frozen(0), frozen(1))
+          dsirWeightsOver(batch.toDF(), frozen("ctgt"), frozen("craw"))
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           ()
         }
         .start()
         .awaitTermination()
     }
-    frozen.foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 

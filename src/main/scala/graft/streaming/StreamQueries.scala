@@ -80,7 +80,11 @@ object StreamQueries {
     // stragglers. The middle batch advances nothing new below m1, but
     // its END is when the store evicts the early keys — so the
     // stragglers in batch three meet already-evicted keys and drop.
-    val flagged = ev.withColumn("straggler", isStraggler)
+    // Eagerly checkpointed: the three landing-file writes below are
+    // separate ACTIONS, so each would re-run the events scan plus the
+    // straggler-eligibility window; materializing the flagged rows once
+    // makes them three cheap filters.
+    val flagged = ev.withColumn("straggler", isStraggler).localCheckpoint(true)
     writeOne(flagged.filter(!col("straggler") &&
         col("ts") <= lit(mts) - expr("INTERVAL 1 HOUR"))
       .drop("straggler"), "a.parquet", 1000000L)
