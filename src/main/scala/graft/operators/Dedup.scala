@@ -824,16 +824,30 @@ object Dedup {
     val ckpt = graft.TempDirs.scoped("graft_swdecon_ckpt")
     val staticDocs = Tables.documents(spark, dir)
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-    // ONE winnow pass over the static corpus feeds both frozen
-    // artifacts: the boilerplate droplist (df over cap) and the eval
-    // fingerprint set (eval docs' fps minus the droplist)
-    val fp0Static = winnowFp0(staticDocs).persist()
-    val boiler = fp0Static
-      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowMaxDf).select(col("fp")).persist()
-    val evalFps = fp0Static.filter(isEval)
-      .join(boiler, Seq("fp"), "left_anti")
-      .select(col("fp")).distinct().persist()
+    // The two frozen artifacts — the boilerplate droplist (df over cap)
+    // and the eval fingerprint set (eval docs' fps minus the droplist) —
+    // are pure functions of the static corpus and are declared frozen,
+    // so they build once per corpus per JVM into StateCache parquet
+    // state (the scorer-counts convention) from ONE winnow pass; every
+    // drain reads them instead of re-winnowing the whole corpus per
+    // invocation. Only the arriving batch's winnow — the serve — runs
+    // per micro-batch.
+    val frozenDir = graft.StateCache.stateDir(dir, "dedup/winnow_frozen",
+        "graft_winfrz") { d =>
+      val fp0Static = winnowFp0(staticDocs).persist()
+      try {
+        fp0Static
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > WinnowMaxDf).select(col("fp"))
+          .write.parquet(s"$d/boiler")
+        fp0Static.filter(isEval)
+          .join(spark.read.parquet(s"$d/boiler"), Seq("fp"), "left_anti")
+          .select(col("fp")).distinct()
+          .write.parquet(s"$d/evalfps")
+      } finally { fp0Static.unpersist(); () }
+    }
+    val boiler = spark.read.parquet(s"$frozenDir/boiler")
+    val evalFps = spark.read.parquet(s"$frozenDir/evalfps")
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
     graft.streaming.MicroBatchPipeline.withBatchSizedShuffle(spark) {
@@ -854,7 +868,6 @@ object Dedup {
         .start()
         .awaitTermination()
     }
-    Seq(fp0Static, boiler, evalFps).foreach(_.unpersist())
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 

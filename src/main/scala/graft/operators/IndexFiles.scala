@@ -104,13 +104,23 @@ private[graft] object IndexFiles {
   }
 
   /** The frozen centroid table, cell-ordered (IvfCells rows — a driver
-    * read the same size as the per-query PQ LUTs). */
+    * read the same size as the per-query PQ LUTs). Memoized in-memory
+    * per (dir, content fingerprint) — the serving-node shape: centroids
+    * are frozen at build time and every retrain writes a NEW dir, so a
+    * probe that re-collected them per invocation (several Spark jobs per
+    * serve across every IVF-backed query) was pure repeat driver work.
+    * The fingerprint in the key makes an in-place rewrite (tests,
+    * rebuild-into-same-dir) MISS instead of serving stale geometry —
+    * the pack-offset cache's guard applied here. */
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
-    spark.read.parquet(dir)
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-      .toSeq
+    graft.StateCache.cached(dir,
+        "centroids:" + graft.StateCache.dirFingerprint(dir)) {
+      spark.read.parquet(dir)
+        .orderBy(col("cell"))
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+        .toSeq
+    }
 
   /** Persist PQ codebooks as (subspace, code, centroid), overwriting.
     * `cbs` is the subspace-major flattened [m*ks][subDim] table
@@ -125,12 +135,18 @@ private[graft] object IndexFiles {
       .write.mode("overwrite").parquet(dir)
   }
 
-  /** The frozen codebooks back in PqEncode's flattened order. */
+  /** The frozen codebooks back in PqEncode's flattened order. Memoized
+    * like [[loadCentroids]] (same immutability argument: codebooks are
+    * frozen at train time, retrains write new dirs, the fingerprint
+    * guards in-place rewrites). */
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(dir)
-      .orderBy(col("subspace"), col("code"))
-      .collect()
-      .map(_.getSeq[Double](2).toArray)
+    graft.StateCache.cached(dir,
+        "codebooks:" + graft.StateCache.dirFingerprint(dir)) {
+      spark.read.parquet(dir)
+        .orderBy(col("subspace"), col("code"))
+        .collect()
+        .map(_.getSeq[Double](2).toArray)
+    }
 
   /** All rows across the b/c slices under `base`. Each slice is read
     * under its own root so partition columns (the cell=N layout) are
