@@ -110,10 +110,17 @@ object Curation {
     */
   def spanDedup(docs: DataFrame): DataFrame = {
     val w = SpanTokens
+    // The tokenized corpus feeds THREE separate consumers (the dup-window
+    // aggregate, the occurrence join back, and the coverage posexplode) —
+    // separate subtrees, so un-materialized it would tokenize the corpus
+    // three times. Eagerly checkpointed: one tokenize pass, three reads
+    // of the materialized arrays (the stage-materialization shape a
+    // cluster job would get from a shuffle-stage reuse).
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
+      .localCheckpoint(true)
     // (doc_id, p) packed into one BIGINT: lexicographic (doc_id, p) order
     // == numeric order only while p < 2^21, so the contract is ENFORCED
     // (assert_true fails the query loudly per offending doc) rather than
@@ -664,8 +671,17 @@ object Curation {
     val outDir = graft.TempDirs.scoped("graft_sdecon_out")
     val ckpt = graft.TempDirs.scoped("graft_sdecon_ckpt")
     val staticDocs = Tables.documents(spark, dir)
-    val evalFps = fingerprints(staticDocs)
-      .filter(col("is_eval")).select(col("fp")).distinct().persist()
+    // The frozen eval fingerprint set builds once per corpus per JVM
+    // (StateCache — the scorer-counts convention); the bloom sketch is
+    // rebuilt from the KB-scale state read, and only the per-batch
+    // candidate check — the serve — runs per drain.
+    val evalDir = graft.StateCache.stateDir(dir, "curation/eval_fps",
+        "graft_evalfps") { d =>
+      fingerprints(staticDocs)
+        .filter(col("is_eval")).select(col("fp")).distinct()
+        .write.parquet(s"$d/fps")
+    }
+    val evalFps = spark.read.parquet(s"$evalDir/fps")
     val sketch = buildSketch(evalFps)
     val stream = spark.readStream.schema(staticDocs.schema)
       .parquet(graft.Tables.streamGlob(dir, "documents"))
@@ -688,9 +704,6 @@ object Curation {
         .start()
         .awaitTermination()
     }
-    // the drain is done and the output is parquet on disk — the cached
-    // fingerprint set has no further consumers
-    evalFps.unpersist()
     spark.read.parquet(s"$outDir/b*").orderBy(col("doc_id"))
   }
 

@@ -618,11 +618,17 @@ object TextAnalysis {
     val cuts = Seq(ids / 3, 2 * ids / 3, Long.MaxValue)
     var lo = Long.MinValue
     cuts.zipWithIndex.foreach { case (hi, i) =>
+      // The batch's shingle explosion feeds two separate actions (the
+      // new-shingle state append and the scoring join) — eagerly
+      // checkpointed so each batch shingles its slice once, not twice.
+      // Batch-bounded rows, the per-ingest-batch materialization an
+      // incremental pipeline holds anyway.
       val grams = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.GraftExpressions
             .shingleStrings(col("text"), graft.operators.Dedup.ShingleSize)))
             .as("g"))
+        .localCheckpoint(true)
       val seen =
         if (i == 0) spark.emptyDataFrame.withColumn("g", lit("")).limit(0)
           .select(col("g"))
